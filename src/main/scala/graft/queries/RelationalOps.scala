@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 relational-operator inventory re-expressed as declarative
+  * Spark pipelines over the driver-provided TPC-H-ish tables, each with a
+  * DuckDB oracle. Query names carry the §2 operator id they cover
+  * (a=aggregation, j=join, w=window, p=predicate, o=sort/limit, u=set-op,
+  * f=scalar function).
+  *
+  * The reference computes these shapes imperatively over RDDs (citations on
+  * each query); here they are single Catalyst plans so pushdown, partial
+  * aggregation, AQE and join selection apply unchanged at 100 TB.
+  */
+object RelationalOps {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle))
+
+  val all: Seq[Q] = Seq(
+    // ---- flagship: TPC-H Q1 shape = A7 monoid-sum of a struct of measures
+    // (reference: FullCheck.scala:157-165 reduceByKey of Counts monoid).
+    q(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D)))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+    },
+
+    // ---- A1: plain count (reference: CountReads.scala:40-55).
+    q("a1_count", "SELECT COUNT(*) AS n FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- A2: TP/TN/FP/FN accumulators → confusion-matrix groupBy
+    // (reference: CheckerApp.scala:70-96 four longAccumulators).
+    q(
+      "a2_confusion",
+      """SELECT l_returnflag = 'R' AS expected, l_linestatus = 'F' AS actual,
+        |COUNT(*) AS n FROM lineitem GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(
+          (col("l_returnflag") === "R").as("expected"),
+          (col("l_linestatus") === "F").as("actual"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- A6/O2: histogram sorted desc by count
+    // (reference: CheckerApp.scala:165-169 reduceByKey + sortBy(-count)).
+    q(
+      "a6_hist",
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("o_orderpriority"))
+    },
+
+    // ---- A8/W3: running CDF over sorted keys
+    // (reference: FullCheck.scala:171-188 scanLeft of Counts monoid).
+    q(
+      "a8_cdf",
+      """SELECT l_linenumber, n,
+        |  SUM(n) OVER (ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+        |FROM (SELECT l_linenumber, COUNT(*) AS n FROM lineitem GROUP BY l_linenumber)""".stripMargin
+    ) { (s, dir) =>
+      val perKey = t(s, dir, "lineitem")
+        .groupBy("l_linenumber").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perKey.withColumn("cdf", sum("n").over(w))
+    },
+
+    // ---- A11: stats summary (N/mean/min/max/percentiles/stddev)
+    // (reference: ComputeSplits.scala:58-99 Stats over split sizes).
+    // Mean/variance via exact decimal sums; percentiles rounded to absorb
+    // last-ulp interpolation differences between engines.
+    q(
+      "a11_stats",
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+        |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS p50,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75,
+        |  ROUND(SQRT((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)), 2) AS sd
+        |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      val d = col("o_totalprice").cast(D)
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        dmean(col("o_totalprice")).as("mean"),
+        min("o_totalprice").as("mn"),
+        max("o_totalprice").as("mx"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(
+          sqrt(
+            (sum(d * d).cast("double") -
+              sum(d).cast("double") * sum(d).cast("double") / count(lit(1))) /
+              (count(lit(1)) - 1)), 2).as("sd")
+      )
+    },
+
+    // ---- A15/W3: prefix-sum of sizes for partition planning
+    // (reference: Blocks.scala:98-107 scanLeftValues of compressedSize).
+    q(
+      "a15_prefix_sum",
+      """SELECT s_suppkey,
+        |  COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER
+        |    (ORDER BY s_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0) AS prefix
+        |FROM supplier""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.orderBy("s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        coalesce(sum(col("s_acctbal").cast(D)).over(w).cast("double"), lit(0.0))
+          .as("prefix"))
+    },
+
+    // ---- J1: checker-vs-ground-truth join → expected = truth.isNotNull
+    // (reference: BlocksAndIndexedRecords.scala:22-58 ordered zip join).
+    q(
+      "j1_truth_join",
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey IS NOT NULL AS expected
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') o
+        |ON l.l_orderkey = o.o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val truth = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      t(s, dir, "lineitem")
+        .join(truth, col("l_orderkey") === col("o_orderkey"), "left")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("o_orderkey").isNotNull.as("expected"))
+    },
+
+    // ---- J2/U1: full-outer merge of two key lists, keep one-sided rows
+    // (reference: ComputeSplits.scala:113-124 orMerge split diff).
+    q(
+      "j2_splits_diff",
+      """SELECT COALESCE(l.k, r.k) AS o_orderkey,
+        |  CASE WHEN l.k IS NOT NULL THEN 'L' ELSE 'R' END AS side
+        |FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F') l
+        |FULL OUTER JOIN (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 150000) r
+        |ON l.k = r.k
+        |WHERE l.k IS NULL OR r.k IS NULL""".stripMargin
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val l = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("lk"))
+      val r = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey").as("rk"))
+      l.join(r, col("lk") === col("rk"), "full_outer")
+        .filter(col("lk").isNull || col("rk").isNull)
+        .select(
+          coalesce(col("lk"), col("rk")).as("o_orderkey"),
+          when(col("lk").isNotNull, "L").otherwise("R").as("side"))
+    },
+
+    // ---- J3/U2: set-difference both directions via anti-joins
+    // (reference: TimeLoad.scala:77-93 read-name set diff).
+    q(
+      "j3_anti_diff",
+      """SELECT c_custkey AS key, 'customer_no_orders' AS side FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT o_custkey AS key, 'order_no_customer' AS side FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin
+    ) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val noOrders = c
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("key"),
+          lit("customer_no_orders").as("side"))
+      val noCust = o
+        .join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .select(col("o_custkey").as("key"),
+          lit("order_no_customer").as("side"))
+      noOrders.unionAll(noCust)
+    },
+
+    // ---- J5/W2: predecessor pairing via lag
+    // (reference: CheckBlocks.scala:102 sliding2Prev block+prev-size).
+    q(
+      "j5_lag_prev",
+      """SELECT o_orderkey,
+        |  LAG(o_totalprice) OVER (ORDER BY o_orderkey) AS prev_price
+        |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        lag("o_totalprice", 1).over(Window.orderBy("o_orderkey"))
+          .as("prev_price"))
+    },
+
+    // ---- W1: successor pairing → splits (start, end)
+    // (reference: CanLoadBam.scala:166-174 sliding2(endPos)).
+    q(
+      "w1_lead_splits",
+      """SELECT s_suppkey AS start_key,
+        |  COALESCE(LEAD(s_suppkey) OVER (ORDER BY s_suppkey), -1) AS end_key
+        |FROM supplier""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "supplier").select(
+        col("s_suppkey").as("start_key"),
+        coalesce(
+          lead("s_suppkey", 1).over(Window.orderBy("s_suppkey")),
+          lit(-1L)).as("end_key"))
+    },
+
+    // ---- W4/P9: row-number range selection
+    // (reference: HTSJDKRewrite.scala:54-58 zipWithIndex range filter).
+    q(
+      "w4_rownum_range",
+      """SELECT o_orderkey, rn FROM
+        |(SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+        |WHERE rn BETWEEN 1000 AND 1100""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          row_number().over(Window.orderBy("o_orderkey")).as("rn"))
+        .filter(col("rn").between(1000, 1100))
+    },
+
+    // ---- P2/P3: multi-interval range predicate (byte-range/loci filters)
+    // (reference: Blocks.scala:89-96 TreeRangeSet membership).
+    q(
+      "p2_interval_filter",
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE (CAST(l_shipdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1994-06-30')
+        |   OR (CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31')""".stripMargin
+    ) { (s, dir) =>
+      val d = col("l_shipdate").cast("date")
+      t(s, dir, "lineitem")
+        .filter(
+          d.between(lit("1994-01-01").cast("date"), lit("1994-06-30").cast("date")) ||
+          d.between(lit("1996-01-01").cast("date"), lit("1996-03-31").cast("date")))
+        .select(col("l_orderkey"), col("l_linenumber"), d.as("ship_date"))
+    },
+
+    // ---- P6/P7: mismatch filter (expected vs actual calls)
+    // (reference: CheckerApp.scala:76-99).
+    q(
+      "p6_mismatch",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_returnflag = 'R' AS expected, l_linestatus = 'F' AS actual
+        |FROM lineitem WHERE (l_returnflag = 'R') <> (l_linestatus = 'F')""".stripMargin
+    ) { (s, dir) =>
+      val e = col("l_returnflag") === "R"
+      val a = col("l_linestatus") === "F"
+      t(s, dir, "lineitem")
+        .filter(e =!= a)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          e.as("expected"), a.as("actual"))
+    },
+
+    // ---- U1/U2: symmetric difference via EXCEPT both ways
+    // (reference: Result.scala:57-67 one-sided split diffs).
+    q(
+      "u2_except",
+      """SELECT key, 'only_part' AS side FROM
+        |  (SELECT p_partkey AS key FROM part EXCEPT SELECT l_partkey AS key FROM lineitem)
+        |UNION ALL
+        |SELECT key, 'only_lineitem' AS side FROM
+        |  (SELECT l_partkey AS key FROM lineitem EXCEPT SELECT p_partkey AS key FROM part)""".stripMargin
+    ) { (s, dir) =>
+      val p = t(s, dir, "part").select(col("p_partkey").as("key"))
+      val l = t(s, dir, "lineitem").select(col("l_partkey").as("key"))
+      p.except(l).withColumn("side", lit("only_part"))
+        .unionAll(l.except(p).withColumn("side", lit("only_lineitem")))
+    },
+
+    // ---- F7: virtual-position bit packing (Pos.toHTSJDK round trip)
+    // (reference: Pos.scala:32-36, blockPos << 16 | offset).
+    q(
+      "f7_pos_pack",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey * 65536 + l_linenumber AS vpos,
+        |  (l_orderkey * 65536 + l_linenumber) // 65536 AS block_back,
+        |  (l_orderkey * 65536 + l_linenumber) % 65536 AS off_back
+        |FROM lineitem""".stripMargin
+    ) { (s, dir) =>
+      val vpos = shiftleft(col("l_orderkey"), 16)
+        .bitwiseOR(col("l_linenumber").cast("long"))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        vpos.as("vpos"),
+        shiftright(vpos, 16).as("block_back"),
+        vpos.bitwiseAND(lit(0xFFFFL)).as("off_back"))
+    },
+
+    // ---- O2/O3: deterministic top-k (sample/print-limit analog)
+    // (reference: CheckerApp.scala:188-200 capped collect).
+    q(
+      "o2_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    },
+
+    // ---- J-broadcast: dimension join chain + grouped revenue top-k
+    // (TPC-H Q3 shape; exercises broadcast join selection).
+    q(
+      "q3_topk_join",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+          .select("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Query registry shared by [[graft.SparkEntry]], Verify and Bench.
+  *
+  * Each [[graft.queries.Q]] pairs a Spark (DataFrame-API) implementation with
+  * an optional ANSI-SQL oracle executed by the driver in DuckDB over the same
+  * parquet tables. Conventions that make the hash-compare deterministic:
+  *
+  *  - Money/measure aggregations are computed in exact decimal
+  *    (`cast(decimal(18,2))`, see [[queries.dsum]]) and only cast to double at
+  *    the very end: the final decimal→double conversion is correctly rounded
+  *    in both engines for values far below 2^53, so the bits match regardless
+  *    of partial-aggregation order. Raw `sum(double)` would be
+  *    order-dependent and shuffle-nondeterministic.
+  *  - Column names are aliased identically on both sides (driver sorts
+  *    columns by name before hashing).
+  *  - Output never contains raw timestamps (engines disagree on ns/us
+  *    truncation); dates/strings only.
+  */
+package object queries {
+
+  /** Exact decimal type used for money-ish doubles in the test tables. */
+  val D: DecimalType = DecimalType(18, 2)
+
+  /** Order-insensitive exact sum of a double column: decimal-exact partials,
+    * one final correctly-rounded cast to double. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Exact mean implemented as decimal sum / count in double space. */
+  def dmean(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+
+  /** Load one of the driver-provided tables from the given sf dir. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}
+
+package queries {
+
+  /** One registered query: Spark impl + optional DuckDB oracle SQL. */
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String]
+  )
+}
