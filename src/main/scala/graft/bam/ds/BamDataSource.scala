@@ -1,0 +1,147 @@
+package graft.bam.ds
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.read.format("bam")` — DataSource V2 for BAM files.
+  *
+  * Spark-native re-expression of the reference's loader API
+  * (load/.../CanLoadBam.scala:71-143 `loadBam`): split planning =
+  * `planInputPartitions` (size-based byte ranges), boundary detection +
+  * record decode = `PartitionReader`. The scan is completely narrow — no
+  * shuffle — and scales by adding partitions: the contract that holds at
+  * 100 TB on a 1000-executor cluster.
+  *
+  * Options: `splitSize` (bytes, default 8 MiB), `blocksToCheck`,
+  * `readsToCheck`, `maxReadSize` (checker knobs, reference defaults).
+  */
+class BamDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "bam"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BamSchema.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val paths = BamDataSource.resolvePaths(opts)
+    new BamTable(paths, schema)
+  }
+}
+
+object BamDataSource {
+  /** Resolve the `path`/`paths` option into concrete file paths; globs are
+    * expanded through the Hadoop FS, so wildcard dirs-of-BAMs work. */
+  def resolvePaths(opts: CaseInsensitiveStringMap): Seq[String] = {
+    val raw: Seq[String] =
+      Option(opts.get("paths")).map(_.split(",").toSeq)
+        .orElse(Option(opts.get("path")).map(Seq(_)))
+        .getOrElse(throw new IllegalArgumentException("bam: no path given"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    raw.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matches.isEmpty) Seq(p) else matches.map(_.getPath.toUri.getPath)
+    }
+  }
+}
+
+object BamSchema {
+  /** The engine's record schema (SURVEY.md §1.2). `pos` is 0-based;
+    * `endPos` is the 0-based exclusive alignment end (cigar-aware, F10);
+    * `virtualPos` is the provenance metadata column (S6). */
+  val schema: StructType = StructType(Seq(
+    StructField("refIdx", IntegerType, nullable = false),
+    StructField("contig", StringType, nullable = true),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("endPos", IntegerType, nullable = false),
+    StructField("mapq", IntegerType, nullable = false),
+    StructField("flags", IntegerType, nullable = false),
+    StructField("readName", StringType, nullable = false),
+    StructField("cigar", ArrayType(StructType(Seq(
+      StructField("op", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))), containsNull = false),
+      nullable = false),
+    StructField("nextRefIdx", IntegerType, nullable = false),
+    StructField("nextPos", IntegerType, nullable = false),
+    StructField("templateLen", IntegerType, nullable = false),
+    StructField("seq", StringType, nullable = false),
+    StructField("qual", BinaryType, nullable = false),
+    StructField("attrs", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false),
+    StructField("virtualPos", StructType(Seq(
+      StructField("blockPos", LongType, nullable = false),
+      StructField("offset", IntegerType, nullable = false))), nullable = false)
+  ))
+}
+
+class BamTable(paths: Seq[String], override val schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"bam(${paths.mkString(",")})"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BamScanBuilder(paths, options.asScala.toMap)
+}
+
+class BamScanBuilder(paths: Seq[String], options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = BamSchema.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Preserve our canonical field order; Spark's projection sits on top.
+    required = StructType(
+      BamSchema.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  /** All filters stay residual for now (correct, just unpruned); interval
+    * pruning via the records side-car lands with the genomic index. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = Array.empty
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BamScan(paths, required, options)
+}
+
+final case class BamInputPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+class BamScan(paths: Seq[String], required: StructType,
+              options: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"bam ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splitSize = options.getOrElse("splitsize", (8L << 20).toString).toLong
+    val conf = new org.apache.hadoop.conf.Configuration()
+    paths.toArray.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
+      (0L until len by splitSize)
+        .map(s => BamInputPartition(p, s, math.min(s + splitSize, len)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BamPartitionReaderFactory(required,
+      options.getOrElse("blockstocheck", "5").toInt,
+      options.getOrElse("readstocheck", "10").toInt,
+      options.getOrElse("maxreadsize", (1 << 21).toString).toInt)
+}

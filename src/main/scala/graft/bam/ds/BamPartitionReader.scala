@@ -1,0 +1,119 @@
+package graft.bam.ds
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.bam.check.{Checker, FindBlockStart, FindRecordStart}
+import graft.bam.codec.{Bam, Pos}
+import graft.bam.io.{BlockReader, SeekableInput, UncompressedReader}
+
+class BamPartitionReaderFactory(required: StructType, blocksToCheck: Int,
+                                readsToCheck: Int, maxReadSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BamInputPartition]
+    new BamPartitionReader(p, required, blocksToCheck, readsToCheck, maxReadSize)
+  }
+}
+
+/** Decodes the records of one byte-range split.
+  *
+  * Split semantics (matching the reference's, CanLoadBam.scala:86-141): a
+  * split owns the records that *start* in blocks whose compressed start
+  * offset lies in [firstBlock(start), firstBlock(end)), where firstBlock
+  * scans forward for a verifiable BGZF boundary; the first record of a
+  * block is found with the eager checker. Records may *end* past the split
+  * boundary — the reader follows blocks as far as needed, so neighbors
+  * never duplicate or drop records.
+  */
+class BamPartitionReader(split: BamInputPartition, required: StructType,
+                         blocksToCheck: Int, readsToCheck: Int, maxReadSize: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val blocks = new BlockReader(SeekableInput.open(split.path))
+  private val reader = new UncompressedReader(blocks)
+
+  private val wantSeq = required.fieldNames.contains("seq")
+  private val wantQual = required.fieldNames.contains("qual")
+  private val wantAttrs = required.fieldNames.contains("attrs")
+  private val wantContig = required.fieldNames.contains("contig")
+
+  private var header: Bam.Header = _
+  private var contigNames: Array[UTF8String] = _
+  private var active = init()
+  private var rec: Bam.Record = _
+
+  private def init(): Boolean = {
+    // Header is always parsed (first split emits from just after it; all
+    // splits need the contig dictionary for the checker + contig column).
+    val hr = new UncompressedReader(blocks)
+    if (!hr.seek(Pos(0, 0))) return false
+    header = Bam.readHeader(hr)
+    contigNames = header.contigs.map(c => UTF8String.fromString(c.name)).toArray
+
+    val startPos: Option[Pos] =
+      if (split.start == 0) Some(header.firstRecord)
+      else {
+        val blockStart = FindBlockStart(blocks, split.start, blocksToCheck)
+        if (blockStart >= split.end) None // this range holds no block start
+        else {
+          val lens = header.contigs.map(_.length)
+          val checker = new Checker(blocks, lens, readsToCheck)
+          FindRecordStart(blocks, checker, blockStart, maxReadSize)
+            .filter(_.blockPos < split.end)
+        }
+      }
+    startPos.exists(reader.seek)
+  }
+
+  override def next(): Boolean = {
+    if (!active || !reader.hasMore) return false
+    val p = reader.pos
+    if (p.blockPos >= split.end) return false // next split's territory
+    rec = Bam.readRecord(reader, wantSeq, wantQual, wantAttrs)
+    rec != null
+  }
+
+  override def get(): InternalRow = {
+    val r = rec
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      row.update(i, required.fields(i).name match {
+        case "refIdx" => r.refIdx
+        case "contig" =>
+          if (r.refIdx >= 0 && r.refIdx < contigNames.length) contigNames(r.refIdx)
+          else null
+        case "pos" => r.pos
+        case "endPos" => r.end
+        case "mapq" => r.mapq
+        case "flags" => r.flags
+        case "readName" => UTF8String.fromString(r.readName)
+        case "cigar" =>
+          new GenericArrayData(r.cigar.map(op =>
+            new GenericInternalRow(Array[Any](op.op, op.len))).toArray[Any])
+        case "nextRefIdx" => r.nextRefIdx
+        case "nextPos" => r.nextPos
+        case "templateLen" => r.templateLen
+        case "seq" => UTF8String.fromString(r.seq)
+        case "qual" => r.qual
+        case "attrs" =>
+          val ks = r.attrs.keys.toArray[Any].map(k => UTF8String.fromString(k.toString))
+          val vs = r.attrs.values.toArray[Any].map(v => UTF8String.fromString(v.toString))
+          new ArrayBasedMapData(new GenericArrayData(ks.toArray[Any]),
+            new GenericArrayData(vs.toArray[Any]))
+        case "virtualPos" =>
+          new GenericInternalRow(Array[Any](r.blockPos, r.offset))
+        case other => throw new IllegalStateException(s"unknown column $other")
+      })
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = blocks.close()
+}

@@ -1,0 +1,169 @@
+package graft.bam.fixtures
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.bam.codec.{Bam, Bgzf, Pos}
+
+/** Deterministic BAM fixture generator.
+  *
+  * The reference's binary test files can't be copied and no external BAM
+  * writer exists in this environment, so every test flows from this
+  * generator (SURVEY.md §5, §7 phase 0). Records are written as one
+  * contiguous uncompressed stream then chunked into BGZF blocks with no
+  * regard for record boundaries — mirroring htsjdk-rewrite's role of
+  * producing records *unaligned* to block starts
+  * (reference: cli/.../bam/rewrite/HTSJDKRewrite.scala:14-20).
+  *
+  * Alongside the `.bam` it writes the two side-car indexes the reference
+  * defines: `.blocks` = `start,compressedSize,uncompressedSize` lines
+  * (bgzf/.../index/IndexBlocks.scala:41) and `.records` =
+  * `blockPos,offset` lines (check/.../index/IndexRecords.scala:55).
+  */
+object BamFixture {
+
+  final case class Fixture(
+      bamPath: String,
+      header: Bam.Header,
+      records: IndexedSeq[Bam.Record], // with virtual positions filled in
+      blocks: Seq[Bgzf.Metadata]
+  ) {
+    def numRecords: Int = records.length
+    def recordPositions: IndexedSeq[Pos] = records.map(_.virtualPos)
+    def blocksPath: String = bamPath + ".blocks"
+    def recordsPath: String = bamPath + ".records"
+    def totalUncompressedPositions: Long = blocks.map(_.uncompressedSize.toLong).sum
+  }
+
+  val DefaultContigs: IndexedSeq[Bam.Contig] = IndexedSeq(
+    Bam.Contig("chr1", 2_000_000),
+    Bam.Contig("chr2", 1_500_000),
+    Bam.Contig("chr3", 900_000)
+  )
+
+  /** Deterministic xorshift so fixtures are identical across JVMs/runs. */
+  private final class Rng(seed0: Long) {
+    private var s = seed0 ^ 0x9e3779b97f4a7c15L
+    def nextLong(): Long = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s
+    }
+    def nextInt(bound: Int): Int = (((nextLong() >>> 1) % bound).toInt)
+  }
+
+  /** Generate `n` records sorted by (refIdx, pos), ~8% unmapped at the end
+    * (refIdx = -1), paired mate fields, mixed cigar shapes. */
+  def generateRecords(n: Int, contigs: IndexedSeq[Bam.Contig], seed: Long): IndexedSeq[Bam.Record] = {
+    val rng = new Rng(seed)
+    val nUnmapped = n / 12
+    val mapped = (0 until (n - nUnmapped)).map { i =>
+      val refIdx = rng.nextInt(contigs.length)
+      val pos = rng.nextInt(contigs(refIdx).length - 200)
+      val readLen = 36 + rng.nextInt(65)
+      val cigar =
+        rng.nextInt(4) match {
+          case 0 => Seq(Bam.CigarOp(0, readLen)) // all M
+          case 1 => // soft-clip + M
+            val s = 1 + rng.nextInt(10)
+            Seq(Bam.CigarOp(4, s), Bam.CigarOp(0, readLen - s))
+          case 2 => // M + D + M
+            val m1 = readLen / 2
+            Seq(Bam.CigarOp(0, m1), Bam.CigarOp(2, 1 + rng.nextInt(5)),
+              Bam.CigarOp(0, readLen - m1))
+          case _ => // M + I + M
+            val m1 = readLen / 3
+            val ins = 1 + rng.nextInt(4)
+            Seq(Bam.CigarOp(0, m1), Bam.CigarOp(1, ins),
+              Bam.CigarOp(0, readLen - m1 - ins))
+        }
+      val seq = (0 until readLen).map(_ => "ACGT".charAt(rng.nextInt(4))).mkString
+      val qual = Array.tabulate[Byte](readLen)(_ => (rng.nextInt(40) + 2).toByte)
+      val mateRef = rng.nextInt(contigs.length)
+      Bam.Record(
+        refIdx = refIdx, pos = pos, mapq = rng.nextInt(61),
+        flags = 0x1 | 0x40 | (if (rng.nextInt(2) == 0) 0x10 else 0),
+        readName = f"read_$i%06d",
+        cigar = cigar,
+        nextRefIdx = mateRef, nextPos = rng.nextInt(contigs(mateRef).length - 200),
+        templateLen = rng.nextInt(1000) - 500,
+        seq = seq, qual = qual,
+        attrs = Map("NM:i" -> rng.nextInt(5).toString, "RG:Z" -> s"rg${rng.nextInt(3)}"),
+        blockPos = -1, offset = -1)
+    }.sortBy(r => (r.refIdx, r.pos, r.readName))
+    val unmapped = ((n - nUnmapped) until n).map { i =>
+      val readLen = 36 + rng.nextInt(65)
+      val seq = (0 until readLen).map(_ => "ACGT".charAt(rng.nextInt(4))).mkString
+      val qual = Array.tabulate[Byte](readLen)(_ => (rng.nextInt(40) + 2).toByte)
+      Bam.Record(
+        refIdx = -1, pos = -1, mapq = 0, flags = 0x1 | 0x4 | 0x8,
+        readName = f"read_$i%06d", cigar = Nil,
+        nextRefIdx = -1, nextPos = -1, templateLen = 0,
+        seq = seq, qual = qual, attrs = Map("RG:Z" -> s"rg${rng.nextInt(3)}"),
+        blockPos = -1, offset = -1)
+    }
+    mapped ++ unmapped
+  }
+
+  /** Write a BAM + side-cars; returns the fixture with every record's
+    * virtual position resolved against the final block layout. */
+  def write(dir: Path, name: String, n: Int = 2000, seed: Long = 42,
+            payloadSize: Int = 8 * 1024,
+            contigs: IndexedSeq[Bam.Contig] = DefaultContigs): Fixture = {
+    Files.createDirectories(dir)
+    val recs = generateRecords(n, contigs, seed)
+    val out = new java.io.ByteArrayOutputStream(1 << 20)
+    val samText = "@HD\tVN:1.6\tSO:coordinate\n" +
+      contigs.map(c => s"@SQ\tSN:${c.name}\tLN:${c.length}\n").mkString
+    Bam.writeHeader(out, samText, contigs)
+    val recOffsets = recs.map { r =>
+      val off = out.size()
+      Bam.writeRecord(out, r)
+      off.toLong
+    }
+    val uncompressed = out.toByteArray
+    val (image, blocks) = Bgzf.compress(uncompressed, payloadSize)
+    val bam = dir.resolve(name)
+    Files.write(bam, image)
+
+    // Map uncompressed offsets -> Pos via the block layout.
+    val blockArr = blocks.toIndexedSeq
+    val cumStarts = blockArr.scanLeft(0L)(_ + _.uncompressedSize)
+    def toPos(uOff: Long): Pos = {
+      var lo = 0; var hi = blockArr.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (cumStarts(mid) <= uOff) lo = mid else hi = mid - 1
+      }
+      Pos(blockArr(lo).start, (uOff - cumStarts(lo)).toInt)
+    }
+    val withPos = recs.zip(recOffsets).map { case (r, uOff) =>
+      val p = toPos(uOff)
+      r.copy(blockPos = p.blockPos, offset = p.offset)
+    }
+
+    Files.write(dir.resolve(name + ".blocks"),
+      blocks.map(m => s"${m.start},${m.compressedSize},${m.uncompressedSize}")
+        .mkString("", "\n", "\n").getBytes("ASCII"))
+    Files.write(dir.resolve(name + ".records"),
+      withPos.map(r => s"${r.blockPos},${r.offset}")
+        .mkString("", "\n", "\n").getBytes("ASCII"))
+
+    val headerEnd = toPos(recOffsets.headOption.getOrElse(uncompressed.length.toLong))
+    val header = Bam.Header(samText, contigs, headerEnd)
+    Fixture(bam.toString, header, withPos, blocks)
+  }
+
+  /** Shared lazily-written fixture for queries/tests: stable path under the
+    * build dir, written once per JVM. */
+  lazy val default: Fixture = cached("default", n = 2500, seed = 42, payloadSize = 8192)
+  /** Tiny fixture with several records per block AND records spanning
+    * blocks. */
+  lazy val tiny: Fixture = cached("tiny", n = 120, seed = 7, payloadSize = 1024)
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Fixture]
+
+  def cached(key: String, n: Int, seed: Long, payloadSize: Int): Fixture =
+    cache.getOrElseUpdate(key, {
+      val dir = Paths.get(sys.props.getOrElse("graft.fixture.dir",
+        "target/bam-fixtures"))
+      write(dir, s"$key-$n-$seed-$payloadSize.bam", n, seed, payloadSize)
+    })
+}

@@ -1,0 +1,166 @@
+package graft.bam.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.bam.check.Checker
+import graft.bam.codec.Pos
+import graft.bam.io.{BlockReader, SeekableInput}
+
+/** Auxiliary BAM relations + the differential-checker pipeline — the
+  * reference's CLI analytics (SURVEY.md §2.11) re-expressed as Catalyst
+  * plans over the `bam` DSv2 source and the side-car tables.
+  */
+object BamOps {
+
+  val blocksSchema: StructType = StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("compressedSize", IntegerType, nullable = false),
+    StructField("uncompressedSize", IntegerType, nullable = false)))
+
+  val recordsSchema: StructType = StructType(Seq(
+    StructField("blockPos", LongType, nullable = false),
+    StructField("offset", IntegerType, nullable = false)))
+
+  /** `bam_blocks(path)` — the block catalog (S11/S13). Side-car fast path:
+    * plain CSV scan. No side-car: distributed discovery — parallelize byte
+    * ranges, each task walks headers (metadata-only, no inflate) from the
+    * first boundary at-or-after its range start (reference:
+    * check/.../bam/check/Blocks.scala:47-208). */
+  def blocks(spark: SparkSession, path: String, numSplits: Int = 0): DataFrame = {
+    val sidecar = path + ".blocks"
+    if (new java.io.File(sidecar).exists())
+      spark.read.schema(blocksSchema).csv(sidecar)
+    else discoverBlocks(spark, path, if (numSplits > 0) numSplits else 8)
+  }
+
+  def discoverBlocks(spark: SparkSession, path: String, numSplits: Int): DataFrame = {
+    import spark.implicits._
+    val len = new java.io.File(path).length()
+    val splitSize = math.max(1L, (len + numSplits - 1) / numSplits)
+    val bounds = (0L until len by splitSize).map(s => (s, math.min(s + splitSize, len)))
+    spark.createDataset(bounds).repartition(bounds.length)
+      .flatMap { case (start, end) =>
+        val blocks = new BlockReader(SeekableInput.open(path))
+        try {
+          var at = graft.bam.check.FindBlockStart(blocks, start)
+          val out = Seq.newBuilder[(Long, Int, Int)]
+          var done = false
+          while (!done && at < end) {
+            blocks.metadataAt(at) match {
+              case Some(m) => out += ((m.start, m.compressedSize, m.uncompressedSize)); at += m.compressedSize
+              case None => done = true
+            }
+          }
+          out.result()
+        } finally blocks.close()
+      }
+      .toDF("start", "compressedSize", "uncompressedSize")
+  }
+
+  /** `bam_records(path)` — ground-truth record positions side-car (S15
+    * read-back, indexed/IndexedRecordPositions.scala:56-76). */
+  def records(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(recordsSchema).csv(path + ".records")
+
+  /** Write the two side-car indexes from their relations (S14/S15 sinks):
+    * single files, strictly ordered, like the reference's writers. */
+  def indexBlocks(spark: SparkSession, path: String, out: String): Unit =
+    writeCsvOrdered(discoverBlocks(spark, path, 8).orderBy("start"), out)
+  def indexRecords(spark: SparkSession, path: String, out: String): Unit = {
+    val df = spark.read.format("bam").load(path)
+      .select(col("virtualPos.blockPos"), col("virtualPos.offset"))
+      .orderBy("blockPos", "offset")
+    writeCsvOrdered(df, out)
+  }
+  private def writeCsvOrdered(df: DataFrame, out: String): Unit = {
+    val rows = df.collect() // index files are driver-written in the reference too
+    val w = new java.io.PrintWriter(out)
+    try rows.foreach(r => w.println((0 until r.length).map(r.get).mkString(",")))
+    finally w.close()
+  }
+
+  /** Per-position checker calls: explode every uncompressed position of
+    * every block and evaluate the eager + relaxed checkers. One
+    * `BlockReader`+`Checker` pair per partition, closed on task end —
+    * the reference's CallPartition pattern (cli/.../CallPartition.scala:34-53)
+    * as `mapPartitions` over a range-partitioned block catalog. */
+  def checkerCalls(spark: SparkSession, path: String, numPartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val contigLens = readContigLens(path)
+    val blockMetas = blocks(spark, path)
+      .repartitionByRange(numPartitions, col("start"))
+      .as[(Long, Int, Int)]
+    blockMetas.mapPartitions { metas =>
+      if (!metas.hasNext) Iterator.empty
+      else {
+        val blocks = new BlockReader(SeekableInput.open(path))
+        val checker = new Checker(blocks, contigLens)
+        org.apache.spark.TaskContext.get() match {
+          case null => // driver-side (tests): rely on GC
+          case tc => tc.addTaskCompletionListener[Unit](_ => blocks.close())
+        }
+        metas.flatMap { case (start, _, usize) =>
+          (0 until usize).iterator.map { off =>
+            val p = Pos(start, off)
+            (start, off, checker.eager(p), checker.relaxed(p))
+          }
+        }
+      }
+    }.toDF("blockPos", "offset", "eagerCall", "relaxedCall")
+  }
+
+  /** check-bam (§2.11): calls ⋈ ground truth (J1) → confusion matrix (A2).
+    * `expected` = position is a true record start per the `.records`
+    * side-car; one row per (expected, call) cell with counts. */
+  def checkBam(spark: SparkSession, path: String, checker: String = "eager",
+               numPartitions: Int = 8): DataFrame = {
+    val calls = checkerCalls(spark, path, numPartitions)
+    val truth = records(spark, path).withColumn("isRecord", lit(true))
+    val callCol = if (checker == "relaxed") col("relaxedCall") else col("eagerCall")
+    calls
+      .join(truth, Seq("blockPos", "offset"), "left_outer")
+      .select(coalesce(col("isRecord"), lit(false)).as("expected"),
+        callCol.as("call"))
+      .groupBy("expected", "call").agg(count(lit(1)).as("n"))
+      .orderBy("expected", "call")
+  }
+
+  /** compute-splits analog (S7): the realized split layout — per input
+    * partition, its first record position and record count. */
+  def splits(spark: SparkSession, path: String, splitSize: Long): DataFrame = {
+    spark.read.format("bam").option("splitSize", splitSize.toString).load(path)
+      .select(spark_partition_id().as("split"),
+        col("virtualPos.blockPos").as("blockPos"),
+        col("virtualPos.offset").as("offset"))
+      .groupBy("split")
+      .agg(min(struct(col("blockPos"), col("offset"))).as("start"),
+        count(lit(1)).as("numRecords"))
+      .select(col("split"), col("start.blockPos").as("startBlock"),
+        col("start.offset").as("startOffset"), col("numRecords"))
+      .orderBy("split")
+  }
+
+  /** loadBamIntervals analog (S5/P2): records overlapping any of the given
+    * (contig, start, end) half-open intervals. The overlap predicate is a
+    * plain Catalyst filter (pushdown-eligible); interval list is tiny and
+    * inlined — the broadcast-join form of J4. */
+  def intervals(spark: SparkSession, path: String,
+                ivs: Seq[(String, Int, Int)]): DataFrame = {
+    val reads = spark.read.format("bam").load(path)
+    val cond = ivs.map { case (c, lo, hi) =>
+      col("contig") === c && col("pos") < hi && col("endPos") > lo
+    }.reduce(_ || _)
+    reads.filter(col("refIdx") >= 0 && cond)
+  }
+
+  private[ops] def readContigLens(path: String): IndexedSeq[Int] = {
+    val blocks = new BlockReader(SeekableInput.open(path))
+    try {
+      val r = new graft.bam.io.UncompressedReader(blocks)
+      r.seek(Pos(0, 0))
+      graft.bam.codec.Bam.readHeader(r).contigs.map(_.length)
+    } finally blocks.close()
+  }
+}

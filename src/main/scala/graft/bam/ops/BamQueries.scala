@@ -1,0 +1,69 @@
+package graft.bam.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.bam.fixtures.BamFixture
+import graft.queries.Q
+
+/** SURVEY.md §2.1/§2.10/§2.11 coverage: the BAM-source operator set as
+  * registered queries. These run on generated deterministic fixtures (the
+  * reference's binary test files can't ship; FIXTURES.md), so they carry no
+  * DuckDB oracle — the driver records rows-only checks and the exact-value
+  * assertions live in [[graft.bam]] ScalaTest suites.
+  */
+object BamQueries {
+
+  private def q(name: String)(run: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Q =
+    Q(name, run, None)
+
+  val all: Seq[Q] = Seq(
+    // S1/S2 loadBam + A1/A14 count-reads: per-contig record counts.
+    q("bam_count_reads") { (s, _) =>
+      s.read.format("bam").option("splitSize", "32768")
+        .load(BamFixture.default.bamPath)
+        .groupBy("refIdx", "contig").agg(count(lit(1)).as("n"))
+        .orderBy("refIdx")
+    },
+
+    // S13 distributed block discovery (no side-car path).
+    q("bam_blocks") { (s, _) =>
+      BamOps.discoverBlocks(s, BamFixture.default.bamPath, 8).orderBy("start")
+    },
+
+    // S15 records side-car relation (ground-truth positions).
+    q("bam_records") { (s, _) =>
+      BamOps.records(s, BamFixture.default.bamPath)
+    },
+
+    // §2.11 check-bam: eager checker vs ground truth → confusion matrix.
+    q("bam_check_eager") { (s, _) =>
+      BamOps.checkBam(s, BamFixture.tiny.bamPath, "eager")
+    },
+
+    // §2.11 check-bam -s: relaxed (hadoop-bam-profile) checker variant.
+    q("bam_check_relaxed") { (s, _) =>
+      BamOps.checkBam(s, BamFixture.tiny.bamPath, "relaxed")
+    },
+
+    // S7 loadSplitsAndReads: realized splits + per-split record counts.
+    q("bam_splits") { (s, _) =>
+      BamOps.splits(s, BamFixture.default.bamPath, 32768)
+    },
+
+    // S5 loadBamIntervals + P2 overlap predicate + F10 record end.
+    q("bam_intervals") { (s, _) =>
+      BamOps.intervals(s, BamFixture.default.bamPath,
+        Seq(("chr1", 0, 400_000), ("chr2", 100_000, 120_000)))
+        .groupBy("contig").agg(count(lit(1)).as("n"), min("pos").as("first_pos"),
+          max("endPos").as("last_end"))
+        .orderBy("contig")
+    },
+
+    // A5/A6 histogram shape on BAM data: flags histogram, desc by count.
+    q("bam_flags_hist") { (s, _) =>
+      s.read.format("bam").load(BamFixture.default.bamPath)
+        .groupBy("flags").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("flags"))
+    }
+  )
+}

@@ -1,0 +1,86 @@
+package graft.bam
+
+import graft.SparkTestBase
+import graft.bam.fixtures.BamFixture
+import org.apache.spark.sql.functions._
+
+class BamSourceSpec extends SparkTestBase {
+
+  private lazy val fx = BamFixture.default // 2500 records, 8 KiB blocks
+
+  private def load(splitSize: Long) =
+    spark.read.format("bam")
+      .option("splitSize", splitSize.toString)
+      .load(fx.bamPath)
+
+  test("count matches the generator across split sizes") {
+    // file is ~160 KiB compressed; exercise 1..many partitions
+    Seq(1L << 20, 64L << 10, 16L << 10, 5L << 10).foreach { ss =>
+      val df = load(ss)
+      assert(df.count() == fx.numRecords, s"splitSize=$ss")
+    }
+  }
+
+  test("partitioned read yields no duplicates and no drops") {
+    val df = load(16L << 10)
+    assert(df.rdd.getNumPartitions > 2)
+    val names = df.select("readName").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted
+    assert(names.length == fx.numRecords)
+    assert(names.distinct.length == fx.numRecords)
+  }
+
+  test("virtualPos matches the fixture's record index") {
+    val got = load(16L << 10)
+      .select("virtualPos.blockPos", "virtualPos.offset")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val want = fx.records.map(r => (r.blockPos, r.offset)).sorted
+    assert(got.toSeq == want)
+  }
+
+  test("per-contig counts and coordinates match the generator") {
+    val got = load(32L << 10)
+      .groupBy("refIdx", "contig").agg(count(lit(1)).as("n"),
+        min("pos").as("mn"), max("endPos").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val want = fx.records.groupBy(_.refIdx).map { case (ri, rs) =>
+      (ri, if (ri >= 0) fx.header.contigs(ri).name else null, rs.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("column pruning skips payload decode but keeps values right") {
+    val df = load(32L << 10).select("readName", "flags")
+    val plan = df.queryExecution.executedPlan.toString
+    val sample = df.orderBy("readName").limit(3).collect()
+    assert(sample.map(_.getString(0)).toSeq ==
+      fx.records.map(_.readName).sorted.take(3))
+    // full-schema read decodes seq/qual; both paths agree on shared cols
+    val full = load(32L << 10).select("readName", "seq").orderBy("readName")
+      .limit(3).collect()
+    assert(full.map(_.getString(1)).toSeq ==
+      fx.records.sortBy(_.readName).take(3).map(_.seq))
+  }
+
+  test("attrs and cigar survive the row conversion") {
+    val row = load(1L << 20)
+      .orderBy("virtualPos.blockPos", "virtualPos.offset")
+      .select("attrs", "cigar", "qual", "seq").head()
+    val want = fx.records.head
+    assert(row.getMap[String, String](0).toMap == want.attrs)
+    val cigar = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(c => (c.getInt(0), c.getInt(1)))
+    assert(cigar == want.cigar.map(op => (op.op, op.len)))
+    assert(row.getAs[Array[Byte]](2).toSeq == want.qual.toSeq)
+    assert(row.getString(3) == want.seq)
+  }
+
+  test("SQL over the bam source works end-to-end") {
+    load(32L << 10).createOrReplaceTempView("reads")
+    val n = spark.sql(
+      "SELECT count(*) FROM reads WHERE flags & 4 = 0 AND mapq >= 30")
+      .head().getLong(0)
+    val want = fx.records.count(r => (r.flags & 4) == 0 && r.mapq >= 30)
+    assert(n == want)
+  }
+}
