@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registry: Seq[Q] =
-    RelationalOps.all ++ TextOps.all ++ graft.bam.ops.BamQueries.all
+    RelationalOps.all ++ TextOps.all ++ PipelineOps.all ++
+      graft.bam.ops.BamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), with a brute-force cosine baseline and a random-
+  * hyperplane LSH scale path.
+  *
+  * Dot products are `aggregate(zip_with(...))` — codegen'd, no UDFs.
+  * Accumulation is sequential left-to-right in double space, so results
+  * are deterministic regardless of partitioning.
+  */
+object SimilarityOps {
+
+  /** Σ aᵢ·bᵢ in double space. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: every query row against the whole corpus.
+    * The corpus side is broadcast when small; at scale this is the
+    * reduce-side baseline the LSH path is judged against. Ranking is on
+    * (rounded cosine desc, vec_id) so ties are deterministic. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` unit-free direction
+    * vectors of dimension `dim` (sign-only LSH doesn't need normalization). */
+  private def planes(dim: Int, numPlanes: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] = {
+    var s = seed ^ 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    IndexedSeq.fill(numPlanes)(IndexedSeq.fill(dim)(next()))
+  }
+
+  /** Sign-bit signature of `v` against the hyperplanes, packed into a long. */
+  def lshSignature(v: Column, dim: Int, numPlanes: Int = 16,
+                   seed: Long = 42L): Column = {
+    val ps = planes(dim, numPlanes, seed)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates share ≥1 of the 4 signature bands
+    * (multi-probe by banding), exact cosine re-rank inside the candidate
+    * set. Trades recall for replacing the cross join with an equi-join on
+    * band keys — the shuffle is proportional to candidates, not |Q|×|C|. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    def withBands(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        lshSignature(col(vecCol), dim, numPlanes, seed).as("sig"))
+        .select(col(id), col(vec),
+          posexplode(array((0 until 4).map(j =>
+            shiftright(col("sig"), j * (numPlanes / 4))
+              .bitwiseAND((1L << (numPlanes / 4)) - 1)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val qb = withBands(queries, "query_id", "qv")
+    val cb = withBands(corpus, "item_id", "cv")
+    val cand = qb.join(cb, Seq("band", "key"))
+      .filter(col("query_id") =!= col("item_id"))
+      .select("query_id", "item_id", "qv", "cv")
+      .dropDuplicates("query_id", "item_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine above `threshold`.
+    * Brute-force form (oracle-friendly); the LSH candidates variant is the
+    * scale path. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / language / tokenization analysis for training-data
+  * pipelines, all as codegen'd native expressions over the `documents`
+  * schema (doc_id, text, lang, source, n_chars).
+  */
+object TextAnalysisOps {
+
+  /** Tiny deterministic stopword profiles for the n-gram/stopword
+    * language-ID heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "我", "这", "他")
+  )
+  val Langs: Seq[String] = Stopwords.keys.toSeq.sorted // deterministic order
+
+  private def toks(text: Column): Column = DedupOps.tokens(text)
+
+  /** Stopword-hit count for one language (counts occurrences, not types). */
+  def langScore(text: Column, lang: String): Column = {
+    val sw = array(Stopwords(lang).map(lit): _*)
+    size(filter(toks(text), t => array_contains(sw, t)))
+  }
+
+  /** Predicted language = argmax over profiles; ties break to the
+    * alphabetically-first language (deterministic, oracle-matchable). */
+  def langId(text: Column): Column = {
+    // greatest over (score, reverse-alpha marker, lang) structs picks max
+    // score; on ties the struct comparison prefers the LAST language
+    // alphabetically, so negate: compare on (score, negIdx).
+    val structs = Langs.zipWithIndex.map { case (l, i) =>
+      struct(langScore(text, l).as("s"), lit(-i).as("negIdx"), lit(l).as("lang"))
+    }
+    greatest(structs: _*).getField("lang")
+  }
+
+  /** Per-document quality metrics + a composite score in [0,1]:
+    * length band, punctuation density, digit density, mean token length,
+    * stopword(en) ratio — the classic heuristics
+    * (Gopher/C4-style rules re-expressed as columns). */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val t = toks(text)
+    val nChars = length(text)
+    val nTok = size(t)
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
+    val digits = length(regexp_replace(text, "[^0-9]+", ""))
+    val meanTokLen = when(nTok > 0,
+      aggregate(t, lit(0), (a, x) => a + length(x)).cast("double") / nTok)
+      .otherwise(0.0)
+    val sw = array(Stopwords("en").map(lit): _*)
+    val swRatio = when(nTok > 0,
+      size(filter(t, x => array_contains(sw, x))).cast("double") / nTok)
+      .otherwise(0.0)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> round(punct.cast("double") / greatest(nChars, lit(1)), 6),
+      "digit_ratio" -> round(digits.cast("double") / greatest(nChars, lit(1)), 6),
+      "mean_tok_len" -> round(meanTokLen, 6),
+      "stopword_ratio" -> round(swRatio, 6)
+    )
+  }
+
+  /** Composite quality score: fraction of passed heuristic gates. */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val gates = Seq(
+      m("n_tokens").between(10, 100000),
+      m("mean_tok_len").between(2.0, 12.0),
+      m("punct_ratio") < 0.3,
+      m("digit_ratio") < 0.3,
+      m("stopword_ratio") > 0.0)
+    gates.map(g => when(g, 1.0).otherwise(0.0)).reduce(_ + _) / gates.size
+  }
+
+  /** BPE-ish subword-boundary token count: alpha runs, digit runs, and
+    * single non-alnum marks — the standard pre-tokenizer split. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** 64-bit content fingerprint of the whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Winnowing-style robust fingerprint: min xxhash64 over character
+    * k-grams of the normalized text (stable under local edits). */
+  def minGramFingerprint(text: Column, k: Int = 8): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    when(length(norm) >= k,
+      array_min(transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => xxhash64(norm.substr(i, lit(k))))))
+      .otherwise(xxhash64(norm))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, SimilarityOps, TextAnalysisOps}
+
+/** Training-data-pipeline operators registered as driver-checked queries:
+  * near-dup detection, ANN similarity search, and text analysis over the
+  * `documents`/`embeddings` tables. SQL-expressible ones carry DuckDB
+  * oracles; signature-based ones (xxhash64) are rows-only here and
+  * value-asserted in [[graft.ops]] ScalaTest suites.
+  */
+object PipelineOps {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q = Q(name, run, Some(oracle))
+  private def qq(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, None)
+
+  // DuckDB token list of the lower-cased text, mirroring DedupOps.tokens.
+  private val dTokens =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+  private def dLangScore(lang: String): String = {
+    val sw = TextAnalysisOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter($dTokens, t -> list_contains($sw, t)))"
+  }
+
+  val all: Seq[Q] = Seq(
+    // ---- MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
+    // xxhash64 signatures aren't reproducible in the oracle engine).
+    qq("dedup_minhash") { (s, dir) =>
+      DedupOps.minhashPairs(t(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- SimHash near-dup pairs (rows-only, same reason).
+    qq("dedup_simhash") { (s, dir) =>
+      DedupOps.simhashPairs(t(s, dir, "documents")).orderBy("id_a", "id_b")
+    },
+
+    // ---- Embedding-cosine near-dup pairs, exact; DuckDB oracle via
+    // list_cosine_similarity.
+    q(
+      "dedup_embcos",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4""".stripMargin
+    ) { (s, dir) =>
+      SimilarityOps.cosinePairs(t(s, dir, "embeddings"), 0.4)
+    },
+
+    // ---- Brute-force cosine top-k ANN baseline.
+    q(
+      "ann_topk",
+      """SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+
+    // ---- LSH-bucketed ANN (scale path; recall asserted in ScalaTest).
+    qq("ann_lsh") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, k = 10, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- Language-ID heuristic (stopword-profile argmax) with a CASE
+    // argmax oracle; ties break to the alphabetically-first language in
+    // both engines.
+    q(
+      "lang_id", {
+        val langs = TextAnalysisOps.Langs // alphabetical
+        val scores = langs.map(l => s"${dLangScore(l)} AS s_$l").mkString(",\n    ")
+        val cases = langs.map { l =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n    ")
+        s"""SELECT pred_lang, COUNT(*) AS n FROM (
+           |  SELECT CASE $cases END AS pred_lang FROM (
+           |    SELECT $scores FROM documents))
+           |GROUP BY pred_lang""".stripMargin
+      }
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysisOps.langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- Quality metrics + composite score per document.
+    q(
+      "text_quality",
+      s"""SELECT doc_id, n_chars, n_tokens, punct_ratio, digit_ratio,
+         |  mean_tok_len, stopword_ratio,
+         |  ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN punct_ratio < 0.3 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END)) / 5 AS quality
+         |FROM (
+         |  SELECT doc_id, LENGTH(text) AS n_chars, LEN($dTokens) AS n_tokens,
+         |    ROUND(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g'))::DOUBLE
+         |      / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+         |    ROUND(LENGTH(regexp_replace(text, '[^0-9]+', '', 'g'))::DOUBLE
+         |      / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+         |    ROUND(CASE WHEN LEN($dTokens) > 0 THEN
+         |      list_sum(list_transform($dTokens, x -> LEN(x)))::DOUBLE / LEN($dTokens)
+         |      ELSE 0.0 END, 6) AS mean_tok_len,
+         |    ROUND(CASE WHEN LEN($dTokens) > 0 THEN
+         |      LEN(list_filter($dTokens, x -> list_contains(${
+            TextAnalysisOps.Stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
+          }, x)))::DOUBLE / LEN($dTokens) ELSE 0.0 END, 6) AS stopword_ratio
+         |  FROM documents)""".stripMargin
+    ) { (s, dir) =>
+      val m = TextAnalysisOps.qualityMetrics(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: m.map { case (n, c) => c.as(n) } :+
+          TextAnalysisOps.qualityScore(col("text")).as("quality"): _*)
+    },
+
+    // ---- BPE-ish pre-tokenizer counts.
+    q(
+      "tok_bpe",
+      """SELECT doc_id,
+        |  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysisOps.bpeTokenCount(col("text")).as("n_bpe"))
+    },
+
+    // ---- Content fingerprints (rows-only: xxhash64).
+    qq("text_fingerprint") { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysisOps.fingerprint(col("text")).as("fp"),
+        TextAnalysisOps.minGramFingerprint(col("text")).as("fp_min8"))
+        .orderBy("doc_id")
+    }
+  )
+}

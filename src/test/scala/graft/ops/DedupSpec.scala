@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Planted corpus: exact dup, near dup (1-word edit), and unrelated docs.
+  private lazy val planted = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near dup of 1
+    (4L, "completely different content about spark query engines and columnar formats"),
+    (5L, "another unrelated document mentioning streams watermarks and aggregation state"),
+    (6L, "the quick brown fox jumps over the lazy cat near the river bank today")   // near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash pairs find planted exact and near duplicates, not unrelated") {
+    val pairs = DedupOps.minhashPairs(planted, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0, "exact dup")
+    assert(pairs.contains((1L, 3L)), "near dup 1-3")
+    assert(pairs.contains((1L, 6L)), "near dup 1-6")
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty },
+      "unrelated docs must not pair")
+  }
+
+  test("estimated jaccard tracks exact jaccard on candidates") {
+    val rows = DedupOps.minhashPairs(planted, threshold = 0.3)
+      .select("est_jaccard", "jaccard").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.3,
+        s"est=${r.getDouble(0)} exact=${r.getDouble(1)}")
+    }
+  }
+
+  test("simhash: identical texts at distance 0, near dups close, unrelated far") {
+    val sh = planted.select($"doc_id", DedupOps.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) <= 12, s"near dup distance ${ham(sh(1L), sh(3L))}")
+    assert(ham(sh(1L), sh(4L)) > 12, s"unrelated distance ${ham(sh(1L), sh(4L))}")
+  }
+
+  test("simhash pairs surface the exact duplicate") {
+    val pairs = DedupOps.simhashPairs(planted, maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact dup clusters pick min-id keeper") {
+    val rows = DedupOps.exactDupes(planted).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("keeper") == 1L)
+    assert(rows.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash on real documents: every reported pair verifies exactly") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val pairs = DedupOps.minhashPairs(docs, threshold = 0.5).collect()
+    // LSH candidates are estimates; the exact jaccard column is ground truth
+    pairs.foreach { r =>
+      val exact = r.getAs[Double]("jaccard")
+      assert(exact > 0.2, s"pair (${r.get(0)},${r.get(1)}) exact jaccard $exact")
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+
+  test("cosine expression matches a driver-side computation") {
+    val rows = emb.orderBy("vec_id").limit(2).collect()
+    val (v1, v2) = (rows(0).getSeq[Float](1), rows(1).getSeq[Float](1))
+    def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val got = emb.as("a").filter($"vec_id" === rows(0).getLong(0))
+      .crossJoin(emb.as("b").filter($"vec_id" === rows(1).getLong(0)))
+      .select(SimilarityOps.cosine($"a.embedding", $"b.embedding"))
+      .head().getDouble(0)
+    assert(math.abs(got - cosRef(v1, v2)) < 1e-9)
+  }
+
+  test("brute-force top-k agrees exactly with a driver-side computation") {
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val got = SimilarityOps.bruteForceTopK(queries, emb, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val qids = all.keys.filter(_ % 50 == 0)
+    qids.foreach { q =>
+      val want = all.keys.filter(_ != q).toSeq
+        .map(i => (BigDecimal(cos(all(q), all(i))).setScale(4, BigDecimal.RoundingMode.HALF_UP), i))
+        .sortBy { case (c, i) => (-c, i) }.take(10).map(_._2)
+      val gotIds = (1 to 10).map(r => got((q, r)))
+      assert(gotIds == want, s"query $q")
+    }
+  }
+
+  test("LSH top-k has high recall on clustered data (the ANN use case)") {
+    // plant 10 well-separated clusters: center + small noise
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 30 === 0)
+    val brute = SimilarityOps.bruteForceTopK(queries, df, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(queries, df, k = 10, dim = 64)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+    info(s"clustered LSH recall@10 = $recall")
+  }
+
+  test("LSH top-k on unstructured data still finds a usable fraction") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = SimilarityOps.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(queries, emb, k = 10, dim = 64)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // random 64-dim vectors: banding theory predicts ~0.4 here; this is the
+    // worst case for LSH and the reason the brute path stays the baseline
+    assert(recall >= 0.25, s"recall@10 = $recall")
+    info(s"random-data LSH recall@10 = $recall")
+  }
+
+  test("cosinePairs is symmetric-free and thresholded") {
+    val pairs = SimilarityOps.cosinePairs(emb, 0.9).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.9)
+    }
+  }
+}
