@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.MultimodalOps
+import graft.streaming.EventOps
+
+/** Event-stream (batch-parity) and multimodal queries. The streaming forms
+  * of the event ops are exercised with MemoryStream in ScalaTest; here the
+  * identical logic runs in batch under the DuckDB oracle.
+  */
+object EventQueries {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q = Q(name, run, Some(oracle))
+  private def qq(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, None)
+
+  val all: Seq[Q] = Seq(
+    // ---- Tumbling-window aggregation (streaming's bread and butter).
+    q(
+      "ev_window_agg",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      tEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+    },
+
+    // ---- Gap-based sessionization, batch form (stream parity in spec).
+    q(
+      "ev_sessionize",
+      """SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT user_id, value, us,
+        |    SUM(gap) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, value, epoch_us(ts) AS us,
+        |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |        THEN 1 ELSE 0 END AS gap
+        |    FROM events))
+        |GROUP BY user_id, session_id""".stripMargin
+    ) { (s, dir) =>
+      EventOps.sessionizeBatch(tEvents(s, dir))
+    },
+
+    // ---- Top event types per day (rank in window).
+    q(
+      "ev_top_types",
+      """SELECT CAST(day AS VARCHAR) AS day, event_type, n, rank FROM (
+        |  SELECT day, event_type, n, ROW_NUMBER() OVER
+        |    (PARTITION BY day ORDER BY n DESC, event_type) AS rank
+        |  FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rank <= 3""".stripMargin
+    ) { (s, dir) =>
+      EventOps.topTypesPerDay(tEvents(s, dir))
+        .withColumn("rank", col("rank").cast("long"))
+    },
+
+    // ---- Multimodal: binary payload + metadata -> batched feature
+    // extraction (decode stubbed; plumbing real). Rows-only.
+    qq("mm_features") { (s, dir) =>
+      MultimodalOps.extractFeatures(
+        MultimodalOps.fakeMediaTable(t(s, dir, "documents")))
+        .orderBy("media_id")
+    },
+
+    // ---- Multimodal: frame sampling explode.
+    qq("mm_frames") { (s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.fakeMediaTable(t(s, dir, "documents")))
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+}

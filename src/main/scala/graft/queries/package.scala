@@ -36,6 +36,16 @@ package object queries {
   /** Load one of the driver-provided tables from the given sf dir. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Load the events table. Its `ts` is parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses as a timestamp; read it as raw nanos and convert with
+    * integer division (ns ~1.7e18 exceeds double precision — `DIV`, not
+    * `/`). DuckDB's `epoch_us` truncates the same way. */
+  def tEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
 }
 
 package queries {

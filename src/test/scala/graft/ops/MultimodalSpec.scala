@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = MultimodalOps.fakeMediaTable(
+    spark.read.parquet(s"$sfTiny/documents.parquet"))
+
+  test("media table has the binary+metadata schema") {
+    // compare names+types (source nullability varies by parquet metadata)
+    assert(media.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      MultimodalOps.mediaSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    val r = media.orderBy("media_id").head()
+    assert(Set("image", "audio", "video").contains(r.getString(1)))
+    assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+  }
+
+  test("feature extraction is deterministic, batched, and shaped") {
+    val f1 = MultimodalOps.extractFeatures(media, dim = 16)
+      .orderBy("media_id").collect()
+    val f2 = MultimodalOps.extractFeatures(media.repartition(7), dim = 16)
+      .orderBy("media_id").collect()
+    assert(f1.length == media.count())
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getSeq[Float](3) == b.getSeq[Float](3),
+        "features must not depend on partitioning")
+    }
+    // histogram features are a probability vector over byte buckets
+    f1.take(5).foreach { r =>
+      val feats = r.getSeq[Float](3)
+      assert(feats.length == 16)
+      assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("frame sampling explodes every-other frame with sliced payloads") {
+    val frames = MultimodalOps.sampleFrames(media, everyNth = 2)
+    val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      max("frame_idx").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val meta = media.select($"media_id", $"meta.n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    meta.foreach { case (id, nf) =>
+      val expected = (0 until nf).count(_ % 2 == 0)
+      assert(byId(id)._1 == expected, s"media $id with $nf frames")
+      assert(byId(id)._2 % 2 == 0)
+    }
+  }
+
+  test("resize caps dimensions without touching payloads") {
+    val out = MultimodalOps.resize(media, 320, 240)
+    assert(out.filter($"meta.width" > 320 || $"meta.height" > 240).count() == 0)
+    val before = media.select(xxhash64($"payload")).as[Long].collect().sorted
+    val after = out.select(xxhash64($"payload")).as[Long].collect().sorted
+    assert(before.toSeq == after.toSeq)
+  }
+}

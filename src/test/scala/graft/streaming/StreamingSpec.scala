@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsDF = graft.queries.tEvents(spark, sfTiny)
+
+  private def toEvents = eventsDF
+    .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    .as[EventOps.Event]
+
+  test("windowed agg over a MemoryStream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val streamed = EventOps.windowedAggStream(input.toDF(), "1 hour", "2 hours")
+    val q = streamed.writeStream
+      .format("memory").queryName("win_agg").outputMode("append").start()
+    try {
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      input.addData(all.toIndexedSeq)
+      q.processAllAvailable()
+      // append mode holds back windows newer than the watermark; advance it
+      // past everything with a far-future event, then drop that event's window
+      val flush = EventOps.Event(-1L,
+        new java.sql.Timestamp(all.last.ts.getTime + 7L * 24 * 3600 * 1000),
+        0L, "flush", 0.0)
+      input.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .filter($"event_type" =!= "flush")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val want = EventOps.windowedAgg(eventsDF, "1 hour").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, (n, tot)) =>
+        val (gn, gtot) = got(k)
+        assert(gn == n && math.abs(gtot - tot) < 1e-6, s"window $k")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes the same sessions as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      // feed in two chunks to exercise cross-trigger state
+      val (a, b) = all.splitAt(all.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "start_us", "end_us", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = EventOps.sessionizeBatch(eventsDF)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // stream emits only CLOSED sessions (no timeout): batch minus each
+      // user's final session
+      val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      val expectedClosed = batch.filterNot(s => lastPerUser(s._1) == s).toSet
+      assert(got == expectedClosed)
+    } finally q.stop()
+  }
+
+  test("batch sessionization respects the 30-minute gap rule") {
+    val rows = EventOps.sessionizeBatch(eventsDF).collect()
+    // session bounds are consistent
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_us") <= r.getAs[Long]("end_us"))
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+    // successive sessions of one user are separated by > gap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("start_us"))
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(y.getAs[Long]("start_us") - x.getAs[Long]("end_us") >
+            EventOps.SessionGapUs)
+        case _ =>
+      }
+    }
+  }
+}
