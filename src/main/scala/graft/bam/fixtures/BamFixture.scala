@@ -151,6 +151,27 @@ object BamFixture {
     Fixture(bam.toString, header, withPos, blocks)
   }
 
+  /** Write the text-SAM rendering of a fixture (S3 source test input). */
+  def writeSam(fx: Fixture): String = {
+    val samPath = fx.bamPath.stripSuffix(".bam") + ".sam"
+    val sb = new StringBuilder
+    sb.append(fx.header.text) // already includes @HD/@SQ lines + newlines
+    fx.records.foreach { r =>
+      val contig = if (r.refIdx >= 0) fx.header.contigs(r.refIdx).name else "*"
+      val cigarStr =
+        if (r.cigar.isEmpty) "*" else r.cigar.map(op => s"${op.len}${op.char}").mkString
+      val nextContig = if (r.nextRefIdx >= 0) fx.header.contigs(r.nextRefIdx).name else "*"
+      val qualStr =
+        if (r.qual.isEmpty) "*" else r.qual.map(q => (q + 33).toChar).mkString
+      sb.append(Seq(
+        r.readName, r.flags, contig, r.pos + 1, r.mapq, cigarStr,
+        nextContig, r.nextPos + 1, r.templateLen, r.seq, qualStr
+      ).mkString("\t")).append('\n')
+    }
+    Files.write(Paths.get(samPath), sb.toString.getBytes("ASCII"))
+    samPath
+  }
+
   /** Shared lazily-written fixture for queries/tests: stable path under the
     * build dir, written once per JVM. */
   lazy val default: Fixture = cached("default", n = 2500, seed = 42, payloadSize = 8192)

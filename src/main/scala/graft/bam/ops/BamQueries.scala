@@ -64,6 +64,41 @@ object BamQueries {
       s.read.format("bam").load(BamFixture.default.bamPath)
         .groupBy("flags").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("flags"))
+    },
+
+    // §2.11 full-check: error-flag-combination histogram (A6/A7/F9).
+    q("bam_full_hist") { (s, _) =>
+      FullCheckOps.flagsHistogram(
+        FullCheckOps.fullCalls(s, BamFixture.tiny.bamPath))
+    },
+
+    // §2.11 full-check: positions-per-flag-count PDF + CDF (A8/A9/P8).
+    q("bam_full_cdf") { (s, _) =>
+      FullCheckOps.numFlagsCdf(
+        FullCheckOps.fullCalls(s, BamFixture.tiny.bamPath))
+    },
+
+    // S3 loadSam vs S2 loadBam parity: per-contig counts from both
+    // sources (the count-reads compare harness, §2.11).
+    q("bam_sam_parity") { (s, _) =>
+      val fx = BamFixture.default
+      val samPath = BamFixture.writeSam(fx)
+      val bam = s.read.format("bam").load(fx.bamPath)
+        .groupBy("refIdx").agg(count(lit(1)).as("n_bam"))
+      val sam = graft.bam.ops.SamOps.loadSam(s, samPath)
+        .groupBy("refIdx").agg(count(lit(1)).as("n_sam"))
+      bam.join(sam, Seq("refIdx"), "full_outer").orderBy("refIdx")
+    },
+
+    // S16 rewrite round-trip: write a rewritten BAM, read it back,
+    // count per contig (driver rows-check; exact equality in ScalaTest).
+    q("bam_rewrite") { (s, _) =>
+      val fx = BamFixture.tiny
+      val out = java.nio.file.Files.createTempDirectory("graft-rw")
+        .resolve("rewritten.bam").toString
+      BamSink.rewrite(s, fx.bamPath, out)
+      s.read.format("bam").load(out)
+        .groupBy("refIdx").agg(count(lit(1)).as("n")).orderBy("refIdx")
     }
   )
 }

@@ -1,0 +1,112 @@
+package graft.bam.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bam.codec.{Bam, Bgzf}
+
+/** BAM writer sink (S16, the htsjdk-rewrite analog,
+  * cli/.../bam/rewrite/HTSJDKRewrite.scala:21-93).
+  *
+  * Scale design: BGZF is closed under concatenation, so each partition
+  * independently encodes its (sorted) records into a BGZF shard; the
+  * driver stitches header-shard + record-shards + EOF marker. On a real
+  * cluster the shards land on the DFS and a compose/concat finishes the
+  * file — no single-node encode bottleneck. Records are re-blocked
+  * without regard to boundaries, so output records are unaligned to block
+  * starts (what makes rewritten files useful checker tests).
+  */
+object BamSink {
+
+  private def rowToRecord(r: Row): Bam.Record = {
+    val cigar = r.getSeq[Row](r.fieldIndex("cigar"))
+      .map(c => Bam.CigarOp(c.getInt(0), c.getInt(1)))
+    Bam.Record(
+      refIdx = r.getInt(r.fieldIndex("refIdx")),
+      pos = r.getInt(r.fieldIndex("pos")),
+      mapq = r.getInt(r.fieldIndex("mapq")),
+      flags = r.getInt(r.fieldIndex("flags")),
+      readName = r.getString(r.fieldIndex("readName")),
+      cigar = cigar,
+      nextRefIdx = r.getInt(r.fieldIndex("nextRefIdx")),
+      nextPos = r.getInt(r.fieldIndex("nextPos")),
+      templateLen = r.getInt(r.fieldIndex("templateLen")),
+      seq = r.getString(r.fieldIndex("seq")),
+      qual = r.getAs[Array[Byte]](r.fieldIndex("qual")),
+      attrs = r.getMap[String, String](r.fieldIndex("attrs")).toMap,
+      blockPos = -1, offset = -1)
+  }
+
+  /** Write `reads` (full bam-source schema) as a BAM file. Records are
+    * globally ordered by `virtualPos` (stable round-trip order); shards
+    * are encoded per partition and concatenated driver-side. */
+  def write(reads: DataFrame, header: Bam.Header, outPath: String,
+            payloadSize: Int = 16 * 1024): Unit = {
+    val shardDir = Files.createTempDirectory("graft-bam-shards")
+    val spark = reads.sparkSession
+    val contigs = header.contigs
+    val text = header.text
+    val ps = payloadSize
+    val shardDirS = shardDir.toString
+    val shards = reads
+      .repartitionByRange(
+        math.max(1, reads.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt / 2),
+        col("virtualPos.blockPos"), col("virtualPos.offset"))
+      .sortWithinPartitions("virtualPos.blockPos", "virtualPos.offset")
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val buf = new java.io.ByteArrayOutputStream(1 << 20)
+          rows.foreach(r => Bam.writeRecord(buf, rowToRecord(r)))
+          val (img, _) = Bgzf.compress(buf.toByteArray, ps)
+          // strip the EOF marker; the driver appends exactly one
+          val body = java.util.Arrays.copyOf(img, img.length - Bgzf.Eof.length)
+          val p = Paths.get(shardDirS, f"shard-$pid%05d")
+          Files.write(p, body)
+          Iterator.single(p.toString)
+        }
+      }(org.apache.spark.sql.Encoders.STRING)
+      .collect()
+      .sorted
+
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(outPath), 1 << 20)
+    try {
+      val hdr = new java.io.ByteArrayOutputStream()
+      Bam.writeHeader(hdr, text, contigs)
+      val (hImg, _) = Bgzf.compress(hdr.toByteArray, ps)
+      out.write(hImg, 0, hImg.length - Bgzf.Eof.length)
+      shards.foreach(p => Files.copy(Paths.get(p), out))
+      out.write(Bgzf.Eof)
+    } finally out.close()
+    shards.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    Files.deleteIfExists(shardDir)
+  }
+
+  /** The rewrite app: read a BAM, optionally keep a record-index range
+    * [lo, hi) in file order (P9 row-number selection), write it back. */
+  def rewrite(spark: SparkSession, inPath: String, outPath: String,
+              range: Option[(Long, Long)] = None): Unit = {
+    val reads = spark.read.format("bam").load(inPath)
+    val selected = range match {
+      case None => reads
+      case Some((lo, hi)) =>
+        graft.ops.ScalableWindow.rowNumber(reads,
+          Seq("virtualPos.blockPos", "virtualPos.offset"), "__rn")
+          .filter(col("__rn") > lo && col("__rn") <= hi)
+          .drop("__rn")
+    }
+    val blocks = new graft.bam.io.BlockReader(
+      graft.bam.io.SeekableInput.open(inPath))
+    val header =
+      try {
+        val r = new graft.bam.io.UncompressedReader(blocks)
+        r.seek(graft.bam.codec.Pos(0, 0))
+        Bam.readHeader(r)
+      } finally blocks.close()
+    write(selected, header, outPath)
+  }
+}

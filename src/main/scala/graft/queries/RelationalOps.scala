@@ -132,12 +132,13 @@ object RelationalOps {
         |    (ORDER BY s_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0) AS prefix
         |FROM supplier""".stripMargin
     ) { (s, dir) =>
-      val w = Window.orderBy("s_suppkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "supplier").select(
-        col("s_suppkey"),
-        coalesce(sum(col("s_acctbal").cast(D)).over(w).cast("double"), lit(0.0))
-          .as("prefix"))
+      // two-phase distributed scan, not a single-partition Window (100 TB
+      // path; see graft.ops.ScalableWindow)
+      graft.ops.ScalableWindow.prefixSumExclusive(
+        t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_acctbal").cast(D).as("bal")),
+        Seq("s_suppkey"), col("bal"), "p")
+        .select(col("s_suppkey"), col("p").cast("double").as("prefix"))
     },
 
     // ---- J1: checker-vs-ground-truth join → expected = truth.isNotNull
@@ -212,10 +213,10 @@ object RelationalOps {
         |  LAG(o_totalprice) OVER (ORDER BY o_orderkey) AS prev_price
         |FROM orders""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "orders").select(
-        col("o_orderkey"),
-        lag("o_totalprice", 1).over(Window.orderBy("o_orderkey"))
-          .as("prev_price"))
+      graft.ops.ScalableWindow.lag1(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"), "o_totalprice", "prev_price")
+        .select("o_orderkey", "prev_price")
     },
 
     // ---- W1: successor pairing → splits (start, end)
@@ -226,11 +227,10 @@ object RelationalOps {
         |  COALESCE(LEAD(s_suppkey) OVER (ORDER BY s_suppkey), -1) AS end_key
         |FROM supplier""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "supplier").select(
-        col("s_suppkey").as("start_key"),
-        coalesce(
-          lead("s_suppkey", 1).over(Window.orderBy("s_suppkey")),
-          lit(-1L)).as("end_key"))
+      graft.ops.ScalableWindow.lead1(
+        t(s, dir, "supplier").select("s_suppkey"),
+        Seq("s_suppkey"), "s_suppkey", "end_key", lit(-1L))
+        .select(col("s_suppkey").as("start_key"), col("end_key"))
     },
 
     // ---- W4/P9: row-number range selection
@@ -241,11 +241,11 @@ object RelationalOps {
         |(SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
         |WHERE rn BETWEEN 1000 AND 1100""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "orders")
-        .select(
-          col("o_orderkey"),
-          row_number().over(Window.orderBy("o_orderkey")).as("rn"))
+      graft.ops.ScalableWindow.rowNumber(
+        t(s, dir, "orders").select("o_orderkey"),
+        Seq("o_orderkey"), "rn")
         .filter(col("rn").between(1000, 1100))
+        .select("o_orderkey", "rn")
     },
 
     // ---- P2/P3: multi-interval range predicate (byte-range/loci filters)
@@ -328,6 +328,26 @@ object RelationalOps {
         .select("o_orderkey", "o_totalprice")
         .limit(10)
     },
+
+    // ---- F11: regex field extraction (benchmark-scraper shape,
+    // benchmarks/BAM.scala:50-52 regex parse of outputs).
+    q(
+      "f11_regex",
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin
+    ) { (s, dir) =>
+      tEvents(s, dir).select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+    },
+
+    // ---- A12: partition-size profile (reference: partitionSizes via
+    // magic-rdds, ComputeSplits.scala:83). Rows-only shape: the profile
+    // depends on the scan's file-split layout.
+    Q("a12_partition_sizes", (s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .groupBy(spark_partition_id().as("partition"))
+        .agg(count(lit(1)).as("rows"))
+        .orderBy("partition"), None),
 
     // ---- J-broadcast: dimension join chain + grouped revenue top-k
     // (TPC-H Q3 shape; exercises broadcast join selection).
