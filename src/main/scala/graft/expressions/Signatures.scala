@@ -1,0 +1,179 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** MinHash signature as one native expression: given the array of 31-bit
+  * base hashes of a document's shingles, produce the `k` permutation
+  * minima in a single pass (hashes × lanes in a tight primitive loop).
+  *
+  * The equivalent `array(k × array_min(transform(...)))` formulation runs
+  * interpreted — per-lane array traversals with boxed longs. Permutation
+  * parameters are deterministic module constants shared with
+  * [[graft.ops.DedupOps]] so the two formulations agree exactly.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val a = SignatureParams.A
+    val b = SignatureParams.B
+    val out = Array.fill(numHashes)(SignatureParams.Prime)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * a(j) + b(j)) % SignatureParams.Prime
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val params = classOf[SignatureParams].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val a = ctx.freshName("pa")
+      val b = ctx.freshName("pb")
+      s"""
+         |int $n = $hs.numElements();
+         |long[] $out = new long[$numHashes];
+         |long[] $a = $params.A(); long[] $b = $params.B();
+         |java.util.Arrays.fill($out, $params.Prime());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = ($h * $a[$j] + $b[$j]) % $params.Prime();
+         |    if ($v < $out[$j]) $out[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash from the token-hash array in one pass: per-bit ±1 votes
+  * accumulated in a 64-slot counter array, sign-packed at the end. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $hs.numElements(); $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $acc |= (1L << $b);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Deterministic permutation parameters shared by the expression and the
+  * HOF formulation (same xorshift stream as DedupOps.perms). */
+class SignatureParams
+object SignatureParams {
+  val Prime: Long = 2147483647L
+  val NumHashes: Int = 64
+  private val ab: (Array[Long], Array[Long]) = {
+    var s = 0x5DEECE66DL
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s & 0x7fffffffL }
+    val a = new Array[Long](NumHashes)
+    val b = new Array[Long](NumHashes)
+    (0 until NumHashes).foreach { i => a(i) = (next() | 1L) % Prime; b(i) = next() % Prime }
+    (a, b)
+  }
+  def A: Array[Long] = ab._1
+  def B: Array[Long] = ab._2
+}
+
+object SignatureFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val mh = FunctionIdentifier("minhash_signature")
+    if (!registry.functionExists(mh)) {
+      registry.registerFunction(mh,
+        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+        (children: Seq[Expression]) =>
+          MinHashSignature(children.head, SignatureParams.NumHashes))
+    }
+    val sh = FunctionIdentifier("simhash64")
+    if (!registry.functionExists(sh)) {
+      registry.registerFunction(sh,
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children.head))
+    }
+  }
+}

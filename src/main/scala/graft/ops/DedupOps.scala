@@ -14,17 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  val NumHashes = 64
+  val NumHashes: Int = graft.expressions.SignatureParams.NumHashes
   val BandRows = 4
   val NumBands: Int = NumHashes / BandRows // 16
-  private val Prime = 2147483647L // 2^31 - 1
+  private val Prime = graft.expressions.SignatureParams.Prime
 
-  /** Deterministic permutation params (a odd, b) for h_i(x) = (a*x+b) mod p. */
-  private val perms: IndexedSeq[(Long, Long)] = {
-    var s = 0x5DEECE66DL
-    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s & 0x7fffffffL }
-    (0 until NumHashes).map(_ => ((next() | 1L) % Prime, next() % Prime))
-  }
+  /** Permutation params shared with the codegen'd expression (single
+    * source of truth: graft.expressions.SignatureParams). */
+  private val perms: IndexedSeq[(Long, Long)] =
+    graft.expressions.SignatureParams.A
+      .zip(graft.expressions.SignatureParams.B).toIndexedSeq
 
   /** Whitespace tokens of the lower-cased text. */
   def tokens(text: Column): Column =
@@ -41,12 +40,31 @@ object DedupOps {
   private def baseHashes(sh: Column): Column =
     array_distinct(transform(sh, s => pmod(xxhash64(s), lit(Prime))))
 
-  /** MinHash signature column: array<long> of NumHashes minima. */
-  def minhashSignature(text: Column): Column = {
-    val hs = baseHashes(shingles(tokens(text)))
+  /** HOF signature from an already-materialized base-hash array column.
+    * Reference implementation for the codegen'd `minhash_signature`
+    * expression; the 64 minima each scan `hs`, so `hs` MUST be a plain
+    * attribute — an inlined expression tree would be re-evaluated per
+    * permutation (measured: ~1000× slowdown, interpreted eval). */
+  def signatureFromHashesHof(hs: Column): Column =
     array(perms.map { case (a, b) =>
       array_min(transform(hs, h => pmod(h * a + b, lit(Prime))))
     }: _*)
+
+  /** (id, sig) signatures for a document table. Staged as separate
+    * columns — tokens → shingles → hashes → signature — so each stage is
+    * computed once per row (multi-referenced aliases stay un-inlined),
+    * and repartitioned first: signature computation is the compute-bound
+    * narrow stage, so it must not be serialized into one input split. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expressions.SignatureFunctions.register(docs.sparkSession)
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(n)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks")))
+      .withColumn("hs", baseHashes(col("sh")))
+      .withColumn("sig", call_function("minhash_signature", col("hs")))
+      .select("id", "sig")
   }
 
   /** Fraction of matching signature components ≈ Jaccard similarity. */
@@ -72,12 +90,11 @@ object DedupOps {
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
                    threshold: Double = 0.5): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text")))
+    val sig = signatures(docs, idCol, textCol)
     val bands = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-        j => hash((0 until BandRows).map(r =>
-          element_at(col("sig"), j * BandRows + r + 1)): _*))))
+      posexplode(array((0 until NumBands).map(j =>
+        hash((0 until BandRows).map(r =>
+          element_at(col("sig"), j * BandRows + r + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
     val l = bands.select(col("band"), col("bandHash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -89,13 +106,21 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
-    // exact verification joins the texts back (broadcast-size at test SF;
-    // co-partitioned hash join at scale)
-    val txt = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .select("id_a", "id_b", "est_jaccard")
+    // exact verification joins the pre-computed shingle SETS back (never
+    // re-tokenize per pair; broadcast-size at test SF, co-partitioned
+    // hash join at scale)
+    val shing = docs.select(col(idCol).as("id"),
+        col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ss", array_distinct(shingles(col("toks"))))
+      .select("id", "ss")
     cand
-      .join(txt.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
-      .join(txt.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("jaccard", exactJaccard(col("t_a"), col("t_b")))
+      .join(shing.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
+      .join(shing.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))).cast("double"))
       .select("id_a", "id_b", "est_jaccard", "jaccard")
   }
 
@@ -103,8 +128,10 @@ object DedupOps {
     * bit b = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
     * The per-bit vote is an aggregate over the token array; 64 of them are
     * folded into the packed long. */
-  def simhash(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
+  /** SimHash over an already-materialized token-hash array attribute (see
+    * [[signatureFromHashes]] for why the input must not be an expression
+    * tree — it is scanned 64 times). */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -113,12 +140,28 @@ object DedupOps {
     bits.reduce((a: Column, c: Column) => a.bitwiseOR(c))
   }
 
+  /** (id, sh) 64-bit SimHash per document, staged like [[signatures]]. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expressions.SignatureFunctions.register(docs.sparkSession)
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(n)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("sh", call_function("simhash64", col("hs")))
+      .select("id", "sh")
+  }
+
+  /** Single-column simhash for small/test inputs (inline tree). */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidate
     * generation by 4×16-bit band buckets (any pair within distance 3 must
     * agree on ≥1 of 4 bands — pigeonhole). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxDist: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sig = simhashes(docs, idCol, textCol)
     val bands = sig.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sh"), j * 16).bitwiseAND(0xffffL)): _*)))

@@ -14,14 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Σ aᵢ·bᵢ in double space. */
+  /** Σ aᵢ·bᵢ in double space (higher-order-function form; used for the
+    * tiny literal hyperplane dots where codegen doesn't matter). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** HOF cosine — interpreted; kept as the reference implementation the
+    * codegen'd expression is tested against. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Codegen'd fused cosine (graft.expressions.CosineSim): the hot-path
+    * form used by every pairwise op below. */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession,
+                 a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.register(spark)
+    call_function("cosine_sim", a, b)
+  }
 
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * The corpus side is broadcast when small; at scale this is the
@@ -34,7 +45,8 @@ object SimilarityOps {
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("item_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("cos",
+        round(cosineFast(queries.sparkSession, col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -85,7 +97,8 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("item_id"))
       .select("query_id", "item_id", "qv", "cv")
       .dropDuplicates("query_id", "item_id")
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("cos",
+        round(cosineFast(queries.sparkSession, col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -101,7 +114,8 @@ object SimilarityOps {
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos",
+        round(cosineFast(corpus.sparkSession, col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

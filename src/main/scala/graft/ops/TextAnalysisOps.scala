@@ -88,13 +88,20 @@ object TextAnalysisOps {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Whitespace-collapsed lower-cased text (stage as its own column before
+    * feeding [[minGramFromNorm]] — it is referenced per k-gram). */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
   /** Winnowing-style robust fingerprint: min xxhash64 over character
-    * k-grams of the normalized text (stable under local edits). */
-  def minGramFingerprint(text: Column, k: Int = 8): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
+    * k-grams of an already-materialized normalized column. */
+  def minGramFromNorm(norm: Column, k: Int = 8): Column =
     when(length(norm) >= k,
       array_min(transform(sequence(lit(1), length(norm) - (k - 1)),
         i => xxhash64(norm.substr(i, lit(k))))))
       .otherwise(xxhash64(norm))
-  }
+
+  /** Convenience single-expression form for small inputs/tests. */
+  def minGramFingerprint(text: Column, k: Int = 8): Column =
+    minGramFromNorm(normalized(text), k)
 }

@@ -143,11 +143,15 @@ object PipelineOps {
         TextAnalysisOps.bpeTokenCount(col("text")).as("n_bpe"))
     },
 
-    // ---- Content fingerprints (rows-only: xxhash64).
+    // ---- Content fingerprints (rows-only: xxhash64). The normalized
+    // text is staged as a column so the k-gram scan references an
+    // attribute, not a regexp tree.
     qq("text_fingerprint") { (s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysisOps.fingerprint(col("text")).as("fp"),
-        TextAnalysisOps.minGramFingerprint(col("text")).as("fp_min8"))
+      t(s, dir, "documents")
+        .withColumn("norm", TextAnalysisOps.normalized(col("text")))
+        .select(col("doc_id"),
+          xxhash64(col("norm")).as("fp"),
+          TextAnalysisOps.minGramFromNorm(col("norm")).as("fp_min8"))
         .orderBy("doc_id")
     }
   )

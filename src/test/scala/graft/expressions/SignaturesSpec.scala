@@ -1,0 +1,46 @@
+package graft.expressions
+
+import graft.SparkTestBase
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+
+class SignaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+
+  test("minhash_signature expression equals the HOF formulation exactly") {
+    SignatureFunctions.register(spark)
+    val staged = docs.limit(50)
+      .withColumn("toks", DedupOps.tokens($"text"))
+      .withColumn("sh", DedupOps.shingles($"toks"))
+      .withColumn("hs", array_distinct(transform($"sh",
+        s => pmod(xxhash64(s), lit(2147483647L)))))
+    val diff = staged
+      .withColumn("fast", call_function("minhash_signature", $"hs"))
+      .withColumn("ref", DedupOps.signatureFromHashesHof($"hs"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
+  test("simhash64 expression equals the HOF formulation exactly") {
+    SignatureFunctions.register(spark)
+    val staged = docs.limit(50)
+      .withColumn("toks", DedupOps.tokens($"text"))
+      .withColumn("hs", transform($"toks", t => xxhash64(t)))
+    val diff = staged
+      .withColumn("fast", call_function("simhash64", $"hs"))
+      .withColumn("ref", DedupOps.simhashFromHashes($"hs"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
+  test("empty input arrays behave sanely") {
+    SignatureFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_signature(CAST(array() AS ARRAY<BIGINT>)) mh,
+        |       simhash64(CAST(array() AS ARRAY<BIGINT>)) sh""".stripMargin).head()
+    assert(r.getSeq[Long](0).forall(_ == 2147483647L)) // empty set -> Prime
+    assert(r.getLong(1) == 0L) // no votes -> all bits 0
+  }
+}
