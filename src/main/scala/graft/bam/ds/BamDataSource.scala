@@ -106,36 +106,55 @@ class BamScanBuilder(paths: Seq[String], options: Map[String, String])
     required = StructType(
       BamSchema.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  /** All filters stay residual for now (correct, just unpruned); interval
-    * pruning via the records side-car lands with the genomic index. */
+  /** Partial pushdown: contig/refIdx/pos predicates drive `.gri`-index
+    * partition pruning in planInputPartitions (the BAI-chunk role,
+    * Intervals.scala:108-127); EVERY filter is also returned for residual
+    * evaluation, because block-level ranges are not row-exact. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = Array.empty
+    val contigs = BamScan.contigToIdx(paths)
+    pushed = GenomicIndex.supported(filters, contigs)
+    this.allFilters = filters
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new BamScan(paths, required, options)
+  private var allFilters: Array[Filter] = Array.empty
+
+  override def build(): Scan = new BamScan(paths, required, options, allFilters)
 }
 
 final case class BamInputPartition(path: String, start: Long, end: Long)
     extends InputPartition
 
 class BamScan(paths: Seq[String], required: StructType,
-              options: Map[String, String]) extends Scan with Batch {
+              options: Map[String, String],
+              filters: Array[Filter] = Array.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"bam ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}"
+    s"bam ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
+      (if (filters.nonEmpty) s" pushed=${filters.mkString(",")}" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val splitSize = options.getOrElse("splitsize", (8L << 20).toString).toLong
     val conf = new org.apache.hadoop.conf.Configuration()
     paths.toArray.flatMap { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
-      (0L until len by splitSize)
-        .map(s => BamInputPartition(p, s, math.min(s + splitSize, len)))
+      val pruned: Option[Seq[(Long, Long)]] =
+        if (filters.isEmpty) None
+        else for {
+          index <- GenomicIndex.read(p)
+          bounds <- GenomicIndex.toBounds(filters.toSeq, BamScan.contigToIdx(Seq(p)))
+        } yield GenomicIndex.pruneRanges(index, bounds, splitSize)
+      pruned match {
+        case Some(ranges) =>
+          ranges.map { case (s, e) => BamInputPartition(p, s, e) }
+        case None =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
+          (0L until len by splitSize)
+            .map(s => BamInputPartition(p, s, math.min(s + splitSize, len)))
+      }
     }
   }
 
@@ -144,4 +163,19 @@ class BamScan(paths: Seq[String], required: StructType,
       options.getOrElse("blockstocheck", "5").toInt,
       options.getOrElse("readstocheck", "10").toInt,
       options.getOrElse("maxreadsize", (1 << 21).toString).toInt)
+}
+
+object BamScan {
+  /** Contig-name → refIdx map from the (first) file's header, driver-side
+    * (the reference broadcasts the same dictionary, CanLoadBam.scala:80). */
+  def contigToIdx(paths: Seq[String]): Map[String, Int] =
+    paths.headOption.map { p =>
+      val blocks = new graft.bam.io.BlockReader(graft.bam.io.SeekableInput.open(p))
+      try {
+        val r = new graft.bam.io.UncompressedReader(blocks)
+        r.seek(graft.bam.codec.Pos(0, 0))
+        graft.bam.codec.Bam.readHeader(r)
+          .contigs.zipWithIndex.map { case (c, i) => c.name -> i }.toMap
+      } finally blocks.close()
+    }.getOrElse(Map.empty)
 }

@@ -146,6 +146,16 @@ object BamFixture {
       withPos.map(r => s"${r.blockPos},${r.offset}")
         .mkString("", "\n", "\n").getBytes("ASCII"))
 
+    // genomic interval index (.gri): per-block (refIdx,pos) min/max over
+    // the records starting in that block
+    val csize = blockArr.map(m => m.start -> m.compressedSize).toMap
+    graft.bam.ds.GenomicIndex.write(bam.toString,
+      withPos.groupBy(_.blockPos).toSeq.map { case (bp, rs) =>
+        graft.bam.ds.GenomicIndex.BlockRange(bp, csize(bp),
+          rs.map(_.refIdx).min, rs.map(_.pos).min,
+          rs.map(_.refIdx).max, rs.map(_.pos).max)
+      })
+
     val headerEnd = toPos(recOffsets.headOption.getOrElse(uncompressed.length.toLong))
     val header = Bam.Header(samText, contigs, headerEnd)
     Fixture(bam.toString, header, withPos, blocks)

@@ -74,6 +74,24 @@ object BamOps {
       .orderBy("blockPos", "offset")
     writeCsvOrdered(df, out)
   }
+  /** Build the `.gri` genomic index from the source itself: distributed
+    * scan → per-block (refIdx,pos) min/max over record starts → tiny
+    * driver-side write (the index is one row per block). */
+  def indexGenomic(spark: SparkSession, path: String): Unit = {
+    val rows = spark.read.format("bam").load(path)
+      .groupBy(col("virtualPos.blockPos").as("bp"))
+      .agg(min("refIdx").as("minRef"), min("pos").as("minPos"),
+        max("refIdx").as("maxRef"), max("pos").as("maxPos"))
+      .collect()
+    val csize = blocks(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.bam.ds.GenomicIndex.write(path,
+      rows.toSeq.map { r =>
+        graft.bam.ds.GenomicIndex.BlockRange(r.getLong(0), csize(r.getLong(0)),
+          r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      })
+  }
+
   private def writeCsvOrdered(df: DataFrame, out: String): Unit = {
     val rows = df.collect() // index files are driver-written in the reference too
     val w = new java.io.PrintWriter(out)

@@ -1,0 +1,69 @@
+package graft.bam
+
+import graft.SparkTestBase
+import graft.bam.fixtures.BamFixture
+import org.apache.spark.sql.functions._
+
+/** Genomic-index partition pruning: pushed contig/pos predicates must
+  * shrink planInputPartitions while residual filters keep results exact. */
+class PushdownSpec extends SparkTestBase {
+
+  private lazy val fx = BamFixture.default
+
+  private def load() = spark.read.format("bam")
+    .option("splitSize", "16384").load(fx.bamPath)
+
+  test("refIdx+pos predicate prunes partitions and keeps results exact") {
+    val full = load()
+    val fullParts = full.rdd.getNumPartitions
+    val q = load().filter(col("refIdx") === 0 &&
+      col("pos") >= 100000 && col("pos") < 200000)
+    val qParts = q.rdd.getNumPartitions
+    assert(qParts < fullParts, s"pruned $qParts vs full $fullParts")
+    val want = fx.records.count(r =>
+      r.refIdx == 0 && r.pos >= 100000 && r.pos < 200000)
+    assert(q.count() == want)
+  }
+
+  test("contig equality prunes through the name->idx mapping") {
+    val q = load().filter(col("contig") === "chr3" && col("pos") < 50000)
+    val want = fx.records.count(r => r.refIdx == 2 && r.pos < 50000)
+    assert(q.count() == want && want > 0)
+    assert(q.rdd.getNumPartitions < load().rdd.getNumPartitions)
+  }
+
+  test("OR of intervals (the loadBamIntervals shape) stays exact") {
+    val q = load().filter(
+      (col("contig") === "chr1" && col("pos") < 100000) ||
+        (col("contig") === "chr2" && col("pos").between(500000, 600000)))
+    val want = fx.records.count(r =>
+      (r.refIdx == 0 && r.pos < 100000) ||
+        (r.refIdx == 1 && r.pos >= 500000 && r.pos <= 600000))
+    assert(q.count() == want && want > 0)
+  }
+
+  test("unknown contig yields zero partitions and zero rows") {
+    val q = load().filter(col("contig") === "chrNOPE")
+    assert(q.count() == 0)
+    assert(q.rdd.getNumPartitions == 0)
+  }
+
+  test("pushed filters appear in the scan description") {
+    val q = load().filter(col("refIdx") === 1)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") || scan.contains("pushed="),
+      s"plan should surface pushdown:\n$scan")
+  }
+
+  test("indexGenomic rebuilds an equivalent index from the source") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-gri")
+    val copy = tmpDir.resolve("copy.bam")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fx.bamPath), copy)
+    graft.bam.ops.BamOps.indexGenomic(spark, copy.toString)
+    val rebuilt = graft.bam.ds.GenomicIndex.read(copy.toString).get
+      .sortBy(_.start)
+    val original = graft.bam.ds.GenomicIndex.read(fx.bamPath).get
+      .sortBy(_.start)
+    assert(rebuilt == original)
+  }
+}
