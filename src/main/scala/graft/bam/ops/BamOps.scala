@@ -145,6 +145,62 @@ object BamOps {
       .orderBy("expected", "call")
   }
 
+  /** check-blocks (§2.11, cli/.../blocks/CheckBlocks.scala:29-194): for
+    * every block, the eager checker's next-record-start from the block
+    * head vs the ground truth from the `.records` side-car; emits one row
+    * per block with both positions, the mismatch flag, and the in-block
+    * first-record offset (the reference's first-offset histogram input,
+    * A5). */
+  def checkBlocks(spark: SparkSession, path: String,
+                  numPartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val contigLens = readContigLens(path)
+    val eager = blocks(spark, path)
+      .repartitionByRange(numPartitions, col("start"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { metas =>
+        if (!metas.hasNext) Iterator.empty
+        else {
+          val blocks = new BlockReader(SeekableInput.open(path))
+          val checker = new Checker(blocks, contigLens)
+          org.apache.spark.TaskContext.get() match {
+            case null =>
+            case tc => tc.addTaskCompletionListener[Unit](_ => blocks.close())
+          }
+          metas.map { case (start, _, _) =>
+            graft.bam.check.FindRecordStart(blocks, checker, start) match {
+              case Some(p) => (start, p.blockPos, p.offset)
+              case None => (start, -1L, -1)
+            }
+          }
+        }
+      }.toDF("start", "eagerBlock", "eagerOffset")
+    // truth: first record position at-or-after each block start, filled
+    // forward from the per-block minima (ordered window over the tiny
+    // block-metadata table)
+    val firstPerBlock = records(spark, path)
+      .groupBy("blockPos").agg(min("offset").as("ownFirst"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("start").rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val truth = blocks(spark, path)
+      .join(firstPerBlock, col("start") === col("blockPos"), "left")
+      .withColumn("truthBlock",
+        first(when(col("ownFirst").isNotNull, col("start")), ignoreNulls = true).over(w))
+      .withColumn("truthOffset",
+        first(col("ownFirst"), ignoreNulls = true).over(w))
+      .select(col("start"),
+        coalesce(col("truthBlock"), lit(-1L)).as("truthBlock"),
+        coalesce(col("truthOffset"), lit(-1)).as("truthOffset"))
+    eager.join(truth, "start")
+      .withColumn("matches",
+        col("eagerBlock") === col("truthBlock") &&
+          col("eagerOffset") === col("truthOffset"))
+      .withColumn("firstOffsetInBlock",
+        when(col("eagerBlock") === col("start"), col("eagerOffset")))
+      .select("start", "eagerBlock", "eagerOffset", "truthBlock",
+        "truthOffset", "matches", "firstOffsetInBlock")
+  }
+
   /** compute-splits analog (S7): the realized split layout — per input
     * partition, its first record position and record count. */
   def splits(spark: SparkSession, path: String, splitSize: Long): DataFrame = {

@@ -90,6 +90,15 @@ object BamQueries {
       bam.join(sam, Seq("refIdx"), "full_outer").orderBy("refIdx")
     },
 
+    // §2.11 check-blocks: per-block next-record-start, eager vs truth,
+    // with the first-offset histogram column (A5).
+    q("bam_check_blocks") { (s, _) =>
+      BamOps.checkBlocks(s, BamFixture.tiny.bamPath)
+        .groupBy("matches", "firstOffsetInBlock")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("firstOffsetInBlock"))
+    },
+
     // S16 rewrite round-trip: write a rewritten BAM, read it back,
     // count per contig (driver rows-check; exact equality in ScalaTest).
     q("bam_rewrite") { (s, _) =>

@@ -60,6 +60,23 @@ class BamOpsSpec extends SparkTestBase {
     assert(got == want && got > 0)
   }
 
+  test("check-blocks: eager next-record-start matches truth for every block") {
+    val fx = BamFixture.tiny
+    val rows = BamOps.checkBlocks(spark, fx.bamPath, numPartitions = 4).collect()
+    assert(rows.length == fx.blocks.length)
+    assert(rows.forall(_.getAs[Boolean]("matches")),
+      "zero mismatches expected on well-formed data")
+    // blocks whose first record is at offset 0 vs mid-block
+    val byBlock = fx.records.groupBy(_.blockPos)
+    rows.foreach { r =>
+      val start = r.getAs[Long]("start")
+      byBlock.get(start).map(_.minBy(_.offset).offset) match {
+        case Some(off) => assert(r.getAs[Int]("firstOffsetInBlock") == off)
+        case None => assert(r.isNullAt(r.fieldIndex("firstOffsetInBlock")))
+      }
+    }
+  }
+
   test("index sinks round-trip through their relations") {
     val fx = BamFixture.default
     val tmp = java.nio.file.Files.createTempDirectory("graft-index").toString
