@@ -74,6 +74,19 @@ object RelationalOps {
         .orderBy(desc("n"), col("o_orderpriority"))
     },
 
+    // ---- A6 under skew: the same histogram via two-phase salted
+    // aggregation (hot-key resilience; identical results, so the same
+    // oracle applies).
+    q(
+      "a6_salted_hist",
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.SkewOps.saltedCount(
+        t(s, dir, "orders"), Seq("o_orderpriority"))
+        .orderBy(desc("n"), col("o_orderpriority"))
+    },
+
     // ---- A8/W3: running CDF over sorted keys
     // (reference: FullCheck.scala:171-188 scanLeft of Counts monoid).
     q(

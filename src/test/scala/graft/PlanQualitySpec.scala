@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions for the registered queries: the properties that
+  * keep the engine fast at 100 TB must be visible in the executed plans,
+  * not just hoped for. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfTiny).queryExecution.executedPlan.toString
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan("p2_interval_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    // the interval disjunction pushes Or(GreaterThanOrEqual..) row-group stats
+    assert(p.contains("Or(") || p.contains("GreaterThanOrEqual"), p)
+  }
+
+  test("column pruning reaches the scan (ReadSchema is narrow)") {
+    val p = plan("a1_count")
+    // count(*) should read an empty/struct-less schema, not all 16 columns
+    assert(p.contains("ReadSchema: struct<>"), p)
+  }
+
+  test("the dimension join chain broadcasts the small sides") {
+    val p = plan("q3_topk_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("no accidental cartesian products in the LSH dedup path") {
+    Seq("dedup_minhash", "dedup_simhash", "ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must join on band keys, not cross:\n$p")
+    }
+  }
+
+  test("global-order queries carry no partition-less window") {
+    Seq("a15_prefix_sum", "j5_lag_prev", "w1_lead_splits", "w4_rownum_range")
+      .foreach { q =>
+        val p = plan(q)
+        // ScalableWindow partitions every window by the range-partition id
+        val bad = "windowspecdefinition\\((?!__swpid)".r
+        assert(bad.findFirstIn(p).isEmpty,
+          s"$q has a window not partitioned by __swpid:\n$p")
+      }
+  }
+
+  test("bam interval query plans only pruned partitions") {
+    val fx = graft.bam.fixtures.BamFixture.default
+    val full = spark.read.format("bam").option("splitSize", "16384")
+      .load(fx.bamPath)
+    val pruned = full.filter(col("refIdx") === 2 && col("pos") < 100000)
+    assert(pruned.rdd.getNumPartitions < full.rdd.getNumPartitions)
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipelines") {
+    val p = plan("f7_pos_pack")
+    assert(p.contains("*(1)"), p) // codegen stage marker
+  }
+}
