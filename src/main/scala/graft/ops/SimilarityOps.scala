@@ -65,9 +65,21 @@ object SimilarityOps {
     IndexedSeq.fill(numPlanes)(IndexedSeq.fill(dim)(next()))
   }
 
-  /** Sign-bit signature of `v` against the hyperplanes, packed into a long. */
+  /** Sign-bit signature of `v` against the hyperplanes, packed into a
+    * long — the codegen'd [[graft.expressions.LshSign]] (one fused
+    * planes×dim loop; the HOF per-plane formulation is interpreted and
+    * ~1000× slower per row). */
   def lshSignature(v: Column, dim: Int, numPlanes: Int = 16,
                    seed: Long = 42L): Column = {
+    val flat = planes(dim, numPlanes, seed).flatten.toArray
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.LshSign(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), flat, dim))
+  }
+
+  /** Interpreted HOF reference implementation (kept for the parity spec). */
+  def lshSignatureHof(v: Column, dim: Int, numPlanes: Int = 16,
+                      seed: Long = 42L): Column = {
     val ps = planes(dim, numPlanes, seed)
     val bits = ps.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)

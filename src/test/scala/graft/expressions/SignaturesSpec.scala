@@ -35,6 +35,15 @@ class SignaturesSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("lsh_sign expression equals the HOF plane-dot formulation exactly") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val diff = emb
+      .withColumn("fast", graft.ops.SimilarityOps.lshSignature($"embedding", 64))
+      .withColumn("ref", graft.ops.SimilarityOps.lshSignatureHof($"embedding", 64))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
   test("empty input arrays behave sanely") {
     SignatureFunctions.register(spark)
     val r = spark.sql(
