@@ -41,8 +41,8 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM (
         |  SELECT user_id, value, us,
-        |    SUM(gap) OVER (PARTITION BY user_id ORDER BY us
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, value, epoch_us(ts) AS us,
         |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
@@ -69,10 +69,17 @@ object EventQueries {
     },
 
     // ---- Multimodal: binary payload + metadata -> batched feature
-    // extraction (decode stubbed; plumbing real). Rows-only.
+    // extraction (decode stubbed; plumbing real). Rows-only. The registered
+    // form projects the float vector to a stable scalar digest — the
+    // driver's gate sorts rows with pandas and cannot hash array cells
+    // (CORRECTNESS_r01); the array-typed API stays in MultimodalOps.
     qq("mm_features") { (s, dir) =>
       MultimodalOps.extractFeatures(
         MultimodalOps.fakeMediaTable(t(s, dir, "documents")))
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          concat_ws(",",
+            transform(col("features"), f => round(f.cast("double"), 6).cast("string")))
+            .as("features_digest"))
         .orderBy("media_id")
     },
 

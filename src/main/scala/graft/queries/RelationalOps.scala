@@ -92,14 +92,17 @@ object RelationalOps {
     q(
       "a8_cdf",
       """SELECT l_linenumber, n,
-        |  SUM(n) OVER (ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+        |  CAST(SUM(n) OVER (ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cdf
         |FROM (SELECT l_linenumber, COUNT(*) AS n FROM lineitem GROUP BY l_linenumber)""".stripMargin
     ) { (s, dir) =>
+      // two-phase distributed scan, not a single-partition Window (100 TB
+      // path; see graft.ops.ScalableWindow) — cdf = exclusive prefix + n
       val perKey = t(s, dir, "lineitem")
         .groupBy("l_linenumber").agg(count(lit(1)).as("n"))
-      val w = Window.orderBy("l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perKey.withColumn("cdf", sum("n").over(w))
+      graft.ops.ScalableWindow.prefixSumExclusive(
+        perKey, Seq("l_linenumber"), col("n"), "p")
+        .select(col("l_linenumber"), col("n"),
+          (col("p") + col("n")).cast("long").as("cdf"))
     },
 
     // ---- A11: stats summary (N/mean/min/max/percentiles/stddev)

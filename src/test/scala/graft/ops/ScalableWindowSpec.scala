@@ -62,6 +62,35 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(scalLead == naiveLead)
   }
 
+  test("one data shuffle: pid re-shuffle eliminated, range exchange reused") {
+    val df = ScalableWindow.rowNumber(
+      orders.select("o_orderkey"), Seq("o_orderkey"), "rn")
+    df.collect() // materialize so AQE's final plan is visible
+    val p = df.queryExecution.executedPlan.toString
+    // the carry branch re-reads the range shuffle instead of re-scanning
+    assert(p.contains("ReusedExchange"), p)
+    // PidShuffleElimination drops Catalyst's redundant re-shuffle by pid
+    assert(!p.contains("Exchange hashpartitioning(__swpid"), p)
+    // and no cache leak: nothing persisted by the op
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("lag1 null predecessor value stays null (carry gated on row 1)") {
+    import spark.implicits._
+    // value null at keys 2 and 5; naive lag: k=3 -> null (pred value null),
+    // k=1 -> null (no pred). Carry must not substitute for k=3/k=6.
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)),
+      (4L, Some(40.0)), (5L, None), (6L, Some(60.0)))
+      .toDF("k", "v")
+    val naive = df.select(col("k"),
+      lag("v", 1).over(Window.orderBy("k")).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val scal = ScalableWindow.lag1(df, Seq("k"), "v", "p")
+      .select("k", "p")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(scal == naive)
+  }
+
   test("the plan has no partition-less Window") {
     val df = ScalableWindow.rowNumber(
       orders.select("o_orderkey"), Seq("o_orderkey"), "rn")
