@@ -176,21 +176,20 @@ object BamOps {
         }
       }.toDF("start", "eagerBlock", "eagerOffset")
     // truth: first record position at-or-after each block start, filled
-    // forward from the per-block minima (ordered window over the tiny
-    // block-metadata table)
+    // backward from the per-block minima. Two-phase distributed fill
+    // (graft.ops.ScalableWindow) — a bare Window.orderBy here would drag
+    // the whole block catalog (~10⁹ rows at 100 TB) through one task.
     val firstPerBlock = records(spark, path)
       .groupBy("blockPos").agg(min("offset").as("ownFirst"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("start").rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val truth = blocks(spark, path)
+    val joined = blocks(spark, path)
       .join(firstPerBlock, col("start") === col("blockPos"), "left")
-      .withColumn("truthBlock",
-        first(when(col("ownFirst").isNotNull, col("start")), ignoreNulls = true).over(w))
-      .withColumn("truthOffset",
-        first(col("ownFirst"), ignoreNulls = true).over(w))
+      .withColumn("ownPos", when(col("ownFirst").isNotNull,
+        struct(col("start").as("b"), col("ownFirst").as("o"))))
+    val truth = graft.ops.ScalableWindow
+      .fillBackward(joined, Seq("start"), col("ownPos"), "tp")
       .select(col("start"),
-        coalesce(col("truthBlock"), lit(-1L)).as("truthBlock"),
-        coalesce(col("truthOffset"), lit(-1)).as("truthOffset"))
+        coalesce(col("tp.b"), lit(-1L)).as("truthBlock"),
+        coalesce(col("tp.o"), lit(-1)).as("truthOffset"))
     eager.join(truth, "start")
       .withColumn("matches",
         col("eagerBlock") === col("truthBlock") &&

@@ -91,6 +91,30 @@ object ScalableWindow {
       .drop(Pid, "__carry")
   }
 
+  /** First non-null `value` at-or-after the current row in the global
+    * `orderCols` order (backward fill — the "next record start" shape of
+    * check-blocks). `value` may be any type incl. struct; rows past the
+    * last non-null get null. */
+  def fillBackward(df: DataFrame, orderCols: Seq[String],
+                   value: Column, out: String): DataFrame = {
+    val r = ranged(df, orderCols).withColumn("__v", value)
+    val ord = struct(orderCols.map(col): _*)
+    // first non-null per partition, by order: min over (order, value)
+    // structs of the non-null rows (nulls drop out of min)
+    val carry = r.groupBy(Pid)
+      .agg(min(when(col("__v").isNotNull,
+        struct(ord.as("__o"), col("__v").as("__x")))).as("__fnn"))
+      .select(col(Pid),
+        first(col("__fnn.__x"), ignoreNulls = true)
+          .over(carryScan.rowsBetween(1, Window.unboundedFollowing))
+          .as("__carry"))
+    val within = first(col("__v"), ignoreNulls = true).over(
+      pidWindow(orderCols).rowsBetween(0, Window.unboundedFollowing))
+    r.join(broadcast(carry), Seq(Pid), "left")
+      .withColumn(out, coalesce(within, col("__carry")))
+      .drop(Pid, "__v", "__carry")
+  }
+
   /** lead(value, 1) with `default` past the global end. Partition-last rows
     * take the next partition's first value; the struct-wrapped carry
     * distinguishes "no next partition" (→ default) from "next value is

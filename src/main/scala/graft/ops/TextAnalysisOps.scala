@@ -22,30 +22,49 @@ object TextAnalysisOps {
 
   private def toks(text: Column): Column = DedupOps.tokens(text)
 
-  /** Stopword-hit count for one language (counts occurrences, not types). */
-  def langScore(text: Column, lang: String): Column = {
+  /** Stopword-hit count for one language over an already-staged token
+    * array column (counts occurrences, not types). The input MUST be a
+    * plain attribute when scored for several languages: Catalyst inlines
+    * single-use aliases, so an expression tree would re-tokenize per
+    * language (the round-1 `lang_id` 16 s offender). */
+  def langScoreFromToks(toks: Column, lang: String): Column = {
     val sw = array(Stopwords(lang).map(lit): _*)
-    size(filter(toks(text), t => array_contains(sw, t)))
+    size(filter(toks, t => array_contains(sw, t)))
   }
 
-  /** Predicted language = argmax over profiles; ties break to the
-    * alphabetically-first language (deterministic, oracle-matchable). */
-  def langId(text: Column): Column = {
+  /** Single-language convenience form (inline tokenization is fine when
+    * the tree is evaluated once). */
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromToks(toks(text), lang)
+
+  /** Predicted language = argmax over profiles of a STAGED token column;
+    * ties break to the alphabetically-first language (deterministic,
+    * oracle-matchable). */
+  def langIdFromToks(toks: Column): Column = {
     // greatest over (score, reverse-alpha marker, lang) structs picks max
     // score; on ties the struct comparison prefers the LAST language
     // alphabetically, so negate: compare on (score, negIdx).
     val structs = Langs.zipWithIndex.map { case (l, i) =>
-      struct(langScore(text, l).as("s"), lit(-i).as("negIdx"), lit(l).as("lang"))
+      struct(langScoreFromToks(toks, l).as("s"), lit(-i).as("negIdx"),
+        lit(l).as("lang"))
     }
     greatest(structs: _*).getField("lang")
   }
+
+  /** Small-input/test convenience: tokenizes inline — 5× per row. Stage
+    * tokens and use [[langIdFromToks]] on real data. */
+  def langId(text: Column): Column = langIdFromToks(toks(text))
 
   /** Per-document quality metrics + a composite score in [0,1]:
     * length band, punctuation density, digit density, mean token length,
     * stopword(en) ratio — the classic heuristics
     * (Gopher/C4-style rules re-expressed as columns). */
-  def qualityMetrics(text: Column): Seq[(String, Column)] = {
-    val t = toks(text)
+  def qualityMetrics(text: Column): Seq[(String, Column)] =
+    qualityMetricsFromToks(text, toks(text))
+
+  /** Same metrics over a STAGED token column (the token array is referenced
+    * by three metrics; an inline tree would tokenize 3× per row). */
+  def qualityMetricsFromToks(text: Column, t: Column): Seq[(String, Column)] = {
     val nChars = length(text)
     val nTok = size(t)
     val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
@@ -68,8 +87,11 @@ object TextAnalysisOps {
   }
 
   /** Composite quality score: fraction of passed heuristic gates. */
-  def qualityScore(text: Column): Column = {
-    val m = qualityMetrics(text).toMap
+  def qualityScore(text: Column): Column =
+    qualityScoreFromToks(text, toks(text))
+
+  def qualityScoreFromToks(text: Column, t: Column): Column = {
+    val m = qualityMetricsFromToks(text, t).toMap
     val gates = Seq(
       m("n_tokens").between(10, 100000),
       m("mean_tok_len").between(2.0, 12.0),
@@ -94,8 +116,16 @@ object TextAnalysisOps {
     regexp_replace(lower(text), "\\s+", " ")
 
   /** Winnowing-style robust fingerprint: min xxhash64 over character
-    * k-grams of an already-materialized normalized column. */
+    * k-grams — a single codegen'd pass (see
+    * [[graft.expressions.MinGramHash]]; the interpreted HOF form below is
+    * its differential reference). */
   def minGramFromNorm(norm: Column, k: Int = 8): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinGramHash(
+        org.apache.spark.sql.GraftColumnBridge.expression(norm), k))
+
+  /** Interpreted HOF reference formulation (spec differential only). */
+  def minGramFromNormHof(norm: Column, k: Int = 8): Column =
     when(length(norm) >= k,
       array_min(transform(sequence(lit(1), length(norm) - (k - 1)),
         i => xxhash64(norm.substr(i, lit(k))))))

@@ -96,8 +96,11 @@ object PipelineOps {
            |GROUP BY pred_lang""".stripMargin
       }
     ) { (s, dir) =>
+      // tokens staged as a multi-referenced attribute: one tokenization
+      // per row, not one per language profile
       t(s, dir, "documents")
-        .select(TextAnalysisOps.langId(col("text")).as("pred_lang"))
+        .withColumn("toks", DedupOps.tokens(col("text")))
+        .select(TextAnalysisOps.langIdFromToks(col("toks")).as("pred_lang"))
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
     },
 
@@ -126,10 +129,13 @@ object PipelineOps {
           }, x)))::DOUBLE / LEN($dTokens) ELSE 0.0 END, 6) AS stopword_ratio
          |  FROM documents)""".stripMargin
     ) { (s, dir) =>
-      val m = TextAnalysisOps.qualityMetrics(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id") +: m.map { case (n, c) => c.as(n) } :+
-          TextAnalysisOps.qualityScore(col("text")).as("quality"): _*)
+      val m = TextAnalysisOps.qualityMetricsFromToks(col("text"), col("toks"))
+      t(s, dir, "documents")
+        .withColumn("toks", DedupOps.tokens(col("text")))
+        .select(
+          col("doc_id") +: m.map { case (n, c) => c.as(n) } :+
+            TextAnalysisOps.qualityScoreFromToks(col("text"), col("toks"))
+              .as("quality"): _*)
     },
 
     // ---- BPE-ish pre-tokenizer counts.

@@ -378,8 +378,11 @@ object RelationalOps {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      l.join(broadcast(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
-          .select("o_orderkey")),
+      // broadcast ONLY the filtered customer dim; the orders⋈customer
+      // result is fact-sized (~20% of orders) and must not be forced to the
+      // driver — AQE picks broadcast vs shuffle for it from runtime stats
+      l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+          .select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(sum(col("l_extendedprice").cast(D) *

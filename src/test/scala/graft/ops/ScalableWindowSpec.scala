@@ -62,6 +62,19 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(scalLead == naiveLead)
   }
 
+  test("fillBackward equals the single-partition backward fill") {
+    val df = orders.withColumn("v",
+      when(col("o_orderkey") % 7 === 0, col("o_totalprice")))
+    val naive = df.select(col("o_orderkey"),
+      first("v", ignoreNulls = true).over(Window.orderBy("o_orderkey")
+        .rowsBetween(0, Window.unboundedFollowing)).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val scal = ScalableWindow.fillBackward(df, Seq("o_orderkey"), col("v"), "f")
+      .select("o_orderkey", "f")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(scal == naive)
+  }
+
   test("one data shuffle: pid re-shuffle eliminated, range exchange reused") {
     val df = ScalableWindow.rowNumber(
       orders.select("o_orderkey"), Seq("o_orderkey"), "rn")

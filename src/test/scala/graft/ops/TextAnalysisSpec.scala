@@ -49,6 +49,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(df.select(TextAnalysisOps.bpeTokenCount($"text")).head().getInt(0) == 10)
   }
 
+  test("native min_gram_hash equals the interpreted HOF formulation") {
+    // multi-byte codepoints, short-text fallback, ascii, emoji, mixed
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"), // < k chars -> whole-string hash fallback
+      (3L, "der größte Gruß über die Straße"),
+      (4L, "的是了在和有不我这他 chinese stopwords mixed in"),
+      (5L, "emoji 🙂🙃 in the middle of text"),
+      (6L, "exactly8!") // boundary: one window at k=8... 9 chars -> 2
+    ).toDF("doc_id", "text")
+      .withColumn("norm", TextAnalysisOps.normalized($"text"))
+    val native = df.select($"doc_id",
+      TextAnalysisOps.minGramFromNorm($"norm").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.select($"doc_id",
+      TextAnalysisOps.minGramFromNormHof($"norm").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+  }
+
+  test("langIdFromToks over a staged token column matches langId") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht auf der straße und das ist gut"),
+      (3L, "le chat est dans la maison et les oiseaux")
+    ).toDF("doc_id", "text")
+      .withColumn("toks", DedupOps.tokens($"text"))
+    val staged = df.select($"doc_id",
+      TextAnalysisOps.langIdFromToks($"toks").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inline = df.select($"doc_id", TextAnalysisOps.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(staged == inline)
+  }
+
   test("fingerprints are whitespace-robust and edit-sensitive") {
     val df = Seq(
       (1L, "some  text   with weird    spacing"),
