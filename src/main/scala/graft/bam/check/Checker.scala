@@ -237,6 +237,15 @@ object FindBlockStart {
   * (reference: check/.../FindRecordStart.scala:30-63). */
 object FindRecordStart {
   def apply(blocks: BlockReader, checker: Checker, blockStart: Long,
+            maxReadSize: Int): Option[Pos] =
+    apply(blocks, checker.eager _, blockStart, maxReadSize)
+
+  def apply(blocks: BlockReader, checker: Checker, blockStart: Long): Option[Pos] =
+    apply(blocks, checker.eager _, blockStart, 1 << 20)
+
+  /** Pluggable-predicate form: the split-timing harness races the eager
+    * and relaxed checkers through the same scan (§2.11 compute-splits). */
+  def apply(blocks: BlockReader, accept: Pos => Boolean, blockStart: Long,
             maxReadSize: Int = 1 << 20): Option[Pos] = {
     var scanned = 0
     var block = blockStart
@@ -247,7 +256,7 @@ object FindRecordStart {
       }
       var off = 0
       while (off < meta.uncompressedSize && scanned < maxReadSize) {
-        if (checker.eager(Pos(block, off))) return Some(Pos(block, off))
+        if (accept(Pos(block, off))) return Some(Pos(block, off))
         off += 1
         scanned += 1
       }

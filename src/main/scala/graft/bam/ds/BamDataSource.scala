@@ -39,19 +39,34 @@ class BamDataSource extends TableProvider with DataSourceRegister {
 }
 
 object BamDataSource {
+  /** Hadoop conf of the active session (driver side), so fs.defaultFS /
+    * credentials apply; bare default only when no session exists (tests
+    * constructing readers directly). */
+  def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    try org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    catch { case _: Throwable => new org.apache.hadoop.conf.Configuration() }
+
   /** Resolve the `path`/`paths` option into concrete file paths; globs are
-    * expanded through the Hadoop FS, so wildcard dirs-of-BAMs work. */
+    * expanded through the Hadoop FS, so wildcard dirs-of-BAMs work. Local
+    * (`file:`/schemeless) matches normalize to plain paths; any other
+    * scheme+authority (hdfs://, s3a://…) is preserved verbatim so the
+    * executor-side open goes back to the right filesystem. */
   def resolvePaths(opts: CaseInsensitiveStringMap): Seq[String] = {
     val raw: Seq[String] =
       Option(opts.get("paths")).map(_.split(",").toSeq)
         .orElse(Option(opts.get("path")).map(Seq(_)))
         .getOrElse(throw new IllegalArgumentException("bam: no path given"))
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = hadoopConf()
     raw.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
       val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      if (matches.isEmpty) Seq(p) else matches.map(_.getPath.toUri.getPath)
+      if (matches.isEmpty) Seq(p)
+      else matches.map { st =>
+        val uri = st.getPath.toUri
+        if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+        else st.getPath.toString
+      }
     }
   }
 }
@@ -123,8 +138,14 @@ class BamScanBuilder(paths: Seq[String], options: Map[String, String])
   override def build(): Scan = new BamScan(paths, required, options, allFilters)
 }
 
-final case class BamInputPartition(path: String, start: Long, end: Long)
-    extends InputPartition
+final case class BamInputPartition(path: String, start: Long, end: Long,
+                                   locations: Array[String] = Array.empty)
+    extends InputPartition {
+  /** HDFS-style locality: hosts holding the split's byte range (S8;
+    * reference: load/.../SplitRDD.scala:27-30). Empty on filesystems
+    * without block locations — Spark treats that as "anywhere". */
+  override def preferredLocations(): Array[String] = locations
+}
 
 class BamScan(paths: Seq[String], required: StructType,
               options: Map[String, String],
@@ -138,23 +159,37 @@ class BamScan(paths: Seq[String], required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val splitSize = options.getOrElse("splitsize", (8L << 20).toString).toLong
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = BamDataSource.hadoopConf()
     paths.toArray.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val status = fs.getFileStatus(hp)
+      val blockLocs =
+        try fs.getFileBlockLocations(status, 0, status.getLen)
+        catch { case _: Throwable => Array.empty[org.apache.hadoop.fs.BlockLocation] }
+      // hosts holding bytes of [s,e), most-overlapping first
+      def hostsFor(s: Long, e: Long): Array[String] =
+        blockLocs.iterator
+          .filter(b => b.getOffset < e && b.getOffset + b.getLength > s)
+          .flatMap(_.getHosts)
+          .toSeq.groupBy(identity).toSeq
+          .sortBy { case (h, hits) => (-hits.size, h) }
+          .take(3).map(_._1).toArray
+
+      // index pruning: engine `.gri` side-car first, standard `.bai` else
       val pruned: Option[Seq[(Long, Long)]] =
         if (filters.isEmpty) None
-        else for {
-          index <- GenomicIndex.read(p)
-          bounds <- GenomicIndex.toBounds(filters.toSeq, BamScan.contigToIdx(Seq(p)))
-        } yield GenomicIndex.pruneRanges(index, bounds, splitSize)
-      pruned match {
-        case Some(ranges) =>
-          ranges.map { case (s, e) => BamInputPartition(p, s, e) }
-        case None =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
-          (0L until len by splitSize)
-            .map(s => BamInputPartition(p, s, math.min(s + splitSize, len)))
-      }
+        else GenomicIndex.toBounds(filters.toSeq, BamScan.contigToIdx(Seq(p)))
+          .flatMap { bounds =>
+            GenomicIndex.read(p)
+              .map(idx => GenomicIndex.pruneRanges(idx, bounds, splitSize))
+              .orElse(Bai.read(p).flatMap(idx =>
+                Bai.pruneRanges(idx, bounds, splitSize)))
+          }
+      val ranges = pruned.getOrElse(
+        (0L until status.getLen by splitSize)
+          .map(s => (s, math.min(s + splitSize, status.getLen))))
+      ranges.map { case (s, e) => BamInputPartition(p, s, e, hostsFor(s, e)) }
     }
   }
 

@@ -78,38 +78,46 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
     rec != null
   }
 
+  /** Per-column extractors resolved ONCE at reader construction — the name
+    * match must not sit on the per-row decode path (it runs
+    * rows × columns times at 100 TB). */
+  private val extractors: Array[Bam.Record => Any] =
+    required.fields.map { f =>
+      f.name match {
+        case "refIdx" => (r: Bam.Record) => r.refIdx
+        case "contig" => (r: Bam.Record) =>
+          if (r.refIdx >= 0 && r.refIdx < contigNames.length) contigNames(r.refIdx)
+          else null
+        case "pos" => (r: Bam.Record) => r.pos
+        case "endPos" => (r: Bam.Record) => r.end
+        case "mapq" => (r: Bam.Record) => r.mapq
+        case "flags" => (r: Bam.Record) => r.flags
+        case "readName" => (r: Bam.Record) => UTF8String.fromString(r.readName)
+        case "cigar" => (r: Bam.Record) =>
+          new GenericArrayData(r.cigar.map(op =>
+            new GenericInternalRow(Array[Any](op.op, op.len))).toArray[Any])
+        case "nextRefIdx" => (r: Bam.Record) => r.nextRefIdx
+        case "nextPos" => (r: Bam.Record) => r.nextPos
+        case "templateLen" => (r: Bam.Record) => r.templateLen
+        case "seq" => (r: Bam.Record) => UTF8String.fromString(r.seq)
+        case "qual" => (r: Bam.Record) => r.qual
+        case "attrs" => (r: Bam.Record) => {
+          val ks = r.attrs.keys.toArray[Any].map(k => UTF8String.fromString(k.toString))
+          val vs = r.attrs.values.toArray[Any].map(v => UTF8String.fromString(v.toString))
+          new ArrayBasedMapData(new GenericArrayData(ks),
+            new GenericArrayData(vs))
+        }
+        case "virtualPos" => (r: Bam.Record) =>
+          new GenericInternalRow(Array[Any](r.blockPos, r.offset))
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+    }
+
   override def get(): InternalRow = {
-    val r = rec
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < required.length) {
-      row.update(i, required.fields(i).name match {
-        case "refIdx" => r.refIdx
-        case "contig" =>
-          if (r.refIdx >= 0 && r.refIdx < contigNames.length) contigNames(r.refIdx)
-          else null
-        case "pos" => r.pos
-        case "endPos" => r.end
-        case "mapq" => r.mapq
-        case "flags" => r.flags
-        case "readName" => UTF8String.fromString(r.readName)
-        case "cigar" =>
-          new GenericArrayData(r.cigar.map(op =>
-            new GenericInternalRow(Array[Any](op.op, op.len))).toArray[Any])
-        case "nextRefIdx" => r.nextRefIdx
-        case "nextPos" => r.nextPos
-        case "templateLen" => r.templateLen
-        case "seq" => UTF8String.fromString(r.seq)
-        case "qual" => r.qual
-        case "attrs" =>
-          val ks = r.attrs.keys.toArray[Any].map(k => UTF8String.fromString(k.toString))
-          val vs = r.attrs.values.toArray[Any].map(v => UTF8String.fromString(v.toString))
-          new ArrayBasedMapData(new GenericArrayData(ks.toArray[Any]),
-            new GenericArrayData(vs.toArray[Any]))
-        case "virtualPos" =>
-          new GenericInternalRow(Array[Any](r.blockPos, r.offset))
-        case other => throw new IllegalStateException(s"unknown column $other")
-      })
+      row.update(i, extractors(i)(rec))
       i += 1
     }
     row

@@ -75,27 +75,86 @@ object BamOps {
     writeCsvOrdered(df, out)
   }
   /** Build the `.gri` genomic index from the source itself: distributed
-    * scan → per-block (refIdx,pos) min/max over record starts → tiny
-    * driver-side write (the index is one row per block). */
+    * scan → per-block (refIdx,pos) min/max over record starts, joined to
+    * the block catalog for sizes, streamed to the side-car in sorted order
+    * (no full collect — one block row in driver memory at a time). */
   def indexGenomic(spark: SparkSession, path: String): Unit = {
-    val rows = spark.read.format("bam").load(path)
+    val mins = spark.read.format("bam").load(path)
       .groupBy(col("virtualPos.blockPos").as("bp"))
       .agg(min("refIdx").as("minRef"), min("pos").as("minPos"),
         max("refIdx").as("maxRef"), max("pos").as("maxPos"))
-      .collect()
-    val csize = blocks(spark, path).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    graft.bam.ds.GenomicIndex.write(path,
-      rows.toSeq.map { r =>
-        graft.bam.ds.GenomicIndex.BlockRange(r.getLong(0), csize(r.getLong(0)),
-          r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
-      })
+    val rows = mins
+      .join(blocks(spark, path), col("bp") === col("start"))
+      .orderBy("bp")
+      .select(col("bp"), col("compressedSize"),
+        col("minRef"), col("minPos"), col("maxRef"), col("maxPos"))
+    val w = new java.io.PrintWriter(graft.bam.ds.GenomicIndex.sidecarPath(path))
+    try rows.toLocalIterator().forEachRemaining { r =>
+      w.println(s"${r.getLong(0)},${r.getInt(1)},${r.getInt(2)},${r.getInt(3)},${r.getInt(4)},${r.getInt(5)}")
+    } finally w.close()
   }
 
+  /** SAM-spec R-tree bin of [beg, endEx) as a column (see Bai.reg2bin). */
+  private def binCol(beg: org.apache.spark.sql.Column,
+                     endEx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val e = endEx - 1
+    when(shiftright(beg, 14) === shiftright(e, 14), shiftright(beg, 14) + 4681)
+      .when(shiftright(beg, 17) === shiftright(e, 17), shiftright(beg, 17) + 585)
+      .when(shiftright(beg, 20) === shiftright(e, 20), shiftright(beg, 20) + 73)
+      .when(shiftright(beg, 23) === shiftright(e, 23), shiftright(beg, 23) + 9)
+      .when(shiftright(beg, 26) === shiftright(e, 26), shiftright(beg, 26) + 1)
+      .otherwise(0)
+  }
+
+  /** Build a standard `.bai` for a coordinate-sorted BAM from the source
+    * itself. Record spans and virtual positions are computed distributed —
+    * a record's end virtual offset is its successor's start (BAM records
+    * are contiguous in the uncompressed stream), via the two-phase global
+    * lead — then reduced to one chunk per (ref, bin) plus the 16 kb-window
+    * linear index. Only the index rows (one per bin/window) reach the
+    * driver for the final small binary write, like the reference's index
+    * writers. */
+  def indexBai(spark: SparkSession, path: String): Unit = {
+    import graft.bam.ds.Bai
+    val fileLen = new java.io.File(path).length()
+    val vpos = shiftleft(col("virtualPos.blockPos"), 16)
+      .bitwiseOR(col("virtualPos.offset").cast("long"))
+    val recs = spark.read.format("bam").load(path)
+      .select(col("refIdx"), col("pos"), col("endPos"), vpos.as("vpos64"))
+    val withEnd = graft.ops.ScalableWindow.lead1(
+      recs, Seq("vpos64"), "vpos64", "endVpos", lit(fileLen << 16))
+    val mapped = withEnd.filter(col("refIdx") >= 0)
+      .withColumn("e", greatest(col("endPos"), col("pos") + 1))
+    val chunkRows = mapped
+      .withColumn("bin", binCol(col("pos"), col("e")))
+      .groupBy("refIdx", "bin")
+      .agg(min("vpos64").as("beg"), max("endVpos").as("end"))
+      .collect()
+    val linearRows = mapped
+      .withColumn("w",
+        explode(sequence(shiftright(col("pos"), 14), shiftright(col("e") - 1, 14))))
+      .groupBy("refIdx", "w").agg(min("vpos64").as("off"))
+      .collect()
+    val nRefs = readContigLens(path).length
+    val refs = (0 until nRefs).map { ref =>
+      val bins = chunkRows.iterator.filter(_.getInt(0) == ref).map { r =>
+        r.getInt(1) -> IndexedSeq(Bai.Chunk(r.getLong(2), r.getLong(3)))
+      }.toMap
+      val lin = linearRows.iterator.filter(_.getInt(0) == ref)
+        .map(r => r.getInt(1) -> r.getLong(2)).toMap
+      val maxW = if (lin.isEmpty) -1 else lin.keys.max
+      Bai.RefIndex(bins, IndexedSeq.tabulate(maxW + 1)(w => lin.getOrElse(w, 0L)))
+    }
+    Bai.write(path, Bai.Index(refs.toIndexedSeq))
+  }
+
+  /** Ordered single-file writer: streams partitions through the driver one
+    * at a time (`toLocalIterator`) — constant driver memory, matching the
+    * reference's single-file index sinks without their full materialize. */
   private def writeCsvOrdered(df: DataFrame, out: String): Unit = {
-    val rows = df.collect() // index files are driver-written in the reference too
     val w = new java.io.PrintWriter(out)
-    try rows.foreach(r => w.println((0 until r.length).map(r.get).mkString(",")))
+    try df.toLocalIterator().forEachRemaining(r =>
+      w.println((0 until r.length).map(r.get).mkString(",")))
     finally w.close()
   }
 

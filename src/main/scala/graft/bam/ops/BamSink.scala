@@ -41,11 +41,19 @@ object BamSink {
 
   /** Write `reads` (full bam-source schema) as a BAM file. Records are
     * globally ordered by `virtualPos` (stable round-trip order); shards
-    * are encoded per partition and concatenated driver-side. */
+    * are encoded per partition THROUGH THE HADOOP FILESYSTEM of the target
+    * path — on a cluster they land on the DFS next to the output, never on
+    * executor-local disk — and the driver stream-concatenates them (BGZF
+    * is closed under concatenation). */
   def write(reads: DataFrame, header: Bam.Header, outPath: String,
             payloadSize: Int = 16 * 1024): Unit = {
-    val shardDir = Files.createTempDirectory("graft-bam-shards")
-    val spark = reads.sparkSession
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = graft.bam.ds.BamDataSource.hadoopConf()
+    val outP = new HPath(outPath)
+    val fs = outP.getFileSystem(conf)
+    val shardDir = new HPath(
+      outPath + s".shards-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(shardDir)
     val contigs = header.contigs
     val text = header.text
     val ps = payloadSize
@@ -64,26 +72,31 @@ object BamSink {
           val (img, _) = Bgzf.compress(buf.toByteArray, ps)
           // strip the EOF marker; the driver appends exactly one
           val body = java.util.Arrays.copyOf(img, img.length - Bgzf.Eof.length)
-          val p = Paths.get(shardDirS, f"shard-$pid%05d")
-          Files.write(p, body)
-          Iterator.single(p.toString)
+          val shard = new HPath(f"$shardDirS/shard-$pid%05d")
+          // executor-side conf (cluster site config applies there)
+          val sfs = shard.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val os = sfs.create(shard, true)
+          try os.write(body) finally os.close()
+          Iterator.single(shard.toString)
         }
       }(org.apache.spark.sql.Encoders.STRING)
       .collect()
       .sorted
 
-    val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(outPath), 1 << 20)
+    val out = new java.io.BufferedOutputStream(fs.create(outP, true), 1 << 20)
     try {
       val hdr = new java.io.ByteArrayOutputStream()
       Bam.writeHeader(hdr, text, contigs)
       val (hImg, _) = Bgzf.compress(hdr.toByteArray, ps)
       out.write(hImg, 0, hImg.length - Bgzf.Eof.length)
-      shards.foreach(p => Files.copy(Paths.get(p), out))
+      shards.foreach { p =>
+        val in = fs.open(new HPath(p))
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 20, false)
+        finally in.close()
+      }
       out.write(Bgzf.Eof)
     } finally out.close()
-    shards.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    Files.deleteIfExists(shardDir)
+    fs.delete(shardDir, true)
   }
 
   /** The rewrite app: read a BAM, optionally keep a record-index range

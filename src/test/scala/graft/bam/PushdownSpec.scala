@@ -55,6 +55,47 @@ class PushdownSpec extends SparkTestBase {
       s"plan should surface pushdown:\n$scan")
   }
 
+  test("standard .bai alone prunes partitions and keeps results exact") {
+    // a copy with NO .gri / .blocks / .records — only the freshly-built
+    // standard BAI, the index every real-world sorted BAM ships with
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-bai")
+    val copy = tmpDir.resolve("baionly.bam")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fx.bamPath), copy)
+    graft.bam.ops.BamOps.indexBai(spark, copy.toString)
+    assert(new java.io.File(copy.toString + ".bai").exists())
+
+    def loadCopy() = spark.read.format("bam")
+      .option("splitSize", "16384").load(copy.toString)
+    val fullParts = loadCopy().rdd.getNumPartitions
+    val q = loadCopy().filter(col("contig") === "chr3" && col("pos") < 50000)
+    assert(q.rdd.getNumPartitions < fullParts,
+      s"bai pruned ${q.rdd.getNumPartitions} vs full $fullParts")
+    val want = fx.records.count(r => r.refIdx == 2 && r.pos < 50000)
+    assert(q.count() == want && want > 0)
+
+    // overlap-interval query (the loadBamIntervals shape) over BAI pruning
+    val iv = loadCopy().filter(col("refIdx") === 0 &&
+      col("pos") < 150000 && col("endPos") > 100000)
+    val wantIv = fx.records.count(r =>
+      r.refIdx == 0 && r.pos < 150000 && r.end > 100000)
+    assert(iv.count() == wantIv && wantIv > 0)
+  }
+
+  test("bai round-trips through its binary codec") {
+    import graft.bam.ds.Bai
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-bai-rt")
+    val copy = tmpDir.resolve("rt.bam")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fx.bamPath), copy)
+    graft.bam.ops.BamOps.indexBai(spark, copy.toString)
+    val idx = Bai.read(copy.toString).get
+    Bai.write(copy.toString, idx)
+    assert(Bai.read(copy.toString).get == idx)
+    // binning identities from the SAM spec
+    assert(Bai.reg2bin(0, 1) == 4681)
+    assert(Bai.reg2bin(0, 1 << 29) == 0)
+    assert(Bai.reg2bins(0, 1 << 14) == Seq(0, 1, 9, 73, 585, 4681))
+  }
+
   test("indexGenomic rebuilds an equivalent index from the source") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-gri")
     val copy = tmpDir.resolve("copy.bam")
