@@ -197,7 +197,8 @@ class BamScan(paths: Seq[String], required: StructType,
     new BamPartitionReaderFactory(required,
       options.getOrElse("blockstocheck", "5").toInt,
       options.getOrElse("readstocheck", "10").toInt,
-      options.getOrElse("maxreadsize", (1 << 21).toString).toInt)
+      options.getOrElse("maxreadsize", (1 << 21).toString).toInt,
+      options.getOrElse("checker", "eager"))
 }
 
 object BamScan {

@@ -12,11 +12,13 @@ import graft.bam.codec.{Bam, Pos}
 import graft.bam.io.{BlockReader, SeekableInput, UncompressedReader}
 
 class BamPartitionReaderFactory(required: StructType, blocksToCheck: Int,
-                                readsToCheck: Int, maxReadSize: Int)
+                                readsToCheck: Int, maxReadSize: Int,
+                                checkerProfile: String = "eager")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BamInputPartition]
-    new BamPartitionReader(p, required, blocksToCheck, readsToCheck, maxReadSize)
+    new BamPartitionReader(p, required, blocksToCheck, readsToCheck, maxReadSize,
+      checkerProfile)
   }
 }
 
@@ -31,7 +33,8 @@ class BamPartitionReaderFactory(required: StructType, blocksToCheck: Int,
   * never duplicate or drop records.
   */
 class BamPartitionReader(split: BamInputPartition, required: StructType,
-                         blocksToCheck: Int, readsToCheck: Int, maxReadSize: Int)
+                         blocksToCheck: Int, readsToCheck: Int, maxReadSize: Int,
+                         checkerProfile: String = "eager")
     extends PartitionReader[InternalRow] {
 
   private val blocks = new BlockReader(SeekableInput.open(split.path))
@@ -63,7 +66,12 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
         else {
           val lens = header.contigs.map(_.length)
           val checker = new Checker(blocks, lens, readsToCheck)
-          FindRecordStart(blocks, checker, blockStart, maxReadSize)
+          // `checker=relaxed` loads through the documented hadoop-bam-profile
+          // boundary check (the reference's "upstream" loader in its timing
+          // races, compare/TimeLoad.scala:52-69).
+          val accept: Pos => Boolean =
+            if (checkerProfile == "relaxed") checker.relaxed _ else checker.eager _
+          FindRecordStart(blocks, accept, blockStart, maxReadSize)
             .filter(_.blockPos < split.end)
         }
       }

@@ -99,6 +99,20 @@ object BamQueries {
         .orderBy(desc("n"), col("firstOffsetInBlock"))
     },
 
+    // §2.11 compare-splits (A13): race the eager and relaxed split
+    // algorithms across a list of BAMs, one task per file, timed; the
+    // timing-ratio Stats report shape is pinned in SplitTimingSpec.
+    q("bam_compare_splits") { (s, _) =>
+      SplitTiming.compareSplits(
+        s, Seq(BamFixture.tiny.bamPath, BamFixture.default.bamPath), 32768)
+    },
+
+    // §2.11 time-load: first-read-per-partition collection race between
+    // the eager and relaxed (hadoop-bam-profile) loaders.
+    q("bam_time_load") { (s, _) =>
+      SplitTiming.timeLoad(s, BamFixture.default.bamPath, 32768)
+    },
+
     // S16 rewrite round-trip: write a rewritten BAM, read it back,
     // count per contig (driver rows-check; exact equality in ScalaTest).
     q("bam_rewrite") { (s, _) =>
