@@ -27,11 +27,23 @@ object Bai {
 
   def path(bamPath: String): String = bamPath + ".bai"
 
+  /** Byte length of `p` through the Hadoop FS (works for hdfs://, s3a://…
+    * like the scan and sink; a local java.io length would silently be 0 for
+    * remote paths). */
+  def fileLen(p: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(BamDataSource.hadoopConf()).getFileStatus(hp).getLen
+  }
+
   def read(bamPath: String): Option[Index] = {
-    val f = new java.io.File(path(bamPath))
-    if (!f.exists()) return None
-    val bb = ByteBuffer.wrap(java.nio.file.Files.readAllBytes(f.toPath))
-      .order(ByteOrder.LITTLE_ENDIAN)
+    val hp = new org.apache.hadoop.fs.Path(path(bamPath))
+    val fs = hp.getFileSystem(BamDataSource.hadoopConf())
+    if (!fs.exists(hp)) return None
+    val len = fs.getFileStatus(hp).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(hp)
+    try in.readFully(0, bytes) finally in.close()
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](4)
     bb.get(magic)
     require(magic.sameElements("BAI".getBytes :+ 1.toByte),
@@ -66,7 +78,10 @@ object Bai {
       bb.putInt(r.linear.length)
       r.linear.foreach(bb.putLong)
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(path(bamPath)), bb.array())
+    val hp = new org.apache.hadoop.fs.Path(path(bamPath))
+    val fs = hp.getFileSystem(BamDataSource.hadoopConf())
+    val os = fs.create(hp, true)
+    try os.write(bb.array()) finally os.close()
   }
 
   /** SAM-spec R-tree bin containing [beg, endEx) entirely. */

@@ -116,7 +116,7 @@ object BamOps {
     * writers. */
   def indexBai(spark: SparkSession, path: String): Unit = {
     import graft.bam.ds.Bai
-    val fileLen = new java.io.File(path).length()
+    val fileLen = Bai.fileLen(path)
     val vpos = shiftleft(col("virtualPos.blockPos"), 16)
       .bitwiseOR(col("virtualPos.offset").cast("long"))
     val recs = spark.read.format("bam").load(path)

@@ -58,6 +58,11 @@ object BamSink {
     val text = header.text
     val ps = payloadSize
     val shardDirS = shardDir.toString
+    // Ship the DRIVER's Hadoop conf (incl. spark.hadoop.* session settings,
+    // e.g. object-store credentials) to the executors: a bare executor-side
+    // `new Configuration()` only sees classpath XML, which diverges from the
+    // driver on conf-configured clusters.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val shards = reads
       .repartitionByRange(
         math.max(1, reads.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt / 2),
@@ -73,8 +78,7 @@ object BamSink {
           // strip the EOF marker; the driver appends exactly one
           val body = java.util.Arrays.copyOf(img, img.length - Bgzf.Eof.length)
           val shard = new HPath(f"$shardDirS/shard-$pid%05d")
-          // executor-side conf (cluster site config applies there)
-          val sfs = shard.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val sfs = shard.getFileSystem(serConf.value)
           val os = sfs.create(shard, true)
           try os.write(body) finally os.close()
           Iterator.single(shard.toString)

@@ -1,7 +1,6 @@
 package graft.bam.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.bam.check.Checker
@@ -74,13 +73,16 @@ object FullCheckOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("flagset"))
 
-  /** Positions-per-flag-count PDF + running CDF (A8/A9): tiny post-agg
-    * domain (≤19 counts), so the ordered window is safe. */
+  /** Positions-per-flag-count PDF + running CDF (A8/A9). The domain after
+    * the aggregate is tiny (≤19 flag counts), so the running sum is a
+    * theta self-join on the count key — same post-agg-carry pattern as
+    * [[graft.ops.ScalableWindow]], and no partition-less WindowExec. */
   def numFlagsCdf(calls: DataFrame): DataFrame = {
     val pdf = calls.groupBy("numFlags").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("numFlags")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pdf.withColumn("cdf", sum("n").over(w)).orderBy("numFlags")
+    val b = pdf.select(col("numFlags").as("__k"), col("n").as("__n"))
+    pdf.join(b, col("__k") <= col("numFlags"))
+      .groupBy("numFlags", "n").agg(sum("__n").as("cdf"))
+      .orderBy("numFlags")
   }
 
   /** Close calls (P8): positions failing ≤ `maxFlags` checks — the

@@ -16,15 +16,22 @@ import org.apache.spark.sql.functions._
   *      parallel WindowExecs;
   *   3. the carry of the scan (per-partition sum / count / edge value) is a
   *      tiny aggregate — ONE ROW PER PARTITION, bounded by the cluster's
-  *      partition count, not the data — scanned by a single-task window and
-  *      broadcast-joined back on the partition id.
+  *      partition count, not the data — combined across partitions by a
+  *      theta-join on the partition id (pid' < pid ⇒ prefix, pid' > pid ⇒
+  *      suffix) and broadcast-joined back on the partition id.
   *
   * Because the carry branch and the main branch hang off the *same*
   * `repartitionByRange` exchange, Catalyst's ReuseExchange collapses them
   * to one shuffle — no `persist` (round 1 leaked a MEMORY_AND_DISK cache
   * per call), no driver-side `collect`, no O(#partitions) chained-`when`
-  * lookup. Results are identical to the single-partition plan for unique
-  * order keys.
+  * lookup. The cross-partition carry is a join, NOT a partition-less
+  * window: a bare `Window.orderBy(pid)` over the carry frame would be
+  * bounded too, but it trips Spark's single-partition WindowExec warning
+  * and — unlike `lag(pid)`-style neighbours — a theta-join stays correct
+  * when range partitions come out EMPTY (adjacent pids then aren't
+  * adjacent carry rows). O(#partitions²) comparisons ≈ 4M at 2000
+  * partitions — negligible, and fully distributed. Results are identical
+  * to the single-partition plan for unique order keys.
   */
 object ScalableWindow {
 
@@ -39,19 +46,15 @@ object ScalableWindow {
   private def pidWindow(orderCols: Seq[String]) =
     Window.partitionBy(Pid).orderBy(orderCols.map(col): _*)
 
-  /** Single-task window over the per-partition carry rows: ≤ one row per
-    * shuffle partition, so "partition-less" is bounded and intentional. */
-  private val carryScan = Window.orderBy(Pid)
-
   /** Running sum of `value` over the global `orderCols` order, exclusive of
     * the current row (the prefix-sum / scanLeft shape, SURVEY.md A15/W3). */
   def prefixSumExclusive(df: DataFrame, orderCols: Seq[String],
                          value: Column, out: String): DataFrame = {
     val r = ranged(df, orderCols)
-    val carry = r.groupBy(Pid).agg(sum(value).as("__s"))
-      .select(col(Pid), coalesce(
-        sum("__s").over(carryScan.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0)).as("__carry"))
+    val agg = r.groupBy(Pid).agg(sum(value).as("__s"))
+    val b = agg.select(col(Pid).as("__bp"), col("__s").as("__bs"))
+    val carry = agg.join(b, col("__bp") < col(Pid), "left")
+      .groupBy(Pid).agg(coalesce(sum("__bs"), lit(0)).as("__carry"))
     val within = sum(value).over(
       pidWindow(orderCols).rowsBetween(Window.unboundedPreceding, -1))
     r.join(broadcast(carry), Seq(Pid), "left")
@@ -62,10 +65,10 @@ object ScalableWindow {
   /** Global row_number() without a single-partition sort. */
   def rowNumber(df: DataFrame, orderCols: Seq[String], out: String): DataFrame = {
     val r = ranged(df, orderCols)
-    val carry = r.groupBy(Pid).agg(count(lit(1)).as("__c"))
-      .select(col(Pid), coalesce(
-        sum("__c").over(carryScan.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)).as("__off"))
+    val agg = r.groupBy(Pid).agg(count(lit(1)).as("__c"))
+    val b = agg.select(col(Pid).as("__bp"), col("__c").as("__bc"))
+    val carry = agg.join(b, col("__bp") < col(Pid), "left")
+      .groupBy(Pid).agg(coalesce(sum("__bc"), lit(0L)).as("__off"))
     r.join(broadcast(carry), Seq(Pid), "left")
       .withColumn(out,
         row_number().over(pidWindow(orderCols)) +
@@ -74,15 +77,18 @@ object ScalableWindow {
   }
 
   /** lag(value, 1) over the global order. Partition-first rows take the
-    * previous partition's last value; the carry applies ONLY to the first
-    * row of each partition (gated on row_number, not on lag() being null,
-    * so a legitimately-null predecessor value stays null). */
+    * last value of the nearest NON-EMPTY preceding partition (max_by over
+    * the pid theta-join); the carry applies ONLY to the first row of each
+    * partition (gated on row_number, not on lag() being null, so a
+    * legitimately-null predecessor value stays null). */
   def lag1(df: DataFrame, orderCols: Seq[String], value: String,
            out: String): DataFrame = {
     val r = ranged(df, orderCols)
     val ord = struct(orderCols.map(col): _*)
-    val carry = r.groupBy(Pid).agg(max_by(col(value), ord).as("__last"))
-      .select(col(Pid), lag("__last", 1).over(carryScan).as("__carry"))
+    val last = r.groupBy(Pid).agg(max_by(col(value), ord).as("__last"))
+    val b = last.select(col(Pid).as("__bp"), col("__last").as("__bl"))
+    val carry = last.join(b, col("__bp") < col(Pid), "left")
+      .groupBy(Pid).agg(max_by(col("__bl"), col("__bp")).as("__carry"))
     val w = pidWindow(orderCols)
     r.join(broadcast(carry), Seq(Pid), "left")
       .withColumn(out,
@@ -101,13 +107,13 @@ object ScalableWindow {
     val ord = struct(orderCols.map(col): _*)
     // first non-null per partition, by order: min over (order, value)
     // structs of the non-null rows (nulls drop out of min)
-    val carry = r.groupBy(Pid)
+    val fnn = r.groupBy(Pid)
       .agg(min(when(col("__v").isNotNull,
         struct(ord.as("__o"), col("__v").as("__x")))).as("__fnn"))
-      .select(col(Pid),
-        first(col("__fnn.__x"), ignoreNulls = true)
-          .over(carryScan.rowsBetween(1, Window.unboundedFollowing))
-          .as("__carry"))
+    val b = fnn.select(col(Pid).as("__bp"), col("__fnn").as("__bf"))
+    // nearest following partition that HAS a non-null value
+    val carry = fnn.join(b, col("__bp") > col(Pid) && col("__bf").isNotNull, "left")
+      .groupBy(Pid).agg(min_by(col("__bf.__x"), col("__bp")).as("__carry"))
     val within = first(col("__v"), ignoreNulls = true).over(
       pidWindow(orderCols).rowsBetween(0, Window.unboundedFollowing))
     r.join(broadcast(carry), Seq(Pid), "left")
@@ -116,16 +122,19 @@ object ScalableWindow {
   }
 
   /** lead(value, 1) with `default` past the global end. Partition-last rows
-    * take the next partition's first value; the struct-wrapped carry
-    * distinguishes "no next partition" (→ default) from "next value is
-    * null" (→ null), matching single-partition lead semantics. */
+    * take the first value of the nearest non-empty following partition; the
+    * struct-wrapped carry distinguishes "no following partition" (→
+    * default) from "next value is null" (→ null), matching
+    * single-partition lead semantics. */
   def lead1(df: DataFrame, orderCols: Seq[String], value: String,
             out: String, default: Column): DataFrame = {
     val r = ranged(df, orderCols)
     val ord = struct(orderCols.map(col): _*)
-    val carry = r.groupBy(Pid).agg(min_by(col(value), ord).as("__first"))
-      .select(col(Pid),
-        lead(struct(col("__first").as("__v")), 1).over(carryScan).as("__carry"))
+    val firstA = r.groupBy(Pid).agg(min_by(col(value), ord).as("__first"))
+    val b = firstA.select(col(Pid).as("__bp"),
+      struct(col("__first").as("__v")).as("__bf"))
+    val carry = firstA.join(b, col("__bp") > col(Pid), "left")
+      .groupBy(Pid).agg(min_by(col("__bf"), col("__bp")).as("__carry"))
     val w = pidWindow(orderCols)
     val isLast = row_number().over(w) === count(lit(1)).over(Window.partitionBy(Pid))
     r.join(broadcast(carry), Seq(Pid), "left")

@@ -22,13 +22,22 @@ import org.apache.spark.sql.execution.window.WindowExec
   * global-scan pattern shuffles once to range-partition, then Catalyst
   * re-shuffled the identical layout by pid).
   *
-  * Soundness: the elimination applies only when every partition expression
-  * is an attribute that traces — through partition-preserving operators
-  * only (project / filter / local sort / window / aggregate / the streamed
-  * side of a broadcast join) — to an `Alias(SparkPartitionID())` with no
-  * intervening exchange or stage boundary. Any node outside that whitelist
-  * (in particular exchanges, shuffle-stage reads, unions, coalesce) stops
-  * the trace and keeps the shuffle.
+  * Soundness: the elimination applies only when BOTH
+  *
+  *   1. every partition expression is an attribute that traces — through
+  *      partition-preserving operators only (project / filter / local sort /
+  *      window / aggregate / the streamed side of a broadcast join) — to an
+  *      `Alias(SparkPartitionID())` with no intervening exchange or stage
+  *      boundary (any node outside that whitelist — exchanges, shuffle-stage
+  *      reads, unions, coalesce — stops the trace and keeps the shuffle);
+  *   2. the exchange's CONSUMER is a unary operator whose requirement is a
+  *      plain `ClusteredDistribution` — a Window or an Aggregate (optionally
+  *      through the local Sort that EnsureRequirements puts above the
+  *      exchange). "pid is constant per partition" satisfies clustering for
+  *      ONE child in isolation, but a binary consumer (sort-merge join,
+  *      set op) additionally needs BOTH children on the SAME partitioning
+  *      function; removing only one side silently mis-aligns the join and
+  *      drops rows. Those exchanges are always kept.
   *
   * Registered as an AQE query-stage-prep rule ([[GraftExtensions]]), so it
   * runs after EnsureRequirements on every (re-)planning pass.
@@ -60,7 +69,14 @@ case class PidShuffleElimination() extends Rule[SparkPlan] {
     case _ => false
   }
 
-  override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
+  /** Strip a pid-keyed ENSURE_REQUIREMENTS exchange sitting directly under
+    * an eligible unary consumer, looking through the local Sort that
+    * EnsureRequirements inserts above the exchange for sort-based consumers.
+    * Anything else (including joins' children) is left untouched. */
+  private def strip(plan: SparkPlan): SparkPlan = plan match {
+    case s: SortExec if !s.global =>
+      val c = strip(s.child)
+      if (c eq s.child) s else s.copy(child = c)
     case ex: ShuffleExchangeExec if ex.shuffleOrigin == ENSURE_REQUIREMENTS =>
       ex.outputPartitioning match {
         case HashPartitioning(exprs, _) if exprs.nonEmpty && exprs.forall {
@@ -70,5 +86,15 @@ case class PidShuffleElimination() extends Rule[SparkPlan] {
           ex.child
         case _ => ex
       }
+    case other => other
+  }
+
+  override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
+    case w: WindowExec =>
+      val c = strip(w.child)
+      if (c eq w.child) w else w.withNewChildren(Seq(c))
+    case a: BaseAggregateExec =>
+      val c = strip(a.child)
+      if (c eq a.child) a else a.withNewChildren(Seq(c))
   }
 }

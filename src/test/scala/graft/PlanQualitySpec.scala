@@ -67,6 +67,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(pruned.rdd.getNumPartitions < full.rdd.getNumPartitions)
   }
 
+  test("pid-shuffle elimination never strips a join child's exchange") {
+    import spark.implicits._
+    // Repro from the round-2 advisory: a sort-merge join keyed on a
+    // materialized spark_partition_id column. Stripping only the left
+    // side's exchange mis-aligns the co-partitioning and drops rows.
+    val left = spark.range(1000).repartitionByRange(4, col("id"))
+      .withColumn("pid", spark_partition_id())
+    val right = (0 until 4).toDF("pid").withColumn("tag", col("pid") * 10)
+    val joined = left.hint("merge").join(right, "pid")
+    assert(joined.count() === 1000L)
+    val p = joined.queryExecution.executedPlan.toString
+    // both sides of the SMJ must still be hash-partitioned on pid
+    assert("Exchange hashpartitioning\\(pid".r.findAllIn(p).length >= 2, p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipelines") {
     val p = plan("f7_pos_pack")
     assert(p.contains("*(1)"), p) // codegen stage marker
