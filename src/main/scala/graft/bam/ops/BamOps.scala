@@ -287,12 +287,37 @@ object BamOps {
     reads.filter(col("refIdx") >= 0 && cond)
   }
 
-  private[ops] def readContigLens(path: String): IndexedSeq[Int] = {
+  /** loadBamIntervals from a loci STRING (`"1:13000-14000,1:60000-"`) — the
+    * reference's user-facing surface (ParsedLoci + LociSet resolution
+    * against header contig lengths, docs/api.md:44-62). Open-ended ranges
+    * close at the contig end from this file's header dictionary. */
+  def intervalsFromLoci(spark: SparkSession, path: String,
+                        loci: String): DataFrame =
+    intervals(spark, path,
+      graft.bam.Loci.resolve(graft.bam.Loci.parse(loci), readContigs(path)))
+
+  /** The block catalog restricted to a byte-range-set string
+    * (`"0-64k,1m+128k"` — the reference check apps' `--ranges` option,
+    * args/Range.scala grammar): blocks whose compressed start falls in the
+    * set. Driver-side parse, distributed filter. */
+  def blocksInRanges(spark: SparkSession, path: String,
+                     ranges: String): DataFrame = {
+    val rs = graft.util.Ranges.parse(ranges)
+    val cond = rs.map { case (s, e) => col("start") >= s && col("start") < e }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    blocks(spark, path).filter(cond)
+  }
+
+  private[ops] def readContigLens(path: String): IndexedSeq[Int] =
+    readContigs(path).map(_._2)
+
+  /** Header contig dictionary: (name, length) in refIdx order. */
+  def readContigs(path: String): IndexedSeq[(String, Int)] = {
     val blocks = new BlockReader(SeekableInput.open(path))
     try {
       val r = new graft.bam.io.UncompressedReader(blocks)
       r.seek(Pos(0, 0))
-      graft.bam.codec.Bam.readHeader(r).contigs.map(_.length)
+      graft.bam.codec.Bam.readHeader(r).contigs.map(c => c.name -> c.length)
     } finally blocks.close()
   }
 }

@@ -59,6 +59,15 @@ object BamQueries {
         .orderBy("contig")
     },
 
+    // S5 user surface: the loci STRING grammar end-to-end — parse,
+    // resolve open ends against the header dictionary, interval filter.
+    q("bam_loci") { (s, _) =>
+      BamOps.intervalsFromLoci(s, BamFixture.default.bamPath,
+        "chr1:0-400_000,chr2:100_000-120_000,chr3:500_000-")
+        .groupBy("contig").agg(count(lit(1)).as("n"), min("pos").as("first_pos"))
+        .orderBy("contig")
+    },
+
     // A5/A6 histogram shape on BAM data: flags histogram, desc by count.
     q("bam_flags_hist") { (s, _) =>
       s.read.format("bam").load(BamFixture.default.bamPath)

@@ -21,6 +21,22 @@ object Bytes {
     s"$s ${units.charAt(u)}B"
   }
 
+  /** Compact form for report lines — "519K", "23.5K", "2.69M" (the
+    * reference's `583K compressed` header shape): no space, no trailing B,
+    * ≤3 significant digits. */
+  def formatShort(bytes: Long): String = {
+    require(bytes >= 0, s"negative size $bytes")
+    if (bytes < 1024) return s"${bytes}B"
+    var v = bytes.toDouble
+    var u = 0
+    while (v >= 1024 && u < units.length - 1) { v /= 1024; u += 1 }
+    val s =
+      if (v >= 100) f"$v%.0f"
+      else if (v >= 10) f"$v%.1f"
+      else f"$v%.2f"
+    s"$s${units.charAt(u)}"
+  }
+
   /** Parse "64m", "100K", "2 GB", "1024" (case-insensitive, optional B). */
   def parse(s: String): Long = {
     val t = s.trim.toUpperCase.stripSuffix("B").trim
