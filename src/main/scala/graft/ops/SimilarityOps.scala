@@ -117,6 +117,78 @@ object SimilarityOps {
       .select("query_id", "item_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) ANN — the classic scale path beside LSH. A
+    * coarse quantizer of `nlist` centroids splits the corpus into cells;
+    * a query probes its `nprobe` highest-cosine cells and re-ranks
+    * exactly inside them. Candidate volume ≈ |Q|·nprobe·|C|/nlist, never
+    * |Q|×|C|, and the only data-sized join is an EQUI-join on the cell
+    * id. Centroid scoring cross-joins touch an nlist-row broadcast only.
+    *
+    * Build = Lloyd's iterations as DataFrame aggregations: assign each
+    * vector to its best centroid (broadcast score + max_by), then average
+    * per cell via posexplode/avg — no driver-side data pass; the centroid
+    * table itself is the only small collect-free broadcast. Averages are
+    * rounded so centroids are reproducible across partitionings. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // deterministic seed cells: the nlist lowest-id vectors (their ids
+    // double as arbitrary-but-stable cell labels)
+    var cents = c.orderBy("__id").limit(nlist)
+      .select(col("__id").cast("long").as("cid"),
+        col("__v").cast("array<double>").as("cvec"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(spark, c, cents)
+      cents = assigned.join(c, "__id")
+        .select(col("cid"), posexplode(col("__v")))
+        .groupBy("cid", "pos").agg(round(avg("col"), 9).as("v"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("cvec"))
+    }
+    cents
+  }
+
+  /** (__id, cid): each vector's best cell, ties to the lowest cid. */
+  private def assignCells(spark: org.apache.spark.sql.SparkSession,
+                          vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("__s", cosineFast(spark, col("__v"), col("cvec")))
+      .groupBy("__id")
+      .agg(max_by(col("cid"), struct(col("__s"), -col("cid"))).as("cid"))
+
+  /** IVF top-k: probe `nprobe` cells per query, exact cosine re-rank
+    * inside the probed cells. Same output contract as [[bruteForceTopK]]
+    * / [[lshTopK]]; recall vs brute force is asserted in ScalaTest. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val items = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val cells = assignCells(spark, items, cents)
+      .join(items, "__id")
+      .select(col("__id").as("item_id"), col("__v").as("cv"), col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__s", cosineFast(spark, col("qv"), col("cvec")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("__s"), col("cid"))))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "qv", "cid")
+    val cand = probes.join(cells, "cid") // items live in exactly one cell
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos", round(cosineFast(spark, col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine above `threshold`.
     * Brute-force form (oracle-friendly); the LSH candidates variant is the
     * scale path. */

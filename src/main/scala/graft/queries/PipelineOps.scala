@@ -79,6 +79,17 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF-bucketed ANN (the other scale path: coarse-quantizer
+    // cells + nprobe probing; recall asserted in ScalaTest. Rows-only:
+    // centroids are float-average artifacts with no DuckDB analog).
+    qq("ann_ivf") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, k = 10,
+        nlist = 8, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Language-ID heuristic (stopword-profile argmax) with a CASE
     // argmax oracle; ties break to the alphabetically-first language in
     // both engines.

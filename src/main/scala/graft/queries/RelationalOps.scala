@@ -123,20 +123,24 @@ object RelationalOps {
         |FROM orders""".stripMargin
     ) { (s, dir) =>
       val d = col("o_totalprice").cast(D)
+      // ONE exact-percentile aggregate with an array of fractions: a
+      // single sort buffer instead of three (halves the agg cost).
       t(s, dir, "orders").agg(
         count(lit(1)).as("n"),
         dmean(col("o_totalprice")).as("mean"),
         min("o_totalprice").as("mn"),
         max("o_totalprice").as("mx"),
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        expr("percentile(o_totalprice, array(0.25, 0.50, 0.75))").as("__p"),
         round(
           sqrt(
             (sum(d * d).cast("double") -
               sum(d).cast("double") * sum(d).cast("double") / count(lit(1))) /
               (count(lit(1)) - 1)), 2).as("sd")
-      )
+      ).select(col("n"), col("mean"), col("mn"), col("mx"),
+        round(col("__p").getItem(0), 4).as("p25"),
+        round(col("__p").getItem(1), 4).as("p50"),
+        round(col("__p").getItem(2), 4).as("p75"),
+        col("sd"))
     },
 
     // ---- A15/W3: prefix-sum of sizes for partition planning

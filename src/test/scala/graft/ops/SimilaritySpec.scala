@@ -81,6 +81,53 @@ class SimilaritySpec extends SparkTestBase {
     info(s"random-data LSH recall@10 = $recall")
   }
 
+  test("IVF top-k has high recall on clustered data") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 30 === 0)
+    val brute = SimilarityOps.bruteForceTopK(queries, df, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(queries, df, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // nprobe=4 of nlist=16 cells; clustered data concentrates true
+    // neighbours in the probed cells
+    assert(recall >= 0.8, s"recall@10 = $recall")
+    info(s"clustered IVF recall@10 = $recall")
+  }
+
+  test("IVF top-k on unstructured data degrades gracefully") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = SimilarityOps.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(queries, emb, k = 10, nlist = 8, nprobe = 4)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // random vectors have no cell structure; probing half the cells
+    // should still catch a usable fraction of true neighbours
+    assert(recall >= 0.3, s"recall@10 = $recall")
+    info(s"random-data IVF recall@10 = $recall")
+  }
+
+  test("IVF returns exactly k ranked rows per query with one cell per item") {
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val got = SimilarityOps.ivfTopK(queries, emb, k = 10, nlist = 8, nprobe = 4)
+      .collect()
+    assert(got.length == queries.count() * 10)
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to 10))
+    }
+  }
+
   test("cosinePairs is symmetric-free and thresholded") {
     val pairs = SimilarityOps.cosinePairs(emb, 0.9).collect()
     pairs.foreach { r =>
