@@ -18,9 +18,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // un-timed warmup: JIT + codegen + FS metadata, so the first timed
-    // query isn't charged for JVM startup effects
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    // query isn't charged for JVM startup effects; BAM fixtures are
+    // materialized here so no timed query pays one-time generation
+    try {
+      graft.bam.fixtures.BamFixture.tiny
+      graft.bam.fixtures.BamFixture.default
+      graft.bam.fixtures.BamFixture.bigPath
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

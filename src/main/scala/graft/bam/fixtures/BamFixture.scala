@@ -197,4 +197,68 @@ object BamFixture {
         "target/bam-fixtures"))
       write(dir, s"$key-$n-$seed-$payloadSize.bam", n, seed, payloadSize)
     })
+
+  /** ~50 MB fixture for THROUGHPUT evidence (the small fixtures measure
+    * setup, not scanning). Generation STREAMS: records are encoded
+    * straight into payload-sized BGZF blocks and flushed, so nothing
+    * data-sized stays on the heap — only the path is returned. Written
+    * once (stable path under the build dir), 400k reads, real-BAM-like
+    * 60 KiB payloads, header SO:unsorted (the scan does not need order). */
+  lazy val bigPath: String = {
+    val dir = Paths.get(sys.props.getOrElse("graft.fixture.dir",
+      "target/bam-fixtures"))
+    Files.createDirectories(dir)
+    val p = dir.resolve("big-400000-11.bam")
+    if (!Files.exists(p)) writeBig(p, n = 400_000, seed = 11)
+    p.toString
+  }
+
+  val BigRecords = 400_000
+
+  private def writeBig(path: Path, n: Int, seed: Long,
+                       payloadSize: Int = 61440): Unit = {
+    val contigs = DefaultContigs
+    val rng = new Rng(seed)
+    val os = new java.io.BufferedOutputStream(Files.newOutputStream(path), 1 << 20)
+    val buf = new java.io.ByteArrayOutputStream(payloadSize + (1 << 12))
+    def drain(all: Boolean): Unit = {
+      while (buf.size() >= payloadSize || (all && buf.size() > 0)) {
+        val bytes = buf.toByteArray
+        val take = math.min(payloadSize, bytes.length)
+        val (img, _) = Bgzf.compress(java.util.Arrays.copyOf(bytes, take), payloadSize)
+        os.write(img, 0, img.length - Bgzf.Eof.length)
+        buf.reset()
+        buf.write(bytes, take, bytes.length - take)
+        if (all && bytes.length == take) return
+      }
+    }
+    try {
+      val samText = "@HD\tVN:1.6\tSO:unsorted\n" +
+        contigs.map(c => s"@SQ\tSN:${c.name}\tLN:${c.length}\n").mkString
+      Bam.writeHeader(buf, samText, contigs)
+      var i = 0
+      while (i < n) {
+        val refIdx = rng.nextInt(contigs.length)
+        val pos = rng.nextInt(contigs(refIdx).length - 200)
+        val readLen = 80 + rng.nextInt(41)
+        val seq = {
+          val sb = new StringBuilder(readLen)
+          var j = 0
+          while (j < readLen) { sb.append("ACGT".charAt(rng.nextInt(4))); j += 1 }
+          sb.toString
+        }
+        val qual = Array.tabulate[Byte](readLen)(_ => (rng.nextInt(40) + 2).toByte)
+        Bam.writeRecord(buf, Bam.Record(
+          refIdx = refIdx, pos = pos, mapq = rng.nextInt(61), flags = 0,
+          readName = f"big_$i%07d", cigar = Seq(Bam.CigarOp(0, readLen)),
+          nextRefIdx = -1, nextPos = -1, templateLen = 0,
+          seq = seq, qual = qual, attrs = Map.empty,
+          blockPos = -1, offset = -1))
+        drain(all = false)
+        i += 1
+      }
+      drain(all = true)
+      os.write(Bgzf.Eof)
+    } finally os.close()
+  }
 }

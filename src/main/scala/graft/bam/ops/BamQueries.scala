@@ -25,6 +25,17 @@ object BamQueries {
         .orderBy("refIdx")
     },
 
+    // Throughput evidence: the same count-reads over the ~50 MB streamed
+    // fixture — enough bytes that the number measures scanning, not
+    // setup. 2 MiB splits ≈ 28-way parallel scan. (The fixture itself is
+    // materialized in Bench's un-timed warmup.)
+    q("bam_count_big") { (s, _) =>
+      s.read.format("bam").option("splitSize", (2L << 20).toString)
+        .load(BamFixture.bigPath)
+        .groupBy("refIdx").agg(count(lit(1)).as("n"))
+        .orderBy("refIdx")
+    },
+
     // S13 distributed block discovery (no side-car path).
     q("bam_blocks") { (s, _) =>
       BamOps.discoverBlocks(s, BamFixture.default.bamPath, 8).orderBy("start")
