@@ -70,12 +70,48 @@ final case class Stats(values: Seq[Double]) {
   val mad: Double =
     Stats.quantile(values.map(v => math.abs(v - median)).sorted.toIndexedSeq, 0.5)
 
+  /** The reference's full Stats rendering (bgzf StreamTest.scala:69-128
+    * shape): header, insertion-order `elems` with ×-run-length collapsing
+    * and first/last-10 elision, a `sorted` line when insertion order
+    * differs, and the percentile ladder. Rung values that repeat their
+    * predecessor are dropped (our deterministic reading of the
+    * reference's collapsed ladders). */
   override def toString: String = {
     def fmt(d: Double): String =
       if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else f"$d%.1f"
-    s"N: $n, μ/σ: ${fmt(mean)}/${fmt(stddev)}, med/mad: ${fmt(median)}/${fmt(mad)}\n" +
-      s" elems: ${sorted.take(20).map(fmt).mkString(" ")}" +
-      (if (n > 20) " …" else "")
+    def rle(vs: Seq[Double]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < vs.length) {
+        var j = i
+        while (j < vs.length && vs(j) == vs(i)) j += 1
+        out += (if (j - i >= 2) s"${fmt(vs(i))}×${j - i}" else fmt(vs(i)))
+        i = j
+      }
+      out.toSeq
+    }
+    def line(vs: Seq[Double]): String = {
+      val runs = rle(vs)
+      if (runs.length > 20)
+        (runs.take(10) :+ "…").appendedAll(runs.takeRight(10)).mkString(" ")
+      else runs.mkString(" ")
+    }
+    val sb = new StringBuilder
+    sb ++= s"N: $n, μ/σ: ${fmt(mean)}/${fmt(stddev)}, med/mad: ${fmt(median)}/${fmt(mad)}"
+    sb ++= s"\n elems: ${line(values)}"
+    if (values != sorted) sb ++= s"\nsorted: ${line(sorted)}"
+    if (n >= 10) {
+      val rungs = Seq(0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95)
+      var last = Double.NaN
+      rungs.foreach { p =>
+        val v = percentile(p)
+        if (v != last) {
+          sb ++= f"\n  .${(p * 100).toInt}%02d:\t${fmt(v)}"
+          last = v
+        }
+      }
+    }
+    sb.result()
   }
 }
 

@@ -47,7 +47,8 @@ class SplitTimingSpec extends SparkTestBase {
         |
         |Ratios:
         |N: 2, μ/σ: 1.5/0.5, med/mad: 1.5/0.5
-        | elems: 1 2
+        | elems: 2 1
+        |sorted: 1 2
         |""".stripMargin
     assert(got == want)
   }

@@ -38,6 +38,29 @@ class BytesSpec extends AnyFunSuite {
     assert(s.toString.startsWith("N: 5, μ/σ: 22/"))
   }
 
+  test("stats rendering pins the reference ladder shape") {
+    // run-length collapsing + sorted line + percentile rungs
+    val s = Stats(Seq(5.0, 5.0, 5.0, 1.0, 2.0, 2.0, 9.0, 9.0, 9.0, 9.0, 3.0, 4.0))
+    val text = s.toString
+    assert(text.contains(" elems: 5×3 1 2×2 9×4 3 4"), text)
+    assert(text.contains("\nsorted: 1 2×2 3 4 5×3 9×4"), text)
+    assert(text.contains("\n  .50:\t"), text)
+    // .90/.95 repeat .75's value (9) and collapse out of the ladder
+    assert(!text.contains(".90:") && !text.contains(".95:"), text)
+    // distinct data keeps the full 7-rung ladder
+    val full = Stats((1 to 100).map(_.toDouble)).toString
+    Seq(".05:", ".10:", ".25:", ".50:", ".75:", ".90:", ".95:")
+      .foreach(r => assert(full.contains(r), full))
+    // degenerate data: one rung line only (repeats collapse)
+    val flat = Stats(Seq.fill(12)(7.0))
+    val ft = flat.toString
+    assert(ft.contains(" elems: 7×12"), ft)
+    assert(!ft.contains("sorted:"), ft)
+    assert("\\.\\d\\d:".r.findAllIn(ft).length == 1, ft)
+    // small n: no ladder at all
+    assert(!Stats(Seq(1.0, 2.0)).toString.contains(".50"), "no ladder under 10")
+  }
+
   test("stats percentile matches the SQL QUANTILE_CONT convention") {
     val s = Stats((1 to 100).map(_.toDouble))
     assert(s.percentile(0.25) == 25.75)
