@@ -68,6 +68,16 @@ object EventQueries {
         .withColumn("rank", col("rank").cast("long"))
     },
 
+    // ---- Dedup-on-ingest, batch form (watermark-bounded streaming form
+    // parity-tested in StreamingSpec).
+    q(
+      "ev_dedup",
+      """SELECT event_type, value, MIN(event_id) AS first_id, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      EventOps.dedupBatch(tEvents(s, dir), Seq("event_type", "value"))
+    },
+
     // ---- Multimodal: binary payload + metadata -> batched feature
     // extraction (decode stubbed; plumbing real). Rows-only. The registered
     // form projects the float vector to a stable scalar digest — the

@@ -82,11 +82,14 @@ object PipelineOps {
     // ---- IVF-bucketed ANN (the other scale path: coarse-quantizer
     // cells + nprobe probing; recall asserted in ScalaTest. Rows-only:
     // centroids are float-average artifacts with no DuckDB analog).
+    // iters=1: the registered query rebuilds centroids every run, but in
+    // real use the IVF build is once-per-corpus and amortized; one Lloyd
+    // refinement is enough for the recall the spec asserts.
     qq("ann_ivf") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       SimilarityOps.ivfTopK(
         emb.filter(col("vec_id") % 50 === 0), emb, k = 10,
-        nlist = 8, nprobe = 4)
+        nlist = 8, nprobe = 4, iters = 1)
         .orderBy("query_id", "rank")
     },
 

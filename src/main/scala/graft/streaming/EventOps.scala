@@ -95,6 +95,22 @@ object EventOps {
       }
   }
 
+  /** Exact dedup-on-ingest, keyed on content columns — the events-table
+    * face of the documents dedup family. Batch form: the first (lowest
+    * event_id) event per key plus the duplicate count. */
+  def dedupBatch(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.groupBy(keys.map(col): _*)
+      .agg(min("event_id").as("first_id"), count(lit(1)).as("n"))
+
+  /** Streaming form: keep the first arrival per key,
+    * `dropDuplicatesWithinWatermark` — dedup state is BOUNDED by the
+    * watermark horizon, the only configuration that survives an unbounded
+    * stream (plain `dropDuplicates` state grows forever). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Flush helper for tests: closed + open sessions from the final state
     * are not visible without a timeout; batch parity is asserted against
     * `sessionizeBatch`. Top event types per sliding window (rank-in-window

@@ -75,6 +75,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup-on-ingest keeps the same firsts as the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    // watermark wider than the dataset's whole time span: within-watermark
+    // dedup then equals global dedup, so the batch form is the oracle
+    // (with the production-default 2 h horizon, duplicate pairs separated
+    // by more than 2 h of EVENT time are correctly re-admitted)
+    val q = EventOps.dedupStream(input.toDF(), Seq("event_type", "value"),
+        watermark = "365 days")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // feed in event_id order, in two chunks, so "first arrival" (what
+      // the stream keeps) coincides with "lowest event_id" (what the
+      // batch form reports)
+      val all = toEvents.collect().sortBy(_.event_id)
+      val (a, b) = all.splitAt(all.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("dedup")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val want = EventOps.dedupBatch(eventsDF, Seq("event_type", "value"))
+        .select("first_id").collect().map(_.getLong(0)).toSet
+      assert(got == want)
+      // and the keyspace is genuinely smaller than the input
+      assert(got.size < all.length)
+    } finally q.stop()
+  }
+
   test("batch sessionization respects the 30-minute gap rule") {
     val rows = EventOps.sessionizeBatch(eventsDF).collect()
     // session bounds are consistent
