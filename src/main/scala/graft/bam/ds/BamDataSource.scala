@@ -164,29 +164,10 @@ class BamScan(paths: Seq[String], required: StructType,
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
       val status = fs.getFileStatus(hp)
-      val blockLocs =
-        (try fs.getFileBlockLocations(status, 0, status.getLen)
-         catch { case _: Throwable => Array.empty[org.apache.hadoop.fs.BlockLocation] })
-          .sortBy(_.getOffset)
-      val blockOffsets = blockLocs.map(_.getOffset)
-      // Hosts holding bytes of [s,e), ranked by OVERLAPPED BYTES (a host
-      // with one boundary sliver must not outrank the block owner). Binary
-      // search to the first candidate block so planning stays
-      // O(ranges × log blocks + overlap), not O(ranges × blocks) — at
-      // 100 TB that is ~12.5M ranges against ~800k blocks.
-      def hostsFor(s: Long, e: Long): Array[String] = {
-        if (blockLocs.isEmpty) return Array.empty
-        val ins = java.util.Arrays.binarySearch(blockOffsets, s)
-        var i = math.max(0, if (ins >= 0) ins else -(ins + 1) - 1)
-        val w = scala.collection.mutable.HashMap.empty[String, Long]
-        while (i < blockLocs.length && blockLocs(i).getOffset < e) {
-          val b = blockLocs(i)
-          val ov = math.min(e, b.getOffset + b.getLength) - math.max(s, b.getOffset)
-          if (ov > 0) b.getHosts.foreach(h => w.update(h, w.getOrElse(h, 0L) + ov))
-          i += 1
-        }
-        w.toSeq.sortBy { case (h, bytes) => (-bytes, h) }.take(3).map(_._1).toArray
-      }
+      val locality = new Locality(
+        try fs.getFileBlockLocations(status, 0, status.getLen)
+        catch { case _: Throwable => Array.empty[org.apache.hadoop.fs.BlockLocation] })
+      def hostsFor(s: Long, e: Long): Array[String] = locality.hostsFor(s, e)
 
       // index pruning: engine `.gri` side-car first, standard `.bai` else
       val pruned: Option[Seq[(Long, Long)]] =
