@@ -46,6 +46,12 @@ object BamDataSource {
     try org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     catch { case _: Throwable => new org.apache.hadoop.conf.Configuration() }
 
+  /** Driver conf wrapped for shipping into executor closures — build it
+    * DRIVER-SIDE (before mapPartitions / in the scan factory) so executors
+    * see spark.hadoop.* session settings. */
+  def serializableConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(hadoopConf())
+
   /** Resolve the `path`/`paths` option into concrete file paths; globs are
     * expanded through the Hadoop FS, so wildcard dirs-of-BAMs work. Local
     * (`file:`/schemeless) matches normalize to plain paths; any other

@@ -11,14 +11,19 @@ import graft.bam.check.{Checker, FindBlockStart, FindRecordStart}
 import graft.bam.codec.{Bam, Pos}
 import graft.bam.io.{BlockReader, SeekableInput, UncompressedReader}
 
+/** Ships the DRIVER's Hadoop conf to executors (`conf` is a
+  * SerializableConfiguration) so remote-path opens see spark.hadoop.*
+  * session settings, not just classpath XML. */
 class BamPartitionReaderFactory(required: StructType, blocksToCheck: Int,
                                 readsToCheck: Int, maxReadSize: Int,
-                                checkerProfile: String = "eager")
+                                checkerProfile: String = "eager",
+                                conf: org.apache.spark.util.SerializableConfiguration =
+                                  BamDataSource.serializableConf())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BamInputPartition]
     new BamPartitionReader(p, required, blocksToCheck, readsToCheck, maxReadSize,
-      checkerProfile)
+      checkerProfile, conf)
   }
 }
 
@@ -34,10 +39,12 @@ class BamPartitionReaderFactory(required: StructType, blocksToCheck: Int,
   */
 class BamPartitionReader(split: BamInputPartition, required: StructType,
                          blocksToCheck: Int, readsToCheck: Int, maxReadSize: Int,
-                         checkerProfile: String = "eager")
+                         checkerProfile: String = "eager",
+                         conf: org.apache.spark.util.SerializableConfiguration =
+                           BamDataSource.serializableConf())
     extends PartitionReader[InternalRow] {
 
-  private val blocks = new BlockReader(SeekableInput.open(split.path))
+  private val blocks = new BlockReader(SeekableInput.open(split.path, conf.value))
   private val reader = new UncompressedReader(blocks)
 
   private val wantSeq = required.fieldNames.contains("seq")

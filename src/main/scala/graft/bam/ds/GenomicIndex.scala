@@ -49,18 +49,26 @@ object GenomicIndex {
   def sidecarPath(bamPath: String): String = bamPath + ".gri"
 
   def read(bamPath: String): Option[Seq[BlockRange]] = {
-    val f = new java.io.File(sidecarPath(bamPath))
-    if (!f.exists()) None
-    else Some(
-      scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { ln =>
-        val p = ln.split(",")
-        BlockRange(p(0).toLong, p(1).toInt, p(2).toInt, p(3).toInt,
-          p(4).toInt, p(5).toInt)
-      }.toSeq)
+    val hp = new org.apache.hadoop.fs.Path(sidecarPath(bamPath))
+    val fs = hp.getFileSystem(BamDataSource.hadoopConf())
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try Some(
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map { ln =>
+            val p = ln.split(",")
+            BlockRange(p(0).toLong, p(1).toInt, p(2).toInt, p(3).toInt,
+              p(4).toInt, p(5).toInt)
+          }.toList)
+      finally in.close()
+    }
   }
 
   def write(bamPath: String, ranges: Seq[BlockRange]): Unit = {
-    val w = new java.io.PrintWriter(sidecarPath(bamPath))
+    val hp = new org.apache.hadoop.fs.Path(sidecarPath(bamPath))
+    val fs = hp.getFileSystem(BamDataSource.hadoopConf())
+    val w = new java.io.PrintWriter(fs.create(hp, true))
     try ranges.sortBy(_.start).foreach(r => w.println(
       s"${r.start},${r.compressedSize},${r.minRef},${r.minPos},${r.maxRef},${r.maxPos}"))
     finally w.close()

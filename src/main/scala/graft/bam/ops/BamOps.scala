@@ -30,19 +30,21 @@ object BamOps {
     * check/.../bam/check/Blocks.scala:47-208). */
   def blocks(spark: SparkSession, path: String, numSplits: Int = 0): DataFrame = {
     val sidecar = path + ".blocks"
-    if (new java.io.File(sidecar).exists())
+    val hp = new org.apache.hadoop.fs.Path(sidecar)
+    if (hp.getFileSystem(graft.bam.ds.BamDataSource.hadoopConf()).exists(hp))
       spark.read.schema(blocksSchema).csv(sidecar)
     else discoverBlocks(spark, path, if (numSplits > 0) numSplits else 8)
   }
 
   def discoverBlocks(spark: SparkSession, path: String, numSplits: Int): DataFrame = {
     import spark.implicits._
-    val len = new java.io.File(path).length()
+    val len = graft.bam.ds.Bai.fileLen(path)
     val splitSize = math.max(1L, (len + numSplits - 1) / numSplits)
     val bounds = (0L until len by splitSize).map(s => (s, math.min(s + splitSize, len)))
+    val conf = graft.bam.ds.BamDataSource.serializableConf()
     spark.createDataset(bounds).repartition(bounds.length)
       .flatMap { case (start, end) =>
-        val blocks = new BlockReader(SeekableInput.open(path))
+        val blocks = new BlockReader(SeekableInput.open(path, conf.value))
         try {
           var at = graft.bam.check.FindBlockStart(blocks, start)
           val out = Seq.newBuilder[(Long, Int, Int)]
@@ -169,10 +171,11 @@ object BamOps {
     val blockMetas = blocks(spark, path)
       .repartitionByRange(numPartitions, col("start"))
       .as[(Long, Int, Int)]
+    val conf = graft.bam.ds.BamDataSource.serializableConf()
     blockMetas.mapPartitions { metas =>
       if (!metas.hasNext) Iterator.empty
       else {
-        val blocks = new BlockReader(SeekableInput.open(path))
+        val blocks = new BlockReader(SeekableInput.open(path, conf.value))
         val checker = new Checker(blocks, contigLens)
         org.apache.spark.TaskContext.get() match {
           case null => // driver-side (tests): rely on GC
@@ -214,13 +217,14 @@ object BamOps {
                   numPartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val contigLens = readContigLens(path)
+    val conf = graft.bam.ds.BamDataSource.serializableConf()
     val eager = blocks(spark, path)
       .repartitionByRange(numPartitions, col("start"))
       .as[(Long, Int, Int)]
       .mapPartitions { metas =>
         if (!metas.hasNext) Iterator.empty
         else {
-          val blocks = new BlockReader(SeekableInput.open(path))
+          val blocks = new BlockReader(SeekableInput.open(path, conf.value))
           val checker = new Checker(blocks, contigLens)
           org.apache.spark.TaskContext.get() match {
             case null =>
@@ -313,7 +317,8 @@ object BamOps {
 
   /** Header contig dictionary: (name, length) in refIdx order. */
   def readContigs(path: String): IndexedSeq[(String, Int)] = {
-    val blocks = new BlockReader(SeekableInput.open(path))
+    val blocks = new BlockReader(
+      SeekableInput.open(path, graft.bam.ds.BamDataSource.hadoopConf()))
     try {
       val r = new graft.bam.io.UncompressedReader(blocks)
       r.seek(Pos(0, 0))

@@ -29,13 +29,14 @@ object FullCheckOps {
   def fullCalls(spark: SparkSession, path: String, numPartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val contigLens = BamOps.readContigLens(path)
+    val conf = graft.bam.ds.BamDataSource.serializableConf()
     val blockMetas = BamOps.blocks(spark, path)
       .repartitionByRange(numPartitions, col("start"))
       .as[(Long, Int, Int)]
     blockMetas.mapPartitions { metas =>
       if (!metas.hasNext) Iterator.empty
       else {
-        val blocks = new BlockReader(SeekableInput.open(path))
+        val blocks = new BlockReader(SeekableInput.open(path, conf.value))
         val checker = new Checker(blocks, contigLens)
         org.apache.spark.TaskContext.get() match {
           case null =>

@@ -35,8 +35,10 @@ object SplitTiming {
     * profile pluggable. Returns distinct split-start positions. */
   def computeSplits(path: String, splitSize: Long, relaxed: Boolean,
                     blocksToCheck: Int = 5, readsToCheck: Int = 10,
-                    maxReadSize: Int = 1 << 20): Vector[Pos] = {
-    val blocks = new BlockReader(SeekableInput.open(path))
+                    maxReadSize: Int = 1 << 20,
+                    conf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration()): Vector[Pos] = {
+    val blocks = new BlockReader(SeekableInput.open(path, conf))
     try {
       val hr = new UncompressedReader(blocks)
       if (!hr.seek(Pos(0, 0))) return Vector.empty
@@ -59,11 +61,13 @@ object SplitTiming {
   }
 
   /** Race both algorithms on one file (timed), diff the layouts. */
-  def resultFor(path: String, splitSize: Long): Result = {
+  def resultFor(path: String, splitSize: Long,
+                conf: org.apache.hadoop.conf.Configuration =
+                  new org.apache.hadoop.conf.Configuration()): Result = {
     val t0 = System.nanoTime()
-    val eager = computeSplits(path, splitSize, relaxed = false)
+    val eager = computeSplits(path, splitSize, relaxed = false, conf = conf)
     val t1 = System.nanoTime()
-    val relax = computeSplits(path, splitSize, relaxed = true)
+    val relax = computeSplits(path, splitSize, relaxed = true, conf = conf)
     val t2 = System.nanoTime()
     val es = eager.toSet
     val rs = relax.toSet
@@ -77,9 +81,10 @@ object SplitTiming {
   def compareSplits(spark: SparkSession, paths: Seq[String],
                     splitSize: Long): DataFrame = {
     import spark.implicits._
+    val conf = graft.bam.ds.BamDataSource.serializableConf()
     spark.createDataset(paths)
       .repartition(paths.length)
-      .map(p => resultFor(p, splitSize))
+      .map(p => resultFor(p, splitSize, conf.value))
       .toDF()
       .orderBy("path")
   }
