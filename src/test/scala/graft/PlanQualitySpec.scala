@@ -47,6 +47,14 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("IVF's data-sized join is an equi-join on the cell id") {
+    val p = plan("ann_ivf")
+    // centroid scoring is a bounded nlist-row broadcast; the corpus-side
+    // candidate join must be keyed on cid, never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cid"), p)
+  }
+
   test("global-order queries carry no partition-less window") {
     Seq("a15_prefix_sum", "j5_lag_prev", "w1_lead_splits", "w4_rownum_range",
       "a8_cdf", "bam_check_blocks")

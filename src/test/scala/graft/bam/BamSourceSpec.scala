@@ -83,4 +83,19 @@ class BamSourceSpec extends SparkTestBase {
     val want = fx.records.count(r => (r.flags & 4) == 0 && r.mapq >= 30)
     assert(n == want)
   }
+
+  test("multi-file read (paths option) unions the files' records") {
+    val tiny = BamFixture.tiny
+    val both = spark.read.format("bam")
+      .option("paths", s"${tiny.bamPath},${fx.bamPath}")
+      .option("splitSize", "32768")
+      .load()
+    assert(both.count() == tiny.numRecords + fx.numRecords)
+    // per-contig counts are the per-file sums (shared contig dictionary)
+    val got = both.groupBy("refIdx").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = (tiny.records ++ fx.records).groupBy(_.refIdx)
+      .map { case (ri, rs) => ri -> rs.size.toLong }
+    assert(got == want)
+  }
 }
