@@ -165,11 +165,25 @@ class BamScan(paths: Seq[String], required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val splitSize = options.getOrElse("splitsize", (8L << 20).toString).toLong
+    val strictEof = options.getOrElse("stricteof", "false").toBoolean
     val conf = BamDataSource.hadoopConf()
     paths.toArray.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
       val status = fs.getFileStatus(hp)
+      // A truncated/partial file silently yields only its complete blocks
+      // (the reader stops at the last decodable boundary). Pipelines where
+      // partial data must fail LOUDLY opt in: strictEof demands the
+      // 28-byte BGZF terminator (checked once per file at plan time).
+      if (strictEof) {
+        val eof = graft.bam.codec.Bgzf.Eof
+        val tail = new Array[Byte](eof.length)
+        val in = fs.open(hp)
+        try in.readFully(status.getLen - eof.length, tail) finally in.close()
+        if (!java.util.Arrays.equals(tail, eof))
+          throw new IllegalStateException(
+            s"$p: missing BGZF EOF marker — file is truncated or still being written")
+      }
       val locality = new Locality(
         try fs.getFileBlockLocations(status, 0, status.getLen)
         catch { case _: Throwable => Array.empty[org.apache.hadoop.fs.BlockLocation] })

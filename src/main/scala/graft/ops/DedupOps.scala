@@ -87,15 +87,30 @@ object DedupOps {
     * distinct pairs → exact verification. Skew guard: a degenerate band
     * bucket (all-identical docs) is capped upstream by distinct signatures.
     */
+  /** `maxBucket > 0` drops band buckets holding more than that many docs
+    * BEFORE the self-join — the standard LSH hot-bucket guard: a
+    * degenerate key (empty/boilerplate shingles) makes its bucket's
+    * candidate count quadratic, the skew that kills the join at 100 TB.
+    * Docs sharing a dropped bucket almost always still collide in one of
+    * their other bands; the oracle default (0) keeps every bucket. */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   maxBucket: Int = 0): DataFrame = {
     val sig = signatures(docs, idCol, textCol)
-    val bands = sig.select(col("id"), col("sig"),
+    val allBands = sig.select(col("id"), col("sig"),
       posexplode(array((0 until NumBands).map(j =>
         hash((0 until BandRows).map(r =>
           element_at(col("sig"), j * BandRows + r + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val bands =
+      if (maxBucket <= 0) allBands
+      else {
+        val sizes = allBands.groupBy("band", "bandHash")
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucket)
+        allBands.join(sizes, Seq("band", "bandHash")).drop("__bc")
+      }
     val l = bands.select(col("band"), col("bandHash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = bands.select(col("band"), col("bandHash"),

@@ -27,6 +27,28 @@ class DedupSpec extends SparkTestBase {
       "unrelated docs must not pair")
   }
 
+  test("hot-bucket cap drops degenerate buckets but keeps disjoint pairs") {
+    // 30 identical boilerplate docs make every band bucket hot (the skew
+    // shape); two near-dup outliers must still pair through their own,
+    // small buckets
+    val boiler = (100L until 130L).map(i =>
+      (i, "identical boilerplate footer text repeated across the whole crawl corpus"))
+    val outliers = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"))
+    val df = (boiler ++ outliers).toDF("doc_id", "text")
+    val capped = DedupOps.minhashPairs(df, threshold = 0.4, maxBucket = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = DedupOps.minhashPairs(df, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // the 30-doc boilerplate bucket (435 pairs) is gone...
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L })
+    // ...but the small-bucket near-dup pair survives the cap
+    assert(capped.contains((1L, 2L)))
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 435)
+  }
+
   test("estimated jaccard tracks exact jaccard on candidates") {
     val rows = DedupOps.minhashPairs(planted, threshold = 0.3)
       .select("est_jaccard", "jaccard").collect()
