@@ -63,6 +63,16 @@ object BamDataSource {
         .orElse(Option(opts.get("path")).map(Seq(_)))
         .getOrElse(throw new IllegalArgumentException("bam: no path given"))
     val conf = hadoopConf()
+    raw.foreach { p =>
+      // S4 stance, enforced loudly: CRAM needs a reference-genome codec
+      // with no public offline implementation (the reference delegates to
+      // hadoop-bam, CanLoadBam.scala:268-277). Failing at plan time beats
+      // garbage from the BGZF boundary scan.
+      if (p.toLowerCase.endsWith(".cram"))
+        throw new IllegalArgumentException(
+          s"$p: CRAM is not supported (no public codec available offline; " +
+            "see COVERAGE.md S4). Convert to BAM.")
+    }
     raw.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)

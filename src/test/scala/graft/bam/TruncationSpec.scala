@@ -31,6 +31,13 @@ class TruncationSpec extends SparkTestBase {
     assert(rows.subsetOf(real))
   }
 
+  test("CRAM paths are rejected at plan time with the documented stance") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("bam").load("/tmp/whatever.cram").count()
+    }
+    assert(e.getMessage.contains("CRAM is not supported"))
+  }
+
   test("strictEof fails loudly on a truncated file, passes on a whole one") {
     val e = intercept[IllegalStateException] {
       spark.read.format("bam").option("strictEof", "true")
