@@ -95,6 +95,54 @@ object EventOps {
       }
   }
 
+  /** Production-shaped streaming sessionization: same 30-min-gap
+    * semantics, plus WATERMARK-DRIVEN EVICTION — when event time passes
+    * a session's gap horizon, the open session times out, flushes, and
+    * its state is removed. State per user is therefore bounded by the
+    * watermark, and final sessions DO emit (the no-timeout variant above
+    * only ever emits closed-by-successor sessions). */
+  def sessionizeStreamEvicting(events: Dataset[Event],
+                               watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[List[SessState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map {
+              case (start, last, n, total) => Session(user, start, start, last, n, total)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toVector.sortBy(e =>
+              ((e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000, e.event_id))
+            var cur = state.getOption.getOrElse(Nil).headOption
+            val done = List.newBuilder[SessState]
+            sorted.foreach { e =>
+              val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+              cur match {
+                case Some((start, last, n, total)) if us - last <= SessionGapUs =>
+                  cur = Some((start, us, n + 1, total + e.value))
+                case other =>
+                  other.foreach(done += _)
+                  cur = Some((us, us, 1L, e.value))
+              }
+            }
+            state.update(cur.toList)
+            // evict once event time passes the open session's gap horizon
+            cur.foreach { case (_, last, _, _) =>
+              state.setTimeoutTimestamp(last / 1000 + SessionGapUs / 1000)
+            }
+            done.result().iterator.map { case (start, last, n, total) =>
+              Session(user, start, start, last, n, total)
+            }
+          }
+      }
+  }
+
   /** Exact dedup-on-ingest, keyed on content columns — the events-table
     * face of the documents dedup family. Batch form: the first (lowest
     * event_id) event per key plus the duplicate count. */

@@ -75,6 +75,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("evicting sessionization flushes EVERY batch session once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.sessionizeStreamEvicting(input.toDS(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_evict")
+      .outputMode("append").start()
+    try {
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      val (a, b) = all.splitAt(all.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      // push the watermark past every open session's gap horizon so the
+      // event-time timeouts fire and final sessions flush
+      val flush = EventOps.Event(-1L,
+        new java.sql.Timestamp(all.last.ts.getTime + 7L * 24 * 3600 * 1000),
+        -1L, "flush", 0.0)
+      input.addData(flush); q.processAllAvailable()
+      input.addData(flush.copy(event_id = -2L)); q.processAllAvailable()
+      val got = spark.table("sessions_evict")
+        .filter($"user_id" >= 0)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = EventOps.sessionizeBatch(eventsDF)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want) // ALL sessions, including each user's final one
+    } finally q.stop()
+  }
+
   test("streaming dedup-on-ingest keeps the same firsts as the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventOps.Event]
