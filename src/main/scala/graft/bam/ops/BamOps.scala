@@ -315,6 +315,14 @@ object BamOps {
   private[ops] def readContigLens(path: String): IndexedSeq[Int] =
     readContigs(path).map(_._2)
 
+  /** The typed face of the bam source: `Dataset[BamRead]` (fields resolve
+    * by name; pruning still applies to columns the caller projects). */
+  def readsDS(spark: SparkSession, path: String,
+              options: Map[String, String] = Map.empty): Dataset[graft.bam.BamRead] = {
+    import spark.implicits._
+    spark.read.format("bam").options(options).load(path).as[graft.bam.BamRead]
+  }
+
   /** Header contig dictionary: (name, length) in refIdx order. */
   def readContigs(path: String): IndexedSeq[(String, Int)] = {
     val blocks = new BlockReader(

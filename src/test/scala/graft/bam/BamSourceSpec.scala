@@ -84,6 +84,25 @@ class BamSourceSpec extends SparkTestBase {
     assert(n == want)
   }
 
+  test("typed Dataset[BamRead] view agrees with the DataFrame and fixture") {
+    val ds = graft.bam.ops.BamOps.readsDS(spark, fx.bamPath)
+    assert(ds.count() == fx.numRecords)
+    val first = ds.orderBy("virtualPos.blockPos", "virtualPos.offset").head()
+    val want = fx.records.head
+    assert(first.readName == want.readName)
+    assert(first.contig == (if (want.refIdx >= 0)
+      Some(fx.header.contigs(want.refIdx).name) else None))
+    assert(first.cigar.map(c => (c.op, c.len)) ==
+      want.cigar.map(c => (c.op, c.len)))
+    assert(first.attrs == want.attrs)
+    assert(!first.isUnmapped || want.refIdx < 0)
+    // typed filter compiles down to the same counts as the column filter
+    val typed = ds.filter(r => !r.isUnmapped && r.mapq >= 30).count()
+    val untyped = load(1L << 20)
+      .filter(col("mapq") >= 30 && (col("flags").bitwiseAND(4)) === 0).count()
+    assert(typed == untyped)
+  }
+
   test("multi-file read (paths option) unions the files' records") {
     val tiny = BamFixture.tiny
     val both = spark.read.format("bam")
