@@ -285,9 +285,10 @@ object BamOps {
   def intervals(spark: SparkSession, path: String,
                 ivs: Seq[(String, Int, Int)]): DataFrame = {
     val reads = spark.read.format("bam").load(path)
+    // empty interval set (loci "none") selects nothing, not everything
     val cond = ivs.map { case (c, lo, hi) =>
       col("contig") === c && col("pos") < hi && col("endPos") > lo
-    }.reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
     reads.filter(col("refIdx") >= 0 && cond)
   }
 

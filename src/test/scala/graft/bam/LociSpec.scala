@@ -61,6 +61,15 @@ class LociSpec extends SparkTestBase {
     assert(viaString.nonEmpty)
   }
 
+  test("loci 'none' selects nothing; 'all' selects every mapped read") {
+    val fx = BamFixture.tiny
+    assert(BamOps.intervalsFromLoci(spark, fx.bamPath, "none").count() == 0)
+    val all = BamOps.intervalsFromLoci(spark, fx.bamPath, "all").count()
+    val mapped = spark.read.format("bam").load(fx.bamPath)
+      .filter(org.apache.spark.sql.functions.col("refIdx") >= 0).count()
+    assert(all == mapped)
+  }
+
   test("open-ended loci resolve against the header dictionary") {
     val fx = BamFixture.default
     val contigs = BamOps.readContigs(fx.bamPath)
