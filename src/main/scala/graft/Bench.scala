@@ -17,15 +17,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // un-timed warmup: JIT + codegen + FS metadata, so the first timed
-    // query isn't charged for JVM startup effects; BAM fixtures are
-    // materialized here so no timed query pays one-time generation
+    // un-timed warmup: BAM fixtures materialize (no timed query pays
+    // one-time generation), then EVERY query runs once at the smallest
+    // scale factor so Janino/whole-stage-codegen compilation and JIT are
+    // done before the clock starts — the timed numbers measure execution
+    // at sfDir, not compiler latency (cold-vs-warm measured 2-5x on the
+    // widest plans). Falls back to the flagship query when no smaller SF
+    // directory is available.
     try {
       graft.bam.fixtures.BamFixture.tiny
       graft.bam.fixtures.BamFixture.default
       graft.bam.fixtures.BamFixture.bigPath
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
+    val warmDir = Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
+      .map(_.resolve("sf0.001"))
+      .filter(p => java.nio.file.Files.isDirectory(p) && p.toString != sfDir)
+      .map(_.toString)
+    warmDir match {
+      case Some(d) =>
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, d).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => }
+        }
+      case None =>
+        try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
