@@ -84,6 +84,26 @@ class BamSourceSpec extends SparkTestBase {
     assert(n == want)
   }
 
+  test("scan reports statistics: exact rows from the side-car, sized up") {
+    val scan = new graft.bam.ds.BamScan(Seq(fx.bamPath),
+      graft.bam.ds.BamSchema.schema, Map.empty)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == fx.numRecords)
+    val fileLen = new java.io.File(fx.bamPath).length()
+    assert(st.sizeInBytes().getAsLong == fileLen * 3)
+  }
+
+  test("a small bam side broadcasts in a join (stats drive the planner)") {
+    val reads = load(1L << 20).select("readName")
+    val other = spark.range(0, 10000000).toDF("id")
+      .withColumn("readName", concat(lit("r"), col("id")))
+    // static plan (pre-AQE) — the broadcast choice comes from the scan's
+    // reported statistics, no execution needed
+    val p = other.join(reads, Seq("readName"))
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("typed Dataset[BamRead] view agrees with the DataFrame and fixture") {
     val ds = graft.bam.ops.BamOps.readsDS(spark, fx.bamPath)
     assert(ds.count() == fx.numRecords)
