@@ -175,12 +175,23 @@ object DedupOps {
     * generation by 4×16-bit band buckets (any pair within distance 3 must
     * agree on ≥1 of 4 bands — pigeonhole). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxDist: Int = 3): DataFrame = {
+                   textCol: String = "text", maxDist: Int = 3,
+                   maxBucket: Int = 0): DataFrame = {
     val sig = simhashes(docs, idCol, textCol)
-    val bands = sig.select(col("id"), col("sh"),
+    val allBands = sig.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sh"), j * 16).bitwiseAND(0xffffL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    // same hot-bucket guard as minhashPairs: a degenerate 16-bit band key
+    // (boilerplate/empty docs) makes its bucket's candidates quadratic
+    val bands =
+      if (maxBucket <= 0) allBands
+      else {
+        val sizes = allBands.groupBy("band", "key")
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucket)
+        allBands.join(sizes, Seq("band", "key")).drop("__bc")
+      }
     val l = bands.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = bands.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("band", "key"))
