@@ -83,26 +83,29 @@ object Reports {
       sb ++= matchLine(fp, fn) + "\n"
 
       if (fp > 0) {
-        // the FULL checker's flags at the FP sites explain the confusion
+        // the FULL checker's flags at the FP sites explain the confusion.
+        // FP sets can be data-sized on adversarial inputs: the join is a
+        // plain equi-join (AQE picks the strategy), the histogram stays a
+        // distributed aggregate, and only ≤10 sample rows are collected.
         val fpPos = joined.filter(col("call") && !col("t"))
           .select("blockPos", "offset")
         // "none" = the site IS a record start that truth disagrees on
         val fpFlags = FullCheckOps.fullCalls(spark, path, numPartitions)
-          .join(broadcast(fpPos), Seq("blockPos", "offset"))
+          .join(fpPos, Seq("blockPos", "offset"))
           .select(col("blockPos"), col("offset"),
             when(size(col("flags")) === 0, lit("none"))
               .otherwise(concat_ws(",", col("flags"))).as("flagset"),
             col("readsBeforeError"))
-          .orderBy("blockPos", "offset")
-          .collect()
 
         sb ++= "\nFalse-positive-site flags histogram:\n"
-        fpFlags.groupBy(_.getString(2)).view.mapValues(_.length).toSeq
-          .sortBy { case (fs, n) => (-n, fs) }
-          .foreach { case (fs, n) => sb ++= s"\t$n:\t$fs\n" }
+        fpFlags.groupBy("flagset").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("flagset"))
+          .collect()
+          .foreach(r => sb ++= s"\t${r.getLong(1)}:\t${r.getString(0)}\n")
 
         sb ++= "\nFalse positives with succeeding read info:\n"
-        val sample = fpFlags.take(10)
+        val sample = fpFlags.orderBy("blockPos", "offset").limit(10)
+          .collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getString(2)))
         val reads = succeedingReads(spark, path,
           sample.map(s => (s._1, s._2)).toSeq)
@@ -110,7 +113,7 @@ object Reports {
           sb ++= s"\t$b:$o:\t$k before ${reads.getOrElse((b, o), "end of file")}." +
             s" Failing checks: $fs\n"
         }
-        if (fpFlags.length > 10) sb ++= "\t…\n"
+        if (fp > 10) sb ++= "\t…\n"
       }
       sb.result()
     } finally joined.unpersist()
