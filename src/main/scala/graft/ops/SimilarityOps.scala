@@ -189,8 +189,36 @@ object SimilarityOps {
       .select("query_id", "item_id", "rank", "cos")
   }
 
+  /** The scale path for [[cosinePairs]]: candidate pairs share ≥1 LSH
+    * band (equi-join on band keys — shuffle ∝ candidates, not |C|²),
+    * exact cosine keeps precision at 1.0; recall is the banding
+    * probability (rises steeply with similarity — near-dups at
+    * cos ≥ 0.8 are nearly always caught, asserted in ScalaTest). */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    def withBands(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        lshSignature(col(vecCol), dim, numPlanes, seed).as("sig"))
+        .select(col(id), col(vec),
+          posexplode(array((0 until 4).map(j =>
+            shiftright(col("sig"), j * (numPlanes / 4))
+              .bitwiseAND((1L << (numPlanes / 4)) - 1)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val a = withBands(corpus, "id_a", "va")
+    val b = withBands(corpus, "id_b", "vb")
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos",
+        round(cosineFast(corpus.sparkSession, col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine above `threshold`.
-    * Brute-force form (oracle-friendly); the LSH candidates variant is the
+    * Brute-force form (oracle-friendly); [[cosinePairsLsh]] is the
     * scale path. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -53,6 +53,14 @@ object PipelineOps {
       SimilarityOps.cosinePairs(t(s, dir, "embeddings"), 0.4)
     },
 
+    // ---- LSH-bucketed embedding near-dup pairs (the scale path for
+    // dedup_embcos; exact cosine re-check keeps precision 1.0, recall
+    // asserted in ScalaTest). Rows-only: signature hashes have no oracle.
+    qq("dedup_emblsh") { (s, dir) =>
+      SimilarityOps.cosinePairsLsh(t(s, dir, "embeddings"), 0.4, dim = 64)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- Brute-force cosine top-k ANN baseline.
     q(
       "ann_topk",

@@ -128,6 +128,29 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("LSH cosine pairs: precision 1.0, subset of brute, near-dups caught") {
+    val brute = SimilarityOps.cosinePairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.cosinePairsLsh(emb, 0.4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // exact re-check => precision 1.0
+    assert(lsh.nonEmpty)
+    // high-similarity pairs (the dedup targets) are nearly always banded:
+    val hot = SimilarityOps.cosinePairs(emb, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (hot.nonEmpty)
+      assert((hot & lsh).size.toDouble / hot.size >= 0.9,
+        s"high-sim recall ${(hot & lsh).size}/${hot.size}")
+    // planted exact dup must always pair
+    val rows = emb.limit(3).collect()
+    val planted = emb.select($"vec_id", $"embedding")
+      .union(Seq((99999L, rows(0).getSeq[Float](1)))
+        .toDF("vec_id", "embedding"))
+    val withDup = SimilarityOps.cosinePairsLsh(planted, 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withDup.contains((rows(0).getLong(0), 99999L)))
+  }
+
   test("cosinePairs is symmetric-free and thresholded") {
     val pairs = SimilarityOps.cosinePairs(emb, 0.9).collect()
     pairs.foreach { r =>
