@@ -54,6 +54,28 @@ object SimilarityOps {
       .select("query_id", "item_id", "rank", "cos")
   }
 
+  /** Symmetric per-vector int8 quantization: 4x smaller embeddings for
+    * corpus-scale storage/shuffle. Returns (vecCol+"_scale" float,
+    * vecCol+"_q" array<tinyint>); [[dequantize]] restores floats. The
+    * scale is staged as its own column (multi-referenced — a single-use
+    * alias would re-evaluate the max per element through the interpreted
+    * HOF). Quantization is an offline corpus transform, so the
+    * interpreted transform() path is acceptable here — the hot search
+    * path runs on the dequantized (or original) floats with the codegen
+    * cosine. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val scaled = df.withColumn(s"${vecCol}_scale",
+      (greatest(array_max(transform(col(vecCol), x => abs(x))), lit(1e-30f)) /
+        lit(127.0f)).cast("float"))
+    scaled.withColumn(s"${vecCol}_q",
+      transform(col(vecCol),
+        x => round(x / col(s"${vecCol}_scale")).cast("byte")))
+  }
+
+  /** Restore floats from [[quantizeInt8]] columns. */
+  def dequantize(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, x => (x.cast("float") * scaleCol).cast("float"))
+
   /** Deterministic random hyperplanes: `numPlanes` unit-free direction
     * vectors of dimension `dim` (sign-only LSH doesn't need normalization). */
   private def planes(dim: Int, numPlanes: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] = {

@@ -128,6 +128,29 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization preserves cosine and top-k structure") {
+    val q = SimilarityOps.quantizeInt8(emb)
+    // cosine(original, dequantized) stays essentially 1 for every vector
+    val worst = q.select(SimilarityOps.cosineFast(spark, $"embedding",
+        SimilarityOps.dequantize($"embedding_q", $"embedding_scale")).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(worst >= 0.999, s"worst self-cosine after int8 round-trip: $worst")
+    // top-k search over dequantized vectors finds mostly the same items
+    val deq = q.select($"vec_id",
+      SimilarityOps.dequantize($"embedding_q", $"embedding_scale").as("embedding"))
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val qq = deq.filter($"vec_id" % 50 === 0)
+    val base = SimilarityOps.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.bruteForceTopK(qq, deq, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (base & quant).size.toDouble / base.size
+    assert(overlap >= 0.8, s"top-10 overlap after quantization: $overlap")
+    info(f"int8 worst self-cosine $worst%.5f, top-10 overlap $overlap%.2f")
+  }
+
   test("LSH cosine pairs: precision 1.0, subset of brute, near-dups caught") {
     val brute = SimilarityOps.cosinePairs(emb, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
