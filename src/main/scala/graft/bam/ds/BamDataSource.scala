@@ -127,10 +127,37 @@ class BamTable(paths: Seq[String], override val schema: StructType)
 
 class BamScanBuilder(paths: Seq[String], options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = BamSchema.schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** COUNT(*) pushdown backed by the `.records` side-car (the
+    * ground-truth record index): an un-filtered, un-grouped count never
+    * decodes a byte of BAM — the analog of parquet's metadata count.
+    * PARTIAL pushdown (Spark sums the per-file partial rows), so it
+    * composes with multi-path reads. Refused when any filter is present
+    * (residual rows would be wrong) or any input lacks its side-car. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countPushed = canPushCount(agg)
+    countPushed
+  }
+
+  private def canPushCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val conf = BamDataSource.hadoopConf()
+    allFilters.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      paths.forall { p =>
+        val hp = new org.apache.hadoop.fs.Path(p + ".records")
+        hp.getFileSystem(conf).exists(hp)
+      }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Preserve our canonical field order; Spark's projection sits on top.
@@ -151,7 +178,51 @@ class BamScanBuilder(paths: Seq[String], options: Map[String, String])
 
   private var allFilters: Array[Filter] = Array.empty
 
-  override def build(): Scan = new BamScan(paths, required, options, allFilters)
+  override def build(): Scan =
+    if (countPushed) new BamCountScan(paths)
+    else new BamScan(paths, required, options, allFilters)
+}
+
+/** The completely-pushed COUNT(*) scan: one task per file streams its
+  * `.records` side-car line count; no BAM bytes are read. */
+class BamCountScan(paths: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"bam-count ${paths.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.toArray.map(p => BamCountPartition(p))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BamCountReaderFactory(BamDataSource.serializableConf())
+}
+
+final case class BamCountPartition(path: String) extends InputPartition
+
+class BamCountReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[BamCountPartition]
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+        emitted = true
+        val hp = new org.apache.hadoop.fs.Path(p.path + ".records")
+        val fs = hp.getFileSystem(conf.value)
+        val in = fs.open(hp)
+        val n =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .count(_.nonEmpty)
+          finally in.close()
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        row.setLong(0, n.toLong)
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class BamInputPartition(path: String, start: Long, end: Long,

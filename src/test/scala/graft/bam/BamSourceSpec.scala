@@ -84,6 +84,30 @@ class BamSourceSpec extends SparkTestBase {
     assert(n == want)
   }
 
+  test("count(*) pushes to the records side-car; filters fall back") {
+    val df = load(1L << 20)
+    assert(df.count() == fx.numRecords)
+    val p = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(p.contains("bam-count"), p) // side-car count scan, no BAM decode
+    // a filtered count must NOT push (residual rows drive the answer)
+    val filtered = df.filter(col("mapq") >= 30)
+    val fp = filtered.groupBy().count().queryExecution.executedPlan.toString
+    assert(!fp.contains("bam-count"), fp)
+    assert(filtered.count() == fx.records.count(_.mapq >= 30))
+    // a file without a side-car falls back to the decoding scan
+    val big = graft.bam.fixtures.BamFixture.bigPath
+    val bp = spark.read.format("bam").load(big)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!bp.contains("bam-count"), bp)
+    // multi-path counts sum the per-file partials
+    val tiny = graft.bam.fixtures.BamFixture.tiny
+    val both = spark.read.format("bam")
+      .option("paths", s"${tiny.bamPath},${fx.bamPath}").load()
+    assert(both.count() == tiny.numRecords + fx.numRecords)
+    val bothPlan = both.groupBy().count().queryExecution.executedPlan.toString
+    assert(bothPlan.contains("bam-count"), bothPlan)
+  }
+
   test("scan reports statistics: exact rows from the side-car, sized up") {
     val scan = new graft.bam.ds.BamScan(Seq(fx.bamPath),
       graft.bam.ds.BamSchema.schema, Map.empty)
