@@ -214,18 +214,27 @@ object SimilarityOps {
   /** The scale path for [[cosinePairs]]: candidate pairs share ≥1 LSH
     * band (equi-join on band keys — shuffle ∝ candidates, not |C|²),
     * exact cosine keeps precision at 1.0; recall is the banding
-    * probability (rises steeply with similarity — near-dups at
-    * cos ≥ 0.8 are nearly always caught, asserted in ScalaTest). */
+    * probability. Band WIDTH is the recall/cost dial: the default
+    * 8 bands × 8 bits keeps buckets near-singleton (candidates ∝ |C|)
+    * and still always catches near-exact duplicates (identical
+    * signatures collide in every band); narrow 4-bit bands raise
+    * moderate-similarity recall but make the candidate set approach the
+    * cross join — measured SLOWER than brute force at corpus sizes where
+    * buckets stop pruning. */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+                     numPlanes: Int = 64, numBands: Int = 8,
+                     seed: Long = 42L): DataFrame = {
+    require(numPlanes % numBands == 0 && numPlanes <= 64,
+      s"numBands=$numBands must divide numPlanes=$numPlanes (<= 64)")
+    val bandBits = numPlanes / numBands
     def withBands(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         lshSignature(col(vecCol), dim, numPlanes, seed).as("sig"))
         .select(col(id), col(vec),
-          posexplode(array((0 until 4).map(j =>
-            shiftright(col("sig"), j * (numPlanes / 4))
-              .bitwiseAND((1L << (numPlanes / 4)) - 1)): _*)))
+          posexplode(array((0 until numBands).map(j =>
+            shiftright(col("sig"), j * bandBits)
+              .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val a = withBands(corpus, "id_a", "va")
     val b = withBands(corpus, "id_b", "vb")
