@@ -15,6 +15,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Local mode has exactly one executor, so the scheduler's delay
+      // scheduling can only ever add idle time: a task set whose preferred
+      // host string ("localhost" from file:// block locations) differs from
+      // the executor's registered hostname waits the full
+      // spark.locality.wait (3 s default) PER LOCALITY LEVEL before
+      // running anyway. Measured: nondeterministic +3-4 s on multi-stage
+      // AQE plans (j5_lag_prev 4.7 s → 0.9 s warm). On a real cluster
+      // locality wait earns its keep — leave it at default there.
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // un-timed warmup: BAM fixtures materialize (no timed query pays

@@ -167,10 +167,21 @@ class BamScanBuilder(paths: Seq[String], options: Map[String, String])
   /** Partial pushdown: contig/refIdx/pos predicates drive `.gri`-index
     * partition pruning in planInputPartitions (the BAI-chunk role,
     * Intervals.scala:108-127); EVERY filter is also returned for residual
-    * evaluation, because block-level ranges are not row-exact. */
+    * evaluation, because block-level ranges are not row-exact.
+    *
+    * Multi-path reads may span BAMs with DIFFERENT header dictionaries
+    * (contig orderings), so supportedness is classified against every
+    * path's dictionary and only the intersection is reported pushed —
+    * a contig→idx mapping valid in one file but not another must not be
+    * advertised (pruning itself is already per-file, planInputPartitions
+    * re-derives bounds per path). One dictionary (the common case) keeps
+    * exactly the old behavior. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val contigs = BamScan.contigToIdx(paths)
-    pushed = GenomicIndex.supported(filters, contigs)
+    val dicts = paths.map(p => BamScan.contigToIdx(Seq(p)))
+    pushed =
+      if (dicts.isEmpty) Array.empty
+      else dicts.map(GenomicIndex.supported(filters, _).toSet)
+        .reduce(_ intersect _).toArray
     this.allFilters = filters
     filters
   }
@@ -183,22 +194,45 @@ class BamScanBuilder(paths: Seq[String], options: Map[String, String])
     else new BamScan(paths, required, options, allFilters)
 }
 
-/** The completely-pushed COUNT(*) scan: one task per file streams its
-  * `.records` side-car line count; no BAM bytes are read. */
+/** The completely-pushed COUNT(*) scan: tasks count newlines in byte
+  * ranges of the `.records` side-car; no BAM bytes are read. The side-car
+  * is data-sized (one line per record — a 100 GB BAM has a ~12 GB
+  * side-car), so a single whole-file task would be SLOWER than the
+  * parallel decode it replaces: ranges of [[BamCountScan.SplitSize]]
+  * keep the count as parallel as the scan it short-circuits. The format
+  * ("blockPos,offset\n" per record, newline-terminated, never blank —
+  * BamFixture + BamOps.writeCsvOrdered) makes newlines-in-range an exact
+  * per-range line count; the task owning the file tail adds one for an
+  * unterminated final line, defensively. */
 class BamCountScan(paths: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String = s"bam-count ${paths.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.toArray.map(p => BamCountPartition(p))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = BamDataSource.hadoopConf()
+    paths.toArray.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p + ".records")
+      val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
+      if (len == 0) Seq(BamCountPartition(p, 0L, 0L, len))
+      else (0L until len by BamCountScan.SplitSize).map(s =>
+        BamCountPartition(p, s, math.min(s + BamCountScan.SplitSize, len), len))
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BamCountReaderFactory(BamDataSource.serializableConf())
 }
 
-final case class BamCountPartition(path: String) extends InputPartition
+object BamCountScan {
+  /** Side-car bytes per count task — small enough to parallelize a
+    * data-sized side-car, large enough that task overhead stays noise. */
+  val SplitSize: Long = 32L << 20
+}
+
+final case class BamCountPartition(path: String, start: Long, end: Long,
+                                   fileLen: Long) extends InputPartition
 
 class BamCountReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
@@ -209,15 +243,31 @@ class BamCountReaderFactory(conf: org.apache.spark.util.SerializableConfiguratio
       override def next(): Boolean = !emitted
       override def get(): org.apache.spark.sql.catalyst.InternalRow = {
         emitted = true
-        val hp = new org.apache.hadoop.fs.Path(p.path + ".records")
-        val fs = hp.getFileSystem(conf.value)
-        val in = fs.open(hp)
-        val n =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .count(_.nonEmpty)
-          finally in.close()
+        var n = 0L
+        if (p.end > p.start) {
+          val hp = new org.apache.hadoop.fs.Path(p.path + ".records")
+          val fs = hp.getFileSystem(conf.value)
+          val in = fs.open(hp)
+          try {
+            in.seek(p.start)
+            val buf = new Array[Byte](1 << 20)
+            var remaining = p.end - p.start
+            var lastByte: Byte = 0
+            while (remaining > 0) {
+              val r = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+              if (r < 0) remaining = 0
+              else {
+                var i = 0
+                while (i < r) { if (buf(i) == '\n') n += 1; i += 1 }
+                if (r > 0) lastByte = buf(r - 1)
+                remaining -= r
+              }
+            }
+            if (p.end == p.fileLen && lastByte != '\n') n += 1
+          } finally in.close()
+        }
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-        row.setLong(0, n.toLong)
+        row.setLong(0, n)
         row
       }
       override def close(): Unit = ()
@@ -332,16 +382,33 @@ class BamScan(paths: Seq[String], required: StructType,
 }
 
 object BamScan {
+  // Header dictionaries are consulted once per path in pushFilters AND
+  // once per path in planInputPartitions (both driver-side, same process):
+  // cache per path so each header is decoded once per JVM. Headers are a
+  // few KB; eviction is not worth the code.
+  // keyed on (path, mtime, length) so an in-place rewrite invalidates
+  private val dictCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, Int]]()
+
   /** Contig-name → refIdx map from the (first) file's header, driver-side
-    * (the reference broadcasts the same dictionary, CanLoadBam.scala:80). */
+    * (the reference broadcasts the same dictionary, CanLoadBam.scala:80).
+    * Multi-path callers wanting per-file dictionaries pass one path at a
+    * time — see BamScanBuilder.pushFilters. */
   def contigToIdx(paths: Seq[String]): Map[String, Int] =
     paths.headOption.map { p =>
-      val blocks = new graft.bam.io.BlockReader(graft.bam.io.SeekableInput.open(p))
-      try {
-        val r = new graft.bam.io.UncompressedReader(blocks)
-        r.seek(graft.bam.codec.Pos(0, 0))
-        graft.bam.codec.Bam.readHeader(r)
-          .contigs.zipWithIndex.map { case (c, i) => c.name -> i }.toMap
-      } finally blocks.close()
+      val key = try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val st = hp.getFileSystem(BamDataSource.hadoopConf()).getFileStatus(hp)
+        (p, st.getModificationTime, st.getLen)
+      } catch { case _: Throwable => (p, 0L, 0L) }
+      dictCache.computeIfAbsent(key, { _ =>
+        val blocks = new graft.bam.io.BlockReader(graft.bam.io.SeekableInput.open(p))
+        try {
+          val r = new graft.bam.io.UncompressedReader(blocks)
+          r.seek(graft.bam.codec.Pos(0, 0))
+          graft.bam.codec.Bam.readHeader(r)
+            .contigs.zipWithIndex.map { case (c, i) => c.name -> i }.toMap
+        } finally blocks.close()
+      })
     }.getOrElse(Map.empty)
 }

@@ -20,6 +20,9 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // single-executor local mode: delay scheduling only adds idle time
+      // (see Bench.scala)
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

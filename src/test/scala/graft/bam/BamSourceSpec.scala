@@ -108,6 +108,45 @@ class BamSourceSpec extends SparkTestBase {
     assert(bothPlan.contains("bam-count"), bothPlan)
   }
 
+  test("a data-sized side-car splits the pushed count into range tasks") {
+    import graft.bam.ds.{BamCountScan, BamCountPartition, BamCountReaderFactory}
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-countsplit")
+    val bam = tmpDir.resolve("big.bam").toString
+    // synthesize a .records side-car bigger than one count split — the
+    // 100 GB-BAM shape where a single whole-file count task would be the
+    // bottleneck. 9-byte lines, no trailing newline on the last line to
+    // exercise the tail adjustment.
+    val line = "12345,67\n".getBytes("ASCII")
+    val perChunk = (1 << 20) / line.length // lines per ~1 MiB chunk
+    val chunk = new Array[Byte](perChunk * line.length)
+    for (i <- 0 until perChunk)
+      System.arraycopy(line, 0, chunk, i * line.length, line.length)
+    val nChunks = (BamCountScan.SplitSize / chunk.length).toInt + 2
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(bam + ".records"))
+    try {
+      for (_ <- 0 until nChunks) out.write(chunk)
+      out.write("99,1".getBytes("ASCII")) // unterminated final line
+    } finally out.close()
+    val wantLines = nChunks.toLong * perChunk + 1
+
+    val scan = new BamCountScan(Seq(bam))
+    val parts = scan.planInputPartitions()
+    assert(parts.length > 1, s"expected range-split, got ${parts.length} task")
+    // ranges tile the file exactly
+    val ps = parts.map(_.asInstanceOf[BamCountPartition]).sortBy(_.start)
+    assert(ps.head.start == 0 && ps.last.end == ps.head.fileLen)
+    assert(ps.sliding(2).forall(w => w.length < 2 || w(0).end == w(1).start))
+    // per-range newline counts sum to the exact line count
+    val factory = scan.createReaderFactory().asInstanceOf[BamCountReaderFactory]
+    val total = ps.map { p =>
+      val r = factory.createReader(p)
+      assert(r.next())
+      r.get().getLong(0)
+    }.sum
+    assert(total == wantLines, s"$total != $wantLines")
+  }
+
   test("scan reports statistics: exact rows from the side-car, sized up") {
     val scan = new graft.bam.ds.BamScan(Seq(fx.bamPath),
       graft.bam.ds.BamSchema.schema, Map.empty)

@@ -96,6 +96,51 @@ class PushdownSpec extends SparkTestBase {
     assert(Bai.reg2bins(0, 1 << 14) == Seq(0, 1, 9, 73, 585, 4681))
   }
 
+  test("multi-path read over files with DIFFERENT contig orderings prunes " +
+    "per-file and stays exact") {
+    import graft.bam.codec.Bam
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-hetero")
+    // same contig names, different dictionary ORDER: chr3 is idx 2 in A
+    // but idx 0 in B — a directory of BAMs from different pipelines
+    val fxA = BamFixture.write(tmpDir, "a.bam", n = 600, seed = 21,
+      payloadSize = 2048)
+    val fxB = BamFixture.write(tmpDir, "b.bam", n = 600, seed = 22,
+      payloadSize = 2048,
+      contigs = IndexedSeq(Bam.Contig("chr3", 900_000),
+        Bam.Contig("chr1", 2_000_000), Bam.Contig("chr2", 1_500_000)))
+
+    def both() = spark.read.format("bam")
+      .option("splitSize", "4096")
+      .option("paths", s"${fxA.bamPath},${fxB.bamPath}").load()
+
+    val fullParts = both().rdd.getNumPartitions
+    val q = both().filter(col("contig") === "chr3" && col("pos") < 50000)
+    val want =
+      fxA.records.count(r => r.refIdx == 2 && r.pos < 50000) +
+        fxB.records.count(r => r.refIdx == 0 && r.pos < 50000)
+    assert(q.count() == want && want > 0)
+    assert(q.rdd.getNumPartitions < fullParts,
+      s"pruned ${q.rdd.getNumPartitions} vs full $fullParts")
+
+    // refIdx filters are dictionary-RELATIVE: idx 0 means chr1 in A but
+    // chr3 in B; the scan must honor each file's own dictionary
+    val byIdx = both().filter(col("refIdx") === 0 && col("pos") < 50000)
+    val wantIdx =
+      fxA.records.count(r => r.refIdx == 0 && r.pos < 50000) +
+        fxB.records.count(r => r.refIdx == 0 && r.pos < 50000)
+    assert(byIdx.count() == wantIdx && wantIdx > 0)
+
+    // a contig present in only ONE file: only that file's rows survive
+    val onlyB = BamFixture.write(tmpDir, "c.bam", n = 300, seed = 23,
+      payloadSize = 2048,
+      contigs = IndexedSeq(Bam.Contig("chrX", 700_000)))
+    val mixed = spark.read.format("bam")
+      .option("splitSize", "4096")
+      .option("paths", s"${fxA.bamPath},${onlyB.bamPath}").load()
+      .filter(col("contig") === "chrX")
+    assert(mixed.count() == onlyB.records.count(_.refIdx == 0))
+  }
+
   test("indexGenomic rebuilds an equivalent index from the source") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-gri")
     val copy = tmpDir.resolve("copy.bam")
