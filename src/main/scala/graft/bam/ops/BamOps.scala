@@ -127,9 +127,29 @@ object BamOps {
       recs, Seq("vpos64"), "vpos64", "endVpos", lit(fileLen << 16))
     val mapped = withEnd.filter(col("refIdx") >= 0)
       .withColumn("e", greatest(col("endPos"), col("pos") + 1))
+    // Chunks per CONTIGUOUS record run inside each (ref, bin) — the spec's
+    // many-chunks-per-bin shape (reference reader: check/.../bam/index/
+    // Index.scala:11-92) — rather than one min..max span per bin, which
+    // over-covers cold bytes when a bin's coordinate clusters are
+    // fragmented. Gaps-and-islands over the bin's records in vpos order: a
+    // new chunk starts where the record does not continue its bin-
+    // predecessor's end AND sits in a different compressed block (the
+    // standard chunk-merge rule — interleaved bins must not fragment into
+    // per-record chunks). The window is partitioned by (ref, bin), so no
+    // single-partition cliff.
+    val binW = org.apache.spark.sql.expressions.Window
+      .partitionBy("refIdx", "bin").orderBy("vpos64")
+    val prevEnd = lag("endVpos", 1).over(binW)
     val chunkRows = mapped
       .withColumn("bin", binCol(col("pos"), col("e")))
-      .groupBy("refIdx", "bin")
+      .withColumn("newRun",
+        when(prevEnd.isNull ||
+          (col("vpos64") =!= prevEnd &&
+            shiftright(col("vpos64"), 16) =!= shiftright(prevEnd, 16)), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum("newRun").over(
+        binW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("refIdx", "bin", "run")
       .agg(min("vpos64").as("beg"), max("endVpos").as("end"))
       .collect()
     val linearRows = mapped
@@ -139,9 +159,10 @@ object BamOps {
       .collect()
     val nRefs = readContigLens(path).length
     val refs = (0 until nRefs).map { ref =>
-      val bins = chunkRows.iterator.filter(_.getInt(0) == ref).map { r =>
-        r.getInt(1) -> IndexedSeq(Bai.Chunk(r.getLong(2), r.getLong(3)))
-      }.toMap
+      val bins = chunkRows.iterator.filter(_.getInt(0) == ref)
+        .map(r => (r.getInt(1), Bai.Chunk(r.getLong(3), r.getLong(4))))
+        .toSeq.groupBy(_._1)
+        .map { case (bin, cs) => bin -> cs.map(_._2).sortBy(_.beg).toIndexedSeq }
       val lin = linearRows.iterator.filter(_.getInt(0) == ref)
         .map(r => r.getInt(1) -> r.getLong(2)).toMap
       val maxW = if (lin.isEmpty) -1 else lin.keys.max

@@ -8,39 +8,69 @@ import org.apache.spark.sql.functions._
   *
   * A bare `Window.orderBy(k)` moves the whole dataset to ONE task — fine at
   * 60k rows, fatal at 100 TB. These helpers implement the classic two-phase
-  * distributed scan instead, entirely inside one declarative plan:
+  * distributed scan instead:
   *
-  *   1. `repartitionByRange(k)` — the shuffle a global sort needs anyway,
-  *      into N parallel, range-disjoint partitions;
-  *   2. the window runs *partitioned by* `spark_partition_id()` — N
-  *      parallel WindowExecs;
-  *   3. the carry of the scan (per-partition sum / count / edge value) is a
-  *      tiny aggregate — ONE ROW PER PARTITION, bounded by the cluster's
-  *      partition count, not the data — combined across partitions by a
-  *      theta-join on the partition id (pid' < pid ⇒ prefix, pid' > pid ⇒
-  *      suffix) and broadcast-joined back on the partition id.
+  *   1. every row gets a DETERMINISTIC range-bucket id: the count of
+  *      precomputed quantile boundaries ≤ its first order key (one small
+  *      driver-side `percentile_approx` job per op — the same sampling
+  *      pass a `repartitionByRange` hides inside its exchange);
+  *   2. the window runs *partitioned by* the bucket id — Catalyst inserts
+  *      one hash shuffle on the bucket, N parallel WindowExecs;
+  *   3. the carry of the scan (per-bucket sum / count / edge value) is a
+  *      tiny aggregate — ONE ROW PER BUCKET, bounded by 4× the shuffle
+  *      partition count, not the data — partial-aggregated map-side on the
+  *      source (no second full-data shuffle), combined across buckets by a
+  *      theta-join on the bucket id (b' < b ⇒ prefix, b' > b ⇒ suffix) and
+  *      broadcast-joined back.
   *
-  * Because the carry branch and the main branch hang off the *same*
-  * `repartitionByRange` exchange, Catalyst's ReuseExchange collapses them
-  * to one shuffle — no `persist` (round 1 leaked a MEMORY_AND_DISK cache
-  * per call), no driver-side `collect`, no O(#partitions) chained-`when`
-  * lookup. The cross-partition carry is a join, NOT a partition-less
-  * window: a bare `Window.orderBy(pid)` over the carry frame would be
-  * bounded too, but it trips Spark's single-partition WindowExec warning
-  * and — unlike `lag(pid)`-style neighbours — a theta-join stays correct
-  * when range partitions come out EMPTY (adjacent pids then aren't
-  * adjacent carry rows). O(#partitions²) comparisons ≈ 4M at 2000
-  * partitions — negligible, and fully distributed. Results are identical
-  * to the single-partition plan for unique order keys.
+  * Why an explicit bucket COLUMN and not `spark_partition_id()` after
+  * `repartitionByRange` (rounds 1-3): a range exchange SAMPLES its
+  * boundaries per physical instance, so the pid is only consistent between
+  * the main and carry branches if ReuseExchange collapses their exchanges
+  * into one. That held for parquet inputs but silently broke over the BAM
+  * DSv2 source (plan trees differ → no reuse → each branch sampled its own
+  * boundaries → every partition-boundary row got a wrong carry). A bucket
+  * id computed from driver-collected literal boundaries is a pure function
+  * of the row: every branch agrees BY CONSTRUCTION, no physical-plan
+  * cooperation required, and results are exact however Catalyst/AQE plan
+  * the query. Ties share a bucket (equal keys can't straddle a boundary);
+  * the surplus of buckets over partitions (4×) smooths the hash placement.
+  *
+  * The cross-bucket carry is a join, NOT a partition-less window, and it
+  * stays correct when buckets come out EMPTY (nearest non-empty bucket via
+  * max_by/min_by theta-join, not adjacency). O(buckets²) comparisons ≈ 64M
+  * at 2000 partitions — negligible, fully distributed. Results are
+  * identical to the single-partition plan for unique order keys.
   */
 object ScalableWindow {
 
-  private val Pid = "__swpid"
+  private val Pid = "__swb"
 
-  private def ranged(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+  /** Stamp the deterministic range-bucket id. First order column must be
+    * numeric (all engine call sites are; multi-column keys bucket by their
+    * first column — a sort-order-consistent prefix). */
+  private def bucketed(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartitionByRange(n, orderCols.map(col): _*)
-      .withColumn(Pid, spark_partition_id())
+    val buckets = 4 * n
+    val k = col(orderCols.head).cast("double")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val row = df
+      .select(percentile_approx(k, array(fracs.map(lit): _*), lit(10000)).as("bs"))
+      .head()
+    val bs: Seq[Double] =
+      if (row.isNullAt(0)) Seq.empty
+      else row.getSeq[Double](0).distinct // equal quantiles → one boundary
+    // whole-stage-codegen'd when-chain (functions.aggregate over an array
+    // literal is a CodegenFallback higher-order function — interpreted
+    // per row, it cost more than the shuffle it organizes): bucket = index
+    // of the first boundary above the key
+    val bucket =
+      if (bs.isEmpty) lit(0)
+      else bs.tail.zipWithIndex
+        .foldLeft(when(k.isNull || k < bs.head, 0)) { // nulls sort FIRST
+          case (c, (b, i)) => c.when(k < b, i + 1)
+        }.otherwise(bs.length)
+    df.withColumn(Pid, bucket)
   }
 
   private def pidWindow(orderCols: Seq[String]) =
@@ -50,7 +80,7 @@ object ScalableWindow {
     * the current row (the prefix-sum / scanLeft shape, SURVEY.md A15/W3). */
   def prefixSumExclusive(df: DataFrame, orderCols: Seq[String],
                          value: Column, out: String): DataFrame = {
-    val r = ranged(df, orderCols)
+    val r = bucketed(df, orderCols)
     val agg = r.groupBy(Pid).agg(sum(value).as("__s"))
     val b = agg.select(col(Pid).as("__bp"), col("__s").as("__bs"))
     val carry = agg.join(b, col("__bp") < col(Pid), "left")
@@ -64,7 +94,7 @@ object ScalableWindow {
 
   /** Global row_number() without a single-partition sort. */
   def rowNumber(df: DataFrame, orderCols: Seq[String], out: String): DataFrame = {
-    val r = ranged(df, orderCols)
+    val r = bucketed(df, orderCols)
     val agg = r.groupBy(Pid).agg(count(lit(1)).as("__c"))
     val b = agg.select(col(Pid).as("__bp"), col("__c").as("__bc"))
     val carry = agg.join(b, col("__bp") < col(Pid), "left")
@@ -76,14 +106,14 @@ object ScalableWindow {
       .drop(Pid, "__off")
   }
 
-  /** lag(value, 1) over the global order. Partition-first rows take the
-    * last value of the nearest NON-EMPTY preceding partition (max_by over
-    * the pid theta-join); the carry applies ONLY to the first row of each
-    * partition (gated on row_number, not on lag() being null, so a
+  /** lag(value, 1) over the global order. Bucket-first rows take the
+    * last value of the nearest NON-EMPTY preceding bucket (max_by over
+    * the bucket theta-join); the carry applies ONLY to the first row of
+    * each bucket (gated on row_number, not on lag() being null, so a
     * legitimately-null predecessor value stays null). */
   def lag1(df: DataFrame, orderCols: Seq[String], value: String,
            out: String): DataFrame = {
-    val r = ranged(df, orderCols)
+    val r = bucketed(df, orderCols)
     val ord = struct(orderCols.map(col): _*)
     val last = r.groupBy(Pid).agg(max_by(col(value), ord).as("__last"))
     val b = last.select(col(Pid).as("__bp"), col("__last").as("__bl"))
@@ -103,15 +133,15 @@ object ScalableWindow {
     * last non-null get null. */
   def fillBackward(df: DataFrame, orderCols: Seq[String],
                    value: Column, out: String): DataFrame = {
-    val r = ranged(df, orderCols).withColumn("__v", value)
+    val r = bucketed(df, orderCols).withColumn("__v", value)
     val ord = struct(orderCols.map(col): _*)
-    // first non-null per partition, by order: min over (order, value)
+    // first non-null per bucket, by order: min over (order, value)
     // structs of the non-null rows (nulls drop out of min)
     val fnn = r.groupBy(Pid)
       .agg(min(when(col("__v").isNotNull,
         struct(ord.as("__o"), col("__v").as("__x")))).as("__fnn"))
     val b = fnn.select(col(Pid).as("__bp"), col("__fnn").as("__bf"))
-    // nearest following partition that HAS a non-null value
+    // nearest following bucket that HAS a non-null value
     val carry = fnn.join(b, col("__bp") > col(Pid) && col("__bf").isNotNull, "left")
       .groupBy(Pid).agg(min_by(col("__bf.__x"), col("__bp")).as("__carry"))
     val within = first(col("__v"), ignoreNulls = true).over(
@@ -121,14 +151,14 @@ object ScalableWindow {
       .drop(Pid, "__v", "__carry")
   }
 
-  /** lead(value, 1) with `default` past the global end. Partition-last rows
-    * take the first value of the nearest non-empty following partition; the
-    * struct-wrapped carry distinguishes "no following partition" (→
+  /** lead(value, 1) with `default` past the global end. Bucket-last rows
+    * take the first value of the nearest non-empty following bucket; the
+    * struct-wrapped carry distinguishes "no following bucket" (→
     * default) from "next value is null" (→ null), matching
     * single-partition lead semantics. */
   def lead1(df: DataFrame, orderCols: Seq[String], value: String,
             out: String, default: Column): DataFrame = {
-    val r = ranged(df, orderCols)
+    val r = bucketed(df, orderCols)
     val ord = struct(orderCols.map(col): _*)
     val firstA = r.groupBy(Pid).agg(min_by(col(value), ord).as("__first"))
     val b = firstA.select(col(Pid).as("__bp"),

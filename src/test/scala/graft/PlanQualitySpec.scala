@@ -60,10 +60,11 @@ class PlanQualitySpec extends SparkTestBase {
       "a8_cdf", "bam_check_blocks")
       .foreach { q =>
         val p = plan(q)
-        // ScalableWindow partitions every window by the range-partition id
-        val bad = "windowspecdefinition\\((?!__swpid)".r
+        // ScalableWindow partitions every window by the deterministic
+        // range-bucket id
+        val bad = "windowspecdefinition\\((?!__swb)".r
         assert(bad.findFirstIn(p).isEmpty,
-          s"$q has a window not partitioned by __swpid:\n$p")
+          s"$q has a window not partitioned by __swb:\n$p")
       }
   }
 

@@ -81,6 +81,75 @@ class PushdownSpec extends SparkTestBase {
     assert(iv.count() == wantIv && wantIv > 0)
   }
 
+  test("indexBai emits per-run chunks: fragmented bins prune tighter than " +
+    "merged spans") {
+    import graft.bam.ds.{Bai, GenomicIndex}
+    // dense fixture: coarse (585-level) bins collect records crossing
+    // DIFFERENT 16k boundaries 128k apart — in file order those runs are
+    // separated by thousands of fine-bin records, so a single min..max
+    // chunk per bin would span cold bytes
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-baimc")
+    val frag = BamFixture.write(tmpDir, "frag.bam", n = 12000, seed = 31,
+      payloadSize = 512)
+    graft.bam.ops.BamOps.indexBai(spark, frag.bamPath)
+    val idx = Bai.read(frag.bamPath).get
+
+    val multiBins = idx.refs.flatMap(_.bins.values).count(_.length > 1)
+    assert(multiBins > 0, "expected at least one multi-chunk bin")
+    // chunks within a bin are disjoint and ordered
+    idx.refs.foreach(_.bins.values.foreach { cs =>
+      cs.sliding(2).foreach(w =>
+        if (w.length == 2) assert(w(0).end <= w(1).beg, s"overlap: $cs"))
+    })
+
+    // the old writer's shape: every bin collapsed to one min..max span
+    val merged = Bai.Index(idx.refs.map(r => r.copy(bins = r.bins.map {
+      case (b, cs) =>
+        b -> IndexedSeq(Bai.Chunk(cs.map(_.beg).min, cs.map(_.end).max))
+    })))
+    // per-run chunks cover strictly fewer compressed bytes than the
+    // min..max span in every fragmented bin (runs only split across a
+    // block gap, so each extra chunk skips >= 1 cold block)
+    def extent(cs: Seq[Bai.Chunk]): Long =
+      cs.map(c => (c.end >>> 16) - (c.beg >>> 16) + 1).sum
+    idx.refs.foreach(_.bins.values.filter(_.length > 1).foreach { cs =>
+      assert(extent(cs) < extent(
+        Seq(Bai.Chunk(cs.map(_.beg).min, cs.map(_.end).max))), s"$cs")
+    })
+
+    // and an interval query OVER a fragmented bin prunes fewer bytes:
+    // reconstruct each multi-chunk bin's coordinate range and compare
+    def binRange(bin: Int): (Int, Int) =
+      if (bin >= 4681) ((bin - 4681) << 14, ((bin - 4681) + 1) << 14)
+      else if (bin >= 585) ((bin - 585) << 17, ((bin - 585) + 1) << 17)
+      else if (bin >= 73) ((bin - 73) << 20, ((bin - 73) + 1) << 20)
+      else if (bin >= 9) ((bin - 9) << 23, ((bin - 9) + 1) << 23)
+      else if (bin >= 1) ((bin - 1) << 26, (bin - 1 + 1) << 26)
+      else (0, Bai.MaxCoord)
+    def prunedBytes(i: Bai.Index, ref: Int, lo: Int, hi: Int): Long =
+      Bai.pruneRanges(i, Seq(GenomicIndex.GBound(Some(ref), lo, hi)),
+          Long.MaxValue).get.map { case (s, e) => e - s }.sum
+    val strict = (for {
+      (r, ref) <- idx.refs.zipWithIndex
+      (bin, cs) <- r.bins if cs.length > 1
+      (lo, hi) = binRange(bin)
+      q = (lo, math.min(hi, lo + (1 << 14))) // one window of the bin
+    } yield prunedBytes(idx, ref, q._1, q._2) <
+      prunedBytes(merged, ref, q._1, q._2))
+    assert(strict.nonEmpty && strict.contains(true),
+      s"no fragmented-bin query pruned tighter (${strict.size} tried)")
+
+    // and the pruned read stays exact THROUGH the .bai (drop the .gri
+    // side-car, which would otherwise win the index dispatch)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(GenomicIndex.sidecarPath(frag.bamPath)))
+    def load() = spark.read.format("bam")
+      .option("splitSize", "8192").load(frag.bamPath)
+    val q = load().filter(col("refIdx") === 0 && col("pos") < 40000)
+    assert(q.count() ==
+      frag.records.count(r => r.refIdx == 0 && r.pos < 40000))
+  }
+
   test("bai round-trips through its binary codec") {
     import graft.bam.ds.Bai
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-bai-rt")

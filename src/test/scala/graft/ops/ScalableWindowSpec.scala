@@ -75,17 +75,41 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(scal == naive)
   }
 
-  test("one data shuffle: pid re-shuffle eliminated, range exchange reused") {
+  test("one full-data shuffle; deterministic buckets, no sampled exchange") {
     val df = ScalableWindow.rowNumber(
       orders.select("o_orderkey"), Seq("o_orderkey"), "rn")
     df.collect() // materialize so AQE's final plan is visible
     val p = df.queryExecution.executedPlan.toString
-    // the carry branch re-reads the range shuffle instead of re-scanning
-    assert(p.contains("ReusedExchange"), p)
-    // PidShuffleElimination drops Catalyst's redundant re-shuffle by pid
-    assert(!p.contains("Exchange hashpartitioning(__swpid"), p)
+    // the bucket id is a literal-boundary expression, NOT a sampled range
+    // exchange — correctness must not depend on ReuseExchange collapsing
+    // the main and carry branches onto one sampling
+    assert(!p.contains("rangepartitioning"), p)
+    // the window's input is hash-clustered by the bucket column
+    assert(p.contains("hashpartitioning(__swb"), p)
     // and no cache leak: nothing persisted by the op
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("carries stay exact when branch plans CANNOT share an exchange") {
+    // regression for the pid-divergence bug: over a DSv2 source the main
+    // and carry branches plan separate scans, so any sampled partitioning
+    // would diverge between them; deterministic buckets must agree.
+    // lead1's endVpos must equal the successor's vpos for EVERY record.
+    val fx = graft.bam.fixtures.BamFixture.cached("swdet", n = 3000,
+      seed = 33, payloadSize = 1024)
+    val vpos = shiftleft(col("virtualPos.blockPos"), 16)
+      .bitwiseOR(col("virtualPos.offset").cast("long"))
+    val recs = spark.read.format("bam").load(fx.bamPath)
+      .select(vpos.as("vpos64"))
+    val withEnd = ScalableWindow.lead1(
+      recs, Seq("vpos64"), "vpos64", "endVpos", lit(-1L))
+    val rows = withEnd.orderBy("vpos64").collect()
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Long]("endVpos") == w(1).getAs[Long]("vpos64"),
+          s"non-successor endVpos: ${w(0)} -> ${w(1)}")
+    }
+    assert(rows.last.getAs[Long]("endVpos") == -1L)
   }
 
   test("lag1 null predecessor value stays null (carry gated on row 1)") {
@@ -111,6 +135,6 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(plan.contains("Window"))
     // a partitioned window spec lists the partition expression before ORDER
     assert(!plan.contains("windowspecdefinition(o_orderkey ASC"),
-      "window must be partitioned by the range-partition id")
+      "window must be partitioned by the bucket id")
   }
 }
