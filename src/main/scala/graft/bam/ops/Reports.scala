@@ -23,7 +23,8 @@ object Reports {
     * header stats, full-checker-vs-truth verdict, the exactly-one / two
     * flag sections, and the all-positions per-flag error totals. */
   def fullCheckReport(spark: SparkSession, path: String,
-                      numPartitions: Int = 8): String = {
+                      numPartitions: Int = 8,
+                      printLimit: Int = 1000): String = {
     val calls = FullCheckOps.fullCalls(spark, path, numPartitions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -42,8 +43,8 @@ object Reports {
       val fn = verdict.getOrElse((false, true), 0L)
       sb ++= matchLine(fp, fn) + "\n"
 
-      sb ++= flagCountSection(spark, path, calls, numFlags = 1)
-      sb ++= flagCountSection(spark, path, calls, numFlags = 2)
+      sb ++= flagCountSection(spark, path, calls, numFlags = 1, printLimit)
+      sb ++= flagCountSection(spark, path, calls, numFlags = 2, printLimit)
 
       sb ++= "\nTotal error counts:\n"
       val totals = calls.filter(col("numFlags") > 0)
@@ -62,7 +63,8 @@ object Reports {
     * checker's flags explain WHY each site is record-like). */
   def checkBamReport(spark: SparkSession, path: String,
                      checker: String = "eager",
-                     numPartitions: Int = 8): String = {
+                     numPartitions: Int = 8,
+                     printLimit: Int = 1000): String = {
     val calls = BamOps.checkerCalls(spark, path, numPartitions)
     val truth = BamOps.records(spark, path)
     val callCol = if (checker == "relaxed") col("relaxedCall") else col("eagerCall")
@@ -98,10 +100,15 @@ object Reports {
             col("readsBeforeError"))
 
         sb ++= "\nFalse-positive-site flags histogram:\n"
-        fpFlags.groupBy("flagset").agg(count(lit(1)).as("n"))
+        // flag SETS are few in practice but unbounded in theory — cap the
+        // driver collect with the reference's print-limit idiom
+        // (docs/command-line.md:90-98), "…" marking the cut
+        val fpHist = fpFlags.groupBy("flagset").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("flagset"))
-          .collect()
+          .limit(printLimit + 1).collect()
+        fpHist.take(printLimit)
           .foreach(r => sb ++= s"\t${r.getLong(1)}:\t${r.getString(0)}\n")
+        if (fpHist.length > printLimit) sb ++= "\t…\n"
 
         sb ++= "\nFalse positives with succeeding read info:\n"
         val sample = fpFlags.orderBy("blockPos", "offset").limit(10)
@@ -141,7 +148,8 @@ object Reports {
   /** One "positions where exactly K checks failed" section: sample lines
     * with succeeding-read info, flag-set histogram, per-flag totals. */
   private def flagCountSection(spark: SparkSession, path: String,
-                               calls: DataFrame, numFlags: Int): String = {
+                               calls: DataFrame, numFlags: Int,
+                               printLimit: Int = 1000): String = {
     val phrase =
       if (numFlags == 1) "one check failed"
       else s"${numWord(numFlags)} checks failed"
@@ -169,8 +177,10 @@ object Reports {
       sb ++= "\n\tHistogram:\n"
       val hist = sub.groupBy(concat_ws(",", col("flags")).as("fs"))
         .agg(count(lit(1)).as("n")).orderBy(desc("n"), col("fs"))
+        .limit(printLimit + 1)
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      hist.foreach { case (fs, c) => sb ++= s"\t\t$c:\t$fs\n" }
+      hist.take(printLimit).foreach { case (fs, c) => sb ++= s"\t\t$c:\t$fs\n" }
+      if (hist.length > printLimit) sb ++= "\t\t…\n"
 
       sb ++= "\n\tPer-flag totals:\n"
       val totals = sub.select(explode(col("flags")).as("flag"))

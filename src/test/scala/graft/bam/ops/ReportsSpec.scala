@@ -30,6 +30,26 @@ class ReportsSpec extends SparkTestBase {
     assert(actual == golden("check-bam-fp.txt"))
   }
 
+  test("histograms truncate at printLimit with an ellipsis marker") {
+    // same FP fixture, printLimit=1: the FP-site histogram must show one
+    // line + the cut marker, and the full report (limit default) must be
+    // a superset — golden files stay valid because fixtures never reach
+    // the default 1000-line limit
+    val path = ReportFixtures.withDroppedTruth(BamFixture.tiny)
+    val full = Reports.checkBamReport(spark, path, "eager")
+    val capped = Reports.checkBamReport(spark, path, "eager", printLimit = 0)
+    val histLines = (r: String) => r
+      .split("\n").dropWhile(!_.startsWith("False-positive-site flags"))
+      .drop(1).takeWhile(_.startsWith("\t"))
+    assert(histLines(full).nonEmpty && !histLines(full).contains("\t…"), full)
+    assert(histLines(capped).toSeq == Seq("\t…"), capped)
+
+    // fullCheck's flag-count histograms use the same cap
+    val cappedFull = Reports.fullCheckReport(spark, BamFixture.tiny.bamPath,
+      printLimit = 0)
+    assert(cappedFull.contains("\tHistogram:\n\t\t…\n"), cappedFull)
+  }
+
   test("report header agrees with the fixture's block metadata") {
     val fx = BamFixture.tiny
     val report = Reports.fullCheckReport(spark, fx.bamPath)
