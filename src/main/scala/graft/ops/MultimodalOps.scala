@@ -5,16 +5,48 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Per-partition media codec: the ONLY seam a real deployment replaces.
+  * Implementations are shipped to executors (Serializable); heavy native
+  * state (decoder contexts, models) must live behind a `@transient lazy
+  * val` so it initializes once per executor, not per row. */
+trait MediaCodec extends Serializable {
+  /** Decode + featurize one payload into a `dim`-float vector. */
+  def features(mediaType: String, payload: Array[Byte], dim: Int): Array[Float]
+  /** Decode one frame of a video payload. */
+  def frame(payload: Array[Byte], frameIdx: Int): Array[Byte]
+}
+
+/** STUB: deterministic stand-in codec (no media libraries exist in this
+  * offline environment). "Features" are byte-histogram moments; a "frame"
+  * is a fixed-width byte slice. Swapping in a real decoder = one new
+  * `MediaCodec` class; none of the pipeline below changes. */
+object FakeMediaCodec extends MediaCodec {
+  override def features(mediaType: String, payload: Array[Byte],
+                        dim: Int): Array[Float] = {
+    val feats = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      feats((payload(i) & 0xff) % dim) += 1.0f
+      i += 1
+    }
+    val n = math.max(1, payload.length).toFloat
+    var j = 0
+    while (j < dim) { feats(j) = feats(j) / n; j += 1 }
+    feats
+  }
+  override def frame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
+    payload.slice(frameIdx * 8, math.min(payload.length, frameIdx * 8 + 8))
+}
+
 /** Multimodal (image/audio/video) column plumbing for training-data
   * pipelines: media payloads ride as opaque `binary` columns next to a
   * typed metadata struct; decode / feature-extraction / resize /
   * frame-sampling run as partition-local batch transforms.
   *
-  * The actual codec calls are STUBBED with a deterministic fake (no media
-  * libraries exist in this environment — marked `// STUB:` below); the
-  * Spark-side contract — schema, batching, partition locality, output
-  * shapes — is real and tested, so swapping in a real decoder changes one
-  * function body, not the pipeline.
+  * The actual codec calls live behind [[MediaCodec]], defaulting to the
+  * deterministic [[FakeMediaCodec]]; the Spark-side contract — schema,
+  * batching, partition locality, output shapes — is real and tested, so a
+  * real decoder is a one-class swap.
   */
 object MultimodalOps {
 
@@ -55,42 +87,35 @@ object MultimodalOps {
     * the binary payloads → fixed-width float feature vector. This is the
     * `mapInPandas`-shaped stage: one worker-side function consuming an
     * iterator of rows, amortizing any per-partition model/codec setup. */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+                      codec: MediaCodec = FakeMediaCodec): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "media_type", "payload").mapPartitions { rows =>
-      // per-partition setup happens once (a real impl loads the codec here)
+      // per-partition batch: the codec's lazy state initializes once here
       rows.map { r =>
-        val id = r.getLong(0)
-        val tpe = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
-        // STUB: deterministic fake "decode" — byte-histogram moments in
-        // `dim` buckets stand in for real image/audio features.
-        val feats = new Array[Float](dim)
-        var i = 0
-        while (i < bytes.length) {
-          feats((bytes(i) & 0xff) % dim) += 1.0f
-          i += 1
-        }
-        val n = math.max(1, bytes.length).toFloat
-        var j = 0
-        while (j < dim) { feats(j) = feats(j) / n; j += 1 }
-        Row(id, tpe, bytes.length, feats.toSeq)
+        Row(r.getLong(0), r.getString(1), bytes.length,
+          codec.features(r.getString(1), bytes, dim).toSeq)
       }
     }(enc)
   }
 
-  /** Frame sampling: one output row per sampled frame, payload sliced
-    * deterministically — the video-to-frames explode, shape-preserving. */
-  def sampleFrames(media: DataFrame, everyNth: Int = 2): DataFrame = {
-    val frames = media
+  /** Frame sampling: one output row per sampled frame — the
+    * video-to-frames explode, shape-preserving. The explode/filter stay
+    * columnar (codegen'd); only the per-frame decode goes through the
+    * codec (a UDF — frame decode is opaque native code in any real
+    * implementation). */
+  def sampleFrames(media: DataFrame, everyNth: Int = 2,
+                   codec: MediaCodec = FakeMediaCodec): DataFrame = {
+    val decodeFrame = udf((payload: Array[Byte], idx: Int) =>
+      codec.frame(payload, idx))
+    media
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("meta.n_frames") - 1)))
       .filter(pmod(col("frame_idx"), lit(everyNth)) === 0)
-    // STUB: a real impl decodes frame `frame_idx`; the fake slices bytes.
-    frames.select(
-      col("media_id"), col("frame_idx"),
-      col("payload").substr((col("frame_idx") * 8 + 1).cast("int"), lit(8))
-        .as("frame_bytes"))
+      .select(
+        col("media_id"), col("frame_idx"),
+        decodeFrame(col("payload"), col("frame_idx")).as("frame_bytes"))
   }
 
   /** "Resize": metadata-only transform (dimension halving) + payload

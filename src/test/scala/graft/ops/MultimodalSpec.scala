@@ -51,6 +51,26 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("a custom MediaCodec swaps in as one class; pipeline unchanged") {
+    object ConstCodec extends MediaCodec {
+      override def features(mediaType: String, payload: Array[Byte],
+                            dim: Int): Array[Float] = {
+        val a = new Array[Float](dim)
+        a(0) = payload.length.toFloat // prove the payload reached the codec
+        a
+      }
+      override def frame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
+        Array(frameIdx.toByte)
+    }
+    val feats = MultimodalOps.extractFeatures(media, dim = 4, codec = ConstCodec)
+      .orderBy("media_id").head()
+    assert(feats.getSeq[Float](3) ==
+      Seq(feats.getInt(2).toFloat, 0.0f, 0.0f, 0.0f))
+    val fr = MultimodalOps.sampleFrames(media, everyNth = 2, codec = ConstCodec)
+      .filter(col("frame_idx") === 2).head()
+    assert(fr.getAs[Array[Byte]]("frame_bytes").toSeq == Seq(2.toByte))
+  }
+
   test("resize caps dimensions without touching payloads") {
     val out = MultimodalOps.resize(media, 320, 240)
     assert(out.filter($"meta.width" > 320 || $"meta.height" > 240).count() == 0)
