@@ -134,4 +134,36 @@ object TextAnalysisOps {
   /** Convenience single-expression form for small inputs/tests. */
   def minGramFingerprint(text: Column, k: Int = 8): Column =
     minGramFromNorm(normalized(text), k)
+
+  /** Train/test decontamination sweep: documents sharing ≥ `minShared`
+    * distinct `w`-token n-grams with any test-set document are flagged as
+    * (train_doc, test_doc, n_shared) pairs — the standard benchmark-
+    * contamination check run before training (real pipelines use w of
+    * 8-13; the registered query uses 3 on the synthetic corpus).
+    *
+    * Scale shape: grams are xxhash64'd (8-byte join keys, no string
+    * shuffles), de-duplicated per document BEFORE the join (bounds rows at
+    * docs × distinct-grams), and the join is an equi-join on the hash —
+    * broadcast when the test side is small (the common case: a benchmark
+    * suite vs a crawl), shuffled hash join otherwise. Docs shorter than
+    * `w` tokens can't carry a full n-gram and are skipped. */
+  def contamination(docs: DataFrame, isTest: Column, w: Int = 8,
+                    minShared: Long = 3,
+                    broadcastTest: Boolean = true): DataFrame = {
+    val staged = docs
+      .withColumn("__t", DedupOps.tokens(col("text")))
+      .filter(size(col("__t")) >= w)
+      .withColumn("__is_test", isTest)
+    val grams = staged.select(col("doc_id"), col("__is_test"),
+      explode(array_distinct(DedupOps.shingles(col("__t"), w))).as("__g"))
+      .select(col("doc_id"), col("__is_test"), xxhash64(col("__g")).as("__h"))
+    val test = grams.filter(col("__is_test"))
+      .select(col("doc_id").as("test_doc"), col("__h"))
+    val train = grams.filter(!col("__is_test"))
+      .select(col("doc_id").as("train_doc"), col("__h"))
+    train.join(if (broadcastTest) broadcast(test) else test, Seq("__h"))
+      .groupBy("train_doc", "test_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

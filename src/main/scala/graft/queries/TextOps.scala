@@ -40,6 +40,57 @@ object TextOps {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
     },
 
+    // Repetition scoring: duplicate-token ratio per document — the
+    // boilerplate/spam signal (degenerate repeated text scores near 1).
+    q(
+      "text_repetition",
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CASE WHEN LEN(STRING_SPLIT(text, ' ')) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+        |                / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) END AS dup_ratio
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("__t", split(col("text"), " ", -1))
+        .select(
+          col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__t"))).cast("long").as("n_distinct"),
+          when(size(col("__t")) === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("__t"))).cast("double") /
+                size(col("__t")).cast("double")).as("dup_ratio"))
+    },
+
+    // Train/test n-gram decontamination: src19 plays the benchmark suite;
+    // pairs sharing >= 3 distinct trigrams are contaminated. The Spark
+    // path joins on xxhash64 gram hashes (the 100 TB shape); the oracle
+    // joins the gram strings — identical pairs barring 64-bit collisions.
+    q(
+      "decontam_ngram",
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+        |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+        |  FROM tk WHERE LEN(t) >= 3
+        |)
+        |SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM g tr JOIN g te ON tr.gram = te.gram
+        |WHERE tr.source <> 'src19' AND te.source = 'src19'
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.TextAnalysisOps.contamination(
+        t(s, dir, "documents"), col("source") === "src19",
+        w = 3, minShared = 3)
+    },
+
     // Token counting + char length per document (whitespace tokenizer).
     q(
       "text_tokens",

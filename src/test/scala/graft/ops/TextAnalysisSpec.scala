@@ -84,6 +84,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(staged == inline)
   }
 
+  test("contamination flags train docs sharing n-grams with the test set") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "train"),
+      (2L, "something about a quick brown fox jumps high", "train"),
+      (3L, "totally unrelated words in this document here", "train"),
+      (4L, "xx yy", "train"), // shorter than w=3: can't carry an n-gram
+      (10L, "a quick brown fox jumps over fences", "test")
+    ).toDF("doc_id", "text", "source")
+    val pairs = TextAnalysisOps.contamination(
+      df, col("source") === "test", w = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 shares {quick brown fox, brown fox jumps, fox jumps over};
+    // doc 2 shares {a quick brown, quick brown fox, brown fox jumps};
+    // doc 3 shares none
+    assert(pairs.keySet == Set((1L, 10L), (2L, 10L)))
+    assert(pairs((1L, 10L)) == 3 && pairs((2L, 10L)) == 3)
+    // broadcast OFF still yields identical pairs (the large-test-set path)
+    val shuffled = TextAnalysisOps.contamination(
+      df, col("source") === "test", w = 3, minShared = 2,
+      broadcastTest = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shuffled == pairs)
+  }
+
   test("fingerprints are whitespace-robust and edit-sensitive") {
     val df = Seq(
       (1L, "some  text   with weird    spacing"),
