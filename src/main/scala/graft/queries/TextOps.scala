@@ -91,6 +91,50 @@ object TextOps {
         w = 3, minShared = 3)
     },
 
+    // End-to-end preprocessing pipeline in ONE declarative plan: length
+    // gate -> exact-dedup survivor -> benchmark-decontamination anti-join
+    // -> token count. The composition a real training-data run executes;
+    // Catalyst sees the whole thing and optimizes across stages.
+    q(
+      "pipeline_e2e",
+      """WITH keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        |), tk AS (
+        |  SELECT doc_id, source,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+        |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+        |  FROM tk WHERE LEN(t) >= 3
+        |), contaminated AS (
+        |  SELECT tr.doc_id AS train_doc
+        |  FROM g tr JOIN g te ON tr.gram = te.gram
+        |  WHERE tr.source <> 'src19' AND te.source = 'src19'
+        |  GROUP BY tr.doc_id, te.doc_id HAVING COUNT(*) >= 3
+        |)
+        |SELECT d.doc_id,
+        |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents d
+        |JOIN keepers k ON d.doc_id = k.doc_id
+        |WHERE d.n_chars BETWEEN 50 AND 5000 AND d.source <> 'src19'
+        |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.train_doc = d.doc_id)""".stripMargin
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val keepers = docs.groupBy("text")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val contaminated = graft.ops.TextAnalysisOps.contamination(
+          docs, col("source") === "src19", w = 3, minShared = 3)
+        .select("train_doc").distinct()
+      docs
+        .filter(col("n_chars").between(50, 5000) && col("source") =!= "src19")
+        .join(keepers, Seq("doc_id"))
+        .join(contaminated, col("doc_id") === col("train_doc"), "left_anti")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+    },
+
     // Token counting + char length per document (whitespace tokenizer).
     q(
       "text_tokens",
