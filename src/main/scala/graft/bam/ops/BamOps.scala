@@ -33,13 +33,21 @@ object BamOps {
     val hp = new org.apache.hadoop.fs.Path(sidecar)
     if (hp.getFileSystem(graft.bam.ds.BamDataSource.hadoopConf()).exists(hp))
       spark.read.schema(blocksSchema).csv(sidecar)
-    else discoverBlocks(spark, path, if (numSplits > 0) numSplits else 8)
+    else discoverBlocks(spark, path, numSplits)
   }
 
-  def discoverBlocks(spark: SparkSession, path: String, numSplits: Int): DataFrame = {
+  /** Discovery parallelism scales with the file: one split per 32 MiB
+    * (floor 8), so a side-car-less 100 GB BAM walks headers in ~3200
+    * parallel tasks, not a fixed handful. */
+  private val DiscoverSplitBytes = 32L << 20
+
+  def discoverBlocks(spark: SparkSession, path: String, numSplits: Int = 0): DataFrame = {
     import spark.implicits._
     val len = graft.bam.ds.Bai.fileLen(path)
-    val splitSize = math.max(1L, (len + numSplits - 1) / numSplits)
+    val splits =
+      if (numSplits > 0) numSplits
+      else math.max(8L, (len + DiscoverSplitBytes - 1) / DiscoverSplitBytes).toInt
+    val splitSize = math.max(1L, (len + splits - 1) / splits)
     val bounds = (0L until len by splitSize).map(s => (s, math.min(s + splitSize, len)))
     val conf = graft.bam.ds.BamDataSource.serializableConf()
     spark.createDataset(bounds).repartition(bounds.length)
@@ -69,7 +77,7 @@ object BamOps {
   /** Write the two side-car indexes from their relations (S14/S15 sinks):
     * single files, strictly ordered, like the reference's writers. */
   def indexBlocks(spark: SparkSession, path: String, out: String): Unit =
-    writeCsvOrdered(discoverBlocks(spark, path, 8).orderBy("start"), out)
+    writeCsvOrdered(discoverBlocks(spark, path).orderBy("start"), out)
   def indexRecords(spark: SparkSession, path: String, out: String): Unit = {
     val df = spark.read.format("bam").load(path)
       .select(col("virtualPos.blockPos"), col("virtualPos.offset"))

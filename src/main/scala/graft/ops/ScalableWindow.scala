@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * distributed scan instead:
   *
   *   1. every row gets a DETERMINISTIC range-bucket id: the count of
-  *      precomputed quantile boundaries ≤ its first order key (one small
-  *      driver-side `percentile_approx` job per op — the same sampling
-  *      pass a `repartitionByRange` hides inside its exchange);
+  *      precomputed quantile boundaries ≤ its first order key. Boundaries
+  *      come from one small driver-side sample job over a BOUNDED strided
+  *      subset of the input (the same role as the sampling pass a
+  *      `repartitionByRange` hides inside its exchange, but with IO
+  *      independent of data size — a windowed query never pays a second
+  *      full scan just to pick boundaries);
   *   2. the window runs *partitioned by* the bucket id — Catalyst inserts
   *      one hash shuffle on the bucket, N parallel WindowExecs;
   *   3. the carry of the scan (per-bucket sum / count / edge value) is a
@@ -46,6 +49,56 @@ object ScalableWindow {
 
   private val Pid = "__swb"
 
+  /** Target size of the driver-collected boundary sample. Boundary QUALITY
+    * only affects bucket balance, never results (see class doc), so a
+    * bounded sample is all the precision the op needs. */
+  private val SampleTarget = 100000
+  /** Partitions probed by the sample job (strided subset when the input has
+    * more — at 100 TB a scan can have 100k+ partitions and the sample must
+    * not launch 100k tasks). */
+  private val SampleMaxPartitions = 1024
+  /** Within-partition stride: each probed task reads every `SampleStride`-th
+    * row of its head, so the sample reaches ~stride × perPart rows deep
+    * instead of only the first rows (heads of a sorted partition would
+    * otherwise all but guarantee skewed boundaries). IO stays bounded:
+    * ≤ stride × perPart rows per task, independent of data size. */
+  private val SampleStride = 37
+
+  /** Bounded, DETERMINISTIC sample of the (non-null, cast-to-double) order
+    * key: a strided subset of partitions × a strided head of each. Unlike
+    * the previous full-input `percentile_approx` (and unlike a Bernoulli
+    * `df.sample`, which still reads every row), this job's IO is
+    * O(partitions-probed × rows-per-probe) — constant per op however big
+    * the input — so the boundary pass stops being a second full scan. */
+  private def sampleKeys(df: DataFrame, k: Column): Array[Double] = {
+    val rdd = df.select(k.as("__k")).rdd
+    val nParts = rdd.getNumPartitions
+    if (nParts == 0) return Array.empty
+    val parts: Seq[Int] =
+      if (nParts <= SampleMaxPartitions) 0 until nParts
+      else (0 until SampleMaxPartitions)
+        .map(i => ((i.toLong * nParts) / SampleMaxPartitions).toInt)
+    val perPart = math.max(64, SampleTarget / parts.length)
+    val chunks = df.sparkSession.sparkContext.runJob(
+      rdd,
+      (it: Iterator[org.apache.spark.sql.Row]) => {
+        val out = Array.newBuilder[Double]
+        var kept = 0
+        var seen = 0
+        while (it.hasNext && kept < perPart) {
+          val r = it.next()
+          if (seen % SampleStride == 0 && !r.isNullAt(0)) {
+            out += r.getDouble(0)
+            kept += 1
+          }
+          seen += 1
+        }
+        out.result()
+      },
+      parts)
+    chunks.flatten.sorted
+  }
+
   /** Stamp the deterministic range-bucket id. First order column must be
     * numeric (all engine call sites are; multi-column keys bucket by their
     * first column — a sort-order-consistent prefix). */
@@ -53,13 +106,12 @@ object ScalableWindow {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val buckets = 4 * n
     val k = col(orderCols.head).cast("double")
-    val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val row = df
-      .select(percentile_approx(k, array(fracs.map(lit): _*), lit(10000)).as("bs"))
-      .head()
+    val sample = sampleKeys(df, k)
     val bs: Seq[Double] =
-      if (row.isNullAt(0)) Seq.empty
-      else row.getSeq[Double](0).distinct // equal quantiles → one boundary
+      if (sample.isEmpty) Seq.empty
+      else (1 until buckets)
+        .map(i => sample(math.min((i * sample.length) / buckets, sample.length - 1)))
+        .distinct // equal quantiles → one boundary
     // whole-stage-codegen'd when-chain (functions.aggregate over an array
     // literal is a CodegenFallback higher-order function — interpreted
     // per row, it cost more than the shuffle it organizes): bucket = index

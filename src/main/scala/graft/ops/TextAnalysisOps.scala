@@ -22,15 +22,22 @@ object TextAnalysisOps {
 
   private def toks(text: Column): Column = DedupOps.tokens(text)
 
+  /** Codegen'd stopword-hit count over a token array (one hash-probe loop
+    * per row — the HOF form `size(filter(...))` is CodegenFallback,
+    * interpreted per row per profile; see
+    * [[graft.expressions.StopwordHits]]). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.StopwordHits(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), words))
+
   /** Stopword-hit count for one language over an already-staged token
     * array column (counts occurrences, not types). The input MUST be a
     * plain attribute when scored for several languages: Catalyst inlines
     * single-use aliases, so an expression tree would re-tokenize per
     * language (the round-1 `lang_id` 16 s offender). */
-  def langScoreFromToks(toks: Column, lang: String): Column = {
-    val sw = array(Stopwords(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(sw, t)))
-  }
+  def langScoreFromToks(toks: Column, lang: String): Column =
+    stopwordHits(toks, Stopwords(lang))
 
   /** Single-language convenience form (inline tokenization is fine when
     * the tree is evaluated once). */
@@ -72,9 +79,8 @@ object TextAnalysisOps {
     val meanTokLen = when(nTok > 0,
       aggregate(t, lit(0), (a, x) => a + length(x)).cast("double") / nTok)
       .otherwise(0.0)
-    val sw = array(Stopwords("en").map(lit): _*)
     val swRatio = when(nTok > 0,
-      size(filter(t, x => array_contains(sw, x))).cast("double") / nTok)
+      stopwordHits(t, Stopwords("en")).cast("double") / nTok)
       .otherwise(0.0)
     Seq(
       "n_chars" -> nChars,
@@ -143,13 +149,18 @@ object TextAnalysisOps {
     *
     * Scale shape: grams are xxhash64'd (8-byte join keys, no string
     * shuffles), de-duplicated per document BEFORE the join (bounds rows at
-    * docs × distinct-grams), and the join is an equi-join on the hash —
-    * broadcast when the test side is small (the common case: a benchmark
-    * suite vs a crawl), shuffled hash join otherwise. Docs shorter than
-    * `w` tokens can't carry a full n-gram and are skipped. */
+    * docs × distinct-grams), and the join is an equi-join on the hash.
+    * No broadcast hint by default: the test side is whatever `isTest`
+    * selects — often a fixed fraction of the corpus, which grows with the
+    * data — so pinning it to every executor's heap is an OOM at scale.
+    * Catalyst's size stats + AQE broadcast it automatically when it is
+    * genuinely benchmark-suite-sized; pass `broadcastTest = true` only
+    * when the caller KNOWS the test side is small and the optimizer can't
+    * see it (e.g. behind a non-reporting source). Docs shorter than `w`
+    * tokens can't carry a full n-gram and are skipped. */
   def contamination(docs: DataFrame, isTest: Column, w: Int = 8,
                     minShared: Long = 3,
-                    broadcastTest: Boolean = true): DataFrame = {
+                    broadcastTest: Boolean = false): DataFrame = {
     val staged = docs
       .withColumn("__t", DedupOps.tokens(col("text")))
       .filter(size(col("__t")) >= w)

@@ -382,10 +382,13 @@ object RelationalOps {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      // broadcast ONLY the filtered customer dim; the orders⋈customer
-      // result is fact-sized (~20% of orders) and must not be forced to the
-      // driver — AQE picks broadcast vs shuffle for it from runtime stats
-      l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      // NO broadcast hints anywhere in this chain: the filtered customer
+      // side is a fixed FRACTION (~20%) of a table that grows linearly with
+      // scale factor, so a planning-time hint becomes an executor OOM at
+      // the 100 TB posture. The parquet scan's size stats pick broadcast at
+      // plan time when the side is genuinely small, and AQE re-plans from
+      // runtime stats otherwise — the decision tracks the data, not the hint
+      l.join(o.join(c, col("c_custkey") === col("o_custkey"))
           .select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")

@@ -23,15 +23,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<>"), p)
   }
 
-  test("the dimension join chain broadcasts the dim; no forced fact broadcast") {
-    val df = SparkEntry.queries("q3_topk_join")(spark, sfTiny)
-    df.collect() // let AQE finalize: fact-side strategy comes from runtime stats
+  test("the dimension join chain broadcasts the dim from STATS, not a hint") {
+    // sf0.01: big enough that the choice is a real decision, small enough
+    // for the suite. The filtered customer side grows linearly with scale
+    // factor, so a planning-time hint would be an OOM at 100 TB — the
+    // broadcast must come from the scan's size stats / AQE runtime stats.
+    val df = SparkEntry.queries("q3_topk_join")(spark, sfSmall)
+    df.collect() // let AQE finalize from runtime stats
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
-    // only ONE planning-time broadcast hint survives (the customer dim);
-    // the orders⋈customer result must not be hinted to the driver
+    // ZERO planning-time broadcast hints anywhere in the chain
     val logical = df.queryExecution.analyzed.toString
-    assert("hint".r.findAllIn(logical.toLowerCase).length <= 1, logical)
+    assert(!logical.toLowerCase.contains("hint"), logical)
+  }
+
+  test("contamination's test side is not pinned by a hint (huge side → shuffle)") {
+    // With broadcast disabled there must be NO broadcast join left in the
+    // decontamination plan: a hint would force one regardless — the exact
+    // failure mode when the test side is a corpus fraction at 100 TB.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val old = spark.conf.getOption(key)
+    val oldAqe = spark.conf.getOption(aqeKey)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set(aqeKey, "-1")
+      val df = SparkEntry.queries("decontam_ngram")(spark, sfTiny)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally {
+      old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      oldAqe.fold(spark.conf.unset(aqeKey))(spark.conf.set(aqeKey, _))
+    }
+    // and with stats enabled, the genuinely-small test side DOES broadcast
+    val df2 = SparkEntry.queries("decontam_ngram")(spark, sfTiny)
+    df2.collect()
+    assert(df2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
   test("aggregations are partial+final (map-side combine)") {

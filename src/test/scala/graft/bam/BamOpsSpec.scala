@@ -15,6 +15,20 @@ class BamOpsSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("discovery parallelism scales with file size (one split per 32 MiB, floor 8)") {
+    val fx = BamFixture.default
+    // small fixture → the floor applies
+    assert(BamOps.discoverBlocks(spark, fx.bamPath).rdd.getNumPartitions == 8)
+    // the big fixture (~51 MB) must cross the 32 MiB split size → 2 splits,
+    // but still floored at 8 tasks
+    val big = BamFixture.bigPath
+    val len = new java.io.File(big).length()
+    val expected = math.max(8L, (len + (32L << 20) - 1) / (32L << 20)).toInt
+    assert(BamOps.discoverBlocks(spark, big).rdd.getNumPartitions == expected)
+    // explicit override still wins
+    assert(BamOps.discoverBlocks(spark, fx.bamPath, 3).rdd.getNumPartitions == 3)
+  }
+
   test("blocks() side-car fast path equals discovery") {
     val fx = BamFixture.default
     val viaSidecar = BamOps.blocks(spark, fx.bamPath).orderBy("start").collect()

@@ -44,6 +44,34 @@ class SignaturesSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("stopword_hits equals the interpreted HOF formulation on real docs") {
+    import graft.ops.TextAnalysisOps
+    val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
+    TextAnalysisOps.Langs.foreach { lang =>
+      val sw = array(TextAnalysisOps.Stopwords(lang).map(lit): _*)
+      val diff = staged
+        .withColumn("fast", TextAnalysisOps.stopwordHits($"toks",
+          TextAnalysisOps.Stopwords(lang)))
+        .withColumn("ref", size(filter($"toks", t => array_contains(sw, t))))
+        .filter($"fast" =!= $"ref").count()
+      assert(diff == 0, lang)
+    }
+  }
+
+  test("stopword_hits edge cases: empty array, null array, null elements") {
+    val en = graft.ops.TextAnalysisOps.Stopwords("en")
+    val df = Seq(
+      (1, Seq[String]()),
+      (2, null),
+      (3, Seq("the", null, "the", "xyzzy"))
+    ).toDF("id", "toks")
+    val got = df.withColumn("n", graft.ops.TextAnalysisOps.stopwordHits($"toks", en))
+      .orderBy("id").select("n").collect()
+    assert(got(0).getInt(0) == 0)
+    assert(got(1).isNullAt(0))
+    assert(got(2).getInt(0) == 2) // occurrences, null elements skipped
+  }
+
   test("empty input arrays behave sanely") {
     SignatureFunctions.register(spark)
     val r = spark.sql(
