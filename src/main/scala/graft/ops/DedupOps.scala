@@ -25,9 +25,13 @@ object DedupOps {
     graft.expressions.SignatureParams.A
       .zip(graft.expressions.SignatureParams.B).toIndexedSeq
 
-  /** Whitespace tokens of the lower-cased text. */
+  /** Whitespace tokens of the lower-cased text. `array_remove(_, "")` is
+    * the codegen'd equivalent of `filter(_, t => length(t) > 0)` — the
+    * lambda form is a higher-order function, which Catalyst evaluates
+    * interpreted (CodegenFallback) on every row of every text operator
+    * built on this tokenizer. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** w-word shingles; degenerate short docs fall back to the whole text. */
   def shingles(toks: Column, w: Int = 3): Column =

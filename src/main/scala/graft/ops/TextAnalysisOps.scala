@@ -76,8 +76,11 @@ object TextAnalysisOps {
     val nTok = size(t)
     val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
     val digits = length(regexp_replace(text, "[^0-9]+", ""))
+    // sum of token lengths == length of the separator-less concatenation —
+    // ConcatWs is codegen'd where the `aggregate(...)` HOF fold is
+    // interpreted per row
     val meanTokLen = when(nTok > 0,
-      aggregate(t, lit(0), (a, x) => a + length(x)).cast("double") / nTok)
+      length(concat_ws("", t)).cast("double") / nTok)
       .otherwise(0.0)
     val swRatio = when(nTok > 0,
       stopwordHits(t, Stopwords("en")).cast("double") / nTok)
