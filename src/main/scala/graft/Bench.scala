@@ -24,6 +24,13 @@ object Bench {
       // AQE plans (j5_lag_prev 4.7 s → 0.9 s warm). On a real cluster
       // locality wait earns its keep — leave it at default there.
       .config("spark.locality.wait", "0")
+      // HotSpot refuses to JIT any method over 8000 bytecodes
+      // (DontCompileHugeMethods), so a whole-stage-codegen'd function past
+      // that size runs in the BYTECODE INTERPRETER forever — measured 2.4x
+      // on the fused minhash signature+band+join stage. Falling back to
+      // per-operator code for such stages is strictly better; Spark's
+      // default (65535) only guards the JVM hard limit.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // un-timed warmup: BAM fixtures materialize (no timed query pays

@@ -16,6 +16,7 @@ object Verify {
       // single-executor local mode: delay scheduling only adds idle time
       // (see Bench.scala for the measurement)
       .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

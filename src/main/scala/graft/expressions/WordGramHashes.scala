@@ -1,0 +1,98 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct xxhash64 values of the `w`-word shingles of a token array, as
+  * ONE codegen'd pass — the hash side of near-dup signatures and n-gram
+  * decontamination.
+  *
+  * Exactly equivalent (barring 64-bit hash collisions inside one
+  * document's distinct step) to the HOF chain
+  * `array_distinct(transform(shingles(toks, w), s => xxhash64(s)))` with
+  * `shingles` = space-joined sliding windows falling back to the whole
+  * text when the doc is shorter than `w` tokens — but that chain is TWO
+  * CodegenFallback higher-order functions (window materialization, then
+  * per-shingle hash), interpreted per row under every MinHash /
+  * decontamination query. With `modPrime` the hash is folded to a 31-bit
+  * base hash (`pmod(h, SignatureParams.Prime)`), the input domain of
+  * [[MinHashSignature]].
+  *
+  * Output ORDER is first-occurrence (same as `array_distinct`); every
+  * consumer is order-invariant (min-fold, equi-join, set intersect).
+  */
+case class WordGramHashes(child: Expression, w: Int, modPrime: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramHashesUtil.compute(input.asInstanceOf[ArrayData], w, modPrime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = classOf[WordGramHashesUtil].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      arr => s"${ev.value} = $util.compute($arr, $w, $modPrime);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGramHashes =
+    copy(child = c)
+  override def prettyName: String = "word_gram_hashes"
+}
+
+class WordGramHashesUtil
+object WordGramHashesUtil {
+  /** xxhash64's default seed (Spark's `xxhash64` function). */
+  final val Seed = 42L
+  private val Space = UTF8String.fromString(" ")
+
+  private def hashOf(s: UTF8String, modPrime: Boolean): Long = {
+    val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+      s.numBytes, Seed)
+    if (modPrime) {
+      // Spark pmod semantics: non-negative remainder
+      val m = h % SignatureParams.Prime
+      if (m < 0) m + SignatureParams.Prime else m
+    } else h
+  }
+
+  def compute(arr: ArrayData, w: Int, modPrime: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // null tokens are skipped by concatWs, matching concat_ws
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    if (n < w) {
+      // degenerate short doc: one shingle = the whole space-joined text
+      val g = UTF8String.concatWs(Space, toks: _*)
+      return new GenericArrayData(Array(hashOf(g, modPrime)))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]((n * 2) max 8)
+    val win = new Array[UTF8String](w)
+    var s = 0
+    while (s + w <= n) {
+      System.arraycopy(toks, s, win, 0, w)
+      seen.add(hashOf(UTF8String.concatWs(Space, win: _*), modPrime))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -40,9 +40,20 @@ object DedupOps {
         i => concat_ws(" ", (0 until w).map(d => element_at(toks, i + d + 1)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** 31-bit base hashes of the shingle set. */
+  /** 31-bit base hashes of the shingle set. HOF reference formulation —
+    * the production path is the codegen'd [[gramHashes]] (identical
+    * values; differential-tested in SignaturesSpec). */
   private def baseHashes(sh: Column): Column =
     array_distinct(transform(sh, s => pmod(xxhash64(s), lit(Prime))))
+
+  /** Distinct w-gram hashes straight from the token array in ONE
+    * codegen'd pass (see [[graft.expressions.WordGramHashes]]) — replaces
+    * the interpreted shingle-materialize + per-shingle-hash HOF chain on
+    * every near-dup / decontamination hot path. */
+  def gramHashes(toks: Column, w: Int = 3, modPrime: Boolean = false): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WordGramHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), w, modPrime))
 
   /** HOF signature from an already-materialized base-hash array column.
     * Reference implementation for the codegen'd `minhash_signature`
@@ -65,8 +76,7 @@ object DedupOps {
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(n)
       .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", shingles(col("toks")))
-      .withColumn("hs", baseHashes(col("sh")))
+      .withColumn("hs", gramHashes(col("toks"), modPrime = true))
       .withColumn("sig", call_function("minhash_signature", col("hs")))
       .select("id", "sig")
   }
@@ -126,13 +136,14 @@ object DedupOps {
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
-    // exact verification joins the pre-computed shingle SETS back (never
-    // re-tokenize per pair; broadcast-size at test SF, co-partitioned
-    // hash join at scale)
+    // exact verification joins the pre-computed shingle-HASH sets back
+    // (never re-tokenize per pair; 8-byte elements instead of gram
+    // strings — same Jaccard barring 64-bit collisions; broadcast-size at
+    // test SF, co-partitioned hash join at scale)
     val shing = docs.select(col(idCol).as("id"),
         col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
-      .withColumn("ss", array_distinct(shingles(col("toks"))))
+      .withColumn("ss", gramHashes(col("toks")))
       .select("id", "ss")
     cand
       .join(shing.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")

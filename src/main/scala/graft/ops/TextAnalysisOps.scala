@@ -168,9 +168,10 @@ object TextAnalysisOps {
       .withColumn("__t", DedupOps.tokens(col("text")))
       .filter(size(col("__t")) >= w)
       .withColumn("__is_test", isTest)
+    // distinct gram hashes in one codegen'd pass (WordGramHashes) — the
+    // interpreted shingle-string HOF chain only ever fed xxhash64 anyway
     val grams = staged.select(col("doc_id"), col("__is_test"),
-      explode(array_distinct(DedupOps.shingles(col("__t"), w))).as("__g"))
-      .select(col("doc_id"), col("__is_test"), xxhash64(col("__g")).as("__h"))
+      explode(DedupOps.gramHashes(col("__t"), w)).as("__h"))
     val test = grams.filter(col("__is_test"))
       .select(col("doc_id").as("test_doc"), col("__h"))
     val train = grams.filter(!col("__is_test"))

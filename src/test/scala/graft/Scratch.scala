@@ -10,6 +10,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.locality.wait", sys.env.getOrElse("LOCALITY_WAIT", "3s"))
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.1")

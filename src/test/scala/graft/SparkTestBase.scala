@@ -23,6 +23,7 @@ object SparkTestBase {
       // single-executor local mode: delay scheduling only adds idle time
       // (see Bench.scala)
       .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -44,6 +44,45 @@ class SignaturesSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("word_gram_hashes equals the shingle+hash HOF chain on real docs") {
+    val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
+    // sort both sides: the expression emits first-occurrence order like
+    // array_distinct, but only SET equality is contracted
+    Seq(2, 3, 5).foreach { w =>
+      val diffPlain = staged
+        .withColumn("fast", array_sort(DedupOps.gramHashes($"toks", w)))
+        .withColumn("ref", array_sort(array_distinct(
+          transform(DedupOps.shingles($"toks", w), s => xxhash64(s)))))
+        .filter($"fast" =!= $"ref").count()
+      assert(diffPlain == 0, s"w=$w plain")
+      val diffPrime = staged
+        .withColumn("fast",
+          array_sort(DedupOps.gramHashes($"toks", w, modPrime = true)))
+        .withColumn("ref", array_sort(array_distinct(
+          transform(DedupOps.shingles($"toks", w),
+            s => pmod(xxhash64(s), lit(2147483647L))))))
+        .filter($"fast" =!= $"ref").count()
+      assert(diffPrime == 0, s"w=$w modPrime")
+    }
+  }
+
+  test("word_gram_hashes degenerate inputs: short docs, empty array") {
+    val df = Seq(
+      (1, Seq("a", "b")),      // shorter than w=3 -> whole-text fallback
+      (2, Seq[String]()),      // empty -> hash of ""
+      (3, Seq("x", "x", "x", "x")) // repeated gram -> one distinct hash
+    ).toDF("id", "toks")
+    val got = df
+      .withColumn("fast", array_sort(DedupOps.gramHashes($"toks", 3)))
+      .withColumn("ref", array_sort(array_distinct(
+        transform(DedupOps.shingles($"toks", 3), s => xxhash64(s)))))
+      .filter($"fast" =!= $"ref").count()
+    assert(got == 0)
+    val rep = df.filter($"id" === 3)
+      .select(size(DedupOps.gramHashes($"toks", 3))).head().getInt(0)
+    assert(rep == 1)
+  }
+
   test("stopword_hits equals the interpreted HOF formulation on real docs") {
     import graft.ops.TextAnalysisOps
     val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
