@@ -51,6 +51,34 @@ case class WordGramHashes(child: Expression, w: Int, modPrime: Boolean)
   override def prettyName: String = "word_gram_hashes"
 }
 
+/** Per-element xxhash64 of a token array (ALL tokens, duplicates kept —
+  * SimHash votes are occurrence-weighted), as one codegen'd pass.
+  * Equivalent to `transform(toks, t => xxhash64(t))`, which is a
+  * CodegenFallback higher-order function interpreted per row. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramHashesUtil.hashAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = classOf[WordGramHashesUtil].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $util.hashAll($arr);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenHashes =
+    copy(child = c)
+  override def prettyName: String = "token_hashes"
+}
+
 class WordGramHashesUtil
 object WordGramHashesUtil {
   /** xxhash64's default seed (Spark's `xxhash64` function). */
@@ -65,6 +93,24 @@ object WordGramHashesUtil {
       val m = h % SignatureParams.Prime
       if (m < 0) m + SignatureParams.Prime else m
     } else h
+  }
+
+  /** out(i) = xxhash64(arr(i)); a null element hashes to the seed,
+    * matching Spark's `xxhash64` null semantics. */
+  def hashAll(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) Seed
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def compute(arr: ArrayData, w: Int, modPrime: Boolean): ArrayData = {

@@ -55,6 +55,14 @@ object DedupOps {
       graft.expressions.WordGramHashes(
         org.apache.spark.sql.GraftColumnBridge.expression(toks), w, modPrime))
 
+  /** Per-token xxhash64 (duplicates kept) in one codegen'd pass — the
+    * SimHash input; the `transform(toks, xxhash64)` HOF form is
+    * interpreted per row (see [[graft.expressions.TokenHashes]]). */
+  def tokenHashes(toks: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.TokenHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks)))
+
   /** HOF signature from an already-materialized base-hash array column.
     * Reference implementation for the codegen'd `minhash_signature`
     * expression; the 64 minima each scan `hs`, so `hs` MUST be a plain
@@ -177,7 +185,7 @@ object DedupOps {
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(n)
       .withColumn("toks", tokens(col("text")))
-      .withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("hs", tokenHashes(col("toks")))
       .withColumn("sh", call_function("simhash64", col("hs")))
       .select("id", "sh")
   }

@@ -66,6 +66,22 @@ class SignaturesSpec extends SparkTestBase {
     }
   }
 
+  test("token_hashes equals the transform+xxhash64 HOF on real docs") {
+    val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
+    val diff = staged
+      .withColumn("fast", DedupOps.tokenHashes($"toks"))
+      .withColumn("ref", transform($"toks", t => xxhash64(t)))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+    // duplicates preserved in order, empty array passes through
+    val edge = Seq((1, Seq("a", "a", "b")), (2, Seq[String]())).toDF("id", "toks")
+    val rows = edge.withColumn("h", DedupOps.tokenHashes($"toks"))
+      .orderBy("id").select("h").collect()
+    val h0 = rows(0).getSeq[Long](0)
+    assert(h0.length == 3 && h0(0) == h0(1) && h0(0) != h0(2))
+    assert(rows(1).getSeq[Long](0).isEmpty)
+  }
+
   test("word_gram_hashes degenerate inputs: short docs, empty array") {
     val df = Seq(
       (1, Seq("a", "b")),      // shorter than w=3 -> whole-text fallback
