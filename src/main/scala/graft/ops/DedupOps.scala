@@ -226,6 +226,47 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via the INVERTED-INDEX shape:
+    * per-doc distinct gram hashes → explode → self-equi-join on the gram
+    * (the only wide edge — candidates share ≥1 gram, never all-pairs) →
+    * per-pair shared count → Jaccard from the per-doc distinct-gram
+    * counts (|A∩B| / (|A|+|B|−|A∩B|)). Docs shorter than `w` tokens are
+    * skipped (can't carry a full gram).
+    *
+    * `maxDf > 0` drops grams appearing in more than that many documents
+    * before the join — the stop-gram guard: a boilerplate gram's bucket
+    * makes candidates quadratic at crawl scale (same role as
+    * [[minhashPairs]]' `maxBucket`). Off by default so the oracle
+    * formulation matches exactly. */
+  def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", w: Int = 3,
+                   threshold: Double = 0.5, maxDf: Int = 0): DataFrame = {
+    val staged = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= w)
+      .withColumn("hs", gramHashes(col("toks"), w))
+    val grams = staged.select(col("id"), explode(col("hs")).as("__h"))
+    val kept =
+      if (maxDf <= 0) grams
+      else {
+        val hot = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+        grams.join(hot, Seq("__h")).drop("__df")
+      }
+    val cnt = staged.select(col("id"), size(col("hs")).as("__n"))
+    kept.select(col("id").as("id_a"), col("__h"))
+      .join(kept.select(col("id").as("id_b"), col("__h")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .join(cnt.select(col("id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("__j", col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")))
+      .filter(col("__j") >= threshold) // filter on the RAW ratio (oracle parity)
+      .withColumn("jaccard", round(col("__j"), 4))
+      .select("id_a", "id_b", "n_shared", "jaccard")
+  }
+
   /** Exact duplicate clusters: group identical normalized texts (the
     * hash-groupBy dedup; flag-0x400-style survivor = min id). */
   def exactDupes(docs: DataFrame, idCol: String = "doc_id",

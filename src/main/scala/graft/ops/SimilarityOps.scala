@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * (`array<float>`), with a brute-force cosine baseline and a random-
   * hyperplane LSH scale path.
   *
-  * Dot products are `aggregate(zip_with(...))` — codegen'd, no UDFs.
+  * Hot-path dot products go through the fused native `cosine_sim`
+  * expression (graft.expressions.CosineSim); the `aggregate(zip_with(...))`
+  * HOF form is interpreted (CodegenFallback) and kept only as the
+  * differential reference and for tiny literal hyperplane dots.
   * Accumulation is sequential left-to-right in double space, so results
   * are deterministic regardless of partitioning.
   */

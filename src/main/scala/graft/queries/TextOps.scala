@@ -64,6 +64,37 @@ object TextOps {
                 size(col("__t")).cast("double")).as("dup_ratio"))
     },
 
+    // Exact n-gram Jaccard near-dup pairs (inverted-index shape): the
+    // Spark side joins xxhash64 gram hashes, the oracle joins the gram
+    // strings — identical pairs barring 64-bit collisions.
+    q(
+      "dedup_jaccard",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+        |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+        |  FROM tk WHERE LEN(t) >= 3
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+        |), sh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 4) AS jaccard
+        |FROM sh JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) >= 0.5""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.DedupOps.jaccardPairs(t(s, dir, "documents"), w = 3,
+        threshold = 0.5)
+    },
+
     // Train/test n-gram decontamination: src19 plays the benchmark suite;
     // pairs sharing >= 3 distinct trigrams are contaminated. The Spark
     // path joins on xxhash64 gram hashes (the 100 TB shape); the oracle

@@ -16,6 +16,17 @@ class DedupSpec extends SparkTestBase {
     (6L, "the quick brown fox jumps over the lazy cat near the river bank today")   // near dup of 1
   ).toDF("doc_id", "text")
 
+  test("jaccard pairs: exact dup scores 1.0, near dups high, unrelated absent") {
+    val pairs = DedupOps.jaccardPairs(planted, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical texts share every gram
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 6L)) > 0.3) // one-word edits
+    assert(!pairs.keySet.exists { case (a, b) => a >= 4L || b == 4L || b == 5L })
+    // stop-gram guard drops pairs that only share ultra-common grams
+    val capped = DedupOps.jaccardPairs(planted, threshold = 0.3, maxDf = 1)
+    assert(capped.count() == 0) // every shared gram has df >= 2 by definition
+  }
+
   test("minhash pairs find planted exact and near duplicates, not unrelated") {
     val pairs = DedupOps.minhashPairs(planted, threshold = 0.4)
       .select("id_a", "id_b", "jaccard").collect()
