@@ -234,5 +234,36 @@ object SignatureFunctions {
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         (children: Seq[Expression]) => SimHash64(children.head))
     }
+    val th = FunctionIdentifier("token_hashes")
+    if (!registry.functionExists(th)) {
+      registry.registerFunction(th,
+        new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+        (children: Seq[Expression]) => TokenHashes(children.head))
+    }
+    // SQL forms take foldable literals for the non-column parameters:
+    //   word_gram_hashes(toks, 3[, false]), stopword_hits(toks, array('the',...))
+    val wg = FunctionIdentifier("word_gram_hashes")
+    if (!registry.functionExists(wg)) {
+      registry.registerFunction(wg,
+        new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+        (children: Seq[Expression]) => {
+          val w = children(1).eval(null).asInstanceOf[Number].intValue()
+          val mp = children.length > 2 &&
+            children(2).eval(null).asInstanceOf[Boolean]
+          WordGramHashes(children.head, w, mp)
+        })
+    }
+    val sw = FunctionIdentifier("stopword_hits")
+    if (!registry.functionExists(sw)) {
+      registry.registerFunction(sw,
+        new ExpressionInfo(classOf[StopwordHits].getName, "stopword_hits"),
+        (children: Seq[Expression]) => {
+          val words = children(1).eval(null)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+            .map(_.toString).toSeq
+          StopwordHits(children.head, words)
+        })
+    }
   }
 }

@@ -127,6 +127,21 @@ class SignaturesSpec extends SparkTestBase {
     assert(got(2).getInt(0) == 2) // occurrences, null elements skipped
   }
 
+  test("SQL registry forms of the r5 expressions work with literal params") {
+    SignatureFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT word_gram_hashes(array('a','b','c','d'), 3) AS wg,
+        |       word_gram_hashes(array('a','b','c','d'), 3, true) AS wgp,
+        |       token_hashes(array('a','a')) AS th,
+        |       stopword_hits(array('the','fox','the'), array('the','a')) AS sw
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 2) // "a b c", "b c d"
+    assert(r.getSeq[Long](1).forall(h => h >= 0 && h < 2147483647L))
+    val th = r.getSeq[Long](2)
+    assert(th.length == 2 && th(0) == th(1))
+    assert(r.getInt(3) == 2)
+  }
+
   test("empty input arrays behave sanely") {
     SignatureFunctions.register(spark)
     val r = spark.sql(
