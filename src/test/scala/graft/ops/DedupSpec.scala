@@ -84,6 +84,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("jaccard pairs equal brute-force pairwise exactJaccard on real docs") {
+    // differential: the inverted-index shape must reproduce the scalar
+    // exactJaccard for EVERY pair it emits, and must not miss any pair
+    // over threshold (any such pair shares >= 1 gram, so the gram join
+    // generates it as a candidate by construction)
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet").limit(120)
+    val got = DedupOps.jaccardPairs(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val a = docs.select($"doc_id".as("id_a"), $"text".as("ta"))
+    val b = docs.select($"doc_id".as("id_b"), $"text".as("tb"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("j", DedupOps.exactJaccard($"ta", $"tb"))
+      .filter($"j" >= 0.4)
+      .select($"id_a", $"id_b", round($"j", 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == brute.keySet,
+      s"missing=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-9, k) }
+  }
+
   test("exact dup clusters pick min-id keeper") {
     val rows = DedupOps.exactDupes(planted).collect()
     assert(rows.length == 1)
