@@ -65,15 +65,23 @@ object Bench {
     // of two independent runs is robust to any single such event while
     // leaving genuine plan regressions (which hit both runs) fully visible.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // (elapsed, succeeded) — a failed attempt's (often fast) elapsed time
+      // must never win the min over a successful run's real time
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      val succeeded = Seq(a, b).filter(_._2)
+      // both failed → report the failed elapsed (visible on stderr), as before
+      name -> (if (succeeded.nonEmpty) succeeded.map(_._1).min
+               else math.min(a._1, b._1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -38,24 +38,18 @@ object BamQueries {
   /** Two fixtures with DIFFERENT contig dictionaries (same names, different
     * order) — the heterogeneous multi-file read every mixed-pipeline BAM
     * directory hits. Built once per JVM (Bench's un-timed warmup). */
-  private val heteroMemo =
-    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
-  private def hetero(): (String, String) = synchronized {
-    Option(heteroMemo.get).getOrElse {
-      import graft.bam.codec.Bam
-      val dir = java.nio.file.Paths.get(
-        sys.props.getOrElse("graft.fixture.dir", "target/bam-fixtures"),
-        "hetero")
-      val fxA = BamFixture.write(dir, "a.bam", n = 600, seed = 21,
-        payloadSize = 2048)
-      val fxB = BamFixture.write(dir, "b.bam", n = 600, seed = 22,
-        payloadSize = 2048,
-        contigs = IndexedSeq(Bam.Contig("chr3", 900_000),
-          Bam.Contig("chr1", 2_000_000), Bam.Contig("chr2", 1_500_000)))
-      val pair = (fxA.bamPath, fxB.bamPath)
-      heteroMemo.set(pair)
-      pair
-    }
+  private lazy val hetero: (String, String) = {
+    import graft.bam.codec.Bam
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.fixture.dir", "target/bam-fixtures"),
+      "hetero")
+    val fxA = BamFixture.write(dir, "a.bam", n = 600, seed = 21,
+      payloadSize = 2048)
+    val fxB = BamFixture.write(dir, "b.bam", n = 600, seed = 22,
+      payloadSize = 2048,
+      contigs = IndexedSeq(Bam.Contig("chr3", 900_000),
+        Bam.Contig("chr1", 2_000_000), Bam.Contig("chr2", 1_500_000)))
+    (fxA.bamPath, fxB.bamPath)
   }
 
   val all: Seq[Q] = Seq(
@@ -65,7 +59,7 @@ object BamQueries {
     // dictionary and pushes the intersection; pruning re-derives bounds
     // per file). Values pinned in PushdownSpec's two-dictionary case.
     q("bam_multi_dict") { (s, _) =>
-      val (a, b) = hetero()
+      val (a, b) = hetero
       s.read.format("bam").option("splitSize", "4096")
         .option("paths", s"$a,$b").load()
         .filter(col("contig") === "chr3" && col("pos") < 50_000)

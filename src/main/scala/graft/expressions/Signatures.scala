@@ -242,14 +242,34 @@ object SignatureFunctions {
     }
     // SQL forms take foldable literals for the non-column parameters:
     //   word_gram_hashes(toks, 3[, false]), stopword_hits(toks, array('the',...))
+    def foldableArg(fn: String, children: Seq[Expression], i: Int,
+                    what: String): Any = {
+      if (children.length <= i) throw new IllegalArgumentException(
+        s"$fn expects ${i + 1}+ arguments ($what missing)")
+      val c = children(i)
+      if (!c.foldable) throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} ($what) must be a foldable literal, got ${c.sql}")
+      val v = c.eval(null)
+      if (v == null) throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} ($what) must not be null")
+      v
+    }
     val wg = FunctionIdentifier("word_gram_hashes")
     if (!registry.functionExists(wg)) {
       registry.registerFunction(wg,
         new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
         (children: Seq[Expression]) => {
-          val w = children(1).eval(null).asInstanceOf[Number].intValue()
+          val w = foldableArg("word_gram_hashes", children, 1, "gram width") match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"word_gram_hashes gram width must be integral, got $other")
+          }
           val mp = children.length > 2 &&
-            children(2).eval(null).asInstanceOf[Boolean]
+            (foldableArg("word_gram_hashes", children, 2, "modPrime") match {
+              case b: Boolean => b
+              case other => throw new IllegalArgumentException(
+                s"word_gram_hashes modPrime must be boolean, got $other")
+            })
           WordGramHashes(children.head, w, mp)
         })
     }
@@ -258,10 +278,13 @@ object SignatureFunctions {
       registry.registerFunction(sw,
         new ExpressionInfo(classOf[StopwordHits].getName, "stopword_hits"),
         (children: Seq[Expression]) => {
-          val words = children(1).eval(null)
-            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
-            .map(_.toString).toSeq
+          val words = foldableArg("stopword_hits", children, 1, "word list") match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+                .toSeq.collect { case s if s != null => s.toString }
+            case other => throw new IllegalArgumentException(
+              s"stopword_hits word list must be an array literal, got $other")
+          }
           StopwordHits(children.head, words)
         })
     }

@@ -231,7 +231,11 @@ object DedupOps {
     * (the only wide edge — candidates share ≥1 gram, never all-pairs) →
     * per-pair shared count → Jaccard from the per-doc distinct-gram
     * counts (|A∩B| / (|A|+|B|−|A∩B|)). Docs shorter than `w` tokens are
-    * skipped (can't carry a full gram).
+    * SKIPPED (can't carry a full gram) — deliberately diverging from
+    * [[exactJaccard]]/[[minhashPairs]], whose whole-text fallback scores
+    * sub-gram docs: at corpus scale a <w-token document is noise a dedup
+    * pass should not pair on, and the skip matches the decontamination
+    * semantics (and the DuckDB oracle's `LEN(t) >= w` filter) exactly.
     *
     * `maxDf > 0` drops grams appearing in more than that many documents
     * before the join — the stop-gram guard: a boilerplate gram's bucket

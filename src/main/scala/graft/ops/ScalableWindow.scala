@@ -85,7 +85,10 @@ object ScalableWindow {
         val out = Array.newBuilder[Double]
         var kept = 0
         var seen = 0
-        while (it.hasNext && kept < perPart) {
+        // bound rows CONSUMED too, not just samples kept — a mostly-null
+        // order key must not degrade the probe into a full partition scan
+        val maxSeen = SampleStride * perPart
+        while (it.hasNext && kept < perPart && seen < maxSeen) {
           val r = it.next()
           if (seen % SampleStride == 0 && !r.isNullAt(0)) {
             out += r.getDouble(0)
@@ -110,7 +113,8 @@ object ScalableWindow {
     val bs: Seq[Double] =
       if (sample.isEmpty) Seq.empty
       else (1 until buckets)
-        .map(i => sample(math.min((i * sample.length) / buckets, sample.length - 1)))
+        .map(i => sample(math.min( // Long math: buckets×sampleLen can pass Int.Max
+          ((i.toLong * sample.length) / buckets).toInt, sample.length - 1)))
         .distinct // equal quantiles → one boundary
     // whole-stage-codegen'd when-chain (functions.aggregate over an array
     // literal is a CodegenFallback higher-order function — interpreted

@@ -88,8 +88,12 @@ class DedupSpec extends SparkTestBase {
     // differential: the inverted-index shape must reproduce the scalar
     // exactJaccard for EVERY pair it emits, and must not miss any pair
     // over threshold (any such pair shares >= 1 gram, so the gram join
-    // generates it as a candidate by construction)
-    val docs = spark.read.parquet(s"$sfTiny/documents.parquet").limit(120)
+    // generates it as a candidate by construction). Deterministic sample
+    // (an unordered limit() could pick different subsets per side), and
+    // only docs long enough to carry a full gram — jaccardPairs skips
+    // sub-gram docs by design where exactJaccard whole-text-falls-back.
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .filter($"doc_id" < 120 && size(DedupOps.tokens($"text")) >= 3)
     val got = DedupOps.jaccardPairs(docs, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
     val a = docs.select($"doc_id".as("id_a"), $"text".as("ta"))
