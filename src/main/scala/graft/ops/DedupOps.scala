@@ -237,11 +237,16 @@ object DedupOps {
     * pass should not pair on, and the skip matches the decontamination
     * semantics (and the DuckDB oracle's `LEN(t) >= w` filter) exactly.
     *
-    * `maxDf > 0` drops grams appearing in more than that many documents
-    * before the join — the stop-gram guard: a boilerplate gram's bucket
+    * `maxDf > 0` removes grams appearing in more than that many documents
+    * from the gram universe — shared counts AND per-doc counts — before
+    * the join, so the result is the exact Jaccard over the RETAINED
+    * grams. This is the stop-gram guard: a boilerplate gram's bucket
     * makes candidates quadratic at crawl scale (same role as
-    * [[minhashPairs]]' `maxBucket`). Off by default so the oracle
-    * formulation matches exactly. */
+    * [[minhashPairs]]' `maxBucket`), and dropping it from both sides of
+    * the ratio keeps the metric consistent (standard stopword-removal
+    * semantics). The registered query runs WITH the cap and its DuckDB
+    * oracle replicates the document-frequency filter, so the scale guard
+    * is exercised inside the correctness gate. */
   def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", w: Int = 3,
                    threshold: Double = 0.5, maxDf: Int = 0): DataFrame = {
@@ -250,14 +255,25 @@ object DedupOps {
       .filter(size(col("toks")) >= w)
       .withColumn("hs", gramHashes(col("toks"), w))
     val grams = staged.select(col("id"), explode(col("hs")).as("__h"))
-    val kept =
-      if (maxDf <= 0) grams
+    val cntAll = staged.select(col("id"), size(col("hs")).cast("long").as("__n"))
+    // The guard joins against the HOT set (grams in > maxDf docs), which is
+    // tiny — AQE broadcasts it — where a semi-join against the retained set
+    // would shuffle the full gram relation twice. Per-doc retained counts
+    // come from subtracting the (few) hot-gram occurrences from the narrow
+    // size(hs), over the SAME retained universe the pair join sees.
+    val (kept, cnt) =
+      if (maxDf <= 0) (grams, cntAll)
       else {
         val hot = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf)
-        grams.join(hot, Seq("__h")).drop("__df")
+          .filter(col("__df") > maxDf).select("__h")
+        val k = grams.join(hot, Seq("__h"), "left_anti")
+        val hotPerDoc = grams.join(hot, Seq("__h"))
+          .groupBy("id").agg(count(lit(1)).as("__hot"))
+        val c = cntAll.join(hotPerDoc, Seq("id"), "left")
+          .select(col("id"),
+            (col("__n") - coalesce(col("__hot"), lit(0L))).as("__n"))
+        (k, c)
       }
-    val cnt = staged.select(col("id"), size(col("hs")).as("__n"))
     kept.select(col("id").as("id_a"), col("__h"))
       .join(kept.select(col("id").as("id_b"), col("__h")), Seq("__h"))
       .filter(col("id_a") < col("id_b"))

@@ -66,7 +66,10 @@ object TextOps {
 
     // Exact n-gram Jaccard near-dup pairs (inverted-index shape): the
     // Spark side joins xxhash64 gram hashes, the oracle joins the gram
-    // strings — identical pairs barring 64-bit collisions.
+    // strings — identical pairs barring 64-bit collisions. The stop-gram
+    // guard (grams in >64 docs dropped from both sides of the ratio) is
+    // ON and replicated in the oracle, so the skew protection the op
+    // needs at crawl scale is itself hash-verified by the gate.
     q(
       "dedup_jaccard",
       """WITH tk AS (
@@ -78,12 +81,15 @@ object TextOps {
         |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
         |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
         |  FROM tk WHERE LEN(t) >= 3
+        |), k AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 64)
         |), cnt AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1
+        |  SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1
         |), sh AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |         CAST(COUNT(*) AS BIGINT) AS n_shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b, n_shared,
@@ -92,7 +98,7 @@ object TextOps {
         |WHERE CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) >= 0.5""".stripMargin
     ) { (s, dir) =>
       graft.ops.DedupOps.jaccardPairs(t(s, dir, "documents"), w = 3,
-        threshold = 0.5)
+        threshold = 0.5, maxDf = 64)
     },
 
     // Train/test n-gram decontamination: src19 plays the benchmark suite;
