@@ -226,11 +226,13 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via the INVERTED-INDEX shape:
-    * per-doc distinct gram hashes → explode → self-equi-join on the gram
-    * (the only wide edge — candidates share ≥1 gram, never all-pairs) →
-    * per-pair shared count → Jaccard from the per-doc distinct-gram
-    * counts (|A∩B| / (|A|+|B|−|A∩B|)). Docs shorter than `w` tokens are
+  /** Exact n-gram Jaccard near-dup pairs via the INVERTED-INDEX shape
+    * with PREFIX FILTERING: per-doc distinct gram hashes → candidates
+    * from a self-equi-join on each doc's rarest-first PREFIX grams only
+    * (provably complete for J ≥ threshold — see the inline note; never
+    * all-pairs, and a fraction of the full gram join's candidates) →
+    * exact set-intersection verify
+    * (|A∩B| / (|A|+|B|−|A∩B|)). Docs shorter than `w` tokens are
     * SKIPPED (can't carry a full gram) — deliberately diverging from
     * [[exactJaccard]]/[[minhashPairs]], whose whole-text fallback scores
     * sub-gram docs: at corpus scale a <w-token document is noise a dedup
@@ -255,31 +257,47 @@ object DedupOps {
       .filter(size(col("toks")) >= w)
       .withColumn("hs", gramHashes(col("toks"), w))
     val grams = staged.select(col("id"), explode(col("hs")).as("__h"))
-    val cntAll = staged.select(col("id"), size(col("hs")).cast("long").as("__n"))
+    // one gram→document-frequency aggregation serves BOTH the stop-gram
+    // guard and the prefix ordering below
+    val dfRel = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
     // The guard joins against the HOT set (grams in > maxDf docs), which is
-    // tiny — AQE broadcasts it — where a semi-join against the retained set
-    // would shuffle the full gram relation twice. Per-doc retained counts
-    // come from subtracting the (few) hot-gram occurrences from the narrow
-    // size(hs), over the SAME retained universe the pair join sees.
-    val (kept, cnt) =
-      if (maxDf <= 0) (grams, cntAll)
-      else {
-        val hot = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf).select("__h")
-        val k = grams.join(hot, Seq("__h"), "left_anti")
-        val hotPerDoc = grams.join(hot, Seq("__h"))
-          .groupBy("id").agg(count(lit(1)).as("__hot"))
-        val c = cntAll.join(hotPerDoc, Seq("id"), "left")
-          .select(col("id"),
-            (col("__n") - coalesce(col("__hot"), lit(0L))).as("__n"))
-        (k, c)
-      }
-    kept.select(col("id").as("id_a"), col("__h"))
-      .join(kept.select(col("id").as("id_b"), col("__h")), Seq("__h"))
+    // tiny — AQE broadcasts the anti-join — where a semi-join against the
+    // retained set would shuffle the full gram relation twice.
+    val kept =
+      if (maxDf <= 0) grams
+      else grams.join(dfRel.filter(col("__df") > maxDf).select("__h"),
+        Seq("__h"), "left_anti")
+    // PREFIX FILTERING (AllPairs/PPJoin; Bayardo et al. WWW'07, Xiao et
+    // al. WWW'08 — public literature): under a global gram order
+    // (df asc, hash asc — rarest first), any pair with J ≥ t shares a
+    // gram within each side's first  n − ceil(t·n) + 1  grams. Proof: if
+    // A∩B missed A's prefix it would fit in A's last ceil(t·|A|)−1 grams,
+    // but |A∩B| = J·|A∪B| ≥ t·|A| — contradiction. So joining ONLY prefix
+    // grams generates every qualifying pair with a fraction of the
+    // candidates (measured 1.27M → ~0.2M at sf0.1), and the exact
+    // set-intersection verify keeps the result identical to the full
+    // inverted-index formulation.
+    val byDoc = kept.join(dfRel, Seq("__h"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__s"))
+      .select(col("id"), col("__s.__h").as("__hs"))
+      .withColumn("__n", size(col("__hs")).cast("long"))
+      .withColumn("__p",
+        (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
+    val prefix = byDoc.select(col("id"),
+      explode(slice(col("__hs"), lit(1), col("__p"))).as("__h"))
+    val cand = prefix.select(col("id").as("id_a"), col("__h"))
+      .join(prefix.select(col("id").as("id_b"), col("__h")), Seq("__h"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-      .join(cnt.select(col("id").as("id_a"), col("__n").as("__na")), "id_a")
-      .join(cnt.select(col("id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val sets = byDoc.select(col("id"), col("__hs"), col("__n"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("__hs").as("__ha"),
+        col("__n").as("__na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__hs").as("__hb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
       .withColumn("__j", col("n_shared").cast("double") /
         (col("__na") + col("__nb") - col("n_shared")))
       .filter(col("__j") >= threshold) // filter on the RAW ratio (oracle parity)
