@@ -16,7 +16,7 @@ object DumpPlans {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     Seq("q1_agg", "a15_prefix_sum", "j5_lag_prev", "dedup_minhash",
-      "dedup_emblsh", "ann_ivf", "bam_check_blocks",
+      "dedup_jaccard", "dedup_emblsh", "ann_ivf", "bam_check_blocks",
       "p2_interval_filter").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
