@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair graph — the cluster-
+  * resolution step that turns near-duplicate PAIRS (MinHash / SimHash /
+  * Jaccard joins in [[DedupOps]]) into dedup CLUSTERS with one surviving
+  * representative per cluster.
+  *
+  * Algorithm: the alternating large-star / small-star method (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * literature), which converges in O(log n) rounds on any graph, vs the
+  * O(diameter) rounds of naive label propagation. Each round is expressed
+  * as DataFrame min-aggregations and equi-joins:
+  *
+  *  - large-star: every node attaches its LARGER neighbors to the minimum
+  *    of its neighborhood (including itself);
+  *  - small-star: every node attaches its smaller-or-equal neighbors (and
+  *    itself) to the minimum of its neighborhood.
+  *
+  * Neither step ever materializes a neighbor LIST (`collect_list` would put
+  * a crawl-scale hot node's whole neighborhood in one row): the per-node
+  * minimum is a partial-aggregated `min()`, and the attach step is an
+  * equi-join against that one-row-per-node frame — both skew-tolerant
+  * (AQE skew-join handles the residual hot keys in the join).
+  *
+  * Each round ends in `localCheckpoint(eager = true)`: the edge set is the
+  * loop-carried state, and checkpointing truncates the lineage so round k
+  * doesn't re-execute rounds 1..k-1 (on a cluster with a reliable
+  * checkpoint dir, `checkpoint()` is the durable equivalent; local mode has
+  * no such dir, and executor-block persistence is the same cost shape).
+  * Convergence is detected by an order-insensitive edge-set signature
+  * (count + sum of per-edge hashes) — one cheap aggregate per round over
+  * the just-materialized blocks, no `except()` anti-join.
+  *
+  * Reference analog: the closest surface in hammerlab/spark-bam is the
+  * pair-production side (check/compare joins); cluster resolution is part
+  * of the beyond-the-reference LLM-pipeline surface (SURVEY.md §2 "beyond").
+  */
+object GraphOps {
+
+  /** Edges (u, v) with u > v — both steps preserve this orientation. */
+  private def orient(e: DataFrame): DataFrame =
+    e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** Attach each node's larger neighbors to its neighborhood minimum. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min("v").as("__mv"))
+      .select(col("u"), least(col("__mv"), col("u")).as("__m"))
+    // v > u >= m, so src > dst holds and no self-loops can appear
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("__m").as("dst"))
+      .distinct()
+  }
+
+  /** Attach each node's smaller neighbors AND itself to the minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = orient(e) // src > dst for every edge
+    val mins = o.groupBy(col("src").as("u")).agg(min("dst").as("__m"))
+    o.select(col("src").as("u"), col("dst").as("v"))
+      .join(mins, "u")
+      .filter(col("v") =!= col("__m"))
+      .select(col("v").as("src"), col("__m").as("dst"))
+      .union(mins.select(col("u").as("src"), col("__m").as("dst")))
+      .distinct()
+  }
+
+  /** Order-insensitive signature of an edge set: equal sets ⇒ equal
+    * signature; unequal signature ⇒ sets changed this round. The hash sum
+    * accumulates in decimal(38,0) — a long sum would overflow under ANSI. */
+  private def signature(e: DataFrame): (Long, String) = {
+    val r = e.agg(count(lit(1)),
+      sum(xxhash64(col("src"), col("dst"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+  }
+
+  /** Connected components of the undirected graph given as an edge list.
+    * Returns one row per node that appears in ANY edge: (`id`,
+    * `component`) where `component` is the smallest node id reachable from
+    * `id`. Self-loops and duplicate/reversed edges are tolerated. Nodes
+    * with no edges don't appear (the caller left-joins and coalesces —
+    * see `dedup_clusters`). */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+    var e = orient(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = signature(e)
+    var converged = sig._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nsig = signature(next)
+      e = next
+      converged = nsig == sig
+      sig = nsig
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint = disjoint stars (child, root): every child points at its
+    // component's minimum; roots name themselves
+    e.select(col("src").as("id"), col("dst").as("component"))
+      .union(e.select(col("dst").as("id"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** Full cluster assignment for a document set: every doc gets the min
+    * doc-id of its near-dup cluster (itself when unpaired). The survivor
+    * set of a dedup pass is `filter(id === cluster)`. */
+  def clusterAssign(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b",
+                    maxIter: Int = 50): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter)
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+}

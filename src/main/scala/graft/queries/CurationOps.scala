@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, GraphOps, ScalableWindow}
+
+/** Corpus-curation operators a training-data pipeline runs AFTER scoring
+  * and pair-finding: near-dup cluster resolution (pairs → one survivor per
+  * cluster), deterministic train/val/test splits, sequence packing, and
+  * per-source quota sampling. All four are oracle-checked against DuckDB.
+  *
+  * Determinism conventions: split assignment and sampling order hash with
+  * `md5` of the STRING form of the id — both engines implement RFC-1321
+  * md5 over identical bytes, so bucket assignments agree bit-for-bit.
+  * At 100 TB every one of these is either a hash-partitioned aggregation,
+  * a partitioned window, or the O(log n) component loop in
+  * [[graft.ops.GraphOps]] — no global sorts, no driver materialization.
+  */
+object CurationOps {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle))
+
+  /** First 8 md5 hex digits of the id as a uniform long in [0, 2^32). */
+  private def hashBucket(id: org.apache.spark.sql.Column, mod: Int) =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % mod
+
+  val all: Seq[Q] = Seq(
+    // Near-dup CLUSTER resolution: the exact-Jaccard pair graph (same
+    // parameters as dedup_jaccard) resolved to connected components;
+    // every document is assigned the min doc_id of its cluster (itself
+    // when unpaired). The survivor set of the dedup pass is
+    // cluster_id == doc_id. Oracle: the same pair SQL + a recursive
+    // transitive closure.
+    q(
+      "dedup_clusters",
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+        |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+        |  FROM tk WHERE LEN(t) >= 3
+        |), k AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 64)
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1
+        |), sh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM sh JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |), comp AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        |)
+        |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.jaccardPairs(docs, w = 3, threshold = 0.5, maxDf = 64)
+      GraphOps.clusterAssign(docs, "doc_id", pairs)
+    },
+
+    // Deterministic train/val/test assignment: md5-hash the doc id into
+    // 100 buckets (90/5/5). Stable under reruns, re-partitioning and
+    // corpus growth — a doc's split never depends on what else is in the
+    // corpus. Pure per-row projection: embarrassingly parallel.
+    q(
+      "split_assign",
+      """SELECT doc_id,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      val b = hashBucket(col("doc_id"), 100)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        b.as("bucket"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+    },
+
+    // Sequence packing (concat-then-chunk): documents in doc_id order are
+    // concatenated into training sequences of a 512-token budget; a doc's
+    // sequence id is its exclusive running token total DIV the budget.
+    // The running total is the two-phase ScalableWindow prefix sum — no
+    // single-partition window at any scale.
+    q(
+      "pack_sequences",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |  COALESCE(CAST(SUM(n_tokens) OVER
+        |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) // 512 AS seq_id
+        |FROM tk""".stripMargin
+    ) { (s, dir) =>
+      val tk = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      ScalableWindow
+        .prefixSumExclusive(tk, Seq("doc_id"), col("n_tokens"), "__cum")
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("__cum") / lit(512)).cast("long").as("seq_id"))
+    },
+
+    // Per-source quota sampling: a deterministic k-per-source downsample
+    // (the domain-mixture rebalancing step). Rank by md5 inside each
+    // source partition — a partitioned window, which scales by source
+    // cardinality, not corpus size.
+    q(
+      "sample_per_source",
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 5)
+    }
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Connected components: differential against a driver-side union-find on
+  * seeded random graphs, plus adversarial shapes (long path = worst-case
+  * diameter, hub star = worst-case degree skew, duplicate/reversed/self
+  * edges, empty input). */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference union-find (path compression, driver-side, small inputs). */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots chosen as min via the max->min union above; normalize anyway
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val groups = nodes.groupBy(find)
+    groups.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 50 + trial * 40
+      val edges = Seq.fill(n * 3 / 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(run(edges) == unionFind(edges), s"trial $trial")
+    }
+  }
+
+  test("long path converges (log rounds, not diameter rounds)") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("hub star with reversed, duplicate and self edges") {
+    val edges = (1L to 40L).map(i => (100L, i)) ++ // hub as src
+      (1L to 40L).map(i => (i, 100L)) ++           // reversed dups
+      Seq((5L, 5L), (100L, 100L))                  // self loops
+    val got = run(edges)
+    val expect = ((1L to 40L) :+ 100L).map(_ -> 1L).toMap
+    assert(got == expect)
+  }
+
+  test("two components stay separate; empty input yields empty result") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+    assert(run(edges) == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    assert(run(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("clusterAssign covers unpaired docs with their own id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = GraphOps.clusterAssign(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+    // survivors = fixpoints of the assignment
+    assert(got.collect { case (d, c) if d == c => d }.toSet == Set(1L, 2L, 3L))
+  }
+}
