@@ -116,6 +116,33 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- Per-label mean embedding (class prototypes / the IVF build
+    // block) with a FULL oracle: cross-row float means are order-
+    // dependent in double, so each element is quantized to
+    // round(v * 1e6) FIRST — float→double is exact, the double multiply
+    // and half-away-from-zero round are bit-identical in both engines,
+    // and the integer sum is order-free. The mean is then one
+    // deterministic double division of identical integers.
+    q(
+      "emb_centroids",
+      """WITH x AS (
+        |  SELECT label, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |    i -> {'idx': i, 'q': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(u.idx AS BIGINT) AS idx,
+        |  CAST(SUM(u.q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_v
+        |FROM x GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("idx"),
+          round(col("col").cast("double") * 1000000).cast("long").as("q"))
+        .groupBy("label", "idx")
+        .agg((sum("q").cast("double") / (count(lit(1)) * lit(1000000.0)))
+          .as("mean_v"))
+    },
+
     // ---- Language-ID heuristic (stopword-profile argmax) with a CASE
     // argmax oracle; ties break to the alphabetically-first language in
     // both engines.

@@ -65,6 +65,20 @@ class GraphOpsSpec extends SparkTestBase {
     assert(run(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("adversarial families: bridged cliques, bipartite, negative ids") {
+    // two 12-cliques bridged by one edge -> single component
+    val cliqueA = for (i <- 0L until 12L; j <- (i + 1) until 12L) yield (i, j)
+    val cliqueB = cliqueA.map { case (a, b) => (a + 100, b + 100) }
+    val bridged = cliqueA ++ cliqueB ++ Seq((11L, 100L))
+    assert(run(bridged) == unionFind(bridged))
+    // complete bipartite K(5,5) with interleaved ids
+    val bip = for (i <- 0L until 5L; j <- 0L until 5L) yield (i * 2, j * 2 + 1)
+    assert(run(bip) == unionFind(bip))
+    // negative ids: min must handle sign correctly
+    val neg = Seq((-5L, 3L), (3L, -9L), (7L, 8L))
+    assert(run(neg) == Map(-5L -> -9L, 3L -> -9L, -9L -> -9L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("clusterAssign covers unpaired docs with their own id") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
