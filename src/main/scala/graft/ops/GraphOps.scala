@@ -89,7 +89,15 @@ object GraphOps {
     * with no edges don't appear (the caller left-joins and coalesces —
     * see `dedup_clusters`). */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
-                          dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+                          dstCol: String = "dst", maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of alternating rounds it took
+    * to converge — the O(log n) bound made observable (GraphOpsSpec pins
+    * it on a worst-case path graph). */
+  def connectedComponentsWithRounds(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 50): (DataFrame, Int) = {
     var e = orient(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
       .distinct()
@@ -108,10 +116,14 @@ object GraphOps {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint = disjoint stars (child, root): every child points at its
     // component's minimum; roots name themselves
-    e.select(col("src").as("id"), col("dst").as("component"))
+    (e.select(col("src").as("id"), col("dst").as("component"))
       .union(e.select(col("dst").as("id"), col("dst").as("component")))
-      .distinct()
+      .distinct(), it)
   }
+
+  /** One loop-body round exposed for plan audits (DumpPlans). */
+  private[graft] def oneRoundForPlanAudit(e: DataFrame): DataFrame =
+    smallStar(largeStar(orient(e).distinct()))
 
   /** Full cluster assignment for a document set: every doc gets the min
     * doc-id of its near-dup cluster (itself when unpaired). The survivor

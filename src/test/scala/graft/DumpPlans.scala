@@ -17,11 +17,27 @@ object DumpPlans {
     val dir = "/root/testdata/sf0.001"
     Seq("q1_agg", "a15_prefix_sum", "j5_lag_prev", "dedup_minhash",
       "dedup_jaccard", "dedup_emblsh", "ann_ivf", "bam_check_blocks",
-      "p2_interval_filter").foreach { name =>
+      "p2_interval_filter", "pack_sequences", "sample_per_source",
+      "emb_centroids").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       out ++= s"## $name\n\n```\n"
       out ++= df.queryExecution.executedPlan.toString.take(4000)
+      out ++= "\n```\n\n"
+    }
+    // one alternating-CC round (large-star then small-star) over the
+    // jaccard pair graph: the loop body of GraphOps.connectedComponents
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.ops.DedupOps
+        .jaccardPairs(docs, w = 3, threshold = 0.5, maxDf = 64)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .localCheckpoint(true)
+      val round = graft.ops.GraphOps.oneRoundForPlanAudit(pairs)
+      round.collect()
+      out ++= "## dedup_clusters (one large-star + small-star round)\n\n```\n"
+      out ++= round.queryExecution.executedPlan.toString.take(4000)
       out ++= "\n```\n\n"
     }
     java.nio.file.Files.writeString(

@@ -44,9 +44,13 @@ class GraphOpsSpec extends SparkTestBase {
   }
 
   test("long path converges (log rounds, not diameter rounds)") {
-    val edges = (0L until 63L).map(i => (i, i + 1))
-    val got = run(edges)
-    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+    val edges = (0L until 255L).map(i => (i, i + 1))
+    val (df, rounds) =
+      GraphOps.connectedComponentsWithRounds(edges.toDF("src", "dst"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 255L).map(_ -> 0L).toMap)
+    // diameter 255; the alternating algorithm must land well under it
+    assert(rounds <= 12, s"took $rounds rounds on a 256-node path")
   }
 
   test("hub star with reversed, duplicate and self edges") {
