@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+
+/** Value-level invariants of the corpus-curation queries (the hash-level
+  * check is the DuckDB gate; these pin the SEMANTICS the hashes encode). */
+class CurationSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+
+  test("dedup_clusters: pairs land in one cluster; ids are min members") {
+    val assign = SparkEntry.queries("dedup_clusters")(spark, sfSmall)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupOps.jaccardPairs(docs, w = 3, threshold = 0.5, maxDf = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // the fixture corpus must exercise the operator
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) == assign(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster id is the minimum of its members
+    assign.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not named by its min")
+    }
+    // assignment is total over the corpus
+    assert(assign.size == docs.count())
+  }
+
+  test("pack_sequences: equals the driver-side concat-then-chunk") {
+    val got = SparkEntry.queries("pack_sequences")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val counts = docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expect = counts.map { case (id, n) =>
+      val seq = cum / 512; cum += n; (id, n, seq)
+    }
+    assert(got.toSeq == expect.toSeq)
+    // seq ids are non-decreasing and start at 0
+    assert(got.head._3 == 0L)
+    assert(got.sliding(2).forall(w => w(0)._3 <= w(1)._3))
+  }
+
+  test("split_assign: deterministic, consistent, all splits present") {
+    val a = SparkEntry.queries("split_assign")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = SparkEntry.queries("split_assign")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // rerun-stable
+    a.foreach { case (id, bucket, split) =>
+      assert(bucket >= 0 && bucket < 100)
+      val expect = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+      assert(split == expect, s"doc $id bucket $bucket labeled $split")
+    }
+    assert(a.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // a doc's split must not depend on corpus contents: recompute on a
+    // 10%-subset reader and compare the overlap
+    val sub = SparkEntry.queries("split_assign")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val full = a.map(t => t._1 -> t._3).toMap
+    sub.foreach { case (id, s) =>
+      assert(full.get(id).forall(_ == s), s"doc $id split changed with corpus")
+    }
+  }
+
+  test("sample_per_source: exact quota, contiguous ranks, subset") {
+    val got = SparkEntry.queries("sample_per_source")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = got.groupBy(_._2)
+    val nPerSource = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val quota = math.min(5L, nPerSource(src))
+      assert(rows.length == quota, s"$src returned ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to quota))
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(t => ids(t._1)))
+  }
+}
