@@ -33,6 +33,39 @@ object EventQueries {
           col("event_type"), col("n"), col("total_value"))
     },
 
+    // ---- Window-over-window spike detection: hourly counts per type,
+    // each window compared to its predecessor via a PARTITIONED lag (no
+    // global window). The ratio is one double division of two exact
+    // integer counts — deterministic in both engines — and rounds
+    // half-away-from-zero identically.
+    q(
+      "ev_spike",
+      """WITH w AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS win_us,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, win_us, n, prev_n,
+        |  ROUND(CAST(n AS DOUBLE) / prev_n, 4) AS ratio
+        |FROM (
+        |  SELECT event_type, win_us, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY win_us) AS prev_n
+        |  FROM w)
+        |WHERE prev_n IS NOT NULL""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = tEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), unix_micros(col("w.start")).as("win_us"),
+          col("n"))
+      val lagW = Window.partitionBy("event_type").orderBy("win_us")
+      w.withColumn("prev_n", lag("n", 1).over(lagW))
+        .filter(col("prev_n").isNotNull)
+        .select(col("event_type"), col("win_us"), col("n"), col("prev_n"),
+          round(col("n").cast("double") / col("prev_n"), 4).as("ratio"))
+    },
+
     // ---- Gap-based sessionization, batch form (stream parity in spec).
     q(
       "ev_sessionize",

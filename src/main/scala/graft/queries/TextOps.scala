@@ -101,6 +101,47 @@ object TextOps {
         threshold = 0.5, maxDf = 64)
     },
 
+    // Distinctive terms per source: tf-idf-shaped ranking with a PURE
+    // INTEGER score tf·(N−df) — classic ln-idf would put a libm ln() in
+    // the compare (not bit-identical across engines); the integer score
+    // preserves the ranking intent and hashes exactly. Top-3 per source
+    // via row_number, which the planner turns into a two-phase
+    // WindowGroupLimit (per-source top-k BEFORE the shuffle).
+    q(
+      "tfidf_terms",
+      """WITH tk AS (
+        |  SELECT source,
+        |    UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT source, term FROM tk) GROUP BY 1
+        |), n AS (SELECT COUNT(DISTINCT source) AS ns FROM tk)
+        |SELECT source, term, tf, df, score, rk FROM (
+        |  SELECT tf.source, tf.term, tf.tf, df.df,
+        |    tf.tf * (n.ns - df.df) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.source
+        |      ORDER BY tf.tf * (n.ns - df.df) DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rk <= 3""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = t(s, dir, "documents").select(col("source"),
+        explode(graft.ops.DedupOps.tokens(col("text"))).as("term"))
+      val tf = tk.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df = tk.select("source", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val ns = tk.agg(countDistinct("source").as("ns"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(ns))
+        .withColumn("score", col("tf") * (col("ns") - col("df")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("source", "term", "tf", "df", "score", "rk")
+    },
+
     // Train/test n-gram decontamination: src19 plays the benchmark suite;
     // pairs sharing >= 3 distinct trigrams are contaminated. The Spark
     // path joins on xxhash64 gram hashes (the 100 TB shape); the oracle
