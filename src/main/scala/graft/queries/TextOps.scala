@@ -115,27 +115,37 @@ object TextOps {
         |  FROM documents
         |), tf AS (
         |  SELECT source, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
-        |), df AS (
-        |  SELECT term, COUNT(*) AS df
-        |  FROM (SELECT DISTINCT source, term FROM tk) GROUP BY 1
-        |), n AS (SELECT COUNT(DISTINCT source) AS ns FROM tk)
+        |), n AS (SELECT COUNT(DISTINCT source) AS ns FROM documents)
         |SELECT source, term, tf, df, score, rk FROM (
-        |  SELECT tf.source, tf.term, tf.tf, df.df,
-        |    tf.tf * (n.ns - df.df) AS score,
-        |    ROW_NUMBER() OVER (PARTITION BY tf.source
-        |      ORDER BY tf.tf * (n.ns - df.df) DESC, tf.term) AS rk
-        |  FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rk <= 3""".stripMargin
+        |  SELECT source, term, tf, df, tf * (ns - df) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY tf * (ns - df) DESC, term) AS rk
+        |  FROM (
+        |    SELECT source, term, tf,
+        |      COUNT(*) OVER (PARTITION BY term) AS df
+        |    FROM tf) CROSS JOIN n) WHERE rk <= 3""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tk = t(s, dir, "documents").select(col("source"),
-        explode(graft.ops.DedupOps.tokens(col("text"))).as("term"))
-      val tf = tk.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val df = tk.select("source", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val ns = tk.agg(countDistinct("source").as("ns"))
+      // ONE tokenize+explode pass. A self-join formulation of df
+      // (tf ⋈ tf.groupBy(term)) makes Catalyst re-derive the whole
+      // scan+explode per branch (the branches prune different columns, so
+      // their exchanges aren't canonically equal and nothing is reused —
+      // measured: 3 corpus scans). Instead df is a count-over-window ON
+      // the tf rows: one extra exchange keyed `term`, whose per-term
+      // partitions are bounded by the SOURCE cardinality (tf is one row
+      // per (source, term)), so even a stopword's window stays tiny. N is
+      // a narrow source-only scan of documents (column-pruned parquet),
+      // broadcast as a single row.
+      val tf = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.ops.DedupOps.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      val ns = t(s, dir, "documents").agg(countDistinct("source").as("ns"))
       val w = Window.partitionBy("source")
         .orderBy(col("score").desc, col("term"))
-      tf.join(df, "term").crossJoin(broadcast(ns))
+      withDf.crossJoin(broadcast(ns))
         .withColumn("score", col("tf") * (col("ns") - col("df")))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)

@@ -26,7 +26,10 @@ object Scratch {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"== $name%-20s run$i $sec%.3f s")
       }
-      println(mk().queryExecution.executedPlan.toString.take(8000))
+      // collect first so the print shows the FINAL adaptive plan (stage
+      // reuse and AQE decisions included), not the pre-execution sketch
+      val fin = mk(); fin.collect()
+      println(fin.queryExecution.executedPlan.toString.take(20000))
     }
     spark.stop()
   }
