@@ -143,6 +143,66 @@ object PipelineOps {
           .as("mean_v"))
     },
 
+    // ---- Nearest-centroid classification with a FULL oracle: the
+    // train→classify composition (class prototypes from emb_centroids'
+    // quantized elements, every vector assigned to its most-cosine-similar
+    // prototype, confusion matrix out). Determinism: cosine is
+    // scale-invariant, so vectors are scored against the centroid SUM
+    // (exact integers), keeping dot products and norms in integer
+    // arithmetic; the final sqrt/divide are correctly-rounded IEEE ops on
+    // identical integers in both engines. Two passes over embeddings by
+    // design (a train pass builds prototypes, a classify pass scores).
+    q(
+      "emb_classify",
+      """WITH el AS (
+        |  SELECT vec_id, label, u.idx AS idx, u.qv AS qv FROM (
+        |    SELECT vec_id, label,
+        |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |        i -> {'idx': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |    FROM embeddings)
+        |), cent AS (
+        |  SELECT label AS clabel, idx, CAST(SUM(qv) AS BIGINT) AS qs
+        |  FROM el GROUP BY 1, 2
+        |), nc AS (
+        |  SELECT clabel, CAST(SUM(qs * qs) AS BIGINT) AS nc2 FROM cent GROUP BY 1
+        |), sc AS (
+        |  SELECT el.vec_id, MIN(el.label) AS label, cent.clabel,
+        |    CAST(SUM(el.qv * cent.qs) AS BIGINT) AS dot,
+        |    CAST(SUM(el.qv * el.qv) AS BIGINT) AS nv2
+        |  FROM el JOIN cent ON el.idx = cent.idx
+        |  GROUP BY el.vec_id, cent.clabel
+        |), pred AS (
+        |  SELECT label, sc.clabel AS pred_label,
+        |    ROW_NUMBER() OVER (PARTITION BY sc.vec_id ORDER BY
+        |      CAST(dot AS DOUBLE) / (SQRT(CAST(nv2 AS DOUBLE)) * SQRT(CAST(nc.nc2 AS DOUBLE))) DESC,
+        |      sc.clabel) AS rk
+        |  FROM sc JOIN nc ON sc.clabel = nc.clabel
+        |)
+        |SELECT label, pred_label, COUNT(*) AS n
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val el = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("idx"),
+          round(col("col").cast("double") * 1000000).cast("long").as("qv"))
+      val cent = el.groupBy(col("label").as("clabel"), col("idx"))
+        .agg(sum("qv").as("qs"))
+      val nc = cent.groupBy("clabel").agg(sum(col("qs") * col("qs")).as("nc2"))
+      val sc = el.join(broadcast(cent), "idx")
+        .groupBy(col("vec_id"), col("clabel"))
+        .agg(min("label").as("label"), sum(col("qv") * col("qs")).as("dot"),
+          sum(col("qv") * col("qv")).as("nv2"))
+      val cos = col("dot").cast("double") /
+        (sqrt(col("nv2").cast("double")) * sqrt(col("nc2").cast("double")))
+      val w = Window.partitionBy("vec_id").orderBy(cos.desc, col("clabel"))
+      sc.join(broadcast(nc), "clabel")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- Language-ID heuristic (stopword-profile argmax) with a CASE
     // argmax oracle; ties break to the alphabetically-first language in
     // both engines.
