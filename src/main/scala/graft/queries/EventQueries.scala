@@ -66,6 +66,22 @@ object EventQueries {
           round(col("n").cast("double") / col("prev_n"), 4).as("ratio"))
     },
 
+    // ---- Semi-structured extraction: the JSON `props` column parsed
+    // per-row (codegen'd get_json_object — no UDF) and aggregated.
+    q(
+      "ev_json",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_k
+        |FROM events GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      tEvents(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          countDistinct("k").as("n_k"))
+    },
+
     // ---- Gap-based sessionization, batch form (stream parity in spec).
     q(
       "ev_sessionize",

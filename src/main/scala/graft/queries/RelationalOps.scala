@@ -396,6 +396,39 @@ object RelationalOps {
           (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"))
         .limit(10)
+    },
+
+    // ---- Six-table star join (TPC-H Q5 shape): revenue per nation for
+    // one region, customer and supplier in the SAME nation (the join
+    // graph has a cycle — planner must pick an order). region/nation are
+    // constant-size → scan stats broadcast them; customer/supplier/orders
+    // grow with SF → no hints, AQE decides from runtime sizes.
+    q(
+      "q5_region_join",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin
+    ) { (s, dir) =>
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
     }
   )
 }

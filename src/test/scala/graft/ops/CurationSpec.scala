@@ -25,6 +25,12 @@ class CurationSpec extends SparkTestBase {
     }
     // assignment is total over the corpus
     assert(assign.size == docs.count())
+    // near-dup graphs are shallow (clique-ish clusters): the alternating
+    // loop must converge in a handful of rounds, not O(diameter)
+    val (_, rounds) = GraphOps.connectedComponentsWithRounds(
+      DedupOps.jaccardPairs(docs, w = 3, threshold = 0.5, maxDf = 64),
+      "id_a", "id_b")
+    assert(rounds <= 6, s"CC took $rounds rounds on the jaccard graph")
   }
 
   test("pack_sequences: equals the driver-side concat-then-chunk") {
