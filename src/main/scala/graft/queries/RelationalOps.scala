@@ -429,6 +429,37 @@ object RelationalOps {
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast(D) *
           (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
+    },
+
+    // ---- EXISTS semi-join (TPC-H Q4 shape): the planner's LeftSemi path
+    // with a compound (equi + range) condition — dedupes the probe side
+    // without materializing the match multiplicity.
+    q(
+      "q4_semi_join",
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- ROLLUP multi-level aggregate: per-(flag,status) cells plus
+    // per-flag and grand totals in ONE pass (Expand feeds a single
+    // hash aggregation — no separate re-scan per level).
+    q(
+      "a_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     }
   )
 }
