@@ -159,6 +159,48 @@ object EventOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  final case class Spike(event_type: String, win_us: Long, n: Long,
+                         prev_n: Long, ratio: Double)
+
+  /** Streaming window-over-window spike detection with explicit state —
+    * the stream form of the batch `ev_spike` query. State per event type:
+    * (open hourly window counts, last emitted window). A window's ratio is
+    * emitted once a STRICTLY LATER window exists for the type (the newest
+    * window stays open — its count may still grow); emitted windows are
+    * pruned from state except the newest emitted one, which remains as the
+    * next pair's predecessor. Same single-batch-replay caveat as
+    * [[sessionizeStream]]: production adds a watermark so late events
+    * can't land behind an emitted window. */
+  def spikeStream(events: Dataset[Event],
+                  widthUs: Long = 3600L * 1000000): Dataset[Spike] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), Spike](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[Event],
+         state: GroupState[(Map[Long, Long], Long)]) =>
+          val (wins0, emitted0) =
+            state.getOption.getOrElse((Map.empty[Long, Long], Long.MinValue))
+          val wins = it.foldLeft(wins0) { (m, e) =>
+            val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            val w = us - java.lang.Math.floorMod(us, widthUs)
+            m.updated(w, m.getOrElse(w, 0L) + 1)
+          }
+          val sorted = wins.keys.toSeq.sorted
+          val maxW = if (sorted.isEmpty) Long.MinValue else sorted.last
+          val out = sorted.sliding(2).collect {
+            case Seq(p, c) if c < maxW && c > emitted0 =>
+              // same rounding as the batch query's round(n/prev, 4)
+              Spike(typ, c, wins(c), wins(p),
+                BigDecimal(wins(c).toDouble / wins(p))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }.toList
+          val emitted = out.lastOption.map(_.win_us).getOrElse(emitted0)
+          state.update((wins.filter { case (w, _) => w >= emitted }, emitted))
+          out.iterator
+      }
+  }
+
   /** Flush helper for tests: closed + open sessions from the final state
     * are not visible without a timeout; batch parity is asserted against
     * `sessionizeBatch`. Top event types per sliding window (rank-in-window

@@ -137,6 +137,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming spike detection matches the batch ev_spike pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.spikeStream(input.toDS())
+      .writeStream.format("memory").queryName("spikes")
+      .outputMode("append").start()
+    try {
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      val (a, b) = all.splitAt(all.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("spikes")
+        .select("event_type", "win_us", "n", "prev_n", "ratio")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+        .toSet
+      val batch = graft.SparkEntry.queries("ev_spike")(spark, sfTiny)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      // the stream never emits a type's NEWEST window (still open without
+      // a watermark-driven flush): batch minus each type's last pair
+      val maxWin = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val expect = batch.filterNot(t => t._2 == maxWin(t._1)).toSet
+      assert(got == expect)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch sessionization respects the 30-minute gap rule") {
     val rows = EventOps.sessionizeBatch(eventsDF).collect()
     // session bounds are consistent
