@@ -123,6 +123,29 @@ object CurationOps {
           floor(col("__cum") / lit(512)).cast("long").as("seq_id"))
     },
 
+    // Global deterministic training-order shuffle: every doc gets a
+    // stable position = its rank under the md5 hash order (hash as a
+    // 60-bit integer so the range-bucketed two-phase row number applies;
+    // doc_id breaks the astronomically-unlikely hash tie). Rerunnable,
+    // resumable, and independent of input partitioning — the shuffled
+    // read order a training run consumes.
+    q(
+      "shuffle_order",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hk
+        |  FROM documents)
+        |SELECT doc_id, hk,
+        |  ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS ord
+        |FROM h""".stripMargin
+    ) { (s, dir) =>
+      val h = t(s, dir, "documents").select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hk"))
+      ScalableWindow.rowNumber(h, Seq("hk", "doc_id"), "ord")
+        .select(col("doc_id"), col("hk"), col("ord").cast("long").as("ord"))
+    },
+
     // Per-source quota sampling: a deterministic k-per-source downsample
     // (the domain-mixture rebalancing step). Rank by md5 inside each
     // source partition — a partitioned window, which scales by source
