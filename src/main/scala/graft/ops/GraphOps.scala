@@ -53,11 +53,13 @@ object GraphOps {
     val mins = sym.groupBy("u")
       .agg(min("v").as("__mv"))
       .select(col("u"), least(col("__mv"), col("u")).as("__m"))
-    // v > u >= m, so src > dst holds and no self-loops can appear
+    // v > u >= m, so src > dst holds and no self-loops can appear.
+    // NO distinct here: duplicate edges can't change smallStar's min
+    // aggregation, and smallStar's own distinct canonicalizes the round's
+    // output — dropping the dedup saves one full shuffle per round.
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("__m").as("dst"))
-      .distinct()
   }
 
   /** Attach each node's smaller neighbors AND itself to the minimum. */
