@@ -145,9 +145,13 @@ class StreamingSpec extends SparkTestBase {
       .outputMode("append").start()
     try {
       val all = toEvents.collect().sortBy(_.ts.getTime)
-      val (a, b) = all.splitAt(all.length / 2)
+      // three UNEVEN chunks so window boundaries straddle triggers and the
+      // open-window counts must survive and merge across state updates
+      val (a, rest) = all.splitAt(all.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 4)
       input.addData(a.toIndexedSeq); q.processAllAvailable()
       input.addData(b.toIndexedSeq); q.processAllAvailable()
+      input.addData(c.toIndexedSeq); q.processAllAvailable()
       val got = spark.table("spikes")
         .select("event_type", "win_us", "n", "prev_n", "ratio")
         .collect()
