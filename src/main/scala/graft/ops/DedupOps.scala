@@ -284,11 +284,18 @@ object DedupOps {
       .withColumn("__n", size(col("__hs")).cast("long"))
       .withColumn("__p",
         (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
-    val prefix = byDoc.select(col("id"),
+    val prefix = byDoc.select(col("id"), col("__n"),
       explode(slice(col("__hs"), lit(1), col("__p"))).as("__h"))
-    val cand = prefix.select(col("id").as("id_a"), col("__h"))
-      .join(prefix.select(col("id").as("id_b"), col("__h")), Seq("__h"))
-      .filter(col("id_a") < col("id_b"))
+    // LENGTH-RATIO filter (AllPairs): J ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    // pair failing min/max ≥ t can never verify — prune it in the
+    // candidate join, before the set-intersection pays for it. `>=` keeps
+    // every boundary pair (ratio exactly t), so the result is unchanged.
+    val cand = prefix.select(col("id").as("id_a"), col("__n").as("__la"), col("__h"))
+      .join(prefix.select(col("id").as("id_b"), col("__n").as("__lb"), col("__h")),
+        Seq("__h"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__la"), col("__lb")).cast("double") >=
+          lit(threshold) * greatest(col("__la"), col("__lb")).cast("double"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     val sets = byDoc.select(col("id"), col("__hs"), col("__n"))
     cand
