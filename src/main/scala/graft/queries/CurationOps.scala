@@ -123,6 +123,86 @@ object CurationOps {
           floor(col("__cum") / lit(512)).cast("long").as("seq_id"))
     },
 
+    // The FULL curation run composed in one query: quality gate
+    // (length + repetition) → near-dup CLUSTER dedup (survivors only,
+    // via the connected-component assignment) → deterministic train
+    // split → sequence packing. Every stage is the registered operator's
+    // exact logic; the oracle chains the same stages as CTEs around the
+    // recursive closure. This is the end-to-end shape a curation run
+    // executes before training.
+    q(
+      "pipeline_curation",
+      """WITH RECURSIVE gated AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE n_chars >= 150 AND (
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+        |                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) END) <= 0.5
+        |), tk AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+        |  FROM gated
+        |), g AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+        |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+        |  FROM tk WHERE LEN(t) >= 3
+        |), k AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 64)
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1
+        |), sh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM sh JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |), comp AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        |), surv AS (
+        |  SELECT d.doc_id, d.text FROM gated d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |  WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+        |), tr AS (
+        |  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM surv
+        |  WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) < 90
+        |)
+        |SELECT doc_id, n_tokens,
+        |  COALESCE(CAST(SUM(n_tokens) OVER
+        |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) // 512 AS seq_id
+        |FROM tr""".stripMargin
+    ) { (s, dir) =>
+      val toksCol = split(col("text"), " ", -1)
+      val dupRatio = when(size(toksCol) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(toksCol)).cast("double") /
+          size(toksCol).cast("double"))
+      val gated = t(s, dir, "documents")
+        .filter(col("n_chars") >= 150 && dupRatio <= 0.5)
+        .select("doc_id", "text")
+      val pairs = DedupOps.jaccardPairs(gated, w = 3, threshold = 0.5, maxDf = 64)
+      val surv = gated.join(
+        GraphOps.clusterAssign(gated, "doc_id", pairs)
+          .filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+        "doc_id")
+      val train = surv.filter(hashBucket(col("doc_id"), 100) < 90)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      ScalableWindow
+        .prefixSumExclusive(train, Seq("doc_id"), col("n_tokens"), "__cum")
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("__cum") / lit(512)).cast("long").as("seq_id"))
+    },
+
     // Global deterministic training-order shuffle: every doc gets a
     // stable position = its rank under the md5 hash order (hash as a
     // 60-bit integer so the range-bucketed two-phase row number applies;
