@@ -76,13 +76,25 @@ object GraphOps {
 
   /** Order-insensitive signature of an edge set: equal sets ⇒ equal
     * signature; unequal signature ⇒ sets changed this round. The hash sum
-    * accumulates in decimal(38,0) — a long sum would overflow under ANSI. */
+    * accumulates in decimal(38,0) — a long sum would overflow under ANSI.
+    * The implication is ONE-SIDED: a matching signature is confirmed with
+    * an exact set compare before the loop declares convergence. */
   private def signature(e: DataFrame): (Long, String) = {
     val r = e.agg(count(lit(1)),
       sum(xxhash64(col("src"), col("dst"))
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
     (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
   }
+
+  /** Free a localCheckpoint'ed frame's executor blocks explicitly — the
+    * ContextCleaner only reclaims them at some later driver GC, and the
+    * loop would otherwise pin one full edge-set copy per round. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ =>
+    } catch { case _: Throwable => } // best-effort: GC remains the backstop
 
   /** Connected components of the undirected graph given as an edge list.
     * Returns one row per node that appears in ANY edge: (`id`,
@@ -110,8 +122,12 @@ object GraphOps {
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nsig = signature(next)
+      // the signature is a fast pre-check; counts being equal, ONE except
+      // direction run once at the matching round makes convergence EXACT
+      // (a hash-sum collision can only delay, never fake, a fixpoint)
+      converged = nsig == sig && next.exceptAll(e).isEmpty
+      freeCheckpoint(e)
       e = next
-      converged = nsig == sig
       sig = nsig
       it += 1
     }

@@ -156,9 +156,12 @@ object ScalableWindow {
     val carry = agg.join(b, col("__bp") < col(Pid), "left")
       .groupBy(Pid).agg(coalesce(sum("__bc"), lit(0L)).as("__off"))
     r.join(broadcast(carry), Seq(Pid), "left")
+      // LONG arithmetic end-to-end: the carry offset is a running COUNT of
+      // all preceding buckets' rows, which passes 2^31 long before the
+      // claimed scale does — an int cast here would wrap silently
       .withColumn(out,
-        row_number().over(pidWindow(orderCols)) +
-          coalesce(col("__off"), lit(0L)).cast("int"))
+        row_number().over(pidWindow(orderCols)).cast("long") +
+          coalesce(col("__off"), lit(0L)))
       .drop(Pid, "__off")
   }
 

@@ -23,9 +23,15 @@ object CurationOps {
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(oracle))
 
-  /** First 8 md5 hex digits of the id as a uniform long in [0, 2^32). */
+  /** First `digits` md5 hex digits of the id as a uniform long — the ONE
+    * place the engine's deterministic-hash convention lives (split
+    * assignment, shuffle order, curation pipeline all derive from it). */
+  private def hashLong(id: org.apache.spark.sql.Column, digits: Int) =
+    conv(substring(md5(id.cast("string")), 1, digits), 16, 10).cast("long")
+
+  /** 8-hex-digit hash reduced to a bucket in [0, mod). */
   private def hashBucket(id: org.apache.spark.sql.Column, mod: Int) =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % mod
+    hashLong(id, 8) % mod
 
   val all: Seq[Q] = Seq(
     // Near-dup CLUSTER resolution: the exact-Jaccard pair graph (same
@@ -194,9 +200,14 @@ object CurationOps {
         GraphOps.clusterAssign(gated, "doc_id", pairs)
           .filter(col("doc_id") === col("cluster_id")).select("doc_id"),
         "doc_id")
+      // checkpoint before the window: prefixSumExclusive's sample job,
+      // carry aggregate and final join would otherwise each re-execute
+      // the gate→pair→cluster→split upstream (their differing column
+      // pruning defeats exchange reuse — the tfidf_terms lesson)
       val train = surv.filter(hashBucket(col("doc_id"), 100) < 90)
         .select(col("doc_id"),
           size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
       ScalableWindow
         .prefixSumExclusive(train, Seq("doc_id"), col("n_tokens"), "__cum")
         .select(col("doc_id"), col("n_tokens"),
@@ -220,10 +231,9 @@ object CurationOps {
         |FROM h""".stripMargin
     ) { (s, dir) =>
       val h = t(s, dir, "documents").select(col("doc_id"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("hk"))
+        hashLong(col("doc_id"), 15).as("hk"))
       ScalableWindow.rowNumber(h, Seq("hk", "doc_id"), "ord")
-        .select(col("doc_id"), col("hk"), col("ord").cast("long").as("ord"))
+        .select(col("doc_id"), col("hk"), col("ord"))
     },
 
     // Per-source quota sampling: a deterministic k-per-source downsample

@@ -32,10 +32,10 @@ class ScalableWindowSpec extends SparkTestBase {
     val naive = orders
       .select(col("o_orderkey"),
         row_number().over(Window.orderBy("o_orderkey")).as("rn"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     val scalable = ScalableWindow.rowNumber(
       orders.select("o_orderkey"), Seq("o_orderkey"), "rn")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // long out (no 2^31 wrap)
     assert(scalable == naive)
   }
 
