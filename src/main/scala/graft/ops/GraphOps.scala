@@ -124,8 +124,11 @@ object GraphOps {
       val nsig = signature(next)
       // the signature is a fast pre-check; counts being equal, ONE except
       // direction run once at the matching round makes convergence EXACT
-      // (a hash-sum collision can only delay, never fake, a fixpoint)
-      converged = nsig == sig && next.exceptAll(e).isEmpty
+      // (a hash-sum collision can only delay, never fake, a fixpoint).
+      // Plain except, not exceptAll: both frames are distinct sets by
+      // construction (each round ends in .distinct()), and except is a
+      // cheap left-anti join where exceptAll builds count machinery
+      converged = nsig == sig && next.except(e).isEmpty
       freeCheckpoint(e)
       e = next
       sig = nsig
