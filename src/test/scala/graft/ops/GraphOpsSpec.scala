@@ -83,6 +83,25 @@ class GraphOpsSpec extends SparkTestBase {
     assert(run(neg) == Map(-5L -> -9L, 3L -> -9L, -9L -> -9L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("maxIter exhaustion fails loudly, never returns a non-fixpoint") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(edges.toDF("src", "dst"), maxIter = 1)
+    }
+  }
+
+  test("superseded round checkpoints are freed, not accumulated") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val edges = (0L until 127L).map(i => (i, i + 1)) // several rounds
+    GraphOps.connectedComponents(edges.toDF("src", "dst")).collect()
+    // only the FINAL round's checkpoint may remain pinned (plus nothing
+    // from the earlier rounds); without freeCheckpoint this grows by one
+    // edge-set copy per round
+    val leaked = sc.getPersistentRDDs.size - before
+    assert(leaked <= 2, s"$leaked checkpointed RDDs left behind")
+  }
+
   test("clusterAssign covers unpaired docs with their own id") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
