@@ -171,6 +171,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static dimension: per-type weight (the enrichment side a streaming
+    // pipeline joins on every micro-batch without state)
+    val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 10L),
+      ("error", 0L), ("scroll", 1L)).toDF("event_type", "weight")
+    val input = MemoryStream[EventOps.Event]
+    val q = input.toDF().join(dim, Seq("event_type"))
+      .groupBy("event_type", "weight").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try {
+      val all = toEvents.collect()
+      val (a, b) = all.splitAt(all.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("enriched")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = eventsDF.join(dim, Seq("event_type"))
+        .groupBy("event_type", "weight").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch sessionization respects the 30-minute gap rule") {
     val rows = EventOps.sessionizeBatch(eventsDF).collect()
     // session bounds are consistent
