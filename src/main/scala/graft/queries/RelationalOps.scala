@@ -448,6 +448,29 @@ object RelationalOps {
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
     },
 
+    // ---- Ratio-to-report: each group's share of the grand total via a
+    // window over the AGGREGATED frame (6 rows — bounded by the flag
+    // domain, so the unpartitioned window is scale-safe; the raw data
+    // never sees it). Exact decimal sums; one double division at the end.
+    q(
+      "a_rev_share",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |        CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) OVER () AS DOUBLE), 6) AS share
+        |FROM lineitem GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice").cast(D)).as("__rev"))
+        .withColumn("__tot", sum("__rev").over(Window.partitionBy()))
+        .select(col("l_returnflag"),
+          col("__rev").cast("double").as("revenue"),
+          round(col("__rev").cast("double") / col("__tot").cast("double"), 6)
+            .as("share"))
+    },
+
     // ---- ROLLUP multi-level aggregate: per-(flag,status) cells plus
     // per-flag and grand totals in ONE pass (Expand feeds a single
     // hash aggregation — no separate re-scan per level).
