@@ -59,11 +59,16 @@ object Bench {
         try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
     }
-    // Each query is timed TWICE and the MIN is reported: a one-off stall
-    // from outside the engine (another process on the box, a GC pause, a
-    // page-cache miss) can inflate a single run several-fold, and the min
+    // Each query is timed at least TWICE and the MIN is reported: a one-off
+    // stall from outside the engine (another process on the box, a GC pause,
+    // a page-cache miss) can inflate a single run several-fold, and the min
     // of two independent runs is robust to any single such event while
     // leaving genuine plan regressions (which hit both runs) fully visible.
+    // SUB-SECOND queries get a THIRD run and report the MEDIAN of three:
+    // on a box contended across both runs, min-of-two still reads 2-3x the
+    // idle time for queries whose true cost is a few hundred ms (the noise
+    // floor dominates), and a median of three tolerates one bad sample
+    // without letting an improbably fast outlier hide a regression.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (elapsed, succeeded) — a failed attempt's (often fast) elapsed time
       // must never win the min over a successful run's real time
@@ -77,16 +82,30 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val (a, b) = (once(), once())
-      val succeeded = Seq(a, b).filter(_._2)
-      // both failed → report the failed elapsed (visible on stderr), as before
-      name -> (if (succeeded.nonEmpty) succeeded.map(_._1).min
-               else math.min(a._1, b._1))
+      val two = Seq(once(), once())
+      val runs = if (two.exists(r => r._2 && r._1 < 1.0)) two :+ once() else two
+      val succeeded = runs.filter(_._2).map(_._1)
+      val elapsed =
+        if (succeeded.isEmpty) runs.map(_._1).min // all failed → fastest failure, visible on stderr
+        else if (succeeded.size >= 3) succeeded.sorted.apply(succeeded.size / 2)
+        else succeeded.min
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the line to a file: the driver captures a bounded log
+    // tail, and a long single-line JSON at the head of a chatty shutdown
+    // has been truncated before (BENCH_r05 arrived with parsed: null).
+    // A whole-file artifact can't lose its head.
+    try {
+      val out = java.nio.file.Paths.get("dev", "out")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.write(out.resolve("bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -279,7 +279,7 @@ object DedupOps {
     // inverted-index formulation.
     val byDoc = kept.join(dfRel, Seq("__h"))
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__s"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__s")) // bounded: one row per doc; list = that doc's own grams
       .select(col("id"), col("__s.__h").as("__hs"))
       .withColumn("__n", size(col("__hs")).cast("long"))
       .withColumn("__p",
@@ -313,11 +313,32 @@ object DedupOps {
   }
 
   /** Exact duplicate clusters: group identical normalized texts (the
-    * hash-groupBy dedup; flag-0x400-style survivor = min id). */
+    * hash-groupBy dedup; flag-0x400-style survivor = min id).
+    *
+    * Membership is reported as a BOUNDED sample (`member_sample`, the
+    * `sampleK` smallest ids) plus the full `n_copies` count — never the
+    * whole list: a viral boilerplate text has billions of identical copies
+    * at crawl scale, and a `collect_list` of its members would put the
+    * entire membership in one row (the hot-row shape
+    * [[graft.ops.GraphOps]] designs out). The sample is produced by
+    * rank-then-filter, which Spark's WindowGroupLimit rewrites into a
+    * per-partition top-K BEFORE the shuffle, so no group materializes more
+    * than `sampleK` rows anywhere in the plan. Full membership of a given
+    * keeper is a join away: `docs.filter(xxhash64(text) === its hash)`. */
   def exactDupes(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame =
-    docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
-      .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"),
-        collect_list(idCol).as("members"))
+                 textCol: String = "text", sampleK: Int = 8): DataFrame = {
+    val hashed = docs.select(xxhash64(col(textCol)).as("text_hash"),
+      col(idCol).as("__id"))
+    val dupes = hashed.groupBy("text_hash")
+      .agg(min("__id").as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text_hash").orderBy("__id")
+    val sample = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= sampleK)
+      .groupBy("text_hash")
+      .agg(sort_array(collect_list(col("__id"))).as("member_sample")) // bounded: input filtered to <= sampleK rows per group
+    dupes.join(sample, "text_hash")
+      .select("text_hash", "keeper", "n_copies", "member_sample")
+  }
 }

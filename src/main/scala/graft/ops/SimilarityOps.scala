@@ -170,7 +170,8 @@ object SimilarityOps {
         .select(col("cid"), posexplode(col("__v")))
         .groupBy("cid", "pos").agg(round(avg("col"), 9).as("v"))
         .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))), // bounded: `dims` entries per cell
+
           x => x.getField("v")).as("cvec"))
     }
     cents

@@ -33,6 +33,30 @@ object CurationOps {
   private def hashBucket(id: org.apache.spark.sql.Column, mod: Int) =
     hashLong(id, 8) % mod
 
+  /** 2^60 — the exclusive upper bound of the 15-hex-digit [[hashLong]]. */
+  private val HashSpace = 1152921504606846976L
+  /** floor(2^60 / 1e6): one part-per-million of the hash space. Integer, so
+    * `ppm * PpmUnit` is the same exact threshold in Spark and DuckDB. */
+  private val PpmUnit = 1152921504606L
+
+  /** Deterministic weighted mixture sampling (temperature-style source
+    * re-balancing): keep a document iff its 60-bit md5 hash falls below its
+    * source's weight threshold — `hashLong(id) < weight_ppm · 2^60/10^6`.
+    *
+    * Weights are parts-per-million integers (exact in both engines; a
+    * float `w · 2^60` could round differently per libm). `ppm ≥ 1e6` means
+    * keep-everything and maps to the full hash space exactly. Acceptance
+    * depends only on (id, its source's weight): rerun-stable, growth-stable
+    * (adding docs never flips an existing doc's fate), resumable, and a
+    * pure per-row projection — embarrassingly parallel at any scale. */
+  def mixtureSample(docs: DataFrame, idCol: String,
+                    weightPpm: org.apache.spark.sql.Column): DataFrame = {
+    val thresh = when(weightPpm >= 1000000L, lit(HashSpace))
+      .otherwise(weightPpm * lit(PpmUnit))
+    docs.withColumn("weight_ppm", weightPpm.cast("long"))
+      .filter(hashLong(col(idCol), 15) < thresh)
+  }
+
   val all: Seq[Q] = Seq(
     // Near-dup CLUSTER resolution: the exact-Jaccard pair graph (same
     // parameters as dedup_jaccard) resolved to connected components;
@@ -255,6 +279,30 @@ object CurationOps {
         .select(col("doc_id"), col("source"),
           row_number().over(w).cast("long").as("rk"))
         .filter(col("rk") <= 5)
+    },
+
+    // Weighted mixture sampling: the soft counterpart of the hard quota
+    // above — each source keeps a target FRACTION of its docs
+    // (temperature-style re-balancing) instead of a fixed k. The weight is
+    // derived from the source's numeric suffix ((n % 4 + 1)/4 → 0.25, 0.5,
+    // 0.75, 1.0) so the query exercises the full weight range without a
+    // hardcoded source list. Acceptance is the md5-threshold convention
+    // shared with split_assign: hash(doc_id) under weight·2^60, exact
+    // integer arithmetic in both engines.
+    q(
+      "sample_mixture",
+      """SELECT doc_id, source, weight_ppm FROM (
+        |  SELECT doc_id, source,
+        |    (CAST(SUBSTR(source, 4) AS BIGINT) % 4 + 1) * 250000 AS weight_ppm,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hk
+        |  FROM documents)
+        |WHERE hk < CASE WHEN weight_ppm >= 1000000
+        |                THEN 1152921504606846976
+        |                ELSE weight_ppm * 1152921504606 END""".stripMargin
+    ) { (s, dir) =>
+      val ppm = (substring(col("source"), 4, 8).cast("long") % 4 + 1) * 250000L
+      mixtureSample(t(s, dir, "documents"), "doc_id", ppm)
+        .select("doc_id", "source", "weight_ppm")
     }
   )
 }

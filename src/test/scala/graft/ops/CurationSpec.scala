@@ -86,4 +86,37 @@ class CurationSpec extends SparkTestBase {
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got.forall(t => ids(t._1)))
   }
+
+  test("sample_mixture: deterministic, weight-1 keeps all, proportions near target") {
+    val run = () => SparkEntry.queries("sample_mixture")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = run()
+    assert(a.sortBy(_._1).toSeq == run().sortBy(_._1).toSeq) // rerun-stable
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(t => ids(t._1))) // strict subset of the corpus
+    // weight is a pure function of the source suffix
+    a.foreach { case (_, src, ppm) =>
+      assert(ppm == (src.drop(3).toLong % 4 + 1) * 250000L, s"$src -> $ppm")
+    }
+    // ppm >= 1e6 maps to the FULL hash space: weight-1.0 sources keep
+    // every doc, by construction not by luck
+    val nPerSource = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_._2).map { case (s, rows) => s -> rows.length.toLong }
+    nPerSource.keys.filter(_.drop(3).toLong % 4 == 3).foreach { src =>
+      assert(kept.getOrElse(src, 0L) == nPerSource(src), s"weight-1.0 $src dropped docs")
+    }
+    // realized fraction per weight CLASS (5 sources x 25 docs = 125 trials
+    // at sf0.01) within +-0.15 of target — ~4 sigma of Binomial(125, w),
+    // and deterministic anyway on the fixed testdata. (.toSeq: a Set.map
+    // would collapse sources with equal counts before summing)
+    (0 to 3).foreach { cls =>
+      val target = (cls + 1) * 0.25
+      val srcs = nPerSource.keys.toSeq.filter(_.drop(3).toLong % 4 == cls)
+      val n = srcs.map(nPerSource).sum.toDouble
+      val k = srcs.map(s => kept.getOrElse(s, 0L)).sum.toDouble
+      assert(math.abs(k / n - target) <= 0.15,
+        s"weight class $target realized ${k / n} over $n docs")
+    }
+  }
 }

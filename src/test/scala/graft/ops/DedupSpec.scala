@@ -113,6 +113,18 @@ class DedupSpec extends SparkTestBase {
     assert(rows.length == 1)
     assert(rows.head.getAs[Long]("keeper") == 1L)
     assert(rows.head.getAs[Long]("n_copies") == 2L)
+    assert(rows.head.getAs[scala.collection.Seq[Long]]("member_sample").toSeq == Seq(1L, 2L))
+  }
+
+  test("exact dup member sample is bounded by sampleK, count stays full") {
+    // 20 identical copies, sampleK=5: n_copies must report all 20 while
+    // member_sample carries only the 5 smallest ids — the bounded-row
+    // guarantee that replaces the unbounded collect_list.
+    val many = spark.range(1, 21).select($"id".as("doc_id"), lit("same text").as("text"))
+    val r = DedupOps.exactDupes(many, sampleK = 5).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_copies") == 20L)
+    assert(r.head.getAs[scala.collection.Seq[Long]]("member_sample").toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("minhash on real documents: every reported pair verifies exactly") {
