@@ -102,13 +102,47 @@ object BamFixture {
     mapped ++ unmapped
   }
 
+  /** Long-read records (FIXTURES.md item 5): coordinate-sorted mapped
+    * reads of 10k–200k bases. With the default 8 KiB BGZF payloads EVERY
+    * record spans many compressed blocks — the reference's hardest error
+    * domain (GiaB long reads, docs/motivation.md:95-101; hadoop-bam's
+    * false negatives occurred exactly on chunk-spanning records): an
+    * index-pruned scan must reassemble a record whose bytes straddle
+    * chunk boundaries without dropping or duplicating it. M+D+M cigars so
+    * `endPos` exercises reference-consuming arithmetic over long spans. */
+  def generateLongRecords(n: Int, contigs: IndexedSeq[Bam.Contig],
+                          seed: Long): IndexedSeq[Bam.Record] = {
+    val rng = new Rng(seed)
+    (0 until n).map { i =>
+      val refIdx = rng.nextInt(contigs.length)
+      val readLen = 10_000 + rng.nextInt(190_001)
+      val del = 1 + rng.nextInt(50)
+      val pos = rng.nextInt(math.max(1, contigs(refIdx).length - readLen - del - 1))
+      val m1 = readLen / 2
+      val cigar = Seq(Bam.CigarOp(0, m1), Bam.CigarOp(2, del),
+        Bam.CigarOp(0, readLen - m1))
+      val seq = (0 until readLen).map(_ => "ACGT".charAt(rng.nextInt(4))).mkString
+      val qual = Array.tabulate[Byte](readLen)(_ => (rng.nextInt(40) + 2).toByte)
+      Bam.Record(
+        refIdx = refIdx, pos = pos, mapq = rng.nextInt(61),
+        flags = if (rng.nextInt(2) == 0) 0x10 else 0,
+        readName = f"long_$i%05d",
+        cigar = cigar,
+        nextRefIdx = -1, nextPos = -1, templateLen = 0,
+        seq = seq, qual = qual,
+        attrs = Map("NM:i" -> rng.nextInt(5).toString),
+        blockPos = -1, offset = -1)
+    }.sortBy(r => (r.refIdx, r.pos, r.readName))
+  }
+
   /** Write a BAM + side-cars; returns the fixture with every record's
     * virtual position resolved against the final block layout. */
   def write(dir: Path, name: String, n: Int = 2000, seed: Long = 42,
             payloadSize: Int = 8 * 1024,
-            contigs: IndexedSeq[Bam.Contig] = DefaultContigs): Fixture = {
+            contigs: IndexedSeq[Bam.Contig] = DefaultContigs,
+            gen: (Int, IndexedSeq[Bam.Contig], Long) => IndexedSeq[Bam.Record] = generateRecords): Fixture = {
     Files.createDirectories(dir)
-    val recs = generateRecords(n, contigs, seed)
+    val recs = gen(n, contigs, seed)
     val out = new java.io.ByteArrayOutputStream(1 << 20)
     val samText = "@HD\tVN:1.6\tSO:coordinate\n" +
       contigs.map(c => s"@SQ\tSN:${c.name}\tLN:${c.length}\n").mkString
@@ -188,6 +222,15 @@ object BamFixture {
   /** Tiny fixture with several records per block AND records spanning
     * blocks. */
   lazy val tiny: Fixture = cached("tiny", n = 120, seed = 7, payloadSize = 1024)
+
+  /** Long-read fixture: 60 reads of 10k–200k bases over 8 KiB blocks —
+    * every record spans multiple BGZF blocks (see [[generateLongRecords]]). */
+  lazy val longRead: Fixture = cache.getOrElseUpdate("longread", {
+    val dir = Paths.get(sys.props.getOrElse("graft.fixture.dir",
+      "target/bam-fixtures"))
+    write(dir, "longread-60-13.bam", n = 60, seed = 13, payloadSize = 8192,
+      gen = generateLongRecords)
+  })
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Fixture]
 

@@ -35,6 +35,26 @@ object BamQueries {
     }
   }
 
+  /** Long-read fixture copy carrying ONLY a standard `.bai` (same shape as
+    * [[baiOnly]]), built once per JVM (Bench's un-timed warmup). */
+  private val longBaiMemo = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def longReadBai(s: org.apache.spark.sql.SparkSession): String = synchronized {
+    Option(longBaiMemo.get).getOrElse {
+      val dir = java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.fixture.dir", "target/bam-fixtures"))
+      java.nio.file.Files.createDirectories(dir)
+      val p = dir.resolve("longread-baionly.bam")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(BamFixture.longRead.bamPath), p)
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p.toString + ".bai")))
+        BamOps.indexBai(s, p.toString)
+      longBaiMemo.set(p.toString)
+      p.toString
+    }
+  }
+
   /** Two fixtures with DIFFERENT contig dictionaries (same names, different
     * order) — the heterogeneous multi-file read every mixed-pipeline BAM
     * directory hits. Built once per JVM (Bench's un-timed warmup). */
@@ -128,6 +148,21 @@ object BamQueries {
     q("bam_intervals_bai") { (s, _) =>
       BamOps.intervals(s, baiOnly(s),
         Seq(("chr1", 0, 400_000), ("chr2", 100_000, 120_000)))
+        .groupBy("contig").agg(count(lit(1)).as("n"), min("pos").as("first_pos"),
+          max("endPos").as("last_end"))
+        .orderBy("contig")
+    },
+
+    // S5/P2 long-read stress: the same BAI-pruned interval shape over the
+    // 10k-200k-base fixture, where EVERY record spans many BGZF blocks —
+    // the reference's hardest error domain (GiaB long reads,
+    // docs/benchmarks.md:24-26; hadoop-bam's false negatives occurred on
+    // exactly these chunk-spanning records, :38). A pruned scan must
+    // neither drop nor duplicate a record whose bytes straddle pruned
+    // chunk boundaries; exact no-dup/no-drop pinned in PushdownSpec.
+    q("bam_longread_intervals") { (s, _) =>
+      BamOps.intervals(s, longReadBai(s),
+        Seq(("chr1", 100_000, 600_000), ("chr2", 0, 300_000)))
         .groupBy("contig").agg(count(lit(1)).as("n"), min("pos").as("first_pos"),
           max("endPos").as("last_end"))
         .orderBy("contig")

@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   * equi-join against that one-row-per-node frame — both skew-tolerant
   * (AQE skew-join handles the residual hot keys in the join).
   *
-  * Each round ends in `localCheckpoint(eager = true)`: the edge set is the
-  * loop-carried state, and checkpointing truncates the lineage so round k
-  * doesn't re-execute rounds 1..k-1 (on a cluster with a reliable
-  * checkpoint dir, `checkpoint()` is the durable equivalent; local mode has
-  * no such dir, and executor-block persistence is the same cost shape).
+  * Each round ends in a lineage cut: the edge set is the loop-carried
+  * state, and checkpointing truncates the lineage so round k doesn't
+  * re-execute rounds 1..k-1. By default the cut is
+  * `localCheckpoint(eager = true)` (executor blocks — right for local
+  * mode, fastest on a healthy cluster); passing `checkpointDir` routes it
+  * to a reliable `checkpoint()` so the loop state survives executor loss.
   * Convergence is detected by an order-insensitive edge-set signature
   * (count + sum of per-edge hashes) — one cheap aggregate per round over
   * the just-materialized blocks, no `except()` anti-join.
@@ -94,33 +95,51 @@ object GraphOps {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
       case _ =>
-    } catch { case _: Throwable => } // best-effort: GC remains the backstop
+    } catch { // best-effort: GC remains the backstop
+      case scala.util.control.NonFatal(_) =>
+    }
+
+  /** Round-end lineage cut. `localCheckpoint` (executor blocks) is right
+    * for local mode and fastest on a healthy cluster, but the blocks are
+    * the loop's ONLY copy of the edge state — a lost executor kills the
+    * whole loop. With a `checkpointDir` the state goes to reliable storage
+    * (`sparkContext.setCheckpointDir` + `checkpoint()`), surviving
+    * executor loss at the cost of a DFS write per round. */
+  private def cut(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
   /** Connected components of the undirected graph given as an edge list.
-    * Returns one row per node that appears in ANY edge: (`id`,
-    * `component`) where `component` is the smallest node id reachable from
-    * `id`. Self-loops and duplicate/reversed edges are tolerated. Nodes
-    * with no edges don't appear (the caller left-joins and coalesces —
-    * see `dedup_clusters`). */
+    * Returns one row per node that appears in any NON-degenerate edge:
+    * (`id`, `component`) where `component` is the smallest node id
+    * reachable from `id`. Self-loops and duplicate/reversed edges are
+    * tolerated; a node whose ONLY edges are self-loops is treated as
+    * edgeless — like edge-free nodes it doesn't appear, and the caller's
+    * left-join + coalesce assigns it its own id (see `dedup_clusters`).
+    *
+    * `checkpointDir`: when set, each round's lineage cut goes to reliable
+    * storage instead of executor blocks — see [[cut]]. Results and round
+    * counts are identical either way (GraphOpsSpec pins this). */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
-                          dstCol: String = "dst", maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+                          dstCol: String = "dst", maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter, checkpointDir)._1
 
   /** [[connectedComponents]] plus the number of alternating rounds it took
     * to converge — the O(log n) bound made observable (GraphOpsSpec pins
     * it on a worst-case path graph). */
   def connectedComponentsWithRounds(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 50): (DataFrame, Int) = {
-    var e = orient(
+      maxIter: Int = 50, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    var e = cut(orient(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), reliable)
     var sig = signature(e)
     var converged = sig._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = cut(smallStar(largeStar(e)), reliable)
       val nsig = signature(next)
       // the signature is a fast pre-check; counts being equal, ONE except
       // direction run once at the matching round makes convergence EXACT
@@ -151,8 +170,9 @@ object GraphOps {
     * set of a dedup pass is `filter(id === cluster)`. */
   def clusterAssign(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
-                    maxIter: Int = 50): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol, maxIter)
+                    maxIter: Int = 50,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter, checkpointDir)
     docs.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

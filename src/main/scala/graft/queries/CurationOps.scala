@@ -227,7 +227,13 @@ object CurationOps {
       // checkpoint before the window: prefixSumExclusive's sample job,
       // carry aggregate and final join would otherwise each re-execute
       // the gate→pair→cluster→split upstream (their differing column
-      // pruning defeats exchange reuse — the tfidf_terms lesson)
+      // pruning defeats exchange reuse — the tfidf_terms lesson).
+      // SIDE EFFECT: the eager checkpoint means merely BUILDING this
+      // DataFrame executes the whole upstream and pins the result to
+      // blocks from construction time — plan-only consumers (schema
+      // inspection, .explain) pay a full run. Accepted: the registered
+      // query's consumers all execute it, and a lazy persist would leave
+      // the triple re-execution in the actual run.
       val train = surv.filter(hashBucket(col("doc_id"), 100) < 90)
         .select(col("doc_id"),
           size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))

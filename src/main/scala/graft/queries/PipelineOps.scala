@@ -18,6 +18,17 @@ object PipelineOps {
   private def qq(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
 
+  /** Per-(session, dir) memo of the IVF centroid table: built once with
+    * one Lloyd's pass, pinned via eager localCheckpoint (8 rows — the
+    * "persisted index" a serving deployment would write out), then reused
+    * by every `ann_ivf_cached` execution. */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cachedCentroids(s: SparkSession, dir: String): DataFrame =
+    centroidMemo.getOrElseUpdate(s"${s.hashCode()}|$dir",
+      SimilarityOps.ivfCentroids(t(s, dir, "embeddings"), nlist = 8, iters = 1)
+        .localCheckpoint(true))
+
   // DuckDB token list of the lower-cased text, mirroring DedupOps.tokens.
   private val dTokens =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
@@ -98,6 +109,20 @@ object PipelineOps {
       SimilarityOps.ivfTopK(
         emb.filter(col("vec_id") % 50 === 0), emb, k = 10,
         nlist = 8, nprobe = 4, iters = 1)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- The amortized-serving IVF shape: centroids built ONCE per
+    // corpus (memoized small nlist-row table, like a persisted index)
+    // and fed back, so each query batch pays only probe + re-rank — the
+    // Lloyd's pass ann_ivf re-runs per execution is gone. Identical
+    // output to ann_ivf by construction (same centroid arithmetic;
+    // pinned in SimilaritySpec).
+    qq("ann_ivf_cached") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopKWithCentroids(
+        emb.filter(col("vec_id") % 50 === 0), emb,
+        cachedCentroids(s, dir), k = 10, nprobe = 4)
         .orderBy("query_id", "rank")
     },
 
@@ -186,13 +211,21 @@ object PipelineOps {
         .select(col("vec_id"), col("label"), posexplode(col("embedding")))
         .select(col("vec_id"), col("label"), (col("pos") + 1).as("idx"),
           round(col("col").cast("double") * 1000000).cast("long").as("qv"))
+      // dot/norm accumulation in DECIMAL(38,0), not BIGINT: qs scales with
+      // per-label row count × 1e6, so nc2 ≈ n²·1e12·dims passes Long.Max
+      // around 10k vectors per label — non-ANSI Spark would wrap SILENTLY
+      // at corpus scale (DuckDB sums through HUGEINT and would not). Same
+      // convention as GraphOps.signature's hash sum.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val cent = el.groupBy(col("label").as("clabel"), col("idx"))
-        .agg(sum("qv").as("qs"))
-      val nc = cent.groupBy("clabel").agg(sum(col("qs") * col("qs")).as("nc2"))
+        .agg(sum("qv").as("qs")) // qs bounded by rows-per-label × ~1e6: Long-safe
+      val nc = cent.groupBy("clabel")
+        .agg(sum(col("qs").cast(dec) * col("qs")).as("nc2"))
       val sc = el.join(broadcast(cent), "idx")
         .groupBy(col("vec_id"), col("clabel"))
-        .agg(min("label").as("label"), sum(col("qv") * col("qs")).as("dot"),
-          sum(col("qv") * col("qv")).as("nv2"))
+        .agg(min("label").as("label"),
+          sum(col("qv").cast(dec) * col("qs")).as("dot"),
+          sum(col("qv").cast(dec) * col("qv")).as("nv2"))
       val cos = col("dot").cast("double") /
         (sqrt(col("nv2").cast("double")) * sqrt(col("nc2").cast("double")))
       val w = Window.partitionBy("vec_id").orderBy(cos.desc, col("clabel"))
@@ -283,6 +316,37 @@ object PipelineOps {
           xxhash64(col("norm")).as("fp"),
           TextAnalysisOps.minGramFromNorm(col("norm")).as("fp_min8"))
         .orderBy("doc_id")
+    },
+
+    // ---- md5 twin of text_fingerprint: the SAME fingerprint shape
+    // (whole-text hash + min over character-8-gram hashes of the
+    // normalized text) but over md5 — which DuckDB shares — so the
+    // fingerprint SEMANTICS are inside the hash-compared gate instead of
+    // rows-only. The min-gram is the lexicographic min of hex digests
+    // (identical total order in both engines). xxhash64 stays the
+    // production path: the HOF form here is interpreted and per-window
+    // allocating, fine for a correctness twin, not for the hot path.
+    q(
+      "text_fingerprint_md5",
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  CASE WHEN LEN(norm) >= 8 THEN
+        |    LIST_MIN(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(norm) - 7),
+        |      i -> md5(SUBSTR(norm, i, 8))))
+        |  ELSE md5(norm) END AS fp_min8_md5
+        |FROM n""".stripMargin
+    ) { (s, dir) =>
+      val norm = col("norm")
+      t(s, dir, "documents")
+        .withColumn("norm", TextAnalysisOps.normalized(col("text")))
+        .select(col("doc_id"),
+          md5(norm).as("fp_md5"),
+          when(length(norm) >= 8,
+            array_min(transform(sequence(lit(1), length(norm) - 7),
+              i => md5(norm.substr(i, lit(8))))))
+            .otherwise(md5(norm)).as("fp_min8_md5"))
     }
   )
 }

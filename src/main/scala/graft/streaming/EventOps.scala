@@ -38,6 +38,15 @@ object EventOps {
     * case class — nested-case-class state trips Janino codegen. */
   private type SessState = (Long, Long, Long, Double)
 
+  /** Timestamp → epoch micros. `floorDiv`, not `/`: for pre-epoch
+    * timestamps `getTime` is negative and `/` truncates toward zero,
+    * which would place the event one second (and hence one window) later
+    * than the batch side's `date_trunc`/`floorMod` alignment — a silent
+    * batch/stream parity break for pre-1970 data. The fractional second
+    * is re-added from `getNanos` (always non-negative). */
+  private def epochMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
 
   /** Batch sessionization: a session breaks when the gap to the previous
@@ -74,11 +83,11 @@ object EventOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[Event], state: GroupState[List[SessState]]) =>
           val sorted = it.toVector.sortBy(e =>
-            ((e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000, e.event_id))
+            (epochMicros(e.ts), e.event_id))
           var cur = state.getOption.getOrElse(Nil).headOption
           val done = List.newBuilder[SessState]
           sorted.foreach { e =>
-            val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            val us = epochMicros(e.ts)
             cur match {
               case Some((start, last, n, total)) if us - last <= SessionGapUs =>
                 cur = Some((start, us, n + 1, total + e.value))
@@ -118,11 +127,11 @@ object EventOps {
             out.iterator
           } else {
             val sorted = it.toVector.sortBy(e =>
-              ((e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000, e.event_id))
+              (epochMicros(e.ts), e.event_id))
             var cur = state.getOption.getOrElse(Nil).headOption
             val done = List.newBuilder[SessState]
             sorted.foreach { e =>
-              val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+              val us = epochMicros(e.ts)
               cur match {
                 case Some((start, last, n, total)) if us - last <= SessionGapUs =>
                   cur = Some((start, us, n + 1, total + e.value))
@@ -182,7 +191,7 @@ object EventOps {
           val (wins0, emitted0) =
             state.getOption.getOrElse((Map.empty[Long, Long], Long.MinValue))
           val wins = it.foldLeft(wins0) { (m, e) =>
-            val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            val us = epochMicros(e.ts)
             val w = us - java.lang.Math.floorMod(us, widthUs)
             m.updated(w, m.getOrElse(w, 0L) + 1)
           }

@@ -210,6 +210,46 @@ class PushdownSpec extends SparkTestBase {
     assert(mixed.count() == onlyB.records.count(_.refIdx == 0))
   }
 
+  test("long-read records spanning many blocks survive BAI pruning exactly") {
+    // the reference's hardest domain: 10k-200k-base records, each spanning
+    // MANY BGZF blocks (hadoop-bam's false negatives hit exactly this
+    // shape). A pruned scan must neither drop nor duplicate a record whose
+    // bytes straddle pruned chunk boundaries.
+    val lr = BamFixture.longRead
+    assert(lr.blocks.length > lr.records.length,
+      "fixture must have more blocks than records (records span blocks)")
+
+    // copy with ONLY a freshly-built standard .bai — no engine side-cars
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-lr")
+    val copy = tmpDir.resolve("lr.bam")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(lr.bamPath), copy)
+    graft.bam.ops.BamOps.indexBai(spark, copy.toString)
+
+    def loadCopy() = spark.read.format("bam")
+      .option("splitSize", "262144").load(copy.toString)
+    val fullParts = loadCopy().rdd.getNumPartitions
+    assert(fullParts > 1, s"file must split ($fullParts partitions)")
+
+    val (lo, hi) = (100_000, 600_000)
+    val q = loadCopy().filter(col("contig") === "chr1" &&
+      col("pos") < hi && col("endPos") > lo)
+    assert(q.rdd.getNumPartitions < fullParts,
+      s"bai pruned ${q.rdd.getNumPartitions} vs full $fullParts")
+
+    // by-construction expected set from the generator's ground truth:
+    // exact read-name multiset — a drop OR a duplicate both fail
+    val want = lr.records.filter(r =>
+      r.refIdx == 0 && r.pos < hi && r.end > lo)
+    assert(want.nonEmpty, "interval must select long reads")
+    val got = q.select("readName").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want.map(_.readName).sorted.toSeq)
+
+    // endPos arithmetic holds over the M+D+M long cigars
+    val ends = q.select("readName", "endPos").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    want.foreach(r => assert(ends(r.readName) == r.end, r.readName))
+  }
+
   test("indexGenomic rebuilds an equivalent index from the source") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-gri")
     val copy = tmpDir.resolve("copy.bam")

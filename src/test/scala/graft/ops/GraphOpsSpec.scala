@@ -102,6 +102,27 @@ class GraphOpsSpec extends SparkTestBase {
     assert(leaked <= 2, s"$leaked checkpointed RDDs left behind")
   }
 
+  test("reliable checkpointDir: identical result and round count") {
+    // the cluster-durability path: every round's lineage cut goes to the
+    // reliable checkpoint dir instead of executor blocks; results and
+    // convergence behavior must be bit-identical to the local-mode cut
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccdir")
+    val edges = ((0L until 100L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (300L, 300L))).toDF("src", "dst")
+    val (local, localRounds) =
+      GraphOps.connectedComponentsWithRounds(edges, "src", "dst")
+    val (reliable, reliableRounds) = GraphOps.connectedComponentsWithRounds(
+      edges, "src", "dst", checkpointDir = Some(dir.toString))
+    val l = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == r)
+    assert(localRounds == reliableRounds)
+    // the reliable run actually wrote checkpoint state to the dir
+    val wrote = java.nio.file.Files.walk(dir).filter(
+      java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no checkpoint files written to checkpointDir")
+  }
+
   test("clusterAssign covers unpaired docs with their own id") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")

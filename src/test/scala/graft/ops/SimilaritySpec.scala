@@ -118,6 +118,22 @@ class SimilaritySpec extends SparkTestBase {
     info(s"random-data IVF recall@10 = $recall")
   }
 
+  test("IVF with pre-built centroids equals the inline-build path") {
+    // the amortized-serving shape: ivfCentroids once, fed back per batch —
+    // must be bit-identical to ivfTopK's inline build (same centroid
+    // arithmetic, same probe/re-rank), only the Lloyd's pass is saved
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val inline0 = SimilarityOps.ivfTopK(queries, emb, k = 10, nlist = 8,
+      nprobe = 4, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+      .localCheckpoint(true) // the "persisted index" stand-in
+    val cached = SimilarityOps.ivfTopKWithCentroids(queries, emb, cents,
+      k = 10, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(cached.sorted.toSeq == inline0.sorted.toSeq)
+  }
+
   test("IVF returns exactly k ranked rows per query with one cell per item") {
     val queries = emb.filter($"vec_id" % 50 === 0)
     val got = SimilarityOps.ivfTopK(queries, emb, k = 10, nlist = 8, nprobe = 4)
