@@ -140,6 +140,21 @@ object TextAnalysisOps {
         i => xxhash64(norm.substr(i, lit(k))))))
       .otherwise(xxhash64(norm))
 
+  /** md5 twin of [[minGramFromNorm]] — the oracle-shared fingerprint
+    * (lexicographic min of the k-gram md5 hex digests), one codegen'd
+    * pass (see [[graft.expressions.MinGramMd5]]). */
+  def minGramMd5FromNorm(norm: Column, k: Int = 8): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinGramMd5(
+        org.apache.spark.sql.GraftColumnBridge.expression(norm), k))
+
+  /** Interpreted HOF reference formulation (spec differential only). */
+  def minGramMd5FromNormHof(norm: Column, k: Int = 8): Column =
+    when(length(norm) >= k,
+      array_min(transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => md5(norm.substr(i, lit(k))))))
+      .otherwise(md5(norm))
+
   /** Convenience single-expression form for small inputs/tests. */
   def minGramFingerprint(text: Column, k: Int = 8): Column =
     minGramFromNorm(normalized(text), k)

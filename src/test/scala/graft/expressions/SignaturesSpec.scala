@@ -23,6 +23,27 @@ class SignaturesSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("min_gram_md5 equals the HOF md5-per-window formulation exactly") {
+    import graft.ops.TextAnalysisOps
+    val staged = docs
+      .withColumn("norm", TextAnalysisOps.normalized($"text"))
+    val diff = staged
+      .withColumn("fast", TextAnalysisOps.minGramMd5FromNorm($"norm"))
+      .withColumn("ref", TextAnalysisOps.minGramMd5FromNormHof($"norm"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+    // edge shapes the corpus may not cover: shorter-than-k (whole-text
+    // md5), exactly k, multi-byte codepoints straddling windows, empty
+    val edges = Seq("", "short", "exactly8", "héllo wörld ünïcode ß",
+      "ab", "aaaaaaaaaa").toDF("norm")
+    val ediff = edges
+      .withColumn("fast", TextAnalysisOps.minGramMd5FromNorm($"norm"))
+      .withColumn("ref", TextAnalysisOps.minGramMd5FromNormHof($"norm"))
+      .filter($"fast" =!= $"ref" ||
+        ($"fast".isNull =!= $"ref".isNull)).count()
+    assert(ediff == 0)
+  }
+
   test("simhash64 expression equals the HOF formulation exactly") {
     SignatureFunctions.register(spark)
     val staged = docs.limit(50)
