@@ -57,6 +57,29 @@ object CurationOps {
       .filter(hashLong(col(idCol), 15) < thresh)
   }
 
+  /** Deterministic weighted UP-sampling — the other half of temperature
+    * re-balancing: weights may exceed 1, and a doc is REPEATED
+    * `floor(w)` times plus one more iff its hash falls under the
+    * fractional threshold (`n_rep = ⌊w⌋ + [hash(id) < frac(w)·2^60]`,
+    * the epochs-style repetition of high-quality sources in LLM data
+    * recipes). Same ppm-integer hash convention as [[mixtureSample]]
+    * (w ≤ 1 degenerates to it, with a `rep` column of 1s). Pure per-row
+    * projection + a bounded explode (≤ ⌈w_max⌉ rows per doc, a config
+    * constant): no shuffle, rerun- and growth-stable. */
+  def mixtureUpsample(docs: DataFrame, idCol: String,
+                      weightPpm: org.apache.spark.sql.Column): DataFrame = {
+    val w = weightPpm.cast("long")
+    val base = floor(w / lit(1000000.0)).cast("long") // exact: ppm ≪ 2^53
+    val extra = when(
+      hashLong(col(idCol), 15) < (w % 1000000L) * lit(PpmUnit), 1L)
+      .otherwise(0L)
+    docs.withColumn("weight_ppm", w)
+      .withColumn("__n_rep", base + extra)
+      .filter(col("__n_rep") > 0)
+      .withColumn("rep", explode(sequence(lit(1L), col("__n_rep"))))
+      .drop("__n_rep")
+  }
+
   val all: Seq[Q] = Seq(
     // Near-dup CLUSTER resolution: the exact-Jaccard pair graph (same
     // parameters as dedup_jaccard) resolved to connected components;
@@ -309,6 +332,34 @@ object CurationOps {
       val ppm = (substring(col("source"), 4, 8).cast("long") % 4 + 1) * 250000L
       mixtureSample(t(s, dir, "documents"), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm")
+    },
+
+    // Weighted UP-sampling: weights over 1 repeat documents (suffix-derived
+    // (n % 3)·0.75 + 0.5 → 0.5, 1.25, 2.0 — exercising the sub-1, mixed,
+    // and exact-integer classes). n_rep = floor(w) + one fractional-hash
+    // extra; one output row per (doc, rep). Same md5-threshold integers as
+    // sample_mixture, replicated exactly by the oracle.
+    q(
+      "sample_upweight",
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    (CAST(SUBSTR(source, 4) AS BIGINT) % 3) * 750000 + 500000 AS weight_ppm,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hk
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source, weight_ppm,
+        |    weight_ppm // 1000000 +
+        |      CASE WHEN hk < (weight_ppm % 1000000) * 1152921504606
+        |           THEN 1 ELSE 0 END AS n_rep
+        |  FROM w
+        |)
+        |SELECT doc_id, source, weight_ppm,
+        |  UNNEST(GENERATE_SERIES(1, n_rep)) AS rep
+        |FROM n WHERE n_rep > 0""".stripMargin
+    ) { (s, dir) =>
+      val ppm = (substring(col("source"), 4, 8).cast("long") % 3) * 750000L + 500000L
+      mixtureUpsample(t(s, dir, "documents"), "doc_id", ppm)
+        .select("doc_id", "source", "weight_ppm", "rep")
     }
   )
 }

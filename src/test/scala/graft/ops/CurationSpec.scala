@@ -119,4 +119,42 @@ class CurationSpec extends SparkTestBase {
         s"weight class $target realized ${k / n} over $n docs")
     }
   }
+
+  test("sample_upweight: per-class repetition semantics, contiguous reps") {
+    val got = SparkEntry.queries("sample_upweight")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reps are contiguous 1..n_rep per doc
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length), s"doc $id")
+    }
+    val nPerSource = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val copiesByDoc = got.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.head._2, rows.length.toLong)
+    }
+    def cls(src: String) = src.drop(3).toLong % 3
+    // weight 2.0 (class 2): EVERY doc exactly twice, by construction
+    nPerSource.keys.toSeq.filter(cls(_) == 2).foreach { src =>
+      val cs = copiesByDoc.collect { case (_, (s, n)) if s == src => n }
+      assert(cs.size.toLong == nPerSource(src) && cs.forall(_ == 2L), src)
+    }
+    // weight 1.25 (class 1): every doc at least once, never more than twice
+    nPerSource.keys.toSeq.filter(cls(_) == 1).foreach { src =>
+      val cs = copiesByDoc.collect { case (_, (s, n)) if s == src => n }
+      assert(cs.size.toLong == nPerSource(src) && cs.forall(n => n == 1L || n == 2L), src)
+    }
+    // weight 0.5 (class 0): subset, one copy each — and the ACCEPTED SET
+    // matches mixtureSample at the same weight (shared threshold math)
+    val half = graft.queries.CurationOps.mixtureSample(
+      docs.filter(expr("CAST(SUBSTR(source, 4, 8) AS LONG) % 3 = 0")),
+      "doc_id", lit(500000L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val upHalf = copiesByDoc.collect { case (id, (s, n)) if cls(s) == 0 => (id, n) }
+    assert(upHalf.forall(_._2 == 1L))
+    assert(upHalf.map(_._1).toSet == half)
+    // rerun-stable
+    val again = SparkEntry.queries("sample_upweight")(spark, sfSmall)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
 }
