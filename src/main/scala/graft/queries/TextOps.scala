@@ -28,6 +28,39 @@ object TextOps {
         .select("keeper", "n_copies")
     },
 
+    // Prefix-collapse dup clusters WITH the bounded membership sample:
+    // documents sharing their leading 40 characters (the boilerplate /
+    // mirrored-header collapse heuristic; the corpus has no full-text
+    // dupes at gate SF, so the prefix key is what exercises the shape).
+    // Reports the DedupOps.exactDupes contract — full n_copies + the K
+    // smallest member ids (K=3) — under the oracle. The sample comes from
+    // rank-then-filter: WindowGroupLimit caps every group at K rows
+    // BEFORE the shuffle, so a crawl-scale viral prefix (billions of
+    // copies) still contributes K ids, never its whole membership. It is
+    // emitted as a comma-joined string (arrays don't cross the
+    // parquet/DuckDB value-hash boundary canonically).
+    q(
+      "dedup_prefix_sample",
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:3], ',') AS member_sample
+        |FROM documents GROUP BY SUBSTR(text, 1, 40) HAVING COUNT(*) > 1""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("__pfx"))
+      val dupes = docs.groupBy("__pfx")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+      val w = Window.partitionBy("__pfx").orderBy("doc_id")
+      val sample = docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .groupBy("__pfx")
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",") // bounded: input filtered to <= 3 rows per group
+          .as("member_sample"))
+      dupes.join(sample, "__pfx")
+        .select("keeper", "n_copies", "member_sample")
+    },
+
     // Language-ID histogram (the ground-truth label column; the heuristic
     // n-gram classifier is verified separately against this).
     q(
