@@ -360,6 +360,56 @@ object CurationOps {
       val ppm = (substring(col("source"), 4, 8).cast("long") % 3) * 750000L + 500000L
       mixtureUpsample(t(s, dir, "documents"), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm", "rep")
+    },
+
+    // The curation FUNNEL report — per-stage survivor counts (total →
+    // quality gate → prefix-dedup survivor → train split) as ONE
+    // conditional aggregation: one scan, one partitioned window for the
+    // per-prefix keeper, one aggregate. This is the shape a curation run
+    // logs after every batch; counting each stage with separate queries
+    // would re-scan the corpus per stage. Stages use registered-operator
+    // logic (pipeline_curation's gate, dedup_prefix_sample's key,
+    // split_assign's bucket).
+    q(
+      "curation_funnel",
+      """WITH x AS (
+        |  SELECT doc_id, text,
+        |    (n_chars >= 150 AND (CASE WHEN LEN(STRING_SPLIT(text, ' ')) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+        |                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) END) <= 0.5) AS gated
+        |  FROM documents
+        |), y AS (
+        |  SELECT doc_id, gated,
+        |    MIN(CASE WHEN gated THEN doc_id END)
+        |      OVER (PARTITION BY SUBSTR(text, 1, 40)) AS m
+        |  FROM x
+        |), z AS (
+        |  SELECT doc_id, gated, (gated AND doc_id = m) AS surv FROM y
+        |)
+        |SELECT COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN gated THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+        |  CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_surv,
+        |  CAST(SUM(CASE WHEN surv AND
+        |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) < 90
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        |FROM z""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toksCol = split(col("text"), " ", -1)
+      val dupRatio = when(size(toksCol) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(toksCol)).cast("double") /
+          size(toksCol).cast("double"))
+      val w = Window.partitionBy(substring(col("text"), 1, 40))
+      t(s, dir, "documents")
+        .withColumn("gated", col("n_chars") >= 150 && dupRatio <= 0.5)
+        .withColumn("m",
+          min(when(col("gated"), col("doc_id"))).over(w))
+        .withColumn("surv", col("gated") && col("doc_id") === col("m"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("gated").cast("long")).as("n_gated"),
+          sum(col("surv").cast("long")).as("n_surv"),
+          sum((col("surv") && hashBucket(col("doc_id"), 100) < 90)
+            .cast("long")).as("n_train"))
     }
   )
 }
