@@ -157,4 +157,17 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("curation_funnel: monotone stages, consistent with split_assign") {
+    val r = SparkEntry.queries("curation_funnel")(spark, sfSmall).collect().head
+    val (total, gated, surv, train) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(total == docs.count())
+    assert(total >= gated && gated >= surv && surv >= train,
+      s"funnel not monotone: $total/$gated/$surv/$train")
+    assert(train > 0, "train stage must survive on the fixture corpus")
+    // the train stage is split_assign's bucket rule applied to survivors:
+    // ratio should sit near 90% (loose — survivor hash mix is arbitrary)
+    assert(train.toDouble / surv >= 0.75 && train <= surv)
+  }
 }
