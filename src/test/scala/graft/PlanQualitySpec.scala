@@ -123,4 +123,34 @@ class PlanQualitySpec extends SparkTestBase {
     val p = plan("f7_pos_pack")
     assert(p.contains("*(1)"), p) // codegen stage marker
   }
+
+  test("weighted sampling is shuffle-free (pure per-row projection)") {
+    // mixtureSample/mixtureUpsample must stay scan-bandwidth-bound at
+    // 100 TB: any Exchange here means the sampling pass added a shuffle
+    // it doesn't need
+    Seq("sample_mixture", "sample_upweight").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
+    }
+  }
+
+  test("bounded member sample runs through WindowGroupLimit") {
+    // the rank-then-filter cap must be pushed: WindowGroupLimit trims
+    // every group to K rows per partition BEFORE the shuffle, which is
+    // the whole bounded-row guarantee of the membership sample
+    val p = plan("dedup_prefix_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("curation funnel is one scan, not one per stage") {
+    val df = SparkEntry.queries("curation_funnel")(spark, sfTiny)
+    df.collect()
+    // AQE's toString prints the Final AND the Initial plan — count scans
+    // in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // one parquet scan of documents feeds every stage flag
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    // partial+final conditional aggregation (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
