@@ -52,6 +52,65 @@ object PipelineOps {
       DedupOps.simhashPairs(t(s, dir, "documents")).orderBy("id_a", "id_b")
     },
 
+    // ---- The MinHash ESTIMATOR under the oracle: signatures from
+    // md5-derived gram hashes (reduced mod the shared 31-bit prime, so
+    // DuckDB reproduces them bit-for-bit), 64 permutation minima with the
+    // VERY SAME SignatureParams constants the production xxhash64 path
+    // uses (interpolated into the SQL below), and the component-match
+    // count between consecutive docs — all exact integers. This closes
+    // the one semantic gap of the rows-only dedup_minhash: the signature
+    // + estimation arithmetic itself is now hash-compared, while xxhash64
+    // remains the production hash (one codegen'd pass vs per-gram md5).
+    q(
+      "minhash_est_md5", {
+        val perms = graft.expressions.SignatureParams.A
+          .zip(graft.expressions.SignatureParams.B).zipWithIndex
+          .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+        s"""WITH tk AS (
+           |  SELECT doc_id,
+           |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> LEN(x) > 0) AS t
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id,
+           |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+           |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+           |  FROM tk WHERE LEN(t) >= 3
+           |), h AS (
+           |  SELECT DISTINCT doc_id,
+           |    CAST(CAST(concat('0x', substr(md5(gram), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+           |  FROM g
+           |), perms(k, a, b) AS (VALUES $perms),
+           |sig AS (
+           |  SELECT doc_id, k, MIN((h * a + b) % 2147483647) AS s
+           |  FROM h CROSS JOIN perms GROUP BY 1, 2
+           |)
+           |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           |  CAST(SUM(CASE WHEN x.s = y.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           |FROM sig x JOIN sig y ON y.doc_id = x.doc_id + 1 AND y.k = x.k
+           |GROUP BY 1, 2""".stripMargin
+      }
+    ) { (s, dir) =>
+      graft.expressions.SignatureFunctions.register(s)
+      val P = graft.expressions.SignatureParams.Prime
+      val staged = t(s, dir, "documents")
+        .withColumn("toks", DedupOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", DedupOps.shingles(col("toks")))
+        .withColumn("hs", array_distinct(transform(col("sh"),
+          g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(P)))))
+        .withColumn("sig", call_function("minhash_signature", col("hs")))
+        .select(col("doc_id"), col("sig"))
+      val l = staged.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+      val r = staged.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("sig").as("sb"))
+      l.join(r, "id_a")
+        .withColumn("n_match",
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x))
+        .select("id_a", "id_b", "n_match")
+    },
+
     // ---- Embedding-cosine near-dup pairs, exact; DuckDB oracle via
     // list_cosine_similarity.
     q(
