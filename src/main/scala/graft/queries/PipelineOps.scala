@@ -111,6 +111,45 @@ object PipelineOps {
         .select("id_a", "id_b", "n_match")
     },
 
+    // ---- SimHash under the oracle — the last signature family with no
+    // oracle: 60-bit md5 token hashes (duplicates KEPT, as in the
+    // production tokenHashes path), per-bit ±1 votes, packed sign bits.
+    // Bits 60-63 of the md5-60-bit hash are always 0, so their votes are
+    // all −1 and the packed bits come out 0 — the oracle sums bits 0..59
+    // and both engines agree exactly. xxhash64 stays production (one
+    // codegen'd pass); this pins the VOTE/PACK arithmetic in the gate.
+    q(
+      "simhash_md5",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0)) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM tk
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS b)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+        |FROM bits GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.expressions.SignatureFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("toks", DedupOps.tokens(col("text")))
+        .filter(size(col("toks")) > 0) // docs with no tokens vote on nothing
+        .withColumn("hs", transform(col("toks"),
+          tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long")))
+        .select(col("doc_id"),
+          // the codegen'd 64-lane vote/pack kernel (identical to the HOF
+          // reference, SignaturesSpec); only the md5 hash map stays HOF
+          call_function("simhash64", col("hs")).as("sh"))
+    },
+
     // ---- Embedding-cosine near-dup pairs, exact; DuckDB oracle via
     // list_cosine_similarity.
     q(
