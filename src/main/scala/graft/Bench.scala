@@ -49,9 +49,15 @@ object Bench {
       .map(_.resolve("sf0.001"))
       .filter(p => java.nio.file.Files.isDirectory(p) && p.toString != sfDir)
       .map(_.toString)
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,a6_hist restricts the run to a subset —
+    // dev-loop and contention-check tooling; the driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     warmDir match {
       case Some(d) =>
-        SparkEntry.queries.foreach { case (_, fn) =>
+        selected.foreach { case (_, fn) =>
           try fn(spark, d).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => }
         }
@@ -59,42 +65,83 @@ object Bench {
         try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
     }
-    // Each query is timed at least TWICE and the MIN is reported: a one-off
-    // stall from outside the engine (another process on the box, a GC pause,
-    // a page-cache miss) can inflate a single run several-fold, and the min
-    // of two independent runs is robust to any single such event while
-    // leaving genuine plan regressions (which hit both runs) fully visible.
-    // SUB-SECOND queries get a THIRD run and report the MEDIAN of three:
-    // on a box contended across both runs, min-of-two still reads 2-3x the
-    // idle time for queries whose true cost is a few hundred ms (the noise
-    // floor dominates), and a median of three tolerates one bad sample
-    // without letting an improbably fast outlier hide a regression.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (elapsed, succeeded) — a failed attempt's (often fast) elapsed time
-      // must never win the min over a successful run's real time
-      def once(): (Double, Boolean) = {
+    // ---- contention self-diagnosis: a bench run on a shared box can be
+    // inflated 4-18x by OTHER processes (BENCH_r06 was), and min/median
+    // sampling can't tell "box was busy for the whole run" from "the plan
+    // regressed". So the run measures itself: system load average at start
+    // and end (/proc/loadavg counts every runnable thread on the box) and
+    // this JVM's own process CPU time per query. If the box carries
+    // substantially more runnable load than this process is using, the
+    // numbers were taken under contention and the JSON says so.
+    def loadavg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+      catch { case _: Throwable =>
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+      }
+    // -1 sentinel (never NaN: NaN is not valid JSON) when the JVM can't
+    // report process CPU time; deltas then read 0 and the contended flag
+    // degrades to loadavg-only.
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          val t = os.getProcessCpuTime
+          if (t < 0) -1.0 else t / 1e9
+        case _ => -1.0
+      }
+    val loadStart = loadavg()
+    val benchWall0 = System.nanoTime()
+    val benchCpu0 = procCpuSec()
+    // Every query is timed THREE times and the MEDIAN is reported: a
+    // one-off stall from outside the engine (another process on the box, a
+    // GC pause, a page-cache miss) can inflate a single run several-fold,
+    // and a median of three tolerates one bad sample in EITHER direction —
+    // min-of-N would let an improbably fast outlier hide a regression,
+    // and the old "third run only when sub-second" trigger missed exactly
+    // the contended case it was added for (a sub-second query inflated
+    // above 1 s in both samples never earned its tiebreaker).
+    val results = selected.map { case (name, fn) =>
+      // (wall, cpu, succeeded) — a failed attempt's (often fast) elapsed
+      // time must never win over a successful run's real time
+      def once(): (Double, Double, Boolean) = {
         val t0 = System.nanoTime()
+        val c0 = procCpuSec()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0, ok)
       }
-      val two = Seq(once(), once())
-      val runs = if (two.exists(r => r._2 && r._1 < 1.0)) two :+ once() else two
-      val succeeded = runs.filter(_._2).map(_._1)
-      val elapsed =
-        if (succeeded.isEmpty) runs.map(_._1).min // all failed → fastest failure, visible on stderr
-        else if (succeeded.size >= 3) succeeded.sorted.apply(succeeded.size / 2)
-        else succeeded.min
-      name -> elapsed
+      val runs = Seq(once(), once(), once())
+      val succeeded = runs.filter(_._3)
+      val chosen =
+        if (succeeded.isEmpty) runs.minBy(_._1) // all failed → fastest failure, visible on stderr
+        else succeeded.sortBy(_._1).apply(succeeded.size / 2)
+      name -> chosen
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val benchWall = (System.nanoTime() - benchWall0) / 1e9
+    val benchCpu = procCpuSec() - benchCpu0
+    val loadEnd = loadavg()
+    // Cores this JVM actually used, vs the total runnable load on the box:
+    // the excess is OTHER processes' demand. Threshold: external load over
+    // a quarter of the allotted cores marks the run contended (our own
+    // sbt/GC threads and load-average lag sit well under that; a competing
+    // 32-thread build does not).
+    val coresUsed = math.max(0.0, benchCpu) / math.max(benchWall, 1e-9)
+    val externalLoad = math.max(0.0, math.max(loadStart, loadEnd) - coresUsed)
+    val contended = externalLoad > 0.25 * cpus.toDouble
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qsCpu = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","queries_cpu":$qsCpu,"loadavg_start":$loadStart,"loadavg_end":$loadEnd""" +
+      s""","cpus":$cpus,"bench_wall_sec":$benchWall,"bench_cpu_sec":$benchCpu""" +
+      s""","cores_used":$coresUsed,"external_load_est":$externalLoad,"contended":$contended}"""
     println(json)
     // Also persist the line to a file: the driver captures a bounded log
     // tail, and a long single-line JSON at the head of a chatty shutdown
