@@ -21,13 +21,34 @@ object PipelineOps {
   /** Per-(session, dir) memo of the IVF centroid table: built once with
     * one Lloyd's pass, pinned via eager localCheckpoint (8 rows — the
     * "persisted index" a serving deployment would write out), then reused
-    * by every `ann_ivf_cached` execution. */
+    * by every `ann_ivf_cached` execution.
+    *
+    * Keyed on the session OBJECT with identity semantics (an
+    * IdentityHashMap — a `hashCode`-string key could alias two sessions and
+    * hand one a DataFrame bound to the other, possibly dead), and EVICTED:
+    * every access drops entries whose SparkContext has stopped, so stopped
+    * sessions no longer leak one checkpointed frame each for the JVM
+    * lifetime. Live-session entries are bounded by the number of
+    * concurrently active sessions × sf dirs. */
   private val centroidMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def cachedCentroids(s: SparkSession, dir: String): DataFrame =
-    centroidMemo.getOrElseUpdate(s"${s.hashCode()}|$dir",
-      SimilarityOps.ivfCentroids(t(s, dir, "embeddings"), nlist = 8, iters = 1)
-        .localCheckpoint(true))
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+  private def cachedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val perSession = centroidMemo.synchronized {
+      val it = centroidMemo.keySet.iterator
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      centroidMemo.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty[String, DataFrame])
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(dir,
+        SimilarityOps.ivfCentroids(t(s, dir, "embeddings"), nlist = 8, iters = 1)
+          .localCheckpoint(true))
+    }
+  }
+  /** Test hook: sessions currently holding a memo entry (post-eviction). */
+  private[queries] def centroidMemoSessions: Int =
+    centroidMemo.synchronized(centroidMemo.size)
 
   // DuckDB token list of the lower-cased text, mirroring DedupOps.tokens.
   private val dTokens =
@@ -309,21 +330,35 @@ object PipelineOps {
         .select(col("vec_id"), col("label"), posexplode(col("embedding")))
         .select(col("vec_id"), col("label"), (col("pos") + 1).as("idx"),
           round(col("col").cast("double") * 1000000).cast("long").as("qv"))
-      // dot/norm accumulation in DECIMAL(38,0), not BIGINT: qs scales with
-      // per-label row count × 1e6, so nc2 ≈ n²·1e12·dims passes Long.Max
-      // around 10k vectors per label — non-ANSI Spark would wrap SILENTLY
-      // at corpus scale (DuckDB sums through HUGEINT and would not). Same
-      // convention as GraphOps.signature's hash sum.
+      // Overflow-safe WITHOUT per-row decimal arithmetic. The hazard: qs
+      // scales with per-label row count × 1e6, so dot/norm terms pass
+      // Long.Max around 10k vectors per label — non-ANSI Spark would wrap
+      // SILENTLY at corpus scale (DuckDB sums through HUGEINT and would
+      // not). The r5 fix accumulated qv·qs in DECIMAL(38,0), which cost
+      // 1.6x (a BigDecimal multiply-add per row). But each sc group sums
+      // over exactly `dims` terms, so splitting qs = qs_hi·2^31 + qs_lo
+      // keeps EVERY product and partial sum in Long — |qv·qs_lo| < 2^31·|qv|
+      // and |qv·qs_hi| < |qv·qs|/2^31 are each dims-bounded far under 2^63
+      // for any Long qs — and ONE exact decimal recombine per GROUP
+      // (dims× fewer decimal ops) restores the identical dot value:
+      // 2^31·Σqv·hi + Σqv·lo = Σqv·qs. ANSI still throws (never wraps) if
+      // |qv| ever exceeded the ~2^32/dims headroom. nv2 = Σqv² is
+      // per-vector (≤ dims·1e12 ≈ 2^46): plain Long, corpus-size-free.
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val cent = el.groupBy(col("label").as("clabel"), col("idx"))
         .agg(sum("qv").as("qs")) // qs bounded by rows-per-label × ~1e6: Long-safe
-      val nc = cent.groupBy("clabel")
+        .withColumn("qs_hi", shiftright(col("qs"), 31)) // floor(qs / 2^31)
+        .withColumn("qs_lo", col("qs").bitwiseAND(lit((1L << 31) - 1)))
+      val nc = cent.groupBy("clabel") // labels×dims rows: decimal is free here
         .agg(sum(col("qs").cast(dec) * col("qs")).as("nc2"))
       val sc = el.join(broadcast(cent), "idx")
         .groupBy(col("vec_id"), col("clabel"))
         .agg(min("label").as("label"),
-          sum(col("qv").cast(dec) * col("qs")).as("dot"),
-          sum(col("qv").cast(dec) * col("qv")).as("nv2"))
+          sum(col("qv") * col("qs_hi")).as("dot_hi"),
+          sum(col("qv") * col("qs_lo")).as("dot_lo"),
+          sum(col("qv") * col("qv")).as("nv2"))
+        .withColumn("dot",
+          col("dot_hi").cast(dec) * lit(1L << 31) + col("dot_lo").cast(dec))
       val cos = col("dot").cast("double") /
         (sqrt(col("nv2").cast("double")) * sqrt(col("nc2").cast("double")))
       val w = Window.partitionBy("vec_id").orderBy(cos.desc, col("clabel"))
