@@ -16,44 +16,40 @@ object BamQueries {
   private def q(name: String)(run: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Q =
     Q(name, run, None)
 
-  /** A copy of the default fixture carrying ONLY a standard `.bai` (none
-    * of the engine side-cars), built once per JVM. */
-  private val baiOnlyMemo = new java.util.concurrent.atomic.AtomicReference[String]()
-  private def baiOnly(s: org.apache.spark.sql.SparkSession): String = synchronized {
-    Option(baiOnlyMemo.get).getOrElse {
+  /** Copy `srcBam` next to nothing but a freshly built standard `.bai` —
+    * none of the engine side-cars. ALWAYS re-copies and re-indexes on the
+    * first call of a JVM (both inputs are deterministic and tiny): a
+    * `Files.exists` fast path would silently reuse a stale artifact from a
+    * previous JVM run after the fixture generator or BAI builder changed.
+    * The per-JVM memo still amortizes repeat calls within one run. */
+  private def freshBaiCopy(s: org.apache.spark.sql.SparkSession,
+                           memo: java.util.concurrent.atomic.AtomicReference[String],
+                           name: String, srcBam: String): String = synchronized {
+    Option(memo.get).getOrElse {
       val dir = java.nio.file.Paths.get(
         sys.props.getOrElse("graft.fixture.dir", "target/bam-fixtures"))
       java.nio.file.Files.createDirectories(dir)
-      val p = dir.resolve("baionly.bam")
-      if (!java.nio.file.Files.exists(p))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(BamFixture.default.bamPath), p)
-      if (!java.nio.file.Files.exists(dir.resolve("baionly.bam.bai")))
-        BamOps.indexBai(s, p.toString)
-      baiOnlyMemo.set(p.toString)
+      val p = dir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(srcBam), p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(p.toString + ".bai"))
+      BamOps.indexBai(s, p.toString)
+      memo.set(p.toString)
       p.toString
     }
   }
 
+  /** A copy of the default fixture carrying ONLY a standard `.bai`. */
+  private val baiOnlyMemo = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def baiOnly(s: org.apache.spark.sql.SparkSession): String =
+    freshBaiCopy(s, baiOnlyMemo, "baionly.bam", BamFixture.default.bamPath)
+
   /** Long-read fixture copy carrying ONLY a standard `.bai` (same shape as
     * [[baiOnly]]), built once per JVM (Bench's un-timed warmup). */
   private val longBaiMemo = new java.util.concurrent.atomic.AtomicReference[String]()
-  private def longReadBai(s: org.apache.spark.sql.SparkSession): String = synchronized {
-    Option(longBaiMemo.get).getOrElse {
-      val dir = java.nio.file.Paths.get(
-        sys.props.getOrElse("graft.fixture.dir", "target/bam-fixtures"))
-      java.nio.file.Files.createDirectories(dir)
-      val p = dir.resolve("longread-baionly.bam")
-      if (!java.nio.file.Files.exists(p))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(BamFixture.longRead.bamPath), p)
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(p.toString + ".bai")))
-        BamOps.indexBai(s, p.toString)
-      longBaiMemo.set(p.toString)
-      p.toString
-    }
-  }
+  private def longReadBai(s: org.apache.spark.sql.SparkSession): String =
+    freshBaiCopy(s, longBaiMemo, "longread-baionly.bam", BamFixture.longRead.bamPath)
 
   /** Two fixtures with DIFFERENT contig dictionaries (same names, different
     * order) — the heterogeneous multi-file read every mixed-pipeline BAM

@@ -329,7 +329,11 @@ object CurationOps {
         |                THEN 1152921504606846976
         |                ELSE weight_ppm * 1152921504606 END""".stripMargin
     ) { (s, dir) =>
-      val ppm = (substring(col("source"), 4, 8).cast("long") % 4 + 1) * 250000L
+      // unbounded suffix (substr from 4 to end), matching the oracle's
+      // SUBSTR(source, 4) exactly — a fixed length cap would silently
+      // diverge on sources with suffixes longer than the cap
+      val ppm = (col("source").substr(lit(4), length(col("source")))
+        .cast("long") % 4 + 1) * 250000L
       mixtureSample(t(s, dir, "documents"), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm")
     },
@@ -357,7 +361,9 @@ object CurationOps {
         |  UNNEST(GENERATE_SERIES(1, n_rep)) AS rep
         |FROM n WHERE n_rep > 0""".stripMargin
     ) { (s, dir) =>
-      val ppm = (substring(col("source"), 4, 8).cast("long") % 3) * 750000L + 500000L
+      // same unbounded-suffix convention as sample_mixture (oracle parity)
+      val ppm = (col("source").substr(lit(4), length(col("source")))
+        .cast("long") % 3) * 750000L + 500000L
       mixtureUpsample(t(s, dir, "documents"), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm", "rep")
     },
