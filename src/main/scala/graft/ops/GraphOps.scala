@@ -87,12 +87,24 @@ object GraphOps {
     (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
   }
 
-  /** Free a localCheckpoint'ed frame's executor blocks explicitly — the
-    * ContextCleaner only reclaims them at some later driver GC, and the
-    * loop would otherwise pin one full edge-set copy per round. */
+  /** Free a cut frame's storage explicitly once the NEXT round's cut has
+    * materialized — the PeriodicCheckpointer pattern. For a local
+    * checkpoint that's the executor blocks (the ContextCleaner only
+    * reclaims them at some later driver GC); for a reliable checkpoint
+    * it's ALSO the round's files on DFS — without the delete, an N-round
+    * loop retains N copies of the edge state for its whole life
+    * (unpersist only drops blocks, and `checkpoint()` files are otherwise
+    * reclaimed only under spark.cleaner.referenceTracking.cleanCheckpoints
+    * at driver GC). Only the FINAL round's files outlive the loop: the
+    * returned DataFrame reads from them. */
   private def freeCheckpoint(df: DataFrame): Unit =
     try df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
         r.rdd.unpersist(blocking = false)
       case _ =>
     } catch { // best-effort: GC remains the backstop
@@ -131,34 +143,50 @@ object GraphOps {
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 50, checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val reliable = checkpointDir.isDefined
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    var e = cut(orient(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-      .distinct(), reliable)
-    var sig = signature(e)
-    var converged = sig._1 == 0L
-    var it = 0
-    while (!converged && it < maxIter) {
-      val next = cut(smallStar(largeStar(e)), reliable)
-      val nsig = signature(next)
-      // the signature is a fast pre-check; counts being equal, ONE except
-      // direction run once at the matching round makes convergence EXACT
-      // (a hash-sum collision can only delay, never fake, a fixpoint).
-      // Plain except, not exceptAll: both frames are distinct sets by
-      // construction (each round ends in .distinct()), and except is a
-      // cheap left-anti join where exceptAll builds count machinery
-      converged = nsig == sig && next.except(e).isEmpty
-      freeCheckpoint(e)
-      e = next
-      sig = nsig
-      it += 1
+    val sc = edges.sparkSession.sparkContext
+    // setCheckpointDir mutates GLOBAL SparkContext state: remember any
+    // pre-existing dir and restore it after the loop, so this loop never
+    // clobbers another checkpoint user's configuration for the rest of
+    // the application.
+    val prevDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try {
+      var e = cut(orient(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+        .distinct(), reliable)
+      var sig = signature(e)
+      var converged = sig._1 == 0L
+      var it = 0
+      while (!converged && it < maxIter) {
+        val next = cut(smallStar(largeStar(e)), reliable)
+        val nsig = signature(next)
+        // the signature is a fast pre-check; counts being equal, ONE except
+        // direction run once at the matching round makes convergence EXACT
+        // (a hash-sum collision can only delay, never fake, a fixpoint).
+        // Plain except, not exceptAll: both frames are distinct sets by
+        // construction (each round ends in .distinct()), and except is a
+        // cheap left-anti join where exceptAll builds count machinery
+        converged = nsig == sig && next.except(e).isEmpty
+        // round k's cut has materialized: round k-1's blocks AND (for the
+        // reliable path) its checkpoint files are now dead — drop them
+        freeCheckpoint(e)
+        e = next
+        sig = nsig
+        it += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      // fixpoint = disjoint stars (child, root): every child points at its
+      // component's minimum; roots name themselves
+      (e.select(col("src").as("id"), col("dst").as("component"))
+        .union(e.select(col("dst").as("id"), col("dst").as("component")))
+        .distinct(), it)
+    } finally if (checkpointDir.isDefined && prevDir != checkpointDir) {
+      // best-effort restore; un-setting (prev None) has no public API
+      // path on a non-local master, hence the guard + swallow
+      try prevDir.orElse(if (sc.isLocal) Some(null) else None)
+        .foreach(d => sc.setCheckpointDir(d))
+      catch { case scala.util.control.NonFatal(_) => }
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // fixpoint = disjoint stars (child, root): every child points at its
-    // component's minimum; roots name themselves
-    (e.select(col("src").as("id"), col("dst").as("component"))
-      .union(e.select(col("dst").as("id"), col("dst").as("component")))
-      .distinct(), it)
   }
 
   /** One loop-body round exposed for plan audits (DumpPlans). */

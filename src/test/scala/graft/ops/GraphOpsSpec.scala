@@ -109,6 +109,7 @@ class GraphOpsSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-ccdir")
     val edges = ((0L until 100L).map(i => (i, i + 1)) ++
       Seq((200L, 201L), (201L, 202L), (300L, 300L))).toDF("src", "dst")
+    val prevCpDir = spark.sparkContext.getCheckpointDir
     val (local, localRounds) =
       GraphOps.connectedComponentsWithRounds(edges, "src", "dst")
     val (reliable, reliableRounds) = GraphOps.connectedComponentsWithRounds(
@@ -117,10 +118,22 @@ class GraphOpsSpec extends SparkTestBase {
     val r = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(l == r)
     assert(localRounds == reliableRounds)
-    // the reliable run actually wrote checkpoint state to the dir
+    // the loop must not clobber the context-global checkpoint dir
+    assert(spark.sparkContext.getCheckpointDir == prevCpDir,
+      "checkpoint dir not restored after the loop")
+    // the reliable run actually wrote checkpoint state to the dir...
     val wrote = java.nio.file.Files.walk(dir).filter(
       java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "no checkpoint files written to checkpointDir")
+    // ...but superseded ROUNDS' files were deleted as the loop advanced
+    // (PeriodicCheckpointer pattern): a multi-round run keeps only the
+    // final round's rdd-* directory, not one copy per round
+    assert(reliableRounds > 1, "fixture must force a multi-round loop")
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("rdd-")).toList
+    assert(rddDirs.size <= 1,
+      s"${rddDirs.size} round checkpoints retained: $rddDirs")
   }
 
   test("clusterAssign covers unpaired docs with their own id") {
