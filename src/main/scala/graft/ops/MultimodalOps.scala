@@ -17,21 +17,28 @@ trait MediaCodec extends Serializable {
 }
 
 /** STUB: deterministic stand-in codec (no media libraries exist in this
-  * offline environment). "Features" are byte-histogram moments; a "frame"
-  * is a fixed-width byte slice. Swapping in a real decoder = one new
-  * `MediaCodec` class; none of the pipeline below changes. */
+  * offline environment). "Features" are the byte-bucket histogram
+  * normalized to PARTS-PER-MILLION INTEGERS (count·10^6 ÷ n in exact Long
+  * arithmetic, stored as float — every value ≤ 10^6 is float-exact), so
+  * the whole feature computation is integer math an external engine can
+  * replicate bit-for-bit (the `mm_features_ppm` oracle twin does); a
+  * float-division normalization would hang the gate on cross-engine
+  * rounding. A "frame" is a fixed-width byte slice. Swapping in a real
+  * decoder = one new `MediaCodec` class; none of the pipeline below
+  * changes. */
 object FakeMediaCodec extends MediaCodec {
   override def features(mediaType: String, payload: Array[Byte],
                         dim: Int): Array[Float] = {
-    val feats = new Array[Float](dim)
+    val counts = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      feats((payload(i) & 0xff) % dim) += 1.0f
+      counts((payload(i) & 0xff) % dim) += 1L
       i += 1
     }
-    val n = math.max(1, payload.length).toFloat
+    val n = math.max(1, payload.length).toLong
+    val feats = new Array[Float](dim)
     var j = 0
-    while (j < dim) { feats(j) = feats(j) / n; j += 1 }
+    while (j < dim) { feats(j) = (counts(j) * 1000000L / n).toFloat; j += 1 }
     feats
   }
   override def frame(payload: Array[Byte], frameIdx: Int): Array[Byte] =

@@ -142,6 +142,40 @@ object EventQueries {
         .orderBy("media_id")
     },
 
+    // ---- Multimodal feature extraction UNDER THE ORACLE: the
+    // mapPartitions codec stage really runs (same fakeMediaTable →
+    // extractFeatures path as mm_features), and the ppm-integer features
+    // it emits are replicated in DuckDB from first principles — the
+    // payload is the document text's bytes (the corpus is ASCII, so
+    // ord(char) IS the byte), bucketed byte counts are exact integers,
+    // and the normalization is Long division to parts-per-million
+    // (float-exact ≤ 10^6). One row per (media, bucket), zeros included —
+    // the exploded form dodges the gate's no-array-cells limitation while
+    // hash-comparing every feature value the codec computes.
+    q(
+      "mm_features_ppm",
+      """WITH v AS (
+        |  SELECT doc_id, (ord(substr(text, i, 1)) % 16) AS bucket
+        |  FROM (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, STRLEN(text))) AS i
+        |        FROM documents)
+        |), cnt AS (
+        |  SELECT doc_id, bucket, COUNT(*) AS c FROM v GROUP BY 1, 2
+        |), fb AS (
+        |  SELECT doc_id, STRLEN(text) AS n_bytes, UNNEST(GENERATE_SERIES(0, 15)) AS idx
+        |  FROM documents
+        |)
+        |SELECT fb.doc_id AS media_id, CAST(fb.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(fb.idx AS BIGINT) AS idx,
+        |  CAST((COALESCE(cnt.c, 0) * 1000000) // GREATEST(fb.n_bytes, 1) AS REAL) AS feat
+        |FROM fb LEFT JOIN cnt ON cnt.doc_id = fb.doc_id AND cnt.bucket = fb.idx""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.extractFeatures(
+        MultimodalOps.fakeMediaTable(t(s, dir, "documents")), dim = 16)
+        .select(col("media_id"), col("n_bytes"), posexplode(col("features")))
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("pos").cast("long").as("idx"), col("col").as("feat"))
+    },
+
     // ---- Multimodal: frame sampling explode.
     qq("mm_frames") { (s, dir) =>
       MultimodalOps.sampleFrames(

@@ -53,6 +53,52 @@ object PipelineOps {
   // DuckDB token list of the lower-cased text, mirroring DedupOps.tokens.
   private val dTokens =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** (doc_id, sig, hs): md5-derived 31-bit gram hashes + the 64-perm
+    * minhash signature over them — the oracle-replicable staging shared by
+    * `minhash_est_md5` and `minhash_lsh_md5`. Same SignatureParams
+    * constants as the production xxhash64 path; md5 is the one hash both
+    * engines implement bit-for-bit. */
+  private def md5Signatures(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.SignatureFunctions.register(s)
+    val P = graft.expressions.SignatureParams.Prime
+    t(s, dir, "documents")
+      .withColumn("toks", DedupOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", DedupOps.shingles(col("toks")))
+      .withColumn("hs", array_distinct(transform(col("sh"),
+        g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(P)))))
+      .withColumn("sig", call_function("minhash_signature", col("hs")))
+      .select(col("doc_id"), col("sig"), col("hs"))
+  }
+
+  /** DuckDB twin of [[md5Signatures]]: CTEs ending in
+    * `sig(doc_id, k, s)` (per-permutation minima) and `h(doc_id, h)`
+    * (distinct gram hashes), with the SAME SignatureParams permutation
+    * constants interpolated as a VALUES list. */
+  private lazy val dMd5SigCtes: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+      |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+      |  FROM tk WHERE LEN(t) >= 3
+      |), h AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(CAST(concat('0x', substr(md5(gram), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
+      |  FROM g
+      |), perms(k, a, b) AS (VALUES """.stripMargin +
+      graft.expressions.SignatureParams.A
+        .zip(graft.expressions.SignatureParams.B).zipWithIndex
+        .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ") +
+      """),
+      |sig AS (
+      |  SELECT doc_id, k, MIN((h * a + b) % 2147483647) AS s
+      |  FROM h CROSS JOIN perms GROUP BY 1, 2
+      |)""".stripMargin
   private def dLangScore(lang: String): String = {
     val sw = TextAnalysisOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
     s"len(list_filter($dTokens, t -> list_contains($sw, t)))"
@@ -83,44 +129,15 @@ object PipelineOps {
     // + estimation arithmetic itself is now hash-compared, while xxhash64
     // remains the production hash (one codegen'd pass vs per-gram md5).
     q(
-      "minhash_est_md5", {
-        val perms = graft.expressions.SignatureParams.A
-          .zip(graft.expressions.SignatureParams.B).zipWithIndex
-          .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
-        s"""WITH tk AS (
-           |  SELECT doc_id,
-           |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> LEN(x) > 0) AS t
-           |  FROM documents
-           |), g AS (
-           |  SELECT doc_id,
-           |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
-           |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
-           |  FROM tk WHERE LEN(t) >= 3
-           |), h AS (
-           |  SELECT DISTINCT doc_id,
-           |    CAST(CAST(concat('0x', substr(md5(gram), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647 AS h
-           |  FROM g
-           |), perms(k, a, b) AS (VALUES $perms),
-           |sig AS (
-           |  SELECT doc_id, k, MIN((h * a + b) % 2147483647) AS s
-           |  FROM h CROSS JOIN perms GROUP BY 1, 2
-           |)
-           |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-           |  CAST(SUM(CASE WHEN x.s = y.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-           |FROM sig x JOIN sig y ON y.doc_id = x.doc_id + 1 AND y.k = x.k
-           |GROUP BY 1, 2""".stripMargin
-      }
+      "minhash_est_md5",
+      dMd5SigCtes +
+        """
+          |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          |  CAST(SUM(CASE WHEN x.s = y.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          |FROM sig x JOIN sig y ON y.doc_id = x.doc_id + 1 AND y.k = x.k
+          |GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
-      graft.expressions.SignatureFunctions.register(s)
-      val P = graft.expressions.SignatureParams.Prime
-      val staged = t(s, dir, "documents")
-        .withColumn("toks", DedupOps.tokens(col("text")))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("sh", DedupOps.shingles(col("toks")))
-        .withColumn("hs", array_distinct(transform(col("sh"),
-          g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(P)))))
-        .withColumn("sig", call_function("minhash_signature", col("hs")))
-        .select(col("doc_id"), col("sig"))
+      val staged = md5Signatures(s, dir)
       val l = staged.select(col("doc_id").as("id_a"), col("sig").as("sa"))
       val r = staged.select((col("doc_id") - 1).as("id_a"),
         col("doc_id").as("id_b"), col("sig").as("sb"))
@@ -130,6 +147,87 @@ object PipelineOps {
             (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, x) => acc + x))
         .select("id_a", "id_b", "n_match")
+    },
+
+    // ---- The LSH BAND stage under the oracle — the one previously
+    // un-oracled stage of dedup_minhash (signatures + estimator are
+    // covered by minhash_est_md5): band keys over the md5 signature
+    // (16 bands × 4 rows, joined on the raw component tuple rendered as a
+    // string — both engines agree on integer-to-decimal-string), candidate
+    // pairs from the band self-join, the ≥32-component estimator filter
+    // (≡ est_jaccard ≥ 0.5 in exact integers), and the exact set-overlap
+    // verify on the md5 gram-hash sets. The final jaccard is ONE IEEE
+    // division of identical integers (no rounding step — a 4-digit round
+    // could land on a half-ulp tie and diverge per engine). xxhash64 +
+    // hash() stay the production band path (dedup_minhash); this pins the
+    // band/candidate/verify MACHINERY in the hash-compared gate.
+    q(
+      "minhash_lsh_md5",
+      dMd5SigCtes +
+        """,
+          |bk AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |    STRING_AGG(CAST(s AS VARCHAR), '_' ORDER BY k) AS key
+          |  FROM sig GROUP BY 1, 2
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          |  FROM bk x JOIN bk y
+          |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+          |), est AS (
+          |  SELECT c.id_a, c.id_b,
+          |    CAST(SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          |  FROM cand c
+          |  JOIN sig sx ON sx.doc_id = c.id_a
+          |  JOIN sig sy ON sy.doc_id = c.id_b AND sy.k = sx.k
+          |  GROUP BY 1, 2
+          |  HAVING SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) >= 32
+          |), sz AS (
+          |  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1
+          |), shared AS (
+          |  SELECT e.id_a, e.id_b, e.n_match, CAST(COUNT(hb.h) AS BIGINT) AS n_shared
+          |  FROM est e
+          |  LEFT JOIN h ha ON ha.doc_id = e.id_a
+          |  LEFT JOIN h hb ON hb.doc_id = e.id_b AND hb.h = ha.h
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT s.id_a, s.id_b, s.n_match, s.n_shared,
+          |  CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) AS jaccard
+          |FROM shared s
+          |JOIN sz sa ON sa.doc_id = s.id_a
+          |JOIN sz sb ON sb.doc_id = s.id_b""".stripMargin
+    ) { (s, dir) =>
+      val staged = md5Signatures(s, dir)
+      // same plan shape as DedupOps.minhashPairs: narrow signature map →
+      // 16-way band explode → shuffle on (band, key) → self-equi-join →
+      // distinct pairs → estimator filter → set-overlap verify join
+      val bands = staged.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until DedupOps.NumBands).map(j =>
+          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
+            element_at(col("sig"), j * DedupOps.BandRows + r + 1)): _*)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val l = bands.select(col("band"), col("key"),
+        col("doc_id").as("id_a"), col("sig").as("sa"))
+      val r = bands.select(col("band"), col("key"),
+        col("doc_id").as("id_b"), col("sig").as("sb"))
+      val cand = l.join(r, Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("n_match",
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x))
+        .filter(col("n_match") >= (DedupOps.NumHashes / 2))
+        .select("id_a", "id_b", "n_match")
+      val sets = md5Signatures(s, dir).select(col("doc_id"), col("hs"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b")
+        .withColumn("n_shared",
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("n_shared")).cast("double"))
+        .select("id_a", "id_b", "n_match", "n_shared", "jaccard")
     },
 
     // ---- SimHash under the oracle — the last signature family with no

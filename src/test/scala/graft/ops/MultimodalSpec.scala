@@ -29,11 +29,15 @@ class MultimodalSpec extends SparkTestBase {
       assert(a.getSeq[Float](3) == b.getSeq[Float](3),
         "features must not depend on partitioning")
     }
-    // histogram features are a probability vector over byte buckets
+    // histogram features are a ppm-integer probability vector over byte
+    // buckets: each truncating division loses < 1 ppm, so the sum sits
+    // within dim of 10^6
     f1.take(5).foreach { r =>
       val feats = r.getSeq[Float](3)
       assert(feats.length == 16)
-      assert(math.abs(feats.sum - 1.0f) < 1e-3)
+      assert(feats.forall(f => f == math.floor(f) && f >= 0 && f <= 1000000),
+        "ppm features must be exact non-negative integers")
+      assert(math.abs(feats.sum - 1000000.0f) < 16)
     }
   }
 
