@@ -49,6 +49,30 @@ object EventOps {
 
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
 
+  /** The RocksDB state-store provider. At real scale the state behind
+    * `flatMapGroupsWithState` / `dropDuplicatesWithinWatermark` belongs in
+    * RocksDB — bounded executor heap, native-memory + local-disk state,
+    * incremental snapshot upload — where the default HDFS-backed provider
+    * keeps EVERY key of every active version on the JVM heap (the OOM
+    * cliff for high-cardinality session/dedup state). Same results either
+    * way (StreamingSpec runs sessionization under both). */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's streaming state store switched to
+    * RocksDB, restoring the previous setting after. Queries STARTED inside
+    * pick the provider up; already-running queries are unaffected. */
+  def withRocksDBStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, RocksDBProvider)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Batch sessionization: a session breaks when the gap to the previous
     * event of the same user exceeds 30 min. Window-function form
     * (lag → gap flag → running sum = session id) — one shuffle on user_id. */

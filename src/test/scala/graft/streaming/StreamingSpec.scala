@@ -147,6 +147,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("evicting sessionization under the RocksDB state store: same sessions") {
+    // the cluster-scale state backend: flatMapGroupsWithState state in
+    // RocksDB (native memory + local disk) instead of the executor heap.
+    // Results must be identical to the default provider / the batch form,
+    // and the progress metrics must prove RocksDB actually served the
+    // state (a silently ignored conf would pass the parity check).
+    implicit val sqlCtx = spark.sqlContext
+    EventOps.withRocksDBStateStore(spark) {
+      val input = MemoryStream[EventOps.Event]
+      val q = EventOps.sessionizeStreamEvicting(input.toDS(), watermark = "1 minute")
+        .writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode("append").start()
+      try {
+        val all = toEvents.collect().sortBy(_.ts.getTime)
+        val (a, b) = all.splitAt(all.length / 2)
+        input.addData(a.toIndexedSeq); q.processAllAvailable()
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+        val flush = EventOps.Event(-1L,
+          new java.sql.Timestamp(all.last.ts.getTime + 7L * 24 * 3600 * 1000),
+          -1L, "flush", 0.0)
+        input.addData(flush); q.processAllAvailable()
+        input.addData(flush.copy(event_id = -2L)); q.processAllAvailable()
+        val got = spark.table("sessions_rocks")
+          .filter($"user_id" >= 0)
+          .select("user_id", "start_us", "end_us", "n_events")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        val want = EventOps.sessionizeBatch(eventsDF)
+          .select("user_id", "start_us", "end_us", "n_events")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got == want)
+        import scala.jdk.CollectionConverters._
+        val rocksMetrics = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(_.customMetrics.keySet.asScala)
+          .filter(_.toLowerCase.contains("rocksdb"))
+        assert(rocksMetrics.nonEmpty,
+          "no rocksdb state metrics: the provider conf was not picked up")
+      } finally q.stop()
+    }
+    // the toggle restored the previous provider setting
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .contains(EventOps.RocksDBProvider))
+  }
+
   test("streaming dedup-on-ingest keeps the same firsts as the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventOps.Event]
