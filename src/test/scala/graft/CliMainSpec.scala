@@ -1,0 +1,66 @@
+package graft
+
+import graft.bam.fixtures.BamFixture
+
+/** The CLI front-end must be a pure mapping onto the library functions:
+  * `check-bam` reproduces ReportsSpec's golden text byte-for-byte, and the
+  * table-shaped subcommands agree with their underlying queries. (Under
+  * the shared test session, Main's getOrCreate reuses it.) */
+class CliMainSpec extends SparkTestBase {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft-cli").resolve(name).toString
+
+  private def golden(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource(s"/golden/$name").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("check-bam subcommand reproduces the golden report") {
+    val out = tmp("check-bam.txt")
+    Main.runArgs(Seq("check-bam", "--checker", "eager", "-o", out,
+      BamFixture.tiny.bamPath))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(out)) ==
+      golden("check-bam-eager-tiny.txt"))
+  }
+
+  test("full-check subcommand reproduces the golden report") {
+    val out = tmp("full-check.txt")
+    Main.runArgs(Seq("full-check", "-o", out, BamFixture.tiny.bamPath))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(out)) ==
+      golden("full-check-tiny.txt"))
+  }
+
+  test("count-reads subcommand agrees with the bam source count") {
+    val out = tmp("counts.tsv")
+    val fx = BamFixture.tiny
+    Main.runArgs(Seq("count-reads", "-o", out, fx.bamPath))
+    val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+      .trim.split("\n")
+    assert(lines.toSeq == Seq(s"${fx.bamPath}\t${fx.numRecords}"))
+  }
+
+  test("compare-splits subcommand emits the timing report shape") {
+    val sw = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(sw)) {
+      Main.runArgs(Seq("compare-splits", "--split-size", "65536",
+        BamFixture.tiny.bamPath))
+    }
+    val report = sw.toString
+    assert(report.contains("BAMs' splits"), report)
+    assert(report.contains("Total split-computation time:"), report)
+  }
+
+  test("htsjdk-rewrite subcommand round-trips a record range") {
+    val out = tmp("slice.bam")
+    Main.runArgs(Seq("htsjdk-rewrite", "--range", "0:100",
+      BamFixture.tiny.bamPath, out))
+    assert(spark.read.format("bam").load(out).count() == 100)
+  }
+
+  test("unknown command raises the usage error") {
+    intercept[IllegalArgumentException] {
+      Main.runArgs(Seq("not-a-command"))
+    }
+  }
+}
