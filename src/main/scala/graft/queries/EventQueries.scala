@@ -181,6 +181,28 @@ object EventQueries {
       MultimodalOps.sampleFrames(
         MultimodalOps.fakeMediaTable(t(s, dir, "documents")))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // ---- Frame sampling UNDER THE ORACLE: the same explode → every-Nth
+    // filter → per-frame codec UDF as mm_frames, with the sliced frame
+    // BYTES decoded to a string for the hash compare (the corpus is ASCII,
+    // so the byte slice IS a substring DuckDB can produce; the gate can't
+    // hash binary cells). n_frames and the stride come from the same
+    // fakeMediaTable arithmetic the oracle replicates.
+    q(
+      "mm_frames_str",
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, text,
+        |    UNNEST(GENERATE_SERIES(0, CAST(doc_id % 8 AS INT))) AS frame_idx
+        |  FROM documents
+        |)
+        |SELECT media_id, frame_idx, SUBSTR(text, frame_idx * 8 + 1, 8) AS frame
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.fakeMediaTable(t(s, dir, "documents")), everyNth = 2)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_bytes").cast("string").as("frame"))
     }
   )
 }
