@@ -196,7 +196,11 @@ object PipelineOps {
           |JOIN sz sa ON sa.doc_id = s.id_a
           |JOIN sz sb ON sb.doc_id = s.id_b""".stripMargin
     ) { (s, dir) =>
-      val staged = md5Signatures(s, dir)
+      // one eager checkpoint: the staging (per-gram md5 — the oracle tax)
+      // feeds BOTH the band explode and the verify join, whose differing
+      // column pruning defeats exchange reuse (the tfidf_terms lesson);
+      // without the cut the md5 pass runs twice (measured 2.6 s → 1.7 s)
+      val staged = md5Signatures(s, dir).localCheckpoint(true)
       // same plan shape as DedupOps.minhashPairs: narrow signature map →
       // 16-way band explode → shuffle on (band, key) → self-equi-join →
       // distinct pairs → estimator filter → set-overlap verify join
@@ -219,7 +223,7 @@ object PipelineOps {
             lit(0L), (acc, x) => acc + x))
         .filter(col("n_match") >= (DedupOps.NumHashes / 2))
         .select("id_a", "id_b", "n_match")
-      val sets = md5Signatures(s, dir).select(col("doc_id"), col("hs"))
+      val sets = staged.select(col("doc_id"), col("hs"))
       cand
         .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
         .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b")
