@@ -142,6 +142,43 @@ object SimilarityOps {
       .select("query_id", "item_id", "rank", "cos")
   }
 
+  /** Integer-quantized hyperplanes (`round(w·10^9)`) for the oracle-twin
+    * LSH path: the quantized components are interpolated into the DuckDB
+    * SQL as literals, so both engines score against the SAME integers. */
+  def quantizedPlanes(dim: Int, numPlanes: Int = 16,
+                      seed: Long = 42L): IndexedSeq[IndexedSeq[Long]] =
+    planes(dim, numPlanes, seed).map(_.map(w => math.round(w * 1e9)))
+
+  /** Oracle-twin LSH ANN: the SAME band/candidate/re-rank machinery as
+    * [[lshTopK]] but with sign bits from EXACT INTEGER dots — embeddings
+    * quantized to `round(v·10^6)` and hyperplanes to `round(w·10^9)`
+    * Longs (|Σ qv·qw| ≤ dims·10^15 ≪ 2^63), so band keys and the
+    * candidate set are replicable bit-for-bit by an external engine; the
+    * re-rank is the rounded-cosine convention `ann_topk` already proves.
+    * The per-plane dots run as interpreted HOFs — oracle tier only; the
+    * production path ([[lshTopK]]) keeps the codegen'd [[lshSignature]]. */
+  def lshTopKQuantizedBands(df: DataFrame, id: String, dim: Int,
+                            numPlanes: Int = 16, seed: Long = 42L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val ps = quantizedPlanes(dim, numPlanes, seed)
+    val bandBits = numPlanes / 4
+    def qdot(qv: Column, plane: IndexedSeq[Long]): Column =
+      aggregate(zip_with(qv, array(plane.map(lit): _*), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    val staged = df.select(col(idCol).as(id),
+      transform(col(vecCol),
+        x => round(x.cast("double") * 1000000).cast("long")).as("__qv"))
+    staged.select(col(id),
+      posexplode(array((0 until 4).map { j =>
+        (0 until bandBits).map { r =>
+          when(qdot(col("__qv"), ps(j * bandBits + r)) > 0, lit(1L << r))
+            .otherwise(lit(0L))
+        }.reduce((a: Column, b: Column) => a + b)
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+  }
+
   /** IVF (inverted-file) ANN — the classic scale path beside LSH. A
     * coarse quantizer of `nlist` centroids splits the corpus into cells;
     * a query probes its `nprobe` highest-cosine cells and re-ranks

@@ -319,6 +319,192 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- The LSH ANN machinery UNDER THE ORACLE: same band explode →
+    // band equi-join → candidate dedup → exact-cosine re-rank shape as
+    // ann_lsh, but the sign bits come from EXACT INTEGER dots (embeddings
+    // quantized to round(v·1e6), hyperplanes to round(w·1e9) — the very
+    // same xorshift-derived planes as production, interpolated into the
+    // SQL as integer literals), so band keys and the candidate set are
+    // bit-replicable in DuckDB; the re-rank reuses the rounded-cosine
+    // convention ann_topk already proves. The production ann_lsh keeps
+    // the codegen'd float LshSign (signs of float dots aren't
+    // oracle-safe); this pins the banding/candidate/re-rank MACHINERY.
+    q(
+      "ann_lsh_q", {
+        val planes = SimilarityOps.quantizedPlanes(dim = 64, numPlanes = 16)
+          .zipWithIndex.flatMap { case (p, pi) =>
+            p.zipWithIndex.map { case (w, i) => s"($pi, ${i + 1}, $w)" }
+          }.mkString(", ")
+        s"""WITH planes(p, i, w) AS (VALUES $planes),
+           |qe AS (
+           |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+           |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+           |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+           |    FROM embeddings)
+           |), dots AS (
+           |  SELECT qe.vec_id, planes.p AS p, SUM(qe.qv * planes.w) AS d
+           |  FROM qe JOIN planes ON planes.i = qe.i
+           |  GROUP BY 1, 2
+           |), bk AS (
+           |  SELECT vec_id, p // 4 AS band,
+           |    CAST(SUM(CASE WHEN d > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS key
+           |  FROM dots GROUP BY 1, 2
+           |), cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS item_id
+           |  FROM bk q JOIN bk c ON q.band = c.band AND q.key = c.key
+           |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+           |)
+           |SELECT query_id, item_id, rank, cos FROM (
+           |  SELECT cand.query_id, cand.item_id,
+           |    ROUND(list_cosine_similarity(qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]), 4) AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+           |      ORDER BY ROUND(list_cosine_similarity(qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]), 4) DESC, cand.item_id) AS rank
+           |  FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
+           |            JOIN embeddings cc ON cc.vec_id = cand.item_id
+           |) WHERE rank <= 10""".stripMargin
+      }
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val qb = SimilarityOps.lshTopKQuantizedBands(
+        emb.filter(col("vec_id") % 50 === 0), "query_id", dim = 64)
+      val cb = SimilarityOps.lshTopKQuantizedBands(emb, "item_id", dim = 64)
+      val cand = qb.join(cb, Seq("band", "key"))
+        .filter(col("query_id") =!= col("item_id"))
+        .select("query_id", "item_id").dropDuplicates()
+      val qv = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val iv = emb.select(col("vec_id").as("item_id"), col("embedding").as("ie"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+      cand.join(qv, "query_id").join(iv, "item_id")
+        .withColumn("cos",
+          round(SimilarityOps.cosineFast(s, col("qe"), col("ie")), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "item_id", "rank", "cos")
+    },
+
+    // ---- The IVF ANN machinery UNDER THE ORACLE: the same
+    // build → assign → probe → re-rank shape as ann_ivf, all in exact
+    // integers. Seed cells are the nlist lowest ids; one Lloyd round
+    // assigns every vector to its best seed (integer dot / sqrt(integer
+    // norm) — cosine's 1/|v| factor is argmax-invariant and dropped) and
+    // re-centers each cell as the quantized-coordinate SUM (cosine is
+    // scale-invariant: direction of the mean ≡ direction of the sum, the
+    // emb_classify convention) — so centroids, cell membership, probe
+    // sets and candidates are bit-replicable in DuckDB; the re-rank is
+    // the proven rounded-cosine convention. Centroid-sum dots use the
+    // same 31-bit hi/lo split as emb_classify (Long partials, one
+    // decimal recombine per group). Production ann_ivf keeps the float
+    // Lloyd averages; this pins the IVF MACHINERY in the gate.
+    q(
+      "ann_ivf_q",
+      """WITH qe AS (
+        |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+        |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |    FROM embeddings)
+        |), seeds AS (
+        |  SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8
+        |), sv AS (
+        |  SELECT s.cid, q.i, q.qv AS sqv FROM seeds s JOIN qe q ON q.vec_id = s.cid
+        |), svn AS (
+        |  SELECT cid, SUM(sqv * sqv) AS sn2 FROM sv GROUP BY 1
+        |), a1s AS (
+        |  SELECT qe.vec_id, sv.cid, SUM(qe.qv * sv.sqv) AS d
+        |  FROM qe JOIN sv ON sv.i = qe.i GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, a.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(a.d AS DOUBLE) / SQRT(CAST(n.sn2 AS DOUBLE)) DESC, a.cid) AS rk
+        |    FROM a1s a JOIN svn n ON n.cid = a.cid)
+        |  WHERE rk = 1
+        |), cent AS (
+        |  SELECT a1.cid, qe.i, CAST(SUM(qe.qv) AS BIGINT) AS c
+        |  FROM a1 JOIN qe ON qe.vec_id = a1.vec_id GROUP BY 1, 2
+        |), cn AS (
+        |  SELECT cid, SUM(c * c) AS cn2 FROM cent GROUP BY 1
+        |), sc AS (
+        |  SELECT qe.vec_id, cent.cid, SUM(qe.qv * cent.c) AS d
+        |  FROM qe JOIN cent ON cent.i = qe.i GROUP BY 1, 2
+        |), rkd AS (
+        |  SELECT s.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+        |      CAST(s.d AS DOUBLE) / SQRT(CAST(n.cn2 AS DOUBLE)) DESC, s.cid) AS rk
+        |  FROM sc s JOIN cn n ON n.cid = s.cid
+        |), cells AS (
+        |  SELECT vec_id AS item_id, cid FROM rkd WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM rkd WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, c.item_id FROM probes p JOIN cells c ON c.cid = p.cid
+        |  WHERE c.item_id <> p.query_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT cand.query_id, cand.item_id,
+        |    ROUND(list_cosine_similarity(qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        |      ORDER BY ROUND(list_cosine_similarity(qq.embedding::DOUBLE[], cc.embedding::DOUBLE[]), 4) DESC, cand.item_id) AS rank
+        |  FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
+        |            JOIN embeddings cc ON cc.vec_id = cand.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val emb = t(s, dir, "embeddings")
+      // one eager checkpoint: the exploded quantized frame feeds the seed
+      // scoring, the centroid build AND the final scoring (three
+      // consumers, differing pruning — no exchange reuse)
+      val el = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          round(col("col").cast("double") * 1000000).cast("long").as("qv"))
+        .localCheckpoint(true)
+      val seeds = emb.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"))
+      val sv = el.join(seeds, el("vec_id") === seeds("cid"))
+        .select(col("cid"), col("i"), col("qv").as("sqv"))
+      val svn = sv.groupBy("cid").agg(sum(col("sqv") * col("sqv")).as("sn2"))
+      val wCell = Window.partitionBy("vec_id").orderBy(col("s").desc, col("cid"))
+      val a1 = el.join(broadcast(sv), "i")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("qv") * col("sqv")).as("d")) // seed dots: ≤ dims·1e12, Long-safe
+        .join(broadcast(svn), "cid")
+        .withColumn("s", col("d").cast("double") / sqrt(col("sn2").cast("double")))
+        .withColumn("rk", row_number().over(wCell)).filter(col("rk") === 1)
+        .select("vec_id", "cid")
+      val cent = a1.join(el, "vec_id").groupBy("cid", "i")
+        .agg(sum("qv").as("c")) // ≤ rows-per-cell·1e6: Long-safe
+        .withColumn("c_hi", shiftright(col("c"), 31))
+        .withColumn("c_lo", col("c").bitwiseAND(lit((1L << 31) - 1)))
+      val cn = cent.groupBy("cid") // 8×dims rows: decimal is free here
+        .agg(sum(col("c").cast(dec) * col("c")).as("cn2"))
+      val scored = el.join(broadcast(cent), "i")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("qv") * col("c_hi")).as("dh"),
+          sum(col("qv") * col("c_lo")).as("dl"))
+        .join(broadcast(cn), "cid")
+        .withColumn("s",
+          (col("dh").cast(dec) * lit(1L << 31) + col("dl").cast(dec))
+            .cast("double") / sqrt(col("cn2").cast("double")))
+        .withColumn("rk", row_number().over(wCell))
+      val cells = scored.filter(col("rk") === 1)
+        .select(col("vec_id").as("item_id"), col("cid"))
+      val probes = scored.filter(col("vec_id") % 50 === 0 && col("rk") <= 4)
+        .select(col("vec_id").as("query_id"), col("cid"))
+      val cand = probes.join(cells, "cid") // items live in exactly one cell
+        .filter(col("query_id") =!= col("item_id"))
+        .select("query_id", "item_id")
+      val qv = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val iv = emb.select(col("vec_id").as("item_id"), col("embedding").as("ie"))
+      val wRank = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+      cand.join(qv, "query_id").join(iv, "item_id")
+        .withColumn("cos",
+          round(SimilarityOps.cosineFast(s, col("qe"), col("ie")), 4))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "item_id", "rank", "cos")
+    },
+
     // ---- IVF-bucketed ANN (the other scale path: coarse-quantizer
     // cells + nprobe probing; recall asserted in ScalaTest. Rows-only:
     // centroids are float-average artifacts with no DuckDB analog).
