@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val registry: Seq[Q] =
     RelationalOps.all ++ TextOps.all ++ PipelineOps.all ++
-      CurationOps.all ++ EventQueries.all ++ graft.bam.ops.BamQueries.all
+      CurationOps.all ++ EventQueries.all ++ LayoutQueries.all ++
+      graft.bam.ops.BamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output-layout primitives for the write side of a curation pipeline —
+  * the part of the 100 TB story that happens AFTER the queries: how the
+  * curated corpus lands on disk determines every downstream reader's
+  * pruning, join and small-files behavior.
+  *
+  * The reference's only sink is a BAM rewrite (spark-bam
+  * cli/src/main/scala/org/hammerlab/bam/rewrite/Rewrite.scala:30-60, one
+  * shard per partition with no layout control); a training-data engine
+  * additionally needs the three classic warehouse layouts:
+  *
+  *  - [[writePartitioned]]: Hive-style `partitionBy` dirs WITHOUT the
+  *    small-files explosion. A naive `df.write.partitionBy(c)` makes every
+  *    task open a writer for every partition value it sees — `tasks ×
+  *    values` files (at 1000 executors × 100 langs that is 3.2 M files per
+  *    write, a NameNode outage). Hash-repartitioning on the partition
+  *    columns first routes each value to exactly one task → one file per
+  *    dir; a deterministic salt widens hot values (e.g. `lang=en` at 40 %
+  *    of a corpus) to `filesPerDir` tasks so the biggest dir still writes
+  *    in parallel and no single task owns 40 % of the data.
+  *  - [[writeBucketed]]: `bucketBy` tables on the join key. Two tables
+  *    bucketed the same way join with ZERO Exchange on read-back —
+  *    at 100 TB the shuffle this removes (both sides of every
+  *    orders⋈lineitem-shaped join, every re-run of a dedup pass against
+  *    yesterday's corpus) is the single largest cost in the pipeline.
+  *    Pre-partitioning by the bucket expression writes exactly one file
+  *    per bucket, which also lets Spark use the `sortBy` metadata and skip
+  *    the read-back sort.
+  *  - [[compact]]: bin-pack a directory of shard files to a target file
+  *    size. Streaming sinks and incremental appends accrete small files;
+  *    readers pay per-file open cost and lose row-group locality. Sizing
+  *    from the ACTUAL byte size on disk (not a guessed row count) keeps the
+  *    result stable as the corpus grows.
+  *
+  * All three are single narrow-shuffle (or shuffle-free) jobs: nothing
+  * here collects to the driver or depends on partition count staying
+  * small.
+  */
+object LayoutOps {
+
+  /** Write `df` Hive-partitioned by `partCols`, sorted by `sortCols`
+    * within each file (parquet row-group min/max stats make read-back
+    * range filters on those columns prune inside the file too).
+    *
+    * `filesPerDir` bounds BOTH the files written per partition dir and the
+    * fraction of data a single task owns: rows are shuffled on
+    * `partCols + xxhash64(distCol) % filesPerDir`, so a skewed partition
+    * value fans out to `filesPerDir` writers instead of serializing on
+    * one. The salt is a pure function of `distCol` — the layout is
+    * deterministic and rerun-stable, never `rand()`.
+    *
+    * `numTasks` is the route-key hash space: two route keys (a partition
+    * value × salt lane) that collide modulo the task count merge back into
+    * one writer/file, so leave it well above `distinct partCols ×
+    * filesPerDir` (0 = the session's `spark.sql.shuffle.partitions`).
+    * Collisions only cost write parallelism, never correctness — files
+    * per dir stays ≤ `filesPerDir`.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partCols: Seq[String],
+      sortCols: Seq[String],
+      filesPerDir: Int = 1,
+      distCol: Option[String] = None,
+      numTasks: Int = 0): Unit = {
+    require(partCols.nonEmpty, "writePartitioned needs partition columns")
+    val salt = distCol
+      .filter(_ => filesPerDir > 1)
+      .map(c => pmod(xxhash64(col(c)), lit(filesPerDir)))
+    val routeKeys = partCols.map(col) ++ salt.toSeq
+    val routed =
+      if (numTasks > 0) df.repartition(numTasks, routeKeys: _*)
+      else df.repartition(routeKeys: _*)
+    routed
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
+  /** Write `df` as a bucketed table (external, at `path`) bucketed and
+    * sorted by `keyCol`. Pre-partitioning with `repartition(nBuckets,
+    * keyCol)` uses the SAME Murmur3 `pmod(hash(key), n)` routing as the
+    * bucket-id computation, so each task holds exactly one bucket → one
+    * file per bucket — the layout Spark requires before it will trust the
+    * `sortBy` metadata and drop the read-back sort as well as the
+    * Exchange. */
+  def writeBucketed(
+      df: DataFrame,
+      spark: SparkSession,
+      table: String,
+      path: String,
+      nBuckets: Int,
+      keyCol: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(nBuckets, col(keyCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
+  }
+
+  /** Rewrite the parquet files under `inPath` into `outPath` as
+    * ~`targetFileBytes`-sized files. File count derives from the actual
+    * on-disk byte size (Hadoop `getContentSummary`), so the same call
+    * stays correct from MB fixtures to TB corpora; `coalesce` (not
+    * `repartition`) keeps the rewrite shuffle-free. */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+}

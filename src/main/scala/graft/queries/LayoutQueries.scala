@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.LayoutOps
+
+/** Oracle-gated round-trips through [[graft.ops.LayoutOps]]: the write
+  * paths run for real (fresh temp dir per invocation, same precedent as
+  * `bam_rewrite`), then the READ-BACK result is hash-compared against
+  * DuckDB running the equivalent query on the ORIGINAL parquet — a
+  * layout rewrite must be a semantic no-op, and this is the gate entry
+  * that proves it (dropped rows, truncated values, or a lang dir routed
+  * wrong all flip the hash). Plan-level layout properties (files per
+  * dir, partition pruning, Exchange-free bucketed join) are asserted in
+  * LayoutSpec — the gate checks the data, the spec checks the layout. */
+object LayoutQueries {
+
+  private def q(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val all: Seq[Q] = Seq(
+    // Partitioned+salted write → partition-pruned read-back. The filter
+    // on `lang` is satisfied by DIRECTORY pruning on the Spark side
+    // (zero non-matching files opened; asserted in LayoutSpec) while
+    // DuckDB scans the flat original — equal hashes prove the routing
+    // moved every row to its correct dir.
+    q(
+      "layout_part_roundtrip",
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents WHERE lang IN ('en','zh') GROUP BY lang""".stripMargin
+    ) { (s, dir) =>
+      val out = tmp("graft-layout-part")
+      LayoutOps.writePartitioned(
+        t(s, dir, "documents"), out,
+        partCols = Seq("lang"), sortCols = Seq("doc_id"),
+        filesPerDir = 2, distCol = Some("doc_id"))
+      s.read.parquet(out)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    },
+
+    // Bucketed write on the join key → Exchange-free read-back join
+    // (plan asserted in LayoutSpec; here the aggregate over the joined
+    // tables must match DuckDB joining the original flat parquet).
+    q(
+      "layout_bucket_join",
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val out = tmp("graft-layout-bkt")
+      LayoutOps.writeBucketed(
+        t(s, dir, "orders"), s, "graft_bkt_orders", s"$out/orders", 8, "o_orderkey")
+      LayoutOps.writeBucketed(
+        t(s, dir, "lineitem"), s, "graft_bkt_lineitem", s"$out/lineitem", 8, "l_orderkey")
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"))
+    },
+
+    // Small-files compaction is a semantic no-op: fragment documents into
+    // 32 shards, compact to ~one file (size-derived), aggregate the
+    // result. DuckDB aggregates the original — equal hashes prove no row
+    // was lost or duplicated by either rewrite.
+    q(
+      "layout_compact",
+      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents GROUP BY source""".stripMargin
+    ) { (s, dir) =>
+      val base = tmp("graft-layout-cmp")
+      t(s, dir, "documents").repartition(32)
+        .write.mode("overwrite").parquet(s"$base/frag")
+      LayoutOps.compact(s, s"$base/frag", s"$base/packed", 256L * 1024 * 1024)
+      s.read.parquet(s"$base/packed")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    }
+  )
+}
