@@ -483,6 +483,28 @@ object RelationalOps {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
+    // ---- A17 (beyond-rollup): full CUBE — all 2^k grouping combinations
+    // in ONE pass (Catalyst expands to a single Expand + hash agg, not
+    // 2^k scans; same reference analog as a_rollup). NULL is a real value
+    // of l_linestatus nowhere in the data, so the grouping-id columns
+    // disambiguate subtotal rows from data rows portably in both engines.
+    q(
+      "a_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping("l_returnflag").cast("int").as("g_rf"),
+          grouping("l_linestatus").cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("qty"))
     }
   )
 }
