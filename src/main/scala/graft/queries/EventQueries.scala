@@ -203,6 +203,31 @@ object EventQueries {
         MultimodalOps.fakeMediaTable(t(s, dir, "documents")), everyNth = 2)
         .select(col("media_id"), col("frame_idx"),
           col("frame_bytes").cast("string").as("frame"))
+    },
+
+    // ---- HLL sketch under the oracle, self-check pattern: exact
+    // COUNT(DISTINCT) is the 100 TB anti-pattern this sketch replaces
+    // (every distinct value shuffles; HLL ships fixed 2^p-byte registers
+    // through partial agg). The sketch estimate itself is engine-specific,
+    // so the gate compares the exact count PLUS the bound claim
+    // |approx − exact| ≤ 5 %·exact as a column: DuckDB asserts TRUE
+    // literally, Spark computes it — a sketch drifting out of tolerance
+    // flips the hash and fails the gate. HLL++ register merge is
+    // max-commutative, so the Spark value is partitioning-independent.
+    q(
+      "ev_hll_users",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin
+    ) { (s, dir) =>
+      tEvents(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__approx") - col("n_users"))
+            <= col("n_users") * lit(0.05)).as("within_5pct"))
     }
   )
 }

@@ -505,6 +505,41 @@ object RelationalOps {
           grouping("l_linestatus").cast("int").as("g_ls"),
           count(lit(1)).as("n"),
           dsum(col("l_quantity")).as("qty"))
+    },
+
+    // ---- A18: exact discrete quantiles by rank selection — the value at
+    // row ceil(p·n) of each group's sorted order. Pure element selection:
+    // no interpolation arithmetic to diverge between engines, and ties in
+    // the value don't matter (the multiset value at a rank is unique even
+    // when row_number among ties is not). The window partitions by group —
+    // parallel across groups, no global sort. The production scale path
+    // for ungrouped/huge groups is approx_percentile (t-digest-style GK
+    // summaries, merge order-sensitive hence NOT oracle-able — bounded in
+    // QuantileSpec instead).
+    q(
+      "a_quantile_disc",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN l_quantity END) AS p99
+        |FROM r GROUP BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val byFlag = Window.partitionBy("l_returnflag")
+      val r = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(byFlag.orderBy("l_quantity")))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      def at(p: Double) =
+        max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"),
+          col("l_quantity")))
+      r.groupBy("l_returnflag")
+        .agg(at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"))
     }
   )
 }
