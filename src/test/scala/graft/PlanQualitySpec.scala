@@ -153,4 +153,28 @@ class PlanQualitySpec extends SparkTestBase {
     // partial+final conditional aggregation (map-side combine)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("cube is one Expand pass, not 2^k scans") {
+    val df = SparkEntry.queries("a_cube")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    // the expanded stream still partial-aggregates before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("exact quantiles use a partitioned window, never a global sort") {
+    val df = SparkEntry.queries("a_quantile_disc")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every window is partitioned by the group key (a partition-less
+    // window would funnel the whole table through one task), and no sort
+    // is keyed first on the measure — that would be a global sort
+    assert(p.contains("Window"), p)
+    assert("windowspecdefinition\\((?!l_returnflag)".r.findFirstIn(p).isEmpty,
+      s"window not partitioned by l_returnflag:\n$p")
+    assert("Sort \\[l_quantity".r.findAllIn(p).isEmpty,
+      s"global sort on the measure:\n$p")
+  }
 }
