@@ -285,6 +285,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("partitioned file sink is exactly-once across a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    // The streaming face of LayoutOps.writePartitioned: a Hive-partitioned
+    // parquet sink whose _spark_metadata commit log gives exactly-once
+    // file visibility. A batch that was written but not committed before
+    // the stop must not surface twice after the restart replays it.
+    val base = java.nio.file.Files.createTempDirectory("stream-sink")
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val all = toEvents.collect().sortBy(_.event_id)
+    val (first, second) = all.splitAt(all.length / 2)
+    val input = MemoryStream[EventOps.Event]
+
+    def start() = input.toDF()
+      .writeStream.format("parquet")
+      .partitionBy("event_type")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try { input.addData(first.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    // same source instance + same checkpoint: the restarted query resumes
+    // from the committed offset, re-emitting nothing already visible
+    val q2 = start()
+    try { input.addData(second.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    // read-back goes through the _spark_metadata log: exactly the input
+    // multiset — no dropped batch, no double-committed batch
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == all.map(_.event_id).toSeq, s"got ${got.size} of ${all.size}")
+    // and the layout is the partitioned one (dir per event_type, prunable)
+    val dirs = java.nio.file.Files.list(java.nio.file.Path.of(out))
+      .iterator()
+    val typeDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("event_type="))
+      .toSet
+    assert(typeDirs == all.map(e => s"event_type=${e.event_type}").toSet)
+    val pruned = spark.read.parquet(out).filter($"event_type" === "click")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters:"), "partition filter not pushed")
+  }
+
   test("batch sessionization respects the 30-minute gap rule") {
     val rows = EventOps.sessionizeBatch(eventsDF).collect()
     // session bounds are consistent
