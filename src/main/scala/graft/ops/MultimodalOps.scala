@@ -14,6 +14,9 @@ trait MediaCodec extends Serializable {
   def features(mediaType: String, payload: Array[Byte], dim: Int): Array[Float]
   /** Decode one frame of a video payload. */
   def frame(payload: Array[Byte], frameIdx: Int): Array[Byte]
+  /** Decode → downsample → re-encode a payload to ~`targetLen` encoded
+    * bytes (thumbnailing / audio downsampling). */
+  def resample(payload: Array[Byte], targetLen: Int): Array[Byte]
 }
 
 /** STUB: deterministic stand-in codec (no media libraries exist in this
@@ -43,6 +46,21 @@ object FakeMediaCodec extends MediaCodec {
   }
   override def frame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
     payload.slice(frameIdx * 8, math.min(payload.length, frameIdx * 8 + 8))
+
+  /** Stride downsample: every ceil(len/targetLen)-th byte. Pure integer
+    * index arithmetic — the `mm_resample_str` oracle twin reproduces it
+    * character-for-character. */
+  override def resample(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+    val len = payload.length
+    if (len <= targetLen) payload
+    else {
+      val stride = (len + targetLen - 1) / targetLen
+      val out = new Array[Byte]((len - 1) / stride + 1)
+      var i = 0
+      while (i * stride < len) { out(i) = payload(i * stride); i += 1 }
+      out
+    }
+  }
 }
 
 /** Multimodal (image/audio/video) column plumbing for training-data
@@ -123,6 +141,29 @@ object MultimodalOps {
       .select(
         col("media_id"), col("frame_idx"),
         decodeFrame(col("payload"), col("frame_idx")).as("frame_bytes"))
+  }
+
+  private val resampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes_in", IntegerType, nullable = false),
+    StructField("resampled", BinaryType, nullable = false)))
+
+  /** Payload resize: decode → downsample → re-encode through the codec,
+    * batched per partition like [[extractFeatures]] (one codec/model
+    * initialization per partition, not per row). Output payloads are
+    * ~`targetLen` bytes — the thumbnail/low-rate-audio materialization
+    * step of a multimodal curation pipeline. */
+  def resampleMedia(media: DataFrame, targetLen: Int = 64,
+                    codec: MediaCodec = FakeMediaCodec): DataFrame = {
+    val enc = RowEncoder.encoderFor(resampleSchema)
+    media.select("media_id", "media_type", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        Row(r.getLong(0), r.getString(1), bytes.length,
+          codec.resample(bytes, targetLen))
+      }
+    }(enc)
   }
 
   /** "Resize": metadata-only transform (dimension halving) + payload

@@ -205,6 +205,27 @@ object EventQueries {
           col("frame_bytes").cast("string").as("frame"))
     },
 
+    // ---- Payload resize UNDER THE ORACLE: the codec's stride downsample
+    // is pure index arithmetic (every ceil(len/64)-th byte), so DuckDB
+    // rebuilds the resampled payload character-for-character from the
+    // ASCII text the fake payload wraps. Exercises the same batched
+    // mapPartitions seam as mm_features_ppm.
+    q(
+      "mm_resample_str",
+      """SELECT doc_id AS media_id, LENGTH(text) AS n_bytes_in,
+        |  ARRAY_TO_STRING(
+        |    LIST_TRANSFORM(
+        |      GENERATE_SERIES(1, LENGTH(text),
+        |        GREATEST(1, (LENGTH(text) + 63) // 64)),
+        |      i -> SUBSTR(text, CAST(i AS INT), 1)), '') AS resized
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.resampleMedia(
+        MultimodalOps.fakeMediaTable(t(s, dir, "documents")), targetLen = 64)
+        .select(col("media_id"), col("n_bytes_in"),
+          col("resampled").cast("string").as("resized"))
+    },
+
     // ---- HLL sketch under the oracle, self-check pattern: exact
     // COUNT(DISTINCT) is the 100 TB anti-pattern this sketch replaces
     // (every distinct value shuffles; HLL ships fixed 2^p-byte registers

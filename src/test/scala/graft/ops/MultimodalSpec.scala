@@ -65,6 +65,8 @@ class MultimodalSpec extends SparkTestBase {
       }
       override def frame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
         Array(frameIdx.toByte)
+      override def resample(payload: Array[Byte], targetLen: Int): Array[Byte] =
+        payload.take(targetLen)
     }
     val feats = MultimodalOps.extractFeatures(media, dim = 4, codec = ConstCodec)
       .orderBy("media_id").head()
