@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for large-scale text corpora: MinHash+LSH,
@@ -115,16 +115,33 @@ object DedupOps {
     * candidate count quadratic, the skew that kills the join at 100 TB.
     * Docs sharing a dropped bucket almost always still collide in one of
     * their other bands; the oracle default (0) keeps every bucket. */
-  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text",
-                   threshold: Double = 0.5,
-                   maxBucket: Int = 0): DataFrame = {
-    val sig = signatures(docs, idCol, textCol)
-    val allBands = sig.select(col("id"), col("sig"),
+  /** Production band frame `(id, sig, band, bandHash)` — one row per doc
+    * per band, keys from `hash()` over the band's signature components.
+    * Factored out of [[minhashPairs]] so the batch self-join and the
+    * incremental store/delta join ([[incrementalPairs]]) share the exact
+    * same banding. */
+  def bandFrame(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    signatures(docs, idCol, textCol).select(col("id"), col("sig"),
       posexplode(array((0 until NumBands).map(j =>
         hash((0 until BandRows).map(r =>
           element_at(col("sig"), j * BandRows + r + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+
+  /** Per-doc distinct shingle-hash sets `(id, ss)` — the exact-verify
+    * side of every MinHash pipeline (8-byte hashes, never gram strings). */
+  def shingleSets(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ss", gramHashes(col("toks")))
+      .select("id", "ss")
+
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   threshold: Double = 0.5,
+                   maxBucket: Int = 0): DataFrame = {
+    val allBands = bandFrame(docs, idCol, textCol)
     val bands =
       if (maxBucket <= 0) allBands
       else {
@@ -148,11 +165,7 @@ object DedupOps {
     // (never re-tokenize per pair; 8-byte elements instead of gram
     // strings — same Jaccard barring 64-bit collisions; broadcast-size at
     // test SF, co-partitioned hash join at scale)
-    val shing = docs.select(col(idCol).as("id"),
-        col(textCol).as("text"))
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("ss", gramHashes(col("toks")))
-      .select("id", "ss")
+    val shing = shingleSets(docs, idCol, textCol)
     cand
       .join(shing.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
       .join(shing.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
@@ -340,5 +353,67 @@ object DedupOps {
       .agg(sort_array(collect_list(col("__id"))).as("member_sample")) // bounded: input filtered to <= sampleK rows per group
     dupes.join(sample, "text_hash")
       .select("text_hash", "keeper", "n_copies", "member_sample")
+  }
+
+  // ---- Incremental dedup: new batch vs an existing fingerprint store ----
+
+  /** Persist a corpus' MinHash fingerprints as the two bucketed tables
+    * [[incrementalPairs]] joins against:
+    *
+    *  - `bandsTable` bucketed on `(band, bandHash)` — the candidate join
+    *    key. Each delta batch shuffles only ITSELF into this layout; the
+    *    corpus side (the 100 TB side, re-joined on every ingest) never
+    *    exchanges again.
+    *  - `setsTable` bucketed on `id` — the exact-verify key, same
+    *    property for the verify join.
+    *
+    * The band rows carry the full signature (the same 16× duplication
+    * [[minhashPairs]] flows through its shuffle) so candidate estimation
+    * needs no extra join against a signature table. */
+  def writeFingerprintStore(docs: DataFrame, spark: SparkSession,
+                            bandsTable: String, setsTable: String,
+                            basePath: String, nBuckets: Int = 32,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): Unit = {
+    LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol), spark,
+      bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
+    LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol), spark,
+      setsTable, s"$basePath/sets", nBuckets, "id")
+  }
+
+  /** Near-dup pairs `(id_old, id_new, est_jaccard, jaccard)` between a
+    * new batch and the stored corpus — identical banding, estimator and
+    * exact verify as [[minhashPairs]], but the corpus participates only
+    * through its bucketed store: both joins read it Exchange-free
+    * (asserted in IncrementalDedupSpec), so ingest cost scales with the
+    * BATCH, not the corpus. Equivalence to the batch operator (the
+    * store×delta restriction of `minhashPairs(store ∪ delta)`) is pinned
+    * value-level in the same spec. */
+  def incrementalPairs(delta: DataFrame, spark: SparkSession,
+                       bandsTable: String, setsTable: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       threshold: Double = 0.5): DataFrame = {
+    val dBands = bandFrame(delta, idCol, textCol)
+    val cand = spark.table(bandsTable)
+      .select(col("band"), col("bandHash"),
+        col("id").as("id_old"), col("sig").as("sig_old"))
+      .join(dBands.select(col("band"), col("bandHash"),
+        col("id").as("id_new"), col("sig").as("sig_new")),
+        Seq("band", "bandHash"))
+      .filter(col("id_old") =!= col("id_new")) // re-ingest guard
+      .select("id_old", "id_new", "sig_old", "sig_new")
+      .dropDuplicates("id_old", "id_new")
+      .withColumn("est_jaccard", estJaccard(col("sig_old"), col("sig_new")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_old", "id_new", "est_jaccard")
+    val dSets = shingleSets(delta, idCol, textCol)
+    cand
+      .join(spark.table(setsTable)
+        .select(col("id").as("id_old"), col("ss").as("ss_old")), "id_old")
+      .join(dSets.select(col("id").as("id_new"), col("ss").as("ss_new")), "id_new")
+      .withColumn("jaccard",
+        size(array_intersect(col("ss_old"), col("ss_new"))).cast("double") /
+          size(array_union(col("ss_old"), col("ss_new"))).cast("double"))
+      .select("id_old", "id_new", "est_jaccard", "jaccard")
   }
 }

@@ -97,14 +97,15 @@ object LayoutOps {
       table: String,
       path: String,
       nBuckets: Int,
-      keyCol: String): Unit = {
+      keyCols: String*): Unit = {
+    require(keyCols.nonEmpty, "writeBucketed needs bucket key columns")
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.repartition(nBuckets, col(keyCol))
+    df.repartition(nBuckets, keyCols.map(col): _*)
       .write
       .mode(SaveMode.Overwrite)
       .option("path", path)
-      .bucketBy(nBuckets, keyCol)
-      .sortBy(keyCol)
+      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(table)
   }
 

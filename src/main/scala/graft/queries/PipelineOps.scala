@@ -114,6 +114,27 @@ object PipelineOps {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- Incremental dedup: the 20% delta (doc_id % 5 = 0) against the
+    // bucketed fingerprint store of the other 80% — the continuous-ingest
+    // shape where only the batch shuffles (rows-only: xxhash64 bands; the
+    // machinery is oracle-gated by minhash_inc_md5 and value-pinned
+    // against minhashPairs in IncrementalDedupSpec).
+    qq("dedup_incremental") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-fp").toString
+      DedupOps.writeFingerprintStore(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
+        "graft_fp_bands", "graft_fp_sets", base)
+      DedupOps.incrementalPairs(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s,
+        "graft_fp_bands", "graft_fp_sets")
+        .select(col("id_old"), col("id_new"),
+          round(col("est_jaccard"), 4).as("est_jaccard"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_old", "id_new")
+    },
+
     // ---- SimHash near-dup pairs (rows-only, same reason).
     qq("dedup_simhash") { (s, dir) =>
       DedupOps.simhashPairs(t(s, dir, "documents")).orderBy("id_a", "id_b")
@@ -232,6 +253,91 @@ object PipelineOps {
         .withColumn("jaccard", col("n_shared").cast("double") /
           (size(col("ha")) + size(col("hb")) - col("n_shared")).cast("double"))
         .select("id_a", "id_b", "n_match", "n_shared", "jaccard")
+    },
+
+    // ---- The INCREMENTAL machinery under the oracle: same md5 band keys
+    // as minhash_lsh_md5, but the 80% store side goes through ACTUAL
+    // bucketed tables (bands on (band, key), sets on doc_id — the
+    // writeFingerprintStore layout) and only the 20% delta is banded
+    // live — the exact plan shape of DedupOps.incrementalPairs, every
+    // value oracle-replicable. DuckDB computes the same store×delta
+    // restriction declaratively from the flat parquet.
+    q(
+      "minhash_inc_md5",
+      dMd5SigCtes +
+        """,
+          |bk AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |    STRING_AGG(CAST(s AS VARCHAR), '_' ORDER BY k) AS key
+          |  FROM sig GROUP BY 1, 2
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS id_old, y.doc_id AS id_new
+          |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+          |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+          |), est AS (
+          |  SELECT c.id_old, c.id_new,
+          |    CAST(SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          |  FROM cand c
+          |  JOIN sig sx ON sx.doc_id = c.id_old
+          |  JOIN sig sy ON sy.doc_id = c.id_new AND sy.k = sx.k
+          |  GROUP BY 1, 2
+          |  HAVING SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) >= 32
+          |), sz AS (
+          |  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1
+          |), shared AS (
+          |  SELECT e.id_old, e.id_new, e.n_match,
+          |    CAST(COUNT(hb.h) AS BIGINT) AS n_shared
+          |  FROM est e
+          |  LEFT JOIN h ha ON ha.doc_id = e.id_old
+          |  LEFT JOIN h hb ON hb.doc_id = e.id_new AND hb.h = ha.h
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT s.id_old, s.id_new, s.n_match, s.n_shared,
+          |  CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) AS jaccard
+          |FROM shared s
+          |JOIN sz sa ON sa.doc_id = s.id_old
+          |JOIN sz sb ON sb.doc_id = s.id_new""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.LayoutOps
+      val staged = md5Signatures(s, dir).localCheckpoint(true)
+      def bandsOf(sig: DataFrame) = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until DedupOps.NumBands).map(j =>
+          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
+            element_at(col("sig"), j * DedupOps.BandRows + r + 1)): _*)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val isDelta = pmod(col("doc_id"), lit(5)) === 0
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-fpmd5").toString
+      LayoutOps.writeBucketed(bandsOf(staged.filter(!isDelta)), s,
+        "graft_fpmd5_bands", s"$base/bands", 32, "band", "key")
+      LayoutOps.writeBucketed(
+        staged.filter(!isDelta).select(col("doc_id"), col("hs")), s,
+        "graft_fpmd5_sets", s"$base/sets", 32, "doc_id")
+      val deltaStaged = staged.filter(isDelta)
+      val cand = s.table("graft_fpmd5_bands")
+        .select(col("band"), col("key"),
+          col("doc_id").as("id_old"), col("sig").as("so"))
+        .join(bandsOf(deltaStaged).select(col("band"), col("key"),
+          col("doc_id").as("id_new"), col("sig").as("sn")),
+          Seq("band", "key"))
+        .select("id_old", "id_new", "so", "sn")
+        .dropDuplicates("id_old", "id_new")
+        .withColumn("n_match",
+          aggregate(zip_with(col("so"), col("sn"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x))
+        .filter(col("n_match") >= (DedupOps.NumHashes / 2))
+        .select("id_old", "id_new", "n_match")
+      cand
+        .join(s.table("graft_fpmd5_sets")
+          .select(col("doc_id").as("id_old"), col("hs").as("ho")), "id_old")
+        .join(deltaStaged
+          .select(col("doc_id").as("id_new"), col("hs").as("hn")), "id_new")
+        .withColumn("n_shared",
+          size(array_intersect(col("ho"), col("hn"))).cast("long"))
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (size(col("ho")) + size(col("hn")) - col("n_shared")).cast("double"))
+        .select("id_old", "id_new", "n_match", "n_shared", "jaccard")
     },
 
     // ---- SimHash under the oracle — the last signature family with no

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Incremental dedup = the store×delta restriction of the batch operator,
+  * computed without ever shuffling the store. Both halves are pinned here:
+  * value-level equivalence against [[DedupOps.minhashPairs]] over the
+  * union, and the Exchange-free bucketed store side of the candidate
+  * join. */
+class IncrementalDedupSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+  private lazy val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+  private lazy val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+
+  private lazy val storeTables: (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("inc-dedup").toString
+    DedupOps.writeFingerprintStore(store, spark,
+      "inc_spec_bands", "inc_spec_sets", base)
+    ("inc_spec_bands", "inc_spec_sets")
+  }
+
+  test("incremental pairs equal the cross-split slice of the batch operator") {
+    val (bands, sets) = storeTables
+    val inc = DedupOps.incrementalPairs(delta, spark, bands, sets)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = DedupOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => deltaIds.contains(a) ^ deltaIds.contains(b) }
+      .map { case (a, b, est, j) =>
+        (if (deltaIds.contains(a)) (b, a) else (a, b)) -> (est, j)
+      }.toMap
+
+    assert(inc.keySet == full.keySet,
+      s"pair sets differ: only-inc=${inc.keySet -- full.keySet} " +
+        s"only-batch=${full.keySet -- inc.keySet}")
+    full.foreach { case (k, (est, j)) =>
+      val (ie, ij) = inc(k)
+      assert(ie == est && ij == j, s"pair $k: ($ie,$ij) vs ($est,$j)")
+    }
+    assert(inc.nonEmpty, "fixture produced no cross-split near-dups")
+  }
+
+  test("the candidate join reads the store Exchange-free") {
+    val (bands, _) = storeTables
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val saved = Seq(key, aqeKey).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(key, "-1"); spark.conf.set(aqeKey, "-1")
+      val dBands = DedupOps.bandFrame(delta)
+        .select(col("band"), col("bandHash"), col("id").as("id_new"))
+      val j = spark.table(bands)
+        .select(col("band"), col("bandHash"), col("id").as("id_old"))
+        .join(dBands, Seq("band", "bandHash"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the store scan joins straight out of its bucket layout...
+      assert(p.contains("SelectedBucketsCount: 32 out of 32"), p)
+      // ...so the ONLY shuffle in the join is the delta side's
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"expected exactly the delta-side exchange:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("re-ingesting a stored doc never pairs it with itself") {
+    val (bands, sets) = storeTables
+    val reIngest = store.limit(3)
+    val pairs = DedupOps.incrementalPairs(reIngest, spark, bands, sets)
+      .filter(col("id_old") === col("id_new")).count()
+    assert(pairs == 0L)
+  }
+}
