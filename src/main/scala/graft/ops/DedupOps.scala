@@ -385,8 +385,11 @@ object DedupOps {
     * new batch and the stored corpus — identical banding, estimator and
     * exact verify as [[minhashPairs]], but the corpus participates only
     * through its bucketed store: both joins read it Exchange-free
-    * (asserted in IncrementalDedupSpec), so ingest cost scales with the
-    * BATCH, not the corpus. Equivalence to the batch operator (the
+    * (asserted in IncrementalDedupSpec), and the corpus is never
+    * re-signatured — per ingest the corpus costs one columnar scan, vs a
+    * full re-dedup's corpus-wide signature pass plus shuffle
+    * (growth curves measured in ScaleStress). Equivalence to the batch
+    * operator (the
     * store×delta restriction of `minhashPairs(store ∪ delta)`) is pinned
     * value-level in the same spec. */
   def incrementalPairs(delta: DataFrame, spark: SparkSession,

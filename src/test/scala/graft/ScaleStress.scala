@@ -80,8 +80,30 @@ object ScaleStress {
         .agg(max("ord")).head().getLong(0)
     }
 
+    // Incremental-ingest growth curve: a FIXED delta (200 re-keyed copy-0
+    // docs, so its vocabulary matches copy 0 in every k) against a
+    // pre-built store of scaled(k). The timed ingest excludes the store
+    // build — that is the amortized once cost the incremental design
+    // exists to amortize; what must stay flat-ish is the per-batch join
+    // against a k-times-bigger store (one columnar scan, no corpus
+    // shuffle, no corpus re-signaturing).
+    val fpBase = java.nio.file.Files
+      .createTempDirectory("scale-fp").toString
+    def delta0 = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        concat(lit("c0"), regexp_replace(col("text"), "\\s+", " c0"))
+          .as("text"))
+    def buildStore(k: Int): Unit =
+      DedupOps.writeFingerprintStore(scaled(k), spark,
+        s"ss_bands_$k", s"ss_sets_$k", s"$fpBase/k$k")
+    def inc(k: Int): Long =
+      DedupOps.incrementalPairs(delta0, spark, s"ss_bands_$k", s"ss_sets_$k")
+        .count()
+    def fullMinhash(k: Int): Long =
+      DedupOps.minhashPairs(scaled(k).union(delta0)).count()
+
     // un-timed warmup: codegen + JIT compile outside the clock
-    jac(1); cc(1); rn(1)
+    jac(1); cc(1); rn(1); buildStore(1); inc(1)
 
     val results = Seq[(String, Int => Long)](
       ("jaccardPairs", jac), ("connectedComponents", cc),
@@ -107,6 +129,28 @@ object ScaleStress {
     require(bad.isEmpty,
       s"super-linearithmic growth: ${bad.map(r => s"${r._1}=${r._6}").mkString(", ")}")
     println(s"[scale-stress] OK: all ratios <= $MaxRatio")
+
+    // incremental ingest: store already built at each k (untimed)
+    buildStore(10)
+    val (ti1, ni1) = time(inc(1))
+    val (ti10, ni10) = time(inc(10))
+    val (tf10, nf10) = time(fullMinhash(10))
+    val incRatio = ti10 / math.max(ti1, 1e-9)
+    println(f"[scale-stress] incrementalPairs    k=1: $ti1%6.2fs ($ni1 rows)  " +
+      f"k=10: $ti10%6.2fs ($ni10 rows)  ratio $incRatio%5.2f  " +
+      f"full-rededup k=10: $tf10%6.2fs ($nf10 rows)")
+    val incJson =
+      f"""{"op":"incrementalPairs","t1_sec":$ti1%.3f,"rows1":$ni1,"t10_sec":$ti10%.3f,"rows10":$ni10,"ratio":$incRatio%.2f,"full10_sec":$tf10%.3f}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_inc.json"),
+      (incJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the fixed batch finds the same pairs no matter how big the store is
+    require(ni1 == ni10, s"pair count changed with store size: $ni1 vs $ni10")
+    // ingest grows far slower than the corpus (scan-bounded, no
+    // re-signature): x10 store must cost < x5 time, and a single ingest
+    // must beat the full re-dedup it replaces by > 2x
+    require(incRatio < 5.0, s"ingest grew with the corpus: ratio $incRatio")
+    require(ti10 * 2 < tf10,
+      s"incremental ($ti10 s) not clearly cheaper than full re-dedup ($tf10 s)")
     spark.stop()
   }
 }
