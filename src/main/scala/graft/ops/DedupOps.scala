@@ -381,6 +381,21 @@ object DedupOps {
       setsTable, s"$basePath/sets", nBuckets, "id")
   }
 
+  /** Fold an accepted batch's fingerprints INTO the store so the next
+    * batch dedups against it too — the loop step of continuous ingest.
+    * Appends preserve the tables' bucket routing ([[LayoutOps
+    * .appendBucketed]] re-states the catalog's own bucket spec), so the
+    * Exchange-free join property survives any number of ingests; each
+    * append adds at most one file per bucket (re-bucket via
+    * [[writeFingerprintStore]] to compact). */
+  def appendToFingerprintStore(batch: DataFrame, spark: SparkSession,
+                               bandsTable: String, setsTable: String,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): Unit = {
+    LayoutOps.appendBucketed(bandFrame(batch, idCol, textCol), spark, bandsTable)
+    LayoutOps.appendBucketed(shingleSets(batch, idCol, textCol), spark, setsTable)
+  }
+
   /** Near-dup pairs `(id_old, id_new, est_jaccard, jaccard)` between a
     * new batch and the stored corpus — identical banding, estimator and
     * exact verify as [[minhashPairs]], but the corpus participates only

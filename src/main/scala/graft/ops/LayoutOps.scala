@@ -109,6 +109,30 @@ object LayoutOps {
       .saveAsTable(table)
   }
 
+  /** Append into an existing bucketed table, preserving its bucket
+    * routing (the write re-states the table's own bucket spec — Spark
+    * rejects a mismatched one, so an append can never silently break the
+    * Exchange-free join property). Each append adds one file per
+    * non-empty bucket; compact by rewriting through [[writeBucketed]]
+    * when the per-bucket file count grows. */
+  def appendBucketed(
+      df: DataFrame,
+      spark: SparkSession,
+      table: String): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed table"))
+    val keyCols = spec.bucketColumnNames
+    df.repartition(spec.numBuckets, keyCols.map(col): _*)
+      .write
+      .mode(SaveMode.Append)
+      .bucketBy(spec.numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Rewrite the parquet files under `inPath` into `outPath` as
     * ~`targetFileBytes`-sized files. File count derives from the actual
     * on-disk byte size (Hadoop `getContentSummary`), so the same call

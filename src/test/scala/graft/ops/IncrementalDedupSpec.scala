@@ -72,6 +72,39 @@ class IncrementalDedupSpec extends SparkTestBase {
     }
   }
 
+  test("appended fingerprints join the store: the ingest loop closes") {
+    val base = java.nio.file.Files.createTempDirectory("inc-append").toString
+    val first = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2))
+    val second = docs.filter(pmod(col("doc_id"), lit(5)).isin(3, 4))
+    DedupOps.writeFingerprintStore(first, spark,
+      "inc_app_bands", "inc_app_sets", base)
+    DedupOps.appendToFingerprintStore(second, spark,
+      "inc_app_bands", "inc_app_sets")
+
+    val inc = DedupOps.incrementalPairs(delta, spark,
+      "inc_app_bands", "inc_app_sets")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+
+    // equivalence vs the batch operator over the grown store
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = DedupOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => deltaIds.contains(a) ^ deltaIds.contains(b) }
+      .map { case (a, b, est, j) =>
+        (if (deltaIds.contains(a)) (b, a) else (a, b)) -> (est, j)
+      }.toMap
+    assert(inc == full, s"only-inc=${inc.keySet -- full.keySet} " +
+      s"only-batch=${full.keySet -- inc.keySet}")
+    // the appended half actually contributes matches
+    val appendedIds = second.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc.keys.exists(k => appendedIds.contains(k._1)),
+      "no pair against an appended doc — append did not take effect")
+    spark.sql("DROP TABLE IF EXISTS inc_app_bands")
+    spark.sql("DROP TABLE IF EXISTS inc_app_sets")
+  }
+
   test("re-ingesting a stored doc never pairs it with itself") {
     val (bands, sets) = storeTables
     val reIngest = store.limit(3)
