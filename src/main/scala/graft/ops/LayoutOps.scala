@@ -131,6 +131,11 @@ object LayoutOps {
       .bucketBy(spec.numBuckets, keyCols.head, keyCols.tail: _*)
       .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
       .saveAsTable(table)
+    // the table's file listing is cached from its first read; without an
+    // explicit refresh a reader that already scanned the table keeps
+    // planning against the pre-append listing and silently misses the
+    // appended rows
+    spark.catalog.refreshTable(table)
   }
 
   /** Rewrite the parquet files under `inPath` into `outPath` as
