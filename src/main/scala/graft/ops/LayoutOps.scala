@@ -138,6 +138,45 @@ object LayoutOps {
     spark.catalog.refreshTable(table)
   }
 
+  /** Morton (Z-order) value: interleave the low `bits` bits of `x` and
+    * `y` (x on even bit positions, y on odd). Built as a flat sum of
+    * shift/mask terms — a single codegen'd arithmetic expression, no UDF.
+    * Inputs must be non-negative integral columns already reduced to the
+    * `bits`-bit grid (e.g. `col % 256` for bits=8). */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int = 8): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order-cluster `df` on two dimension columns and write it as
+    * `numFiles` range-partitioned parquet files, each internally sorted by
+    * the Z-value (kept as column `zCol`).
+    *
+    * Why this layout: range-partitioning on a 1-D sort key gives perfect
+    * pruning on THAT key and none on any other; interleaving two keys'
+    * bits makes Z-contiguous file ranges map to small rectangles in
+    * (x, y) space, so parquet footer min/max stats on BOTH columns stay
+    * tight per file and a 2-D box predicate skips most files — the
+    * standard multi-dimensional data-skipping layout (Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`) expressed as plain Spark: one
+    * `repartitionByRange` shuffle + an in-partition sort, scale-free. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column,
+      numFiles: Int,
+      bits: Int = 8,
+      zCol: String = "z"): Unit =
+    df.withColumn(zCol, zValue(xCol, yCol, bits))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** Rewrite the parquet files under `inPath` into `outPath` as
     * ~`targetFileBytes`-sized files. File count derives from the actual
     * on-disk byte size (Hadoop `getContentSummary`), so the same call

@@ -66,6 +66,23 @@ object EventQueries {
           round(col("n").cast("double") / col("prev_n"), 4).as("ratio"))
     },
 
+    // ---- View→click attribution: the interval self-join (equi-key on
+    // user + time-range bound), batch form; the stream-stream watermarked
+    // twin runs on the same definition in StreamingSpec. Inner join by
+    // design — unattributed clicks emit nothing.
+    q(
+      "ev_attrib",
+      """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |  COUNT(*) AS n_views, MAX(v.event_id) AS last_view_id
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.user_id = c.user_id
+        |  AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 60 MINUTE
+        |GROUP BY 1, 2, 3""".stripMargin
+    ) { (s, dir) =>
+      EventOps.attributeClicksBatch(tEvents(s, dir), windowMinutes = 60)
+    },
+
     // ---- Semi-structured extraction: the JSON `props` column parsed
     // per-row (codegen'd get_json_object — no UDF) and aggregated.
     q(

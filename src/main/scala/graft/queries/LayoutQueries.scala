@@ -72,6 +72,38 @@ object LayoutQueries {
             .cast("double").as("revenue"))
     },
 
+    // Z-order clustering round-trip: orders lands z-ordered on two
+    // derived dimensions, the read-back applies a 2-D box predicate
+    // (the query shape Z-layout exists to accelerate; file-level skipping
+    // is asserted in LayoutSpec), and DuckDB reproduces the box AND the
+    // Morton arithmetic bit-for-bit on the original parquet — equal
+    // hashes prove the interleave expression and the clustered rewrite
+    // both preserved every row.
+    q(
+      "layout_zorder", {
+        val zSql = (0 until 8).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y
+           |  FROM orders
+           |)
+           |SELECT o_orderkey, x, y, CAST($zSql AS BIGINT) AS z
+           |FROM b WHERE x BETWEEN 32 AND 47 AND y BETWEEN 64 AND 79""".stripMargin
+      }
+    ) { (s, dir) =>
+      val out = tmp("graft-layout-z")
+      LayoutOps.writeZOrdered(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_custkey") % 256).as("x"),
+            (col("o_orderkey") % 256).as("y")),
+        out, col("x"), col("y"), numFiles = 16, bits = 8)
+      s.read.parquet(out)
+        .filter(col("x").between(32, 47) && col("y").between(64, 79))
+        .select("o_orderkey", "x", "y", "z")
+    },
+
     // Small-files compaction is a semantic no-op: fragment documents into
     // 32 shards, compact to ~one file (size-derived), aggregate the
     // result. DuckDB aggregates the original — equal hashes prove no row

@@ -448,6 +448,31 @@ object RelationalOps {
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
     },
 
+    // ---- J6 (beyond-reference): runtime bloom-filter join pruning — the
+    // 100 TB fact⋈dim pattern. One fixed-size sketch of the (selective)
+    // dim keys is built by partial aggregation, and `might_contain` kills
+    // non-joining fact rows BEFORE the shuffle. Blooms have no false
+    // negatives and the exact join still runs, so the plain-join oracle
+    // applies unchanged (false positives are eliminated by the join).
+    q(
+      "j6_bloom_join",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val pruned = graft.ops.RuntimeFilterOps.bloomPrune(
+        t(s, dir, "orders"), "o_custkey", dim, "c_custkey",
+        expectedItems = 1L << 16, numBits = 1L << 20)
+      pruned.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
     // ---- Ratio-to-report: each group's share of the grand total via a
     // window over the AGGREGATED frame (6 rows — bounded by the flag
     // domain, so the unpartitioned window is scale-safe; the raw data

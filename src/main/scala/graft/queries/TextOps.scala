@@ -267,6 +267,53 @@ object TextOps {
         col("doc_id"),
         length(col("text")).as("len_chars"),
         size(split(col("text"), " ", -1)).as("n_tokens"))
+    },
+
+    // PII redaction — the scrub pass every training-data pipeline runs
+    // before anything else sees the text. The corpus is synthetic, so a
+    // deterministic email + phone are woven in from doc_id ON BOTH SIDES
+    // (Spark and oracle build the identical pre-redaction string); the
+    // codegen'd regexp_replace/regexp_count then run for real and the
+    // gate hash-compares the scrubbed text and the per-doc match counts.
+    // Patterns stay in the Java∩RE2 common dialect (char classes, \d,
+    // bounded repetition — no lookaround) so both engines agree.
+    q(
+      "text_redact",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    SUBSTR(text, 1, 60) || ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@ex-' || CAST(doc_id % 7 AS VARCHAR) || '.com or 555-'
+        |      || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  REGEXP_REPLACE(
+        |    REGEXP_REPLACE(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(pii, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+        |FROM p""".stripMargin
+    ) { (s, dir) =>
+      val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phonePat = """\d{3}-\d{3}-\d{4}"""
+      val pii = concat(
+        substring(col("text"), 1, 60), lit(" contact u"),
+        col("doc_id").cast("string"), lit("@ex-"),
+        (col("doc_id") % 7).cast("string"), lit(".com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pii.as("__pii"))
+        .select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("__pii"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("redacted"),
+          regexp_count(col("__pii"), lit(emailPat)).as("n_emails"),
+          regexp_count(col("__pii"), lit(phonePat)).as("n_phones"))
     }
   )
 }

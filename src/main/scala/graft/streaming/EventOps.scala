@@ -234,6 +234,63 @@ object EventOps {
       }
   }
 
+  /** View→click attribution pairs: every (click, view) of the same user
+    * where the view happened within `windowMinutes` BEFORE the click
+    * (inclusive of the click instant). The same join definition serves
+    * batch and the stream-stream form below — one equi-key (user_id)
+    * shuffle with the time bounds as a post-join range condition, the
+    * standard ad-attribution / action-to-cause shape.
+    *
+    * At scale the equi-key carries the join (SortMergeJoin on user_id);
+    * the range bound only trims pairs within a user's sorted run — never
+    * a cartesian across users. */
+  def attributionPairs(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("cts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("vuser"), col("ts").as("vts"))
+    clicks.join(views,
+      col("user_id") === col("vuser") &&
+        col("vts") <= col("cts") &&
+        col("vts") > col("cts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
+  /** Batch attribution rollup: per click, how many candidate views and
+    * the max view id (deterministic representative). Inner join — clicks
+    * with no in-window view carry no attribution row. */
+  def attributeClicksBatch(events: DataFrame, windowMinutes: Int = 10): DataFrame =
+    attributionPairs(events, windowMinutes)
+      .groupBy(col("click_id"), col("user_id"),
+        unix_micros(col("cts")).as("click_us"))
+      .agg(count(lit(1)).as("n_views"), max(col("view_id")).as("last_view_id"))
+
+  /** Stream-stream interval join: the same attribution pairs over two
+    * live streams. Both sides carry an event-time watermark and the join
+    * condition bounds `vts` relative to `cts`, so Spark derives a state
+    * watermark for each side — view state is dropped once no future click
+    * can reach back to it, click state once its window has passed: state
+    * is bounded by `watermark + windowMinutes` of data per user, not the
+    * stream's history. Emits the raw pairs (append mode); parity with
+    * [[attributionPairs]] is asserted in StreamingSpec. */
+  def attributionStream(clicks: DataFrame, views: DataFrame,
+                        windowMinutes: Int = 10,
+                        watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("vuser"), col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    c.join(v,
+      col("user_id") === col("vuser") &&
+        col("vts") <= col("cts") &&
+        col("vts") > col("cts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   /** Flush helper for tests: closed + open sessions from the final state
     * are not visible without a timeout; batch parity is asserted against
     * `sessionizeBatch`. Top event types per sliding window (rank-in-window

@@ -113,6 +113,55 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("z-order layout: disjoint z-ranges per file, 2-D box skips most files") {
+    val out = Files.createTempDirectory("layout-z")
+    val src = spark.read.parquet(s"$sfSmall/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 256).as("x"),
+        (col("o_orderkey") % 256).as("y"))
+    LayoutOps.writeZOrdered(src, out.toString, col("x"), col("y"),
+      numFiles = 16, bits = 8)
+
+    val back = spark.read.parquet(out.toString)
+    // semantic no-op: every row survives the clustered rewrite
+    assert(back.count() == src.count())
+
+    // range partitioning on z ⇒ per-file z-ranges are pairwise disjoint
+    val fileRanges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("zmin"), max("z").as("zmax"),
+        min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"))
+      .collect()
+    val sorted = fileRanges.sortBy(_.getAs[Long]("zmin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("zmax") < b.getAs[Long]("zmin"),
+          "file z-ranges must be disjoint")
+      case _ =>
+    }
+
+    // the layout's reason to exist: parquet footer min/max on x AND y stay
+    // tight per file, so a 2-D box prunes on stats. A 16×16 box is 1/256
+    // of the key space; under z-clustering few files' (x,y) bounding boxes
+    // intersect it, where a 1-D x-sort would keep y's range full-width in
+    // every file (no pruning on y at all).
+    val (bx0, bx1, by0, by1) = (32L, 47L, 64L, 79L)
+    val touched = fileRanges.count { r =>
+      r.getAs[Long]("xmin") <= bx1 && r.getAs[Long]("xmax") >= bx0 &&
+        r.getAs[Long]("ymin") <= by1 && r.getAs[Long]("ymax") >= by0
+    }
+    assert(touched <= fileRanges.length / 2,
+      s"z-order should let a 1/256 box skip most of the $touched/${fileRanges.length} files")
+
+    // and the surviving rows are exactly the source's box rows
+    val got = back.filter(col("x").between(bx0, bx1) && col("y").between(by0, by1))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val want = src.filter(col("x").between(bx0, bx1) && col("y").between(by0, by1))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("compact sizes output from on-disk bytes and preserves every row") {
     val base = Files.createTempDirectory("layout-cmp")
     val docs = spark.read.parquet(s"$sfSmall/documents.parquet")

@@ -285,6 +285,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join emits the same pairs as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventOps.Event]
+    val views = MemoryStream[EventOps.Event]
+    val joined = EventOps.attributionStream(
+      clicks.toDF(), views.toDF(), windowMinutes = 60, watermark = "30 minutes")
+      .select("click_id", "view_id")
+    val q = joined.writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      // both sides fed in event-time order across two triggers: a click in
+      // the second trigger must still find its in-window views from the
+      // first (view state is retained up to watermark + join window)
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      val (a, b) = all.splitAt(all.length / 2)
+      clicks.addData(a.toIndexedSeq); views.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      clicks.addData(b.toIndexedSeq); views.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = EventOps.attributionPairs(eventsDF, 60)
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"stream ${got.size} pairs vs batch ${want.size}")
+    } finally q.stop()
+  }
+
   test("partitioned file sink is exactly-once across a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
     // The streaming face of LayoutOps.writePartitioned: a Hive-partitioned
