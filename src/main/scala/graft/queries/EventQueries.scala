@@ -252,6 +252,34 @@ object EventQueries {
     // literally, Spark computes it — a sketch drifting out of tolerance
     // flips the hash and fails the gate. HLL++ register merge is
     // max-commutative, so the Spark value is partitioning-independent.
+    // ---- Misra-Gries heavy hitters under the oracle, same self-check
+    // pattern as ev_hll_users: the skewed key (two 20%-hot buckets + a
+    // long uniform tail — modulo-derived, so the skew is scale-invariant
+    // across SFs) is derived identically in both engines, the exact
+    // counts of the TRUE heavies (freq > n/(k+1)) are hash-compared, and
+    // the sketch's paper guarantee — found, undercount ≤ n/(k+1) — rides
+    // along as a claim column DuckDB asserts literally TRUE. The raw MG
+    // counters are merge-order-dependent and never leave the op; the
+    // bound is what scale users rely on and what the gate checks.
+    q(
+      "ev_heavy_hitters",
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 5 = 0 THEN 'hot_a'
+        |              WHEN user_id % 5 = 1 THEN 'hot_b'
+        |              ELSE CAST(user_id AS VARCHAR) END AS key
+        |  FROM events
+        |), tot AS (SELECT COUNT(*) AS n FROM keyed)
+        |SELECT key, COUNT(*) AS exact_n, TRUE AS within_bound
+        |FROM keyed, tot GROUP BY key, n HAVING COUNT(*) * 10 > n""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.SketchOps.heavyHittersChecked(
+        tEvents(s, dir),
+        when(col("user_id") % 5 === 0, "hot_a")
+          .when(col("user_id") % 5 === 1, "hot_b")
+          .otherwise(col("user_id").cast("string")),
+        k = 9)
+    },
+
     q(
       "ev_hll_users",
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
