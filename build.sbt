@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench JITs ~2 codegen stages per query × 100+ queries in one
+  // JVM; the JDK17 default 240m code cache fills late in the run, the JIT
+  // stops compiling, and tail queries silently run interpreted at 5-10×
+  // (observed: ev_json 0.5s warm → 3.4s cpu-bound in the 112-query run).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -66,6 +66,66 @@ object EventQueries {
           round(col("n").cast("double") / col("prev_n"), 4).as("ratio"))
     },
 
+    // ---- Sliding-window aggregation: each event lands in width/slide
+    // (= 4) overlapping windows. Spark expands via a single generator —
+    // no self-join; DuckDB replicates with the same 15-min grid
+    // arithmetic (every event contributes to exactly the 4 grid starts
+    // covering it, all within the 1-hour width by construction).
+    q(
+      "ev_sliding_agg",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - (epoch_us(ts) % 900000000) AS us15
+        |  FROM events
+        |), x AS (
+        |  SELECT event_type,
+        |    us15 - 900000000 * UNNEST(GENERATE_SERIES(0, 3)) AS win_start_us
+        |  FROM e
+        |)
+        |SELECT win_start_us, event_type, COUNT(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      tEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n"))
+    },
+
+    // ---- Native session windows: Spark's `session_window` (the operator
+    // the streaming engine uses for watermark-evicted sessions) run in
+    // batch under the oracle. Semantics pinned by the SQL twin: a session
+    // breaks when the gap is >= 30 min (session_window merges windows
+    // that OVERLAP — an exact-gap event does not), and the window end is
+    // last-event-time + gap, not last event time.
+    q(
+      "ev_session_native",
+      """SELECT user_id, MIN(us) AS start_us,
+        |  MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT user_id, value, us,
+        |    CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM (
+        |    SELECT user_id, value, epoch_us(ts) AS us,
+        |      CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+        |        THEN 1 ELSE 0 END AS gap
+        |    FROM events))
+        |GROUP BY user_id, sid""".stripMargin
+    ) { (s, dir) =>
+      tEvents(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("total_value"))
+    },
+
     // ---- View→click attribution: the interval self-join (equi-key on
     // user + time-range bound), batch form; the stream-stream watermarked
     // twin runs on the same definition in StreamingSpec. Inner join by

@@ -164,6 +164,48 @@ class PlanQualitySpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("bloom prune: might_contain sits on the fact scan side, below the join") {
+    val df = SparkEntry.queries("j6_bloom_join")(spark, sfTiny)
+    val p = df.queryExecution.optimizedPlan.toString
+    val join = p.indexOf("Join Inner")
+    val bloom = p.indexOf("might_contain")
+    assert(join >= 0 && bloom >= 0, p)
+    // printed top-down: the filter being AFTER the join node means it is a
+    // child of the join (pre-shuffle prune), not a post-join residue
+    assert(bloom > join, s"might_contain must prune BEFORE the join:\n$p")
+  }
+
+  test("sliding windows expand once, never self-join") {
+    val df = SparkEntry.queries("ev_sliding_agg")(spark, sfTiny)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // AQE prints Final + Initial sections: assert on the final plan only
+    val p = full.split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), s"window expansion must not be a join:\n$p")
+    // partial agg before the one shuffle: 4× expanded rows combine map-side
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("native session windows merge per-user, no global sort") {
+    val df = SparkEntry.queries("ev_session_native")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MergingSessions"), p)
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"session merge must shuffle by user, not globally sort:\n$p")
+  }
+
+  test("attribution interval join is equi-keyed on user, never nested-loop") {
+    val df = SparkEntry.queries("ev_attrib")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"time-range condition must ride the user_id equi-join:\n$p")
+    assert(p.contains("HashJoin [user_id") || p.contains("SortMergeJoin [user_id"), p)
+  }
+
   test("exact quantiles use a partitioned window, never a global sort") {
     val df = SparkEntry.queries("a_quantile_disc")(spark, sfTiny)
     df.collect()
