@@ -66,6 +66,28 @@ object EventQueries {
           round(col("n").cast("double") / col("prev_n"), 4).as("ratio"))
     },
 
+    // ---- Pivot: long→wide reshape with an EXPLICIT value list (an
+    // unlisted pivot would first collect the distinct values to the
+    // driver — a hidden extra job and a scale hazard; with the list the
+    // plan is one pass of conditional aggregates, same as the FILTER
+    // clauses DuckDB runs).
+    q(
+      "ev_pivot",
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      tEvents(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+    },
+
     // ---- Sliding-window aggregation: each event lands in width/slide
     // (= 4) overlapping windows. Spark expands via a single generator —
     // no self-join; DuckDB replicates with the same 15-min grid

@@ -473,6 +473,34 @@ object RelationalOps {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     },
 
+    // ---- J7 (beyond-reference): point-in-interval range join WITHOUT an
+    // equi key, by bin discretization (RangeJoinOps) — Spark's planner
+    // would otherwise nest-loop it. Overlapping price bands (each price
+    // matches ~3) make it a true interval join, not a disguised group-by;
+    // DuckDB runs the plain range join declaratively.
+    q(
+      "j7_range_bin",
+      """WITH p AS (
+        |  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS price FROM orders
+        |), b AS (
+        |  SELECT i AS band_id, i * 2000 AS lo, i * 2000 + 6000 AS hi
+        |  FROM GENERATE_SERIES(0, 119) AS t(i)
+        |)
+        |SELECT band_id, COUNT(*) AS n, CAST(SUM(price) AS BIGINT) AS total
+        |FROM p JOIN b ON price >= lo AND price < hi
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val points = t(s, dir, "orders")
+        .select(floor(col("o_totalprice")).cast("long").as("price"))
+      val bands = s.range(0, 120)
+        .select(col("id").as("band_id"),
+          (col("id") * 2000).as("lo"), (col("id") * 2000 + 6000).as("hi"))
+      graft.ops.RangeJoinOps
+        .binnedPointIntervalJoin(points, "price", bands, "lo", "hi", binWidth = 2000L)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), sum("price").as("total"))
+    },
+
     // ---- Ratio-to-report: each group's share of the grand total via a
     // window over the AGGREGATED frame (6 rows — bounded by the flag
     // domain, so the unpartitioned window is scale-safe; the raw data
