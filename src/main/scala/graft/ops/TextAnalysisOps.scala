@@ -178,7 +178,8 @@ object TextAnalysisOps {
     * tokens can't carry a full n-gram and are skipped. */
   def contamination(docs: DataFrame, isTest: Column, w: Int = 8,
                     minShared: Long = 3,
-                    broadcastTest: Boolean = false): DataFrame = {
+                    broadcastTest: Boolean = false,
+                    bloomGateBits: Option[Long] = None): DataFrame = {
     val staged = docs
       .withColumn("__t", DedupOps.tokens(col("text")))
       .filter(size(col("__t")) >= w)
@@ -189,8 +190,19 @@ object TextAnalysisOps {
       explode(DedupOps.gramHashes(col("__t"), w)).as("__h"))
     val test = grams.filter(col("__is_test"))
       .select(col("doc_id").as("test_doc"), col("__h"))
-    val train = grams.filter(!col("__is_test"))
+    val train0 = grams.filter(!col("__is_test"))
       .select(col("doc_id").as("train_doc"), col("__h"))
+    // Optional bloom gate (the runtime-filter pattern, RuntimeFilterOps):
+    // at 100 TB the train side is the whole corpus's gram stream and the
+    // test side a fixed benchmark suite — almost no train gram joins. One
+    // fixed-size sketch of the test hashes kills non-matching train grams
+    // BEFORE the join's exchange; false positives just ride into the
+    // exact join, so the result (and the oracle) is unchanged.
+    val train = bloomGateBits.fold(train0) { bits =>
+      train0.filter(RuntimeFilterOps.mightContain(
+        RuntimeFilterOps.buildBloom(test, "__h", expectedItems = bits / 8, numBits = bits),
+        col("__h")))
+    }
     train.join(if (broadcastTest) broadcast(test) else test, Seq("__h"))
       .groupBy("train_doc", "test_doc")
       .agg(count(lit(1)).as("n_shared"))

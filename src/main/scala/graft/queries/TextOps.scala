@@ -212,6 +212,35 @@ object TextOps {
         w = 3, minShared = 3)
     },
 
+    // The same decontamination sweep behind the bloom runtime filter: a
+    // fixed-size sketch of the test-suite gram hashes prunes the train
+    // gram stream BEFORE the join's shuffle — at 100 TB that stream is
+    // the whole corpus and almost none of it joins. Blooms have no false
+    // negatives and the exact join still runs, so the oracle is decontam
+    // _ngram's verbatim.
+    q(
+      "decontam_bloom",
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+        |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+        |  FROM tk WHERE LEN(t) >= 3
+        |)
+        |SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM g tr JOIN g te ON tr.gram = te.gram
+        |WHERE tr.source <> 'src19' AND te.source = 'src19'
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.TextAnalysisOps.contamination(
+        t(s, dir, "documents"), col("source") === "src19",
+        w = 3, minShared = 3, bloomGateBits = Some(1L << 21))
+    },
+
     // End-to-end preprocessing pipeline in ONE declarative plan: length
     // gate -> exact-dedup survivor -> benchmark-decontamination anti-join
     // -> token count. The composition a real training-data run executes;
