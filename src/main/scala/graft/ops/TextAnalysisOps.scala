@@ -208,4 +208,43 @@ object TextAnalysisOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Span-level (sub-document) dedup: drop every fixed-width chunk whose
+    * exact text occurs more than once ANYWHERE in the corpus, and stitch
+    * each document back together from its surviving chunks. This is the
+    * boilerplate/banner strip pass — whole-document dedup never catches a
+    * shared header pasted into a million otherwise-distinct pages; span
+    * granularity does, without discarding the distinct remainder.
+    *
+    * Shape: one chunk explode (×len/chunkChars), a count-over-window on
+    * the chunk value for df (one shuffle; reuses the tf-idf lesson — a
+    * groupBy+join-back would shuffle the same bytes twice), then one
+    * per-doc reassembly. Chunk keys here are the strings themselves so
+    * the DuckDB twin can replicate exactly; at corpus scale the window
+    * key would be `xxhash64(chunk)` (8-byte shuffle keys) with the same
+    * plan, and a viral chunk's hot partition is count-only state — no
+    * list accumulates on it. Docs whose every chunk is boilerplate drop
+    * out entirely (nothing left to keep).
+    */
+  def dropDuplicatedSpans(docs: DataFrame, chunkChars: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(length(text) - 1) div $chunkChars"))).as("__i"),
+        col("text"))
+      .select(col("doc_id"), col("__i"),
+        expr(s"substring(text, cast(__i * $chunkChars + 1 as int), $chunkChars)")
+          .as("__chunk"))
+    chunks
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__chunk")))
+      .filter(col("__df") === 1)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__i"), col("__chunk")))), // bounded: ≤ ceil(len/chunkChars) chunks per doc — explode of the doc's own grid
+            s => s.getField("__chunk")), "").as("cleaned"),
+        count(lit(1)).as("n_kept"))
+  }
 }

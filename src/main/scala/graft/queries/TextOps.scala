@@ -298,6 +298,32 @@ object TextOps {
         size(split(col("text"), " ", -1)).as("n_tokens"))
     },
 
+    // Span-level dedup: drop every 64-char chunk whose exact text repeats
+    // anywhere in the corpus (the boilerplate-banner strip whole-document
+    // dedup can't do), reassemble docs from surviving chunks. The corpus
+    // has shared leading boilerplate (see dedup_prefix_sample), so this
+    // bites for real. String chunk keys here so DuckDB replicates
+    // exactly; the op doc notes the xxhash64-keyed production variant.
+    q(
+      "text_span_dedup",
+      """WITH c AS (
+        |  SELECT doc_id, i,
+        |    SUBSTR(text, CAST(i AS INT) * 64 + 1, 64) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          UNNEST(GENERATE_SERIES(0, (STRLEN(text) - 1) // 64)) AS i
+        |        FROM documents)
+        |), d AS (
+        |  SELECT doc_id, i, chunk, COUNT(*) OVER (PARTITION BY chunk) AS df
+        |  FROM c
+        |)
+        |SELECT doc_id, STRING_AGG(chunk, '' ORDER BY i) AS cleaned,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM d WHERE df = 1 GROUP BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.TextAnalysisOps.dropDuplicatedSpans(
+        t(s, dir, "documents"), chunkChars = 64)
+    },
+
     // PII redaction — the scrub pass every training-data pipeline runs
     // before anything else sees the text. The corpus is synthetic, so a
     // deterministic email + phone are woven in from doc_id ON BOTH SIDES

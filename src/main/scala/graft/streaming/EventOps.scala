@@ -244,7 +244,8 @@ object EventOps {
     * At scale the equi-key carries the join (SortMergeJoin on user_id);
     * the range bound only trims pairs within a user's sorted run — never
     * a cartesian across users. */
-  def attributionPairs(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+  def attributionPairs(events: DataFrame, windowMinutes: Int = 10,
+                       joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),
         col("user_id"), col("ts").as("cts"))
@@ -254,7 +255,8 @@ object EventOps {
     clicks.join(views,
       col("user_id") === col("vuser") &&
         col("vts") <= col("cts") &&
-        col("vts") > col("cts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("vts") > col("cts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
   }
 
   /** Batch attribution rollup: per click, how many candidate views and
@@ -274,9 +276,14 @@ object EventOps {
     * is bounded by `watermark + windowMinutes` of data per user, not the
     * stream's history. Emits the raw pairs (append mode); parity with
     * [[attributionPairs]] is asserted in StreamingSpec. */
+  /** `joinType = "left_outer"` additionally emits unattributed clicks
+    * (null view columns) — but only once the watermark proves no matching
+    * view can still arrive; until then the click is held in state, which
+    * is why outer results trail inner ones by the watermark delay. */
   def attributionStream(clicks: DataFrame, views: DataFrame,
                         windowMinutes: Int = 10,
-                        watermark: String = "30 minutes"): DataFrame = {
+                        watermark: String = "30 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),
         col("user_id"), col("ts").as("cts"))
@@ -288,7 +295,8 @@ object EventOps {
     c.join(v,
       col("user_id") === col("vuser") &&
         col("vts") <= col("cts") &&
-        col("vts") > col("cts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("vts") > col("cts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
   }
 
   /** Flush helper for tests: closed + open sessions from the final state

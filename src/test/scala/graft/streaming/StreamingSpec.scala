@@ -313,6 +313,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join flushes unattributed clicks at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventOps.Event]
+    val views = MemoryStream[EventOps.Event]
+    val joined = EventOps.attributionStream(
+      clicks.toDF(), views.toDF(), windowMinutes = 60,
+      watermark = "30 minutes", joinType = "left_outer")
+      .select("click_id", "view_id")
+    val q = joined.writeStream
+      .format("memory").queryName("attrib_outer").outputMode("append").start()
+    try {
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      clicks.addData(all.toIndexedSeq); views.addData(all.toIndexedSeq)
+      q.processAllAvailable()
+      // a null-padded (unmatched) click may only emit once the watermark
+      // proves no matching view can arrive: push it past everything
+      val flushTs = new java.sql.Timestamp(all.last.ts.getTime + 7L * 24 * 3600 * 1000)
+      clicks.addData(EventOps.Event(-1L, flushTs, 0L, "click", 0.0))
+      views.addData(EventOps.Event(-2L, flushTs, 0L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .filter(col("click_id") >= 0) // drop the flush pair itself
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      val want = EventOps.attributionPairs(eventsDF, 60, "left_outer")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got == want, s"stream ${got.size} vs batch ${want.size}")
+      // and the outer form really added null-padded rows over the inner one
+      assert(want.exists(_._2 == -1L), "fixture must contain unattributed clicks")
+    } finally q.stop()
+  }
+
   test("partitioned file sink is exactly-once across a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
     // The streaming face of LayoutOps.writePartitioned: a Hive-partitioned
