@@ -501,6 +501,38 @@ object RelationalOps {
         .agg(count(lit(1)).as("n"), sum("price").as("total"))
     },
 
+    // ---- J8 (beyond-reference): as-of join — for each purchase, the
+    // latest click by the same user at or before it (AsofJoinOps: union-
+    // tag + keyed window, ONE shuffle on user_id, no range/nested-loop
+    // join). The oracle is DuckDB's native ASOF LEFT JOIN — a genuinely
+    // independent implementation of the same semantics. Unmatched
+    // purchases survive with NULL click columns (left-outer).
+    q(
+      "j8_asof",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us, c.event_id AS click_id,
+        |  epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+    ) { (s, dir) =>
+      val ev = tEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsofJoinOps
+        .asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightPayload = Seq("event_id"), rightPrefix = "click_")
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_event_id").as("click_id"),
+          col("click_ts_us").as("click_us"),
+          (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
+    },
+
     // ---- Ratio-to-report: each group's share of the grand total via a
     // window over the AGGREGATED frame (6 rows — bounded by the flag
     // domain, so the unpartitioned window is scale-safe; the raw data
