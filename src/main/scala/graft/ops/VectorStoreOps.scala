@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A persistent, incrementally-ingestable IVF vector store.
+  *
+  * [[SimilarityOps.ivfTopKWithCentroids]] re-assigns the whole corpus to
+  * cells on every search — right for one-shot queries, waste for a
+  * serving corpus that only ever GROWS. This operator persists the
+  * assignment: the corpus is written once as a parquet table
+  * PARTITIONED BY the cell id, new batches are assigned against the
+  * frozen centroid table and appended into the same cell directories,
+  * and a search reads the store back with the probed cells pushed into
+  * the scan as a dynamic partition-pruning filter — at nlist=1024 /
+  * nprobe=32 a query batch physically reads ~3% of a 100 TB store, and
+  * an ingest touches only the delta (the store is never re-assigned,
+  * never re-shuffled; each append adds files under its cells'
+  * directories).
+  *
+  * Layout choice: DIRECTORY partitioning (not bucketing) because the
+  * probe predicate is a small IN-list over cell ids — exactly what
+  * partition pruning eliminates at file-listing time; bucketing would
+  * only co-locate a shuffle that the broadcast probe join doesn't need.
+  */
+object VectorStoreOps {
+
+  /** Per-row best cell of `df`'s vectors against the (broadcast)
+    * centroid table, ties to the lowest cid. `probeRound` optionally
+    * rounds the cosine before ranking — the oracle twin passes a digit
+    * count so an independent engine reproduces the cell choice exactly;
+    * production leaves it None (full precision). */
+  private def bestCells(spark: SparkSession, vecs: DataFrame,
+                        cents: DataFrame, top: Int,
+                        probeRound: Option[Int]): DataFrame = {
+    val raw = SimilarityOps.cosineFast(spark, col("__v"), col("cvec"))
+    val s = probeRound.fold(raw)(d => round(raw, d))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("__s", s)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(desc("__s"), col("cid"))))
+      .filter(col("__rk") <= top)
+      .select(col("__id"), col("__v"), col("cid"))
+  }
+
+  private def assigned(spark: SparkSession, df: DataFrame, cents: DataFrame,
+                       idCol: String, vecCol: String,
+                       probeRound: Option[Int]): DataFrame =
+    bestCells(spark,
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      cents, top = 1, probeRound)
+      .select(col("__id").as("item_id"), col("__v").as("cv"), col("cid"))
+
+  /** Create the store at `basePath`: the frozen centroid table (tiny,
+    * one file) plus the corpus assigned to cells, partitioned by cid. */
+  def writeVectorStore(corpus: DataFrame, spark: SparkSession,
+                       basePath: String, cents: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       assignRound: Option[Int] = None): Unit = {
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$basePath/centroids")
+    assigned(spark, corpus, cents, idCol, vecCol, assignRound)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$basePath/items")
+  }
+
+  /** Ingest a batch: assign against the FROZEN centroids, append under
+    * the matching cell directories. The store itself is untouched —
+    * ingest cost is one pass over the delta. The refresh drops Spark's
+    * cached file listing for the path, so a reader in this session sees
+    * the appended cells immediately. */
+  def appendToVectorStore(delta: DataFrame, spark: SparkSession,
+                          basePath: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          assignRound: Option[Int] = None): Unit = {
+    val cents = spark.read.parquet(s"$basePath/centroids")
+    assigned(spark, delta, cents, idCol, vecCol, assignRound)
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$basePath/items")
+    spark.catalog.refreshByPath(s"$basePath/items")
+  }
+
+  /** IVF top-k against the store: probe `nprobe` cells per query, exact
+    * cosine re-rank inside them. Same output contract (and, under the
+    * same centroids, the same rows — spec-pinned) as
+    * [[SimilarityOps.ivfTopKWithCentroids]], but the corpus side is the
+    * persisted table: the broadcast probe join carries the probed cell
+    * ids into the scan as a dynamic partition-pruning filter, so only
+    * those cell directories are read. */
+  def searchStore(queries: DataFrame, spark: SparkSession, basePath: String,
+                  k: Int, nprobe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  probeRound: Option[Int] = None): DataFrame = {
+    val cents = spark.read.parquet(s"$basePath/centroids")
+    val items = spark.read.parquet(s"$basePath/items")
+      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+    val probes = bestCells(spark,
+      queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      cents, top = nprobe, probeRound)
+      .select(col("__id").as("query_id"), col("__v").as("qv"), col("cid"))
+    val cand = items.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos",
+        round(SimilarityOps.cosineFast(spark, col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+}

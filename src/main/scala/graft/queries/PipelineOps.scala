@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, SimilarityOps, TextAnalysisOps}
+import graft.ops.{DedupOps, SimilarityOps, TextAnalysisOps, VectorStoreOps}
 
 /** Training-data-pipeline operators registered as driver-checked queries:
   * near-dup detection, ANN similarity search, and text analysis over the
@@ -651,6 +651,85 @@ object PipelineOps {
           .as("embedding"))
       SimilarityOps.bruteForceTopK(
         deq.filter(c("vec_id") % 50 === 0), deq, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- Incremental vector-store ingest (rows-only: same machinery
+    // oracle-gated by ann_inc_q below; exact search-equivalence to the
+    // batch IVF operator pinned in VectorStoreSpec): centroids built on
+    // the initial 80%, the store written partitioned-by-cell, the 20%
+    // delta assigned against the FROZEN centroids and appended — the
+    // store is never re-assigned — then searched with the probed cells
+    // pruned into the scan.
+    qq("ann_incremental") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-vstore").toString
+      val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+      VectorStoreOps.writeVectorStore(store, s, base, cents)
+      VectorStoreOps.appendToVectorStore(delta, s, base)
+      VectorStoreOps.searchStore(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- The vector store under the ORACLE, end-to-end through a REAL
+    // partitioned store write + append: centroids are the raw seed
+    // vectors (the 8 lowest store-half vec_ids — no cross-row float
+    // averaging, so both engines hold identical centroid values), cell
+    // choice ranks on round(cos, 6) (the cosineFast ≡
+    // list_cosine_similarity agreement ann_ivf_q already gate-proves),
+    // and DuckDB rebuilds assignment → probes → candidates → re-rank
+    // declaratively while Spark routes the corpus through the store
+    // files on disk. Equal hashes prove the store layout, the append
+    // and the pruning lose and duplicate nothing.
+    q(
+      "ann_inc_q",
+      """WITH seeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN embeddings i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-vstore-q").toString
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6))
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      VectorStoreOps.searchStore(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10, nprobe = 4,
+        probeRound = Some(6))
         .orderBy("query_id", "rank")
     },
 

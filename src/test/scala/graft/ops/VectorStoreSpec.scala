@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[VectorStoreOps]] — the gate hash-compares ann_inc_q end-to-end
+  * through a real store; this spec pins what the oracle can't see:
+  * exact search-equivalence with the batch IVF operator, the dynamic
+  * partition pruning that makes the store the scale path (a probe reads
+  * only its cells' directories), and same-session append visibility. */
+class VectorStoreSpec extends SparkTestBase {
+
+  private lazy val emb = graft.queries.t(spark, sfSmall, "embeddings")
+
+  test("store+append search equals the batch IVF operator row-for-row") {
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val base = Files.createTempDirectory("vstore-eq").toString
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+
+    VectorStoreOps.writeVectorStore(store, spark, base, cents)
+    VectorStoreOps.appendToVectorStore(delta, spark, base)
+    val fromStore = VectorStoreOps
+      .searchStore(queries, spark, base, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = SimilarityOps
+      .ivfTopKWithCentroids(queries, emb, cents, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+      .toSet
+    assert(fromStore == batch,
+      "the persisted store must answer exactly like the in-memory operator")
+    assert(fromStore.nonEmpty)
+  }
+
+  test("probed cells reach the scan as a dynamic partition-pruning filter") {
+    val base = Files.createTempDirectory("vstore-dpp").toString
+    val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(emb, spark, base, cents)
+    val df = VectorStoreOps.searchStore(
+      emb.filter(col("vec_id") % 50 === 0), spark, base, k = 5, nprobe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"store scan must carry a dynamic partition-pruning filter:\n$plan")
+  }
+
+  test("append is visible to a reader opened in the same session") {
+    val base = Files.createTempDirectory("vstore-vis").toString
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(store, spark, base, cents)
+    // force a file-listing cache entry for the items path BEFORE the
+    // append — the refreshByPath in appendToVectorStore must invalidate
+    // it or the delta silently never joins
+    val before = spark.read.parquet(s"$base/items").count()
+    VectorStoreOps.appendToVectorStore(delta, spark, base)
+    val after = spark.read.parquet(s"$base/items").count()
+    assert(before == store.count() && after == emb.count(),
+      s"append must land and be visible: $before -> $after")
+    // and the delta ids must be searchable
+    val hits = VectorStoreOps
+      .searchStore(queries, spark, base, k = 10, nprobe = 8)
+      .filter(col("item_id") % 5 === 0).count()
+    assert(hits > 0, "appended vectors must be reachable by search")
+  }
+}
