@@ -67,6 +67,82 @@ object SketchOps {
   def misraGries(key: Column, k: Int): Column =
     udaf(new MisraGries(k)).apply(key)
 
+  /** Count-Min sketch: `d` hash rows × `w` counters; a key's estimate is
+    * the minimum of its `d` counters. Guarantees: est ≥ true always
+    * (counters only ever add), and est ≤ true + (e/w)·n with probability
+    * 1 − e^−d per key. Unlike Misra-Gries the buffer merge is a plain
+    * element-wise sum, so the merged sketch is EXACTLY the sketch of the
+    * whole input — estimates are partitioning-invariant, which is what
+    * lets the claim columns below sit in a hash-compared gate.
+    *
+    * The aggregator consumes PRE-HASHED bucket positions (an `array<int>`
+    * of length `d`, from [[cmsPositions]]) rather than raw keys: the
+    * hash is thereby defined once, in SQL (`xxhash64(i, key) pmod w`),
+    * and the estimate side recomputes it with the very same expression —
+    * no Scala reimplementation of Spark's hash to drift out of sync. */
+  final class CountMin(d: Int, w: Int)
+      extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    require(d >= 1 && w >= 2, "CountMin needs d >= 1, w >= 2")
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(b: Array[Long], pos: Seq[Int]): Array[Long] = {
+      var i = 0
+      while (i < d) { b(i * w + pos(i)) += 1L; i += 1 }
+      b
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** The `d` bucket positions of `key`: `pmod(xxhash64(i, key), w)` for
+    * each hash row i — the shared definition both the sketch build and
+    * the estimate lookup use. */
+  def cmsPositions(key: Column, d: Int, w: Int): Column =
+    transform(sequence(lit(0), lit(d - 1)),
+      i => pmod(xxhash64(i, key), lit(w)).cast("int"))
+
+  /** The CMS of `key` as one aggregate Column (array of d·w counters). */
+  def countMin(key: Column, d: Int, w: Int): Column =
+    udaf(new CountMin(d, w),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      .apply(cmsPositions(key, d, w))
+
+  /** Self-checking CMS frame: every distinct key with its exact count
+    * (the oracle-comparable part) plus the two sketch claims —
+    * `ge_exact` (deterministic: counters never undercount) and
+    * `within_eps` (est ≤ exact + ⌈(e/w)·n⌉, the paper bound; per-key
+    * deterministic for a fixed dataset because the merged sketch is
+    * partitioning-invariant). The raw counter array never leaves. */
+  def cmsChecked(df: DataFrame, keyCol: Column, d: Int, w: Int): DataFrame = {
+    val keyed = df.select(keyCol.cast("string").as("key"))
+    val sketch = keyed.agg(countMin(col("key"), d, w).as("__cms"))
+    val exact = keyed.groupBy("key").agg(count(lit(1)).as("exact_n"))
+    val total = exact.agg(sum("exact_n").as("__n"))
+    val est = array_min(transform(sequence(lit(0), lit(d - 1)),
+      i => element_at(col("__cms"),
+        (i * w + pmod(xxhash64(i, col("key")), lit(w))).cast("int") + 1)))
+    val eps = ceil(col("__n") * lit(math.E) / lit(w))
+    exact
+      .join(broadcast(total))
+      .join(broadcast(sketch))
+      .withColumn("__est", est)
+      .select(
+        col("key"), col("exact_n"),
+        (col("__est") >= col("exact_n")).as("ge_exact"),
+        (col("__est") <= col("exact_n") + eps).as("within_eps"))
+  }
+
   /** Self-checking heavy-hitters frame: for every key whose TRUE
     * frequency exceeds n/(k+1) (computed exactly), report the exact count
     * plus `within_bound` — whether the MG sketch found the key with

