@@ -299,6 +299,51 @@ object EventOps {
       joinType)
   }
 
+  /** One enriched purchase: the latest click by the same user at or
+    * before it (None = no click yet — the left-outer null of the batch
+    * as-of join). */
+  final case class AsofMatch(user_id: Long, purchase_id: Long,
+                             purchase_us: Long, click_id: Option[Long],
+                             click_us: Option[Long])
+
+  /** Streaming as-of enrichment — [[graft.ops.AsofJoinOps]]'s backward
+    * direction over a live stream. A stream-stream join can't express
+    * "the LATEST preceding row" (it emits every in-window pair), so this
+    * is explicit state: per user, the single (click_us, click_id) last
+    * seen — O(1) state per key, vs the interval join's
+    * watermark+window buffer. Each trigger's buffered group is sorted by
+    * event time (clicks before purchases at equal ts, then id — the
+    * batch operator's exact tie rules), clicks advance the state,
+    * purchases emit enriched. Parity with the batch operator holds under
+    * event-time-ordered arrival across triggers (StreamingSpec); a click
+    * arriving late, after a later purchase already emitted, enriches
+    * only subsequent purchases — append-mode streams don't retract.
+    * Production adds watermark + timeout eviction for dead keys; the
+    * RocksDB provider toggle covers crawl-scale keyspaces. */
+  def asofStream(events: Dataset[Event]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          val sorted = it.toVector.sortBy(e =>
+            (epochMicros(e.ts), if (e.event_type == "click") 0 else 1,
+              e.event_id))
+          var last: Option[(Long, Long)] = state.getOption
+          val out = Vector.newBuilder[AsofMatch]
+          sorted.foreach { e =>
+            val us = epochMicros(e.ts)
+            if (e.event_type == "click") last = Some((us, e.event_id))
+            else out += AsofMatch(user, e.event_id, us,
+              last.map(_._2), last.map(_._1))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Flush helper for tests: closed + open sessions from the final state
     * are not visible without a timeout; batch parity is asserted against
     * `sessionizeBatch`. Top event types per sliding window (rank-in-window

@@ -410,4 +410,41 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming as-of enrichment matches the batch as-of join across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.asofStream(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // event-time-ordered replay in THREE uneven triggers: last-click
+      // state must carry across trigger boundaries
+      val all = toEvents.collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val cuts = Seq(all.length / 5, all.length / 2, all.length)
+      var from = 0
+      cuts.foreach { to =>
+        input.addData(all.slice(from, to).toIndexedSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      val got = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val ev = eventsDF
+      val want = graft.ops.AsofJoinOps.asofJoin(
+        ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts"),
+        ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts"),
+        Seq("user_id"), "ts", "ts", Seq("event_id"), rightPrefix = "c_")
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[java.lang.Long]("c_event_id")).map(_.longValue)))
+        .toMap
+      assert(got == want,
+        s"stream ${got.size} purchases vs batch ${want.size}")
+      assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+    } finally q.stop()
+  }
 }
