@@ -533,6 +533,60 @@ object RelationalOps {
           (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
     },
 
+    // ---- Data-quality gate (beyond-reference): Deequ-style declarative
+    // rules compiled to conditional aggregates — per table, N rules ride
+    // ONE scan (QualityOps; single-scan plan spec-asserted); referential
+    // integrity is a broadcast anti-join count. Rules are chosen so some
+    // genuinely FAIL (negative balances, >5% discounts) — the gate
+    // proves violation COUNTING, not just all-zeros.
+    q(
+      "dq_checks",
+      """SELECT 'o_custkey.not_null' AS rule,
+        |  COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations,
+        |  COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 AS pass FROM orders
+        |UNION ALL SELECT 'o_orderkey.unique',
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey),
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 FROM orders
+        |UNION ALL SELECT 'o_totalprice.positive',
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)),
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)) = 0
+        |  FROM orders
+        |UNION ALL SELECT 'c_acctbal.non_negative',
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(c_acctbal >= 0, FALSE)),
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(c_acctbal >= 0, FALSE)) = 0
+        |  FROM customer
+        |UNION ALL SELECT 'l_discount.le_5pct',
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_discount <= 0.05, FALSE)),
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_discount <= 0.05, FALSE)) = 0
+        |  FROM lineitem
+        |UNION ALL SELECT 'l_quantity.in_range',
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)),
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)) = 0
+        |  FROM lineitem
+        |UNION ALL SELECT 'o_custkey.in_customer',
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.QualityOps
+      import graft.ops.QualityOps._
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val li = t(s, dir, "lineitem")
+      QualityOps.validate(orders, Seq(
+          notNull("o_custkey"), unique("o_orderkey"),
+          satisfies("o_totalprice.positive", col("o_totalprice") > 0)))
+        .unionByName(QualityOps.validate(cust, Seq(
+          satisfies("c_acctbal.non_negative", col("c_acctbal") >= 0))))
+        .unionByName(QualityOps.validate(li, Seq(
+          satisfies("l_discount.le_5pct", col("l_discount") <= 0.05),
+          satisfies("l_quantity.in_range", col("l_quantity").between(1, 50)))))
+        .unionByName(QualityOps.refIntegrity(
+          orders, "o_custkey", cust, "c_custkey", "o_custkey.in_customer"))
+        .orderBy("rule")
+    },
+
     // ---- Ratio-to-report: each group's share of the grand total via a
     // window over the AGGREGATED frame (6 rows — bounded by the flag
     // domain, so the unpartitioned window is scale-safe; the raw data
