@@ -151,6 +151,63 @@ object ScaleStress {
     require(incRatio < 5.0, s"ingest grew with the corpus: ratio $incRatio")
     require(ti10 * 2 < tf10,
       s"incremental ($ti10 s) not clearly cheaper than full re-dedup ($tf10 s)")
+
+    // --- vector store: ingest must stay DELTA-bounded (the store is
+    // neither scanned nor re-assigned on append), search grows with the
+    // probed-cell volume (~linear in corpus), and reading precomputed
+    // cells must not lose to the batch operator that re-assigns the
+    // whole corpus per call.
+    import graft.ops.{SimilarityOps, VectorStoreOps}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def scaledEmb(k: Int) = (0 until k).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ union _)
+    val vsBase = java.nio.file.Files
+      .createTempDirectory("scale-vs").toString
+    val vCents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+      .localCheckpoint(true) // frozen index: computed once, reused
+    def vDelta = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    def vQueries = emb.filter(col("vec_id") % 50 === 0)
+    def buildVs(k: Int): Unit =
+      VectorStoreOps.writeVectorStore(scaledEmb(k), spark, s"$vsBase/k$k", vCents)
+    def vIngest(k: Int): Long = {
+      VectorStoreOps.appendToVectorStore(vDelta, spark, s"$vsBase/k$k")
+      vDelta.count()
+    }
+    def vSearch(k: Int): Long =
+      VectorStoreOps.searchStore(vQueries, spark, s"$vsBase/k$k",
+        k = 10, nprobe = 4).count()
+
+    buildVs(1); buildVs(10)
+    vSearch(1) // warmup: search codegen outside the clock
+    val (tvi1, nvi1) = time(vIngest(1))
+    val (tvi10, nvi10) = time(vIngest(10))
+    val (tvs1, _) = time(vSearch(1))
+    val (tvs10, _) = time(vSearch(10))
+    val (tvb10, _) = time(SimilarityOps
+      .ivfTopKWithCentroids(vQueries, scaledEmb(10), vCents, 10, 4).count())
+    val vIngestRatio = tvi10 / math.max(tvi1, 1e-9)
+    val vSearchRatio = tvs10 / math.max(tvs1, 1e-9)
+    println(f"[scale-stress] vstore ingest       k=1: $tvi1%6.2fs ($nvi1 rows) " +
+      f"k=10: $tvi10%6.2fs ($nvi10 rows)  ratio $vIngestRatio%5.2f")
+    println(f"[scale-stress] vstore search       k=1: $tvs1%6.2fs  " +
+      f"k=10: $tvs10%6.2fs  ratio $vSearchRatio%5.2f  " +
+      f"batch-op k=10: $tvb10%6.2fs")
+    val vsJson =
+      f"""{"op":"vectorStore","ingest1_sec":$tvi1%.3f,"ingest10_sec":$tvi10%.3f,"ingest_ratio":$vIngestRatio%.2f,"search1_sec":$tvs1%.3f,"search10_sec":$tvs10%.3f,"search_ratio":$vSearchRatio%.2f,"batch10_sec":$tvb10%.3f}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_vstore.json"),
+      (vsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // append work is delta-sized: x10 store may not x-up the ingest
+    require(vIngestRatio < 3.0,
+      s"vector-store ingest grew with the corpus: ratio $vIngestRatio")
+    require(vSearchRatio < MaxRatio,
+      s"vector-store search super-linearithmic: ratio $vSearchRatio")
+    require(tvs10 < tvb10 * 1.5,
+      s"store search ($tvs10 s) lost to batch re-assignment ($tvb10 s)")
     spark.stop()
   }
 }
