@@ -362,6 +362,34 @@ object EventQueries {
         k = 9)
     },
 
+    // ---- Time-bounded funnel (view→click→purchase, each step ≤ 2 h
+    // after the previous): sequential pattern matching as ONE windowed
+    // scan per user (EventOps.funnelCounts — running-max preceding
+    // view/qualifying-click, no self-join); the oracle is the
+    // independent triple exists-join formulation. Stage counts are
+    // genuinely selective at the 2 h bound (150 / 64 / 1 at sf0.01).
+    q(
+      "ev_funnel",
+      """WITH s1 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'view'),
+        |s2 AS (SELECT DISTINCT c.user_id FROM events c JOIN events v
+        |  ON v.user_id = c.user_id AND v.event_type = 'view'
+        |  AND c.event_type = 'click' AND v.ts < c.ts
+        |  AND epoch_us(c.ts) - epoch_us(v.ts) <= 7200000000),
+        |s3 AS (SELECT DISTINCT p.user_id FROM events p
+        |  JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND p.event_type = 'purchase' AND c.ts < p.ts
+        |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200000000
+        |  JOIN events v ON v.user_id = c.user_id AND v.event_type = 'view'
+        |    AND v.ts < c.ts
+        |    AND epoch_us(c.ts) - epoch_us(v.ts) <= 7200000000)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+        |  (SELECT COUNT(*) FROM s2) AS n_view_click,
+        |  (SELECT COUNT(*) FROM s3) AS n_view_click_purchase""".stripMargin
+    ) { (s, dir) =>
+      graft.streaming.EventOps.funnelCounts(tEvents(s, dir), boundMinutes = 120)
+    },
+
     // ---- Count-Min point-frequency sketch, same self-check pattern:
     // exact per-key counts are the hash-compared part; the sketch's two
     // guarantees ride as claim columns DuckDB asserts literally TRUE.

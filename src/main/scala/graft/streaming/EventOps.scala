@@ -299,6 +299,45 @@ object EventOps {
       joinType)
   }
 
+  /** Time-bounded funnel (view → click → purchase, each step within
+    * `boundMinutes` of the one before): per-stage distinct-user counts.
+    *
+    * Sequential pattern matching without a self-join: the naive
+    * formulation is a TRIPLE self-join on user (quadratic-ish per key);
+    * here each user's sorted run is scanned once — a click qualifies iff
+    * the MOST RECENT preceding view (running max over the
+    * preceding-rows frame, so "∃ view within bound" exactly) is within
+    * the bound, a purchase iff the most recent qualifying click is. One
+    * hash shuffle on user_id, two frames over one sort, then a count.
+    * The gate's DuckDB oracle is the independent exists-join
+    * formulation. */
+  def funnelCounts(events: DataFrame, boundMinutes: Int = 120): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bUs = boundMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("us"))).over(prev))
+      .withColumn("qual_click",
+        col("event_type") === "click" && col("last_view").isNotNull &&
+          col("us") - col("last_view") <= bUs)
+      .withColumn("last_qclick",
+        max(when(col("qual_click"), col("us"))).over(prev))
+      .withColumn("qual_purchase",
+        col("event_type") === "purchase" && col("last_qclick").isNotNull &&
+          col("us") - col("last_qclick") <= bUs)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("s1"),
+        max(when(col("qual_click"), 1L).otherwise(0L)).as("s2"),
+        max(when(col("qual_purchase"), 1L).otherwise(0L)).as("s3"))
+      .agg(sum("s1").as("n_view"), sum("s2").as("n_view_click"),
+        sum("s3").as("n_view_click_purchase"))
+  }
+
   /** One enriched purchase: the latest click by the same user at or
     * before it (None = no click yet — the left-outer null of the batch
     * as-of join). */

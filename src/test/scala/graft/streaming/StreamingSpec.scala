@@ -411,6 +411,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("funnel: ordering and bound edge cases on a pinned stream") {
+    def ev(id: Long, user: Long, tMin: Long, typ: String) =
+      EventOps.Event(id, new java.sql.Timestamp(tMin * 60000L), user, typ, 0.0)
+    val rows = Seq(
+      // u1: full funnel, each step 10 min apart
+      ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "purchase"),
+      // u2: click BEFORE the view — stage 2 must not fire
+      ev(4, 2, 0, "click"), ev(5, 2, 10, "view"),
+      // u3: click 200 min after the only view — outside the 120-min bound
+      ev(6, 3, 0, "view"), ev(7, 3, 200, "click"),
+      // u4: stale first view, fresh second view rescues the click (the
+      // closest-preceding-view rule), but no purchase
+      ev(8, 4, 0, "view"), ev(9, 4, 300, "view"), ev(10, 4, 310, "click"),
+      // u5: purchase before the qualifying click — stage 3 must not fire
+      ev(11, 5, 0, "view"), ev(12, 5, 5, "purchase"), ev(13, 5, 10, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.funnelCounts(rows, boundMinutes = 120).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((5L, 3L, 1L)),
+      s"expected views=5 (all users), clicks=3 (u1,u4,u5), purchases=1 (u1); got $out")
+  }
+
   test("streaming as-of enrichment matches the batch as-of join across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventOps.Event]
