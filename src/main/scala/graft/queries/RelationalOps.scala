@@ -533,6 +533,43 @@ object RelationalOps {
           (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
     },
 
+    // ---- Exact Pearson correlation (beyond-reference): the libm-free,
+    // order-free formulation — quantize both measures to exact integers
+    // (quantity is integral; price has 2 decimals → ×100), accumulate
+    // the five moment sums in DECIMAL(38,0) (partial-agg order can't
+    // perturb integers), and evaluate the closed form in ONE identical
+    // double expression on both engines. corr() built-ins would disagree
+    // across engines in the last ulps; this hash-matches exactly.
+    q(
+      "a_corr",
+      """WITH s AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem)
+        |SELECT COUNT(*) AS n,
+        |  ROUND(CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE) /
+        |    SQRT(CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE) *
+        |         CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS DOUBLE)), 6)
+        |  AS corr_qty_price
+        |FROM s""".stripMargin
+    ) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val xy = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      xy.agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("corr_qty_price"))
+    },
+
     // ---- Data-quality gate (beyond-reference): Deequ-style declarative
     // rules compiled to conditional aggregates — per table, N rules ride
     // ONE scan (QualityOps; single-scan plan spec-asserted); referential
