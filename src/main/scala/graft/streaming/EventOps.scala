@@ -299,6 +299,27 @@ object EventOps {
       joinType)
   }
 
+  /** Per-window Count-Min sketch of the key column — frequency
+    * monitoring over a live stream with FIXED state per window (d·w
+    * counters) no matter how many distinct keys pass. Because CMS
+    * merges by element-wise sum, the streamed sketch equals the batch
+    * sketch of the same window EXACTLY (order/trigger-invariant —
+    * StreamingSpec pins it); a Misra-Gries twin could only promise its
+    * bound, not counter equality. */
+  def cmsPerWindowStream(events: DataFrame, d: Int, w: Int,
+                         width: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    cmsPerWindow(events.withWatermark("ts", watermark), d, w, width)
+
+  /** Batch twin of [[cmsPerWindowStream]]. */
+  def cmsPerWindow(events: DataFrame, d: Int, w: Int,
+                   width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width))
+      .agg(graft.ops.SketchOps
+        .countMin(col("user_id").cast("string"), d, w).as("cms"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("cms"))
+
   /** Time-bounded funnel (view → click → purchase, each step within
     * `boundMinutes` of the one before): per-stage distinct-user counts.
     *

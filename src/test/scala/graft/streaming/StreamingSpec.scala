@@ -432,6 +432,27 @@ class StreamingSpec extends SparkTestBase {
       s"expected views=5 (all users), clicks=3 (u1,u4,u5), purchases=1 (u1); got $out")
   }
 
+  test("windowed CMS over a stream equals the batch sketch counter-for-counter") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.cmsPerWindowStream(input.toDF(), d = 2, w = 64)
+      .writeStream.format("memory").queryName("cms_win")
+      .outputMode("complete").start()
+    try {
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      val (a, b) = all.splitAt(all.length / 3)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("cms_win").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = EventOps.cmsPerWindow(eventsDF, d = 2, w = 64).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want,
+        "CMS merges by sum — the streamed sketch must EQUAL the batch sketch")
+      assert(got.nonEmpty && got.values.exists(_.exists(_ > 0)))
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment matches the batch as-of join across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventOps.Event]
