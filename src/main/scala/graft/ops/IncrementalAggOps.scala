@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate store — the materialized-rollup
+  * pattern: a 100 TB fact table's `GROUP BY key` summary is computed
+  * once, persisted, and kept current by FOLDING each new batch in,
+  * instead of re-aggregating the world per refresh.
+  *
+  * The store is partitioned by a hash bucket of the key, so a merge
+  * - aggregates the (small) delta,
+  * - reads back ONLY the buckets the delta's keys hash into (an IN-list
+  *   partition filter — pruned at file listing),
+  * - re-sums store partials with delta partials (sums/counts are
+  *   monoidal: partial + partial = whole, any order), and
+  * - rewrites ONLY those buckets via dynamic partition overwrite.
+  *
+  * Cost per refresh ∝ delta + affected buckets — at nBuckets sized so a
+  * typical delta touches a fraction of them, the untouched store is
+  * never read or written (spec-asserted byte-for-byte).
+  *
+  * Measures are restricted to sum-monoids (`sum` over caller-prepared
+  * columns; counts as `sum(1)`): that is exactly the class for which
+  * partial-merge is lossless. Averages derive as sum/count downstream;
+  * non-monoidal measures (distinct, medians) need sketch stores (see
+  * [[SketchOps]]) — merging raw partials would be wrong, so this API
+  * simply doesn't accept them.
+  */
+object IncrementalAggOps {
+
+  private def bucketed(df: DataFrame, keys: Seq[String], measures: Seq[String],
+                       nBuckets: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+
+  /** Initial build: aggregate `df` by `keys` (summing each measure
+    * column) into a bucket-partitioned store at `basePath`. */
+  def writeAggStore(df: DataFrame, spark: SparkSession, basePath: String,
+                    keys: Seq[String], measures: Seq[String],
+                    nBuckets: Int = 64): Unit = {
+    require(keys.nonEmpty && measures.nonEmpty)
+    bucketed(df, keys, measures, nBuckets)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(basePath)
+    spark.catalog.refreshByPath(basePath)
+  }
+
+  /** Fold a new batch in. Only the delta's buckets are read, re-summed
+    * and rewritten (dynamic partition overwrite); every other bucket's
+    * files are untouched. NOT idempotent — a batch must be merged
+    * exactly once (it is a fold, not an upsert of absolutes). */
+  def mergeIntoAggStore(delta: DataFrame, spark: SparkSession,
+                        basePath: String, keys: Seq[String],
+                        measures: Seq[String], nBuckets: Int = 64): Unit = {
+    val dAgg = bucketed(delta, keys, measures, nBuckets)
+      // freeze before reading the store this write will mutate
+      .localCheckpoint(true)
+    val touched = dAgg.select("__bucket").distinct()
+      .collect().map(_.getInt(0)) // bounded by nBuckets, never data-sized
+    val affected = spark.read.parquet(basePath)
+      .filter(col("__bucket").isin(touched.toIndexedSeq: _*))
+    val merged = affected.unionByName(dAgg)
+      .groupBy((keys :+ "__bucket").map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .select((keys ++ measures :+ "__bucket").map(col): _*)
+      // materialize BEFORE the write: the write overwrites the very
+      // partitions `affected` reads — without the eager cut the job
+      // would consume files it is deleting (bounded: affected slice
+      // of an already-aggregated store, not fact-table-sized)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(basePath)
+    spark.catalog.refreshByPath(basePath)
+  }
+
+  /** The current rollup (all buckets). */
+  def readAggStore(spark: SparkSession, basePath: String): DataFrame =
+    spark.read.parquet(basePath).drop("__bucket")
+}

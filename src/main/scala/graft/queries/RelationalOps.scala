@@ -533,6 +533,41 @@ object RelationalOps {
           (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
     },
 
+    // ---- Incrementally-maintained rollup (beyond-reference): the
+    // materialized GROUP BY is built from the initial 80% of orders,
+    // the 20% delta is FOLDED in (IncrementalAggOps: delta aggregated,
+    // only its hash buckets read back, re-summed, dynamic partition
+    // overwrite of just those buckets — untouched buckets byte-equal,
+    // spec-asserted), and the store read back must hash-equal DuckDB's
+    // one-shot GROUP BY over all the data. Measures are sum-monoids
+    // (count as sum(1), cents as exact integers).
+    q(
+      "agg_store_inc",
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-aggstore").toString
+      val prepped = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lit(1L).as("n_orders"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val keys = Seq("o_custkey")
+      val ms = Seq("n_orders", "total_cents")
+      // split on ORDER key: the same customers appear in store and
+      // delta, so the merge genuinely re-sums existing partials
+      IncrementalAggOps.writeAggStore(
+        prepped.filter(col("o_orderkey") % 5 =!= 0).drop("o_orderkey"),
+        s, base, keys, ms)
+      IncrementalAggOps.mergeIntoAggStore(
+        prepped.filter(col("o_orderkey") % 5 === 0).drop("o_orderkey"),
+        s, base, keys, ms)
+      IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
+    },
+
     // ---- Exact Pearson correlation (beyond-reference): the libm-free,
     // order-free formulation — quantize both measures to exact integers
     // (quantity is integral; price has 2 decimals → ×100), accumulate

@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[IncrementalAggOps]] — the gate (agg_store_inc) hash-compares the
+  * folded store against DuckDB's one-shot GROUP BY; this spec pins the
+  * maintenance mechanics the oracle can't see: partial re-summing for
+  * keys present on both sides, and the locality claim — a merge leaves
+  * every unaffected bucket's files byte-for-byte untouched. */
+class IncrementalAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bucketFiles(base: String): Map[String, Map[String, Long]] =
+    new File(base).listFiles().filter(_.getName.startsWith("__bucket="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }.toMap
+
+  test("merge re-sums partials for keys on both sides") {
+    val base = Files.createTempDirectory("aggstore-sum").toString
+    val store = Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("k", "n", "v")
+    val delta = Seq((2L, 1L, 5L), (3L, 1L, 7L)).toDF("k", "n", "v")
+    IncrementalAggOps.writeAggStore(store, spark, base, Seq("k"), Seq("n", "v"), 8)
+    IncrementalAggOps.mergeIntoAggStore(delta, spark, base, Seq("k"), Seq("n", "v"), 8)
+    val got = IncrementalAggOps.readAggStore(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 10L), (2L, 2L, 25L), (3L, 1L, 7L)))
+  }
+
+  test("a merge rewrites only the delta's buckets") {
+    val base = Files.createTempDirectory("aggstore-loc").toString
+    val orders = graft.queries.t(spark, sfTiny, "orders")
+      .select(col("o_custkey").as("k"), lit(1L).as("n"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    IncrementalAggOps.writeAggStore(orders, spark, base, Seq("k"), Seq("n", "v"), 8)
+    val before = bucketFiles(base)
+    assert(before.size == 8, s"expected 8 bucket dirs: ${before.keySet}")
+    // a delta of ONE key → exactly one bucket affected
+    val delta = Seq((7L, 1L, 100L)).toDF("k", "n", "v")
+    IncrementalAggOps.mergeIntoAggStore(delta, spark, base, Seq("k"), Seq("n", "v"), 8)
+    val after = bucketFiles(base)
+    val touched = "__bucket=" + spark.range(1)
+      .select(pmod(hash(lit(7L)), lit(8))).head().getInt(0)
+    assert(after(touched) != before(touched), "the key's bucket must change")
+    (before.keySet - touched).foreach { b =>
+      assert(after(b) == before(b),
+        s"unaffected bucket $b was rewritten: ${before(b)} -> ${after(b)}")
+    }
+    // and the fold landed
+    val row = IncrementalAggOps.readAggStore(spark, base)
+      .filter(col("k") === 7L).collect().head
+    val want = orders.filter(col("k") === 7L)
+      .agg(sum("n"), sum("v")).collect().head
+    assert(row.getLong(1) == want.getLong(0) + 1L)
+    assert(row.getLong(2) == want.getLong(1) + 100L)
+  }
+}
