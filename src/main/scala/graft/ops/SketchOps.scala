@@ -143,6 +143,38 @@ object SketchOps {
         (col("__est") <= col("exact_n") + eps).as("within_eps"))
   }
 
+  /** Join-size estimation by CMS inner product — the query-optimizer
+    * classic: |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), and the sketches'
+    * row-wise inner product min'd over rows estimates it from two
+    * fixed-size summaries, never touching the join. The estimate NEVER
+    * undercounts (colliding keys only add mass to a bucket product),
+    * so `ge_exact` is deterministic; `within_eps` is the
+    * (e/w)·n_A·n_B bound. Both sketches hash with the same SQL-defined
+    * [[cmsPositions]], which is what makes the products line up. */
+  def cmsJoinSizeChecked(left: DataFrame, leftKey: Column,
+                         right: DataFrame, rightKey: Column,
+                         d: Int, w: Int): DataFrame = {
+    val l = left.select(leftKey.cast("string").as("key"))
+    val r = right.select(rightKey.cast("string").as("key"))
+    val s1 = l.agg(countMin(col("key"), d, w).as("__c1"),
+      count(lit(1)).as("__n1"))
+    val s2 = r.agg(countMin(col("key"), d, w).as("__c2"),
+      count(lit(1)).as("__n2"))
+    val exact = l.join(r, "key").agg(count(lit(1)).as("exact_n"))
+    val est = array_min(transform(sequence(lit(0), lit(d - 1)), i =>
+      aggregate(sequence(lit(0), lit(w - 1)), lit(0L), (acc, j) =>
+        acc +
+          element_at(col("__c1"), (i * w + j + 1).cast("int")) *
+          element_at(col("__c2"), (i * w + j + 1).cast("int")))))
+    exact.join(broadcast(s1)).join(broadcast(s2))
+      .withColumn("__est", est)
+      .select(col("exact_n"),
+        (col("__est") >= col("exact_n")).as("ge_exact"),
+        (col("__est") <= col("exact_n") +
+          ceil(col("__n1") * col("__n2") * lit(math.E) / lit(w)))
+          .as("within_eps"))
+  }
+
   /** Self-checking heavy-hitters frame: for every key whose TRUE
     * frequency exceeds n/(k+1) (computed exactly), report the exact count
     * plus `within_bound` — whether the MG sketch found the key with

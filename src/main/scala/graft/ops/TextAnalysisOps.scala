@@ -247,4 +247,35 @@ object TextAnalysisOps {
             s => s.getField("__chunk")), "").as("cleaned"),
         count(lit(1)).as("n_kept"))
   }
+
+  /** RAG/context-window chunking: fixed token windows of `chunkTokens`
+    * advancing by `strideTokens` (overlap = chunk − stride). Pure
+    * per-row projection + a bounded explode (≤ ⌈len/stride⌉ chunks per
+    * doc) — no shuffle at all; at 100 TB this is a map-only pass.
+    * Chunk count = 1 for docs at or under the window, else
+    * ⌈(n − chunk)/stride⌉ + 1 (every token covered, last chunk may be
+    * short — `n_chunk_tokens` carries its true length). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, strideTokens: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(strideTokens > 0 && chunkTokens >= strideTokens,
+      "need 0 < strideTokens <= chunkTokens")
+    val toksC = split(trim(col(textCol)), "\\s+")
+    docs
+      .select(col(idCol), toksC.as("__t"), size(toksC).as("__n"))
+      .withColumn("__nc",
+        when(col("__n") <= chunkTokens, lit(1)).otherwise(
+          ceil((col("__n") - chunkTokens).cast("double") / strideTokens)
+            .cast("int") + 1))
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("__i"))
+      .select(
+        col(idCol),
+        col("__i").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("__n") - col("__i") * strideTokens)
+          .cast("long").as("n_chunk_tokens"),
+        array_join(
+          slice(col("__t"), col("__i") * strideTokens + 1, lit(chunkTokens)),
+          " ").as("chunk"))
+  }
 }

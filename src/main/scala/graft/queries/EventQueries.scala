@@ -408,6 +408,27 @@ object EventQueries {
         tEvents(s, dir), col("user_id"), d = 4, w = 16384)
     },
 
+    // ---- Join-size estimation from two CMS sketches (inner product —
+    // the optimizer's cardinality-estimation primitive): exact join
+    // count hash-compared, the sketch's no-undercount guarantee and
+    // (e/w)·n1·n2 bound as claim columns (verified sf0.001/0.01/0.1;
+    // deterministic thereafter — CMS is partitioning-invariant).
+    q(
+      "ev_join_size",
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT (SELECT COUNT(*) FROM c JOIN p USING (key)) AS exact_n,
+        |  TRUE AS ge_exact, TRUE AS within_eps""".stripMargin
+    ) { (s, dir) =>
+      val ev = tEvents(s, dir)
+      graft.ops.SketchOps.cmsJoinSizeChecked(
+        ev.filter(col("event_type") === "click"), col("user_id"),
+        ev.filter(col("event_type") === "purchase"), col("user_id"),
+        d = 4, w = 16384)
+    },
+
     q(
       "ev_hll_users",
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,

@@ -298,6 +298,32 @@ object TextOps {
         size(split(col("text"), " ", -1)).as("n_tokens"))
     },
 
+    // RAG-style chunking: 30-token windows, stride 20 (10-token overlap),
+    // map-only (TextAnalysisOps.chunkDocuments — bounded explode, no
+    // shuffle). DuckDB rebuilds every chunk string via list slicing; the
+    // hash compare covers window math, the short last chunk, and the
+    // exact reassembled chunk text.
+    q(
+      "text_chunk",
+      """WITH tok AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t,
+        |    LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, t, n, UNNEST(GENERATE_SERIES(0,
+        |    CASE WHEN n <= 30 THEN 0
+        |         ELSE CAST(CEIL((n - 30) / 20.0) AS INT) END)) AS i
+        |  FROM tok
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(LEAST(30, n - i * 20) AS BIGINT) AS n_chunk_tokens,
+        |  ARRAY_TO_STRING(t[i * 20 + 1 : i * 20 + 30], ' ') AS chunk
+        |FROM g""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.TextAnalysisOps.chunkDocuments(
+        t(s, dir, "documents"), chunkTokens = 30, strideTokens = 20)
+    },
+
     // Span-level dedup: drop every 64-char chunk whose exact text repeats
     // anywhere in the corpus (the boilerplate-banner strip whole-document
     // dedup can't do), reassemble docs from surviving chunks. The corpus
