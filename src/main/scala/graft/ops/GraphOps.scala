@@ -193,6 +193,59 @@ object GraphOps {
   private[graft] def oneRoundForPlanAudit(e: DataFrame): DataFrame =
     smallStar(largeStar(orient(e).distinct()))
 
+  /** Fixed-point-integer PageRank: `iters` rounds of the power
+    * iteration with every quantity held in scaled integers (`scale` =
+    * one unit of total rank mass) and FLOOR division everywhere — no
+    * float in the loop, so the result is bit-reproducible across
+    * partitionings AND across engines (DuckDB replicates it with `//`;
+    * the gate hash-compares all node ranks exactly).
+    *
+    * Each round is one equi-join (edges ⋈ current ranks ⋈ static
+    * out-degrees) + one sum per destination + a left join back onto the
+    * node set — the same shuffle shape as a round of
+    * [[connectedComponents]], state is one row per node, and each round
+    * ends in the same eager lineage cut. Out-degrees and the node set
+    * are computed once. Multi-edges contribute once per occurrence
+    * (pre-`distinct` the edges for simple-graph semantics). Floor
+    * division leaks ≤1 unit of mass per (node, round) — at
+    * scale = 1e12 that is relative error ~1e-9 per round, the price of
+    * exactness-as-reproducibility. Dangling nodes (no out-edges) drop
+    * their mass, the standard simplification. */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int = 3, scale: Long = 1000000000000L,
+                         dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    // identical bracketing to the oracle SQL: ((15·scale) div 100) div n
+    val base = ((100L - dampPct) * scale / 100L) / n
+    var r = nodes.withColumn("r", lit(scale / n))
+    (0 until iters).foreach { i =>
+      val inmass = e
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("inmass"))
+      val prev = r
+      r = nodes.join(inmass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"$dampPct * coalesce(inmass, 0L) div 100")).as("r"))
+        .localCheckpoint(true)
+      // free round i−1's cut (PeriodicCheckpointer pattern) — but round
+      // 0's `prev` is a projection OVER the shared `nodes` checkpoint,
+      // which every later round still joins; freeing it would free that
+      if (i > 0) freeCheckpoint(prev)
+    }
+    r
+  }
+
   /** Full cluster assignment for a document set: every doc gets the min
     * doc-id of its near-dup cluster (itself when unpaired). The survivor
     * set of a dedup pass is `filter(id === cluster)`. */

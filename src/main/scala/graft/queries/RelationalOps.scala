@@ -533,6 +533,58 @@ object RelationalOps {
           (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
     },
 
+    // ---- Fixed-point-integer PageRank (beyond-reference) on the
+    // bipartite part↔supplier co-occurrence graph (both directions, so
+    // no dangling mass): 3 power-iteration rounds entirely in scaled
+    // integers with floor division — bit-reproducible across engines,
+    // so ALL node ranks hash-compare exactly. The Spark loop is
+    // agg+join rounds with eager lineage cuts (GraphOps); DuckDB runs
+    // the same recurrence as chained CTEs.
+    q(
+      "graph_pagerank",
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+        |), nodes AS (
+        |  SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e
+        |), nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |bs AS (SELECT ((15 * 1000000000000) // 100) // n AS b,
+        |              1000000000000 // n AS r0 FROM nn),
+        |r0 AS (SELECT id, (SELECT r0 FROM bs) AS r FROM nodes),
+        |r1 AS (
+        |  SELECT nd.id, (SELECT b FROM bs) + (85 * COALESCE(m.im, 0)) // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS id, SUM(r0.r // od.outdeg) AS im
+        |    FROM e JOIN r0 ON r0.id = e.src JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) m ON m.id = nd.id
+        |), r2 AS (
+        |  SELECT nd.id, (SELECT b FROM bs) + (85 * COALESCE(m.im, 0)) // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS id, SUM(r1.r // od.outdeg) AS im
+        |    FROM e JOIN r1 ON r1.id = e.src JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) m ON m.id = nd.id
+        |), r3 AS (
+        |  SELECT nd.id, (SELECT b FROM bs) + (85 * COALESCE(m.im, 0)) // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS id, SUM(r2.r // od.outdeg) AS im
+        |    FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) m ON m.id = nd.id
+        |)
+        |SELECT id AS node_id, r AS rank_fp FROM r3""".stripMargin
+    ) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      graft.ops.GraphOps.pageRankFixedPoint(edges, "src", "dst", iters = 3)
+        .select(col("id").as("node_id"), col("r").as("rank_fp"))
+        .orderBy("node_id")
+    },
+
     // ---- Incrementally-maintained rollup (beyond-reference): the
     // materialized GROUP BY is built from the initial 80% of orders,
     // the 20% delta is FOLDED in (IncrementalAggOps: delta aggregated,

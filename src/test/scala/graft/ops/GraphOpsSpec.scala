@@ -136,6 +136,33 @@ class GraphOpsSpec extends SparkTestBase {
       s"${rddDirs.size} round checkpoints retained: $rddDirs")
   }
 
+  test("pageRankFixedPoint: mass accounting, hub dominance, partitioning invariance") {
+    import spark.implicits._
+    // star: hub 0 ↔ spokes 1..8, plus a 2-cycle (10, 11) off to the side
+    val und = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L))) ++
+      Seq((10L, 11L), (11L, 10L))
+    val edges = und.toDF("src", "dst")
+    val scale = 1000000000000L
+    def run(parts: Int): Map[Long, Long] =
+      GraphOps.pageRankFixedPoint(edges.repartition(parts), "src", "dst",
+          iters = 3, scale = scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = run(4)
+    assert(r.size == 11)
+    // total mass: ≤ scale, and floor division loses < 1 unit per
+    // (node, round) + base rounding — far under n·(iters+1) units
+    val total = r.values.sum
+    assert(total <= scale && scale - total < 11L * 5,
+      s"mass off: $total vs $scale")
+    // the hub concentrates its spokes' mass; spokes are all equal
+    assert(r(0L) > r(1L) * 4, s"hub must dominate: ${r(0L)} vs ${r(1L)}")
+    assert((1L to 8L).map(r).toSet.size == 1, "spokes are symmetric")
+    // the isolated 2-cycle keeps its own mass: each node ~scale/11
+    assert(math.abs(r(10L) - scale / 11) < scale / 1000)
+    // integer arithmetic ⇒ bit-identical under any partitioning
+    assert(run(1) == r && run(17) == r)
+  }
+
   test("clusterAssign covers unpaired docs with their own id") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
