@@ -298,6 +298,34 @@ object TextOps {
         size(split(col("text"), " ", -1)).as("n_tokens"))
     },
 
+    // Conjunctive search through a REAL bucketed inverted index built
+    // from 80% of the corpus + a 20% append (InvertedIndexOps): the
+    // term filter is a bucket-pruned scan (SelectedBucketsCount
+    // spec-asserted), the store never shuffles. DuckDB answers the same
+    // query by brute-force list_contains over the raw corpus — equal
+    // hashes prove the index loses and invents nothing across the
+    // build + append.
+    q(
+      "text_search",
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(STRING_SPLIT_REGEX(LOWER(text), '\s+'), 'batch')
+        |  AND list_contains(STRING_SPLIT_REGEX(LOWER(text), '\s+'), 'scan')
+        |  AND list_contains(STRING_SPLIT_REGEX(LOWER(text), '\s+'), 'hash')""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-tidx").toString
+      InvertedIndexOps.writeTextIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
+        "graft_text_idx", base)
+      InvertedIndexOps.appendToTextIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s, "graft_text_idx")
+      InvertedIndexOps.searchAllTerms(
+        s, "graft_text_idx", Seq("batch", "scan", "hash"))
+        .orderBy("doc_id")
+    },
+
     // RAG-style chunking: 30-token windows, stride 20 (10-token overlap),
     // map-only (TextAnalysisOps.chunkDocuments — bounded explode, no
     // shuffle). DuckDB rebuilds every chunk string via list slicing; the
