@@ -359,6 +359,52 @@ object EventOps {
         sum("s3").as("n_view_click_purchase"))
   }
 
+  /** Per-user live funnel state: epoch-µs of the last view and of the
+    * last view-qualified click (0 = none yet), plus the user's emitted
+    * stage so far (0–3). */
+  final case class FunnelStage(user_id: Long, stage: Long)
+
+  /** Streaming twin of [[funnelCounts]]'s per-user stage machine: emits
+    * a (user, stage) row whenever a user REACHES a new funnel stage
+    * (1 = viewed, 2 = clicked within bound of a view, 3 = purchased
+    * within bound of a qualifying click). `SELECT stage, COUNT(*)` over
+    * the output reproduces the batch per-stage counts — StreamingSpec
+    * pins it. State is three numbers per user; the same
+    * ordered-replay caveat as [[asofStream]] applies. */
+  def funnelStream(events: Dataset[Event],
+                   boundMinutes: Int = 120): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val bUs = boundMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event],
+         state: GroupState[(Long, Long, Long)]) =>
+          val sorted = it.toVector.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var (lastView, lastQClick, stage) =
+            state.getOption.getOrElse((0L, 0L, 0L))
+          val out = Vector.newBuilder[FunnelStage]
+          def reach(s: Long): Unit = if (s > stage) {
+            stage = s; out += FunnelStage(user, s)
+          }
+          sorted.foreach { e =>
+            val us = epochMicros(e.ts)
+            e.event_type match {
+              case "view" =>
+                lastView = us; reach(1L)
+              case "click" if lastView > 0L && us - lastView <= bUs =>
+                lastQClick = us; reach(2L)
+              case "purchase" if lastQClick > 0L && us - lastQClick <= bUs =>
+                reach(3L)
+              case _ =>
+            }
+          }
+          state.update((lastView, lastQClick, stage))
+          out.result().iterator
+      }
+  }
+
   /** One enriched purchase: the latest click by the same user at or
     * before it (None = no click yet — the left-outer null of the batch
     * as-of join). */

@@ -453,6 +453,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel stage counts match the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.funnelStream(input.toDS(), boundMinutes = 120).toDF()
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      val all = toEvents.collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val (a, b) = all.splitAt(all.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val byUser = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val got = (1L to 3L).map(s => byUser.values.count(_ >= s).toLong)
+      val w = EventOps.funnelCounts(eventsDF, boundMinutes = 120)
+        .collect().head
+      assert(got == Seq(w.getLong(0), w.getLong(1), w.getLong(2)),
+        s"stream stages $got vs batch $w")
+      // each user emits each reached stage exactly once across triggers
+      val emissions = spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(emissions.length == emissions.distinct.length)
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment matches the batch as-of join across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventOps.Event]
