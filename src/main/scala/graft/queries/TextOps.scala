@@ -298,6 +298,46 @@ object TextOps {
         size(split(col("text"), " ", -1)).as("n_tokens"))
     },
 
+    // Vocabulary induction (the tokenizer-training primitive): top-V
+    // tokens by corpus frequency with a deterministic tie-break, plus
+    // the OOV rate that vocab leaves (ppm, integer division). The rank
+    // window rides the AGGREGATED token-count frame (|vocab| rows, never
+    // the corpus — the a_rev_share bounded-domain pattern; a petabyte
+    // corpus still aggregates to its vocabulary first).
+    q(
+      "tok_vocab",
+      """WITH t AS (
+        |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS token
+        |  FROM documents
+        |), tc AS (
+        |  SELECT token, COUNT(*) AS tf FROM t WHERE token <> '' GROUP BY 1
+        |), rk AS (
+        |  SELECT token, tf,
+        |    ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+        |  FROM tc
+        |), ov AS (
+        |  SELECT CAST(SUM(CASE WHEN rank > 10 THEN tf ELSE 0 END) * 1000000
+        |    // SUM(tf) AS BIGINT) AS oov_ppm FROM rk
+        |)
+        |SELECT token, tf, rank, (SELECT oov_ppm FROM ov) AS oov_ppm
+        |FROM rk WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tc = t(s, dir, "documents")
+        .select(explode(graft.ops.DedupOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val rk = tc.withColumn("rank",
+        row_number().over(Window.orderBy(desc("tf"), col("token")))
+          .cast("long"))
+      val ov = rk.agg(expr(
+        "cast(sum(case when rank > 10 then tf else 0 end) * 1000000" +
+          " div sum(tf) as bigint)").as("oov_ppm"))
+      rk.filter(col("rank") <= 10)
+        .crossJoin(broadcast(ov))
+        .select(col("token"), col("tf"), col("rank"), col("oov_ppm"))
+        .orderBy("rank")
+    },
+
     // Conjunctive search through a REAL bucketed inverted index built
     // from 80% of the corpus + a 20% append (InvertedIndexOps): the
     // term filter is a bucket-pruned scan (SelectedBucketsCount
