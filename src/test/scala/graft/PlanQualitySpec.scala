@@ -219,4 +219,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Sort \\[l_quantity".r.findAllIn(p).isEmpty,
       s"global sort on the measure:\n$p")
   }
+
+  test("asof / funnel / pagerank / store queries: no data-sized nested loops") {
+    // queries with deliberate single-row cross joins (a broadcast scalar
+    // frame joined onto a result — a_corr, ev_cms, ev_join_size,
+    // tok_vocab) are excluded: a 1-row BNLJ is the right plan there.
+    Seq("j8_asof", "ev_funnel", "graph_pagerank", "agg_store_inc",
+      "text_search", "text_chunk", "dq_checks").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfTiny)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not nest-loop:\n$p")
+    }
+  }
 }
