@@ -136,4 +136,93 @@ object AsofJoinOps {
           col("__m.__rts").as(s"${rightPrefix}ts_us") +:
           rightPayload.map(n => col(s"__m.$n").as(s"$rightPrefix$n")): _*)
   }
+
+  /** Hot-key-safe backward as-of join.
+    *
+    * [[asofJoin]] partitions by the key alone — correct at any key
+    * CARDINALITY, but a single pathological key (one instrument trading
+    * a billion ticks, one service emitting most of the log) funnels its
+    * whole timeline through one task's sort. This variant adds the time
+    * axis to the partitioning: rows group by (key, ⌊ts/bucketUs⌋), the
+    * union-tag scan runs inside each bucket, and what crosses buckets
+    * is only each bucket's LAST right payload — a one-row-per-
+    * (key, bucket) summary frame whose prefix scan costs nothing. A left
+    * row that finds no in-bucket match takes the latest previous
+    * bucket's carry. Same semantics as `asofJoin(..., Backward)`
+    * including tie rules (equality is property-tested); pick `bucketUs`
+    * near the match horizon so summaries stay small and buckets stay
+    * balanced.
+    */
+  def asofJoinBackwardBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      bucketUs: Long,
+      allowExactMatches: Boolean = true,
+      rightPrefix: String = "right_"): DataFrame = {
+    require(keys.nonEmpty && bucketUs > 0)
+    require(!rightPayload.contains(rightTs))
+    val rpayType = StructType(
+      StructField("__rts", LongType, nullable = true) +:
+        rightPayload.map(n => right.schema(n)))
+    val lpayType = StructType(left.schema.fields)
+    val (lTag, rTag) = if (allowExactMatches) (1, 0) else (0, 1)
+
+    val lU = left.select(
+      keys.map(col) ++ Seq(
+        unix_micros(col(leftTs)).as("__us"),
+        lit(lTag).as("__tag"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+        lit(null).cast(rpayType).as("__r")): _*)
+    val rU = right.select(
+      keys.map(col) ++ Seq(
+        unix_micros(col(rightTs)).as("__us"),
+        lit(rTag).as("__tag"),
+        lit(null).cast(lpayType).as("__l"),
+        struct(unix_micros(col(rightTs)).as("__rts") +:
+          rightPayload.map(col): _*).as("__r")): _*)
+    val u = lU.unionByName(rU)
+      .withColumn("__b", floor(col("__us") / bucketUs))
+
+    // phase 1: the scan, partitioned by (key, bucket)
+    val wB = Window
+      .partitionBy((keys.map(col) :+ col("__b")): _*)
+      .orderBy(col("__us").asc, col("__tag").asc, col("__r").asc_nulls_first)
+    val local = u.withColumn("__m",
+      last(col("__r"), ignoreNulls = true)
+        .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // per-(key, bucket) summary over ALL buckets that hold any row —
+    // including right-empty ones (their left rows still need a carry):
+    // max(__r) is the bucket's last right payload, null if none (max
+    // ignores nulls; (__rts, payload…) lexicographic max ≡ the scan's
+    // end state)
+    val summaries = u
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max(col("__r")).as("__last"))
+    // carry into bucket b = latest non-null summary of any bucket < b:
+    // lag(1) excludes the own bucket, the running last() skips over
+    // right-empty predecessors. The window runs over ONE ROW PER BUCKET
+    // per key — summary-scale, not data-scale: the hot key costs
+    // #buckets rows here
+    val wS = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+    val carries = summaries.withColumn("__prev",
+      lag(col("__last"), 1).over(wS))
+      .withColumn("__carry",
+        last(col("__prev"), ignoreNulls = true)
+          .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((keys.map(col) :+ col("__b") :+ col("__carry")): _*)
+
+    local
+      .filter(col("__tag") === lTag)
+      .join(carries, keys :+ "__b", "left")
+      .withColumn("__m", coalesce(col("__m"), col("__carry")))
+      .select(
+        col("__l.*") +:
+          col("__m.__rts").as(s"${rightPrefix}ts_us") +:
+          rightPayload.map(n => col(s"__m.$n").as(s"$rightPrefix$n")): _*)
+  }
 }

@@ -49,6 +49,39 @@ class AsofJoinProps extends SparkTestBase {
     }.toMap
   }
 
+  test("bucketed backward asof equals the plain operator for any bucket width") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val nKeys = 1 + rng.nextInt(3)
+      val span = 1 + rng.nextInt(25)
+      val lDf = (0 until 50).map(i =>
+          (rng.nextInt(nKeys).toLong, new Timestamp(rng.nextInt(span) * 1000L),
+            1000L + i)).toDF("k", "lts", "lid")
+      val rDf = (0 until 50).map(i =>
+          (rng.nextInt(nKeys + 1).toLong, new Timestamp(rng.nextInt(span) * 1000L),
+            2000L + i)).toDF("k", "rts", "rid")
+      for {
+        exact <- Seq(true, false)
+        bucketUs <- Seq(1000000L, 3000000L, 7000000L, 1000000000L)
+      } {
+        def collectMap(df: org.apache.spark.sql.DataFrame) =
+          df.select("lid", "right_rid").collect()
+            .map(r => r.getLong(0) ->
+              (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val plain = collectMap(AsofJoinOps.asofJoin(
+          lDf, rDf, Seq("k"), "lts", "rts", Seq("rid"),
+          allowExactMatches = exact))
+        val bucketed = collectMap(AsofJoinOps.asofJoinBackwardBucketed(
+          lDf, rDf, Seq("k"), "lts", "rts", Seq("rid"),
+          bucketUs = bucketUs, allowExactMatches = exact))
+        assert(bucketed == plain,
+          s"trial=$trial exact=$exact bucketUs=$bucketUs: " +
+            s"${(bucketed.toSet diff plain.toSet).take(3)} / " +
+            s"${(plain.toSet diff bucketed.toSet).take(3)}")
+      }
+    }
+  }
+
   test("random streams with heavy ties equal the naive model, all variants") {
     val rng = new scala.util.Random(42)
     for (trial <- 0 until 5) {

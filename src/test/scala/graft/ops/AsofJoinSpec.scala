@@ -101,6 +101,17 @@ class AsofJoinSpec extends SparkTestBase {
       "forward takes the smallest payload at the tied ts")
   }
 
+  test("bucketed variant: the data-sized exchange carries the time bucket") {
+    val l = leftDf((1, 100, 10), (1, 200, 11), (2, 50, 12))
+    val r = rightDf((1, 90, 20), (1, 150, 22), (2, 40, 21))
+    val df = AsofJoinOps.asofJoinBackwardBucketed(
+      l, r, Seq("k"), "lts", "rts", Seq("rid"), bucketUs = 60L * 1000000)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("hashpartitioning\\(k#\\d+L?, __b#".r.findFirstIn(p).isDefined,
+      s"phase-1 window must partition by (key, bucket) — the hot-key fix:\n$p")
+  }
+
   test("plan: one hash exchange on the key, no join operator") {
     val l = leftDf((1, 100, 10), (2, 200, 11))
     val r = rightDf((1, 90, 20), (2, 190, 21))
