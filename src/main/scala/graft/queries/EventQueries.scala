@@ -362,6 +362,34 @@ object EventQueries {
         k = 9)
     },
 
+    // ---- Cohort retention: users grouped by first-seen week, counted
+    // distinct in each subsequent week-offset — all time math in integer
+    // epoch days/weeks (floor division), so the matrix hash-compares
+    // exactly. Two aggregations + one user-keyed join; the matrix is
+    // |cohorts|×|offsets| rows regardless of event volume.
+    q(
+      "ev_retention",
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS first_day FROM d GROUP BY 1
+        |)
+        |SELECT f.first_day // 7 AS cohort_week,
+        |  (d.day - f.first_day) // 7 AS week_offset,
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN f ON f.user_id = d.user_id
+        |GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val d = tEvents(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val f = d.groupBy("user_id").agg(min("day").as("first_day"))
+      d.join(f, "user_id")
+        .groupBy(expr("first_day div 7").as("cohort_week"),
+          expr("(day - first_day) div 7").as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    },
+
     // ---- Time-bounded funnel (view→click→purchase, each step ≤ 2 h
     // after the previous): sequential pattern matching as ONE windowed
     // scan per user (EventOps.funnelCounts — running-max preceding
