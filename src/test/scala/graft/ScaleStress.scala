@@ -208,6 +208,47 @@ object ScaleStress {
       s"vector-store search super-linearithmic: ratio $vSearchRatio")
     require(tvs10 < tvb10 * 1.5,
       s"store search ($tvs10 s) lost to batch re-assignment ($tvb10 s)")
+
+    // --- inverted index: same contract as the other stores — ingest is
+    // postings-of-the-delta only, search is bucket-pruned so a fixed
+    // query's cost grows with matching postings (~linear), never with
+    // vocabulary or corpus structure.
+    import graft.ops.InvertedIndexOps
+    def buildIdx(k: Int): Unit =
+      InvertedIndexOps.writeTextIndex(scaled(k), spark, s"ss_tidx_$k",
+        s"$fpBase/tidx$k")
+    def idxIngest(k: Int): Long = {
+      InvertedIndexOps.appendToTextIndex(delta0, spark, s"ss_tidx_$k")
+      delta0.count()
+    }
+    // copy-0-tagged terms: present in every scaled(k) (copy 0 keeps its
+    // vocabulary), so the query matches the same docs at k=1 and k=10
+    // plus the k-1 re-tagged copies' none — the POSTINGS grow ~k though
+    def idxSearch(k: Int): Long =
+      InvertedIndexOps.searchAllTerms(spark, s"ss_tidx_$k",
+        Seq("c0batch", "c0scan")).count()
+    buildIdx(1); buildIdx(10)
+    idxSearch(1) // warmup
+    val (tii1, _) = time(idxIngest(1))
+    val (tii10, _) = time(idxIngest(10))
+    val (tis1, nis1) = time(idxSearch(1))
+    val (tis10, nis10) = time(idxSearch(10))
+    val idxIngestRatio = tii10 / math.max(tii1, 1e-9)
+    val idxSearchRatio = tis10 / math.max(tis1, 1e-9)
+    println(f"[scale-stress] tindex ingest       k=1: $tii1%6.2fs  " +
+      f"k=10: $tii10%6.2fs  ratio $idxIngestRatio%5.2f")
+    println(f"[scale-stress] tindex search       k=1: $tis1%6.2fs ($nis1 docs)  " +
+      f"k=10: $tis10%6.2fs ($nis10 docs)  ratio $idxSearchRatio%5.2f")
+    require(nis1 == nis10,
+      s"fixed query must match the same docs: $nis1 vs $nis10")
+    require(idxIngestRatio < 3.0,
+      s"index ingest grew with the corpus: ratio $idxIngestRatio")
+    require(idxSearchRatio < MaxRatio,
+      s"index search super-linearithmic: ratio $idxSearchRatio")
+    val idxJson =
+      f"""{"op":"textIndex","ingest1_sec":$tii1%.3f,"ingest10_sec":$tii10%.3f,"ingest_ratio":$idxIngestRatio%.2f,"search1_sec":$tis1%.3f,"search10_sec":$tis10%.3f,"search_ratio":$idxSearchRatio%.2f}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_tindex.json"),
+      (idxJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
