@@ -611,12 +611,14 @@ object RelationalOps {
       val ms = Seq("n_orders", "total_cents")
       // split on ORDER key: the same customers appear in store and
       // delta, so the merge genuinely re-sums existing partials
+      // 16 buckets at gate scale (the 64 default targets wider stores:
+      // bucket count trades merge locality against per-directory I/O)
       IncrementalAggOps.writeAggStore(
         prepped.filter(col("o_orderkey") % 5 =!= 0).drop("o_orderkey"),
-        s, base, keys, ms)
+        s, base, keys, ms, nBuckets = 16)
       IncrementalAggOps.mergeIntoAggStore(
         prepped.filter(col("o_orderkey") % 5 === 0).drop("o_orderkey"),
-        s, base, keys, ms)
+        s, base, keys, ms, nBuckets = 16)
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 
