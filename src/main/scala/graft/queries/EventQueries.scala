@@ -362,6 +362,40 @@ object EventQueries {
         k = 9)
     },
 
+    // ---- Grid resampling with forward-fill: align each event type to
+    // an hourly grid, each grid point carrying the latest event at or
+    // before it — the time-series alignment shape (sensor downsampling,
+    // market snapshots), composed directly from AsofJoinOps against a
+    // GENERATED left side (the grid is 720·|types| rows — never
+    // data-sized). Grid points before the first event stay null
+    // (left-outer). Oracle: DuckDB's native ASOF LEFT JOIN again —
+    // independent engine, same semantics.
+    q(
+      "ev_gridfill",
+      """WITH g AS (
+        |  SELECT t.event_type,
+        |    make_timestamp(1704067200000000 + 3600000000 * s.i) AS gts
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |    GENERATE_SERIES(0, 719) s(i)
+        |)
+        |SELECT g.event_type, epoch_us(g.gts) AS grid_us,
+        |  e.event_id AS last_event_id, epoch_us(e.ts) AS last_ts_us
+        |FROM g ASOF LEFT JOIN events e
+        |  ON g.event_type = e.event_type AND g.gts >= e.ts""".stripMargin
+    ) { (s, dir) =>
+      val types = tEvents(s, dir).select("event_type").distinct()
+      val grid = types.crossJoin(
+          s.range(0, 720).select(expr(
+            "timestamp_micros(1704067200000000 + 3600000000 * id)").as("gts")))
+      graft.ops.AsofJoinOps.asofJoin(
+          grid, tEvents(s, dir).select("event_id", "event_type", "ts"),
+          Seq("event_type"), "gts", "ts",
+          rightPayload = Seq("event_id"), rightPrefix = "last_")
+        .select(col("event_type"),
+          unix_micros(col("gts")).as("grid_us"),
+          col("last_event_id"), col("last_ts_us"))
+    },
+
     // ---- Cohort retention: users grouped by first-seen week, counted
     // distinct in each subsequent week-offset — all time math in integer
     // epoch days/weeks (floor division), so the matrix hash-compares
