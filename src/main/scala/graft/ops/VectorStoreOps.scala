@@ -82,6 +82,44 @@ object VectorStoreOps {
     spark.catalog.refreshByPath(s"$basePath/items")
   }
 
+  /** Delete vectors by id — the right-to-be-forgotten path, with the
+    * same locality contract as every other store mutation: only the
+    * cells that actually hold a deleted id are rewritten (dynamic
+    * partition overwrite); untouched cells stay byte-for-byte. A cell
+    * whose every vector is deleted needs special care: dynamic
+    * overwrite only replaces partitions it WRITES, so an
+    * emptied-to-zero cell would silently keep its stale files — those
+    * directories are removed explicitly. */
+  def deleteFromVectorStore(ids: DataFrame, spark: SparkSession,
+                            basePath: String,
+                            idCol: String = "vec_id"): Unit = {
+    val itemsPath = s"$basePath/items"
+    val del = ids.select(col(idCol).cast("long").as("item_id"))
+      .distinct().localCheckpoint(true)
+    val items = spark.read.parquet(itemsPath)
+      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+    val touched = items.join(del, "item_id")
+      .select("cid").distinct().collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val remaining = items
+        .filter(col("cid").isin(touched.toIndexedSeq: _*))
+        .join(del, Seq("item_id"), "left_anti")
+        .localCheckpoint(true) // freeze before overwriting what it reads
+      remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(itemsPath)
+      // cells deleted down to zero rows never got re-written — drop them
+      val stillThere = remaining.select("cid").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(itemsPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched.toSet -- stillThere).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$itemsPath/cid=$cid"), true)
+      }
+      spark.catalog.refreshByPath(itemsPath)
+    }
+  }
+
   /** IVF top-k against the store: probe `nprobe` cells per query, exact
     * cosine re-rank inside them. Same output contract (and, under the
     * same centroids, the same rows — spec-pinned) as

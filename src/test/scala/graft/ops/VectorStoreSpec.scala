@@ -12,6 +12,7 @@ import graft.SparkTestBase
   * partition pruning that makes the store the scale path (a probe reads
   * only its cells' directories), and same-session append visibility. */
 class VectorStoreSpec extends SparkTestBase {
+  import spark.implicits._
 
   private lazy val emb = graft.queries.t(spark, sfSmall, "embeddings")
 
@@ -47,6 +48,51 @@ class VectorStoreSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"store scan must carry a dynamic partition-pruning filter:\n$plan")
+  }
+
+  test("delete rewrites only affected cells; emptied cells disappear") {
+    val base = Files.createTempDirectory("vstore-del").toString
+    val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(emb, spark, base, cents)
+    val items = spark.read.parquet(s"$base/items")
+      .select(col("item_id"), col("cid").cast("long").as("cid"))
+    val byCell = items.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    // delete one whole cell plus two vectors from another
+    val (wholeCell, partialCell) = {
+      val cs = byCell.keys.toSeq.sorted; (cs.head, cs.last)
+    }
+    val delIds = byCell(wholeCell) ++ byCell(partialCell).take(2)
+    val untouchedCells = byCell.keys.toSet - wholeCell - partialCell
+    def cellFiles(cid: Long) = {
+      val d = new java.io.File(s"$base/items/cid=$cid")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = untouchedCells.map(c => c -> cellFiles(c)).toMap
+    VectorStoreOps.deleteFromVectorStore(
+      delIds.toSeq.toDF("vec_id"), spark, base)
+    untouchedCells.foreach { c =>
+      assert(cellFiles(c) == before(c), s"cell $c files must be untouched")
+    }
+    assert(!new java.io.File(s"$base/items/cid=$wholeCell").exists(),
+      "a fully-deleted cell's directory must be removed")
+    val after = spark.read.parquet(s"$base/items")
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    assert(after == byCell.values.flatten.toSet -- delIds,
+      "exactly the deleted ids must be gone")
+    // and search still answers like a freshly-built store on the remnant
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val remnant = emb.join(delIds.toSeq.toDF("vec_id"), Seq("vec_id"),
+      "left_anti")
+    val base2 = Files.createTempDirectory("vstore-del2").toString
+    VectorStoreOps.writeVectorStore(remnant, spark, base2, cents)
+    val a = VectorStoreOps.searchStore(queries, spark, base, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = VectorStoreOps.searchStore(queries, spark, base2, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "post-delete search must equal a rebuild on the remnant")
   }
 
   test("append is visible to a reader opened in the same session") {
