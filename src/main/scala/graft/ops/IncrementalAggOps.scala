@@ -77,6 +77,22 @@ object IncrementalAggOps {
     spark.catalog.refreshByPath(basePath)
   }
 
+  /** Retract a previously-merged batch — the payoff of restricting
+    * measures to sum-monoids: deletion is just merging the NEGATION, so
+    * it inherits the merge's bucket locality for free. The batch must
+    * be exactly what was merged (a fold, like the merge itself).
+    * Keys whose counts reach zero keep a zero row — a groupBy consumer
+    * sees an empty group either way; compact by rebuilding when zero
+    * rows accumulate. */
+  def retractFromAggStore(batch: DataFrame, spark: SparkSession,
+                          basePath: String, keys: Seq[String],
+                          measures: Seq[String],
+                          nBuckets: Int = 64): Unit =
+    mergeIntoAggStore(
+      batch.select((keys.map(col) ++
+        measures.map(m => negate(col(m)).as(m))): _*),
+      spark, basePath, keys, measures, nBuckets)
+
   /** The current rollup (all buckets). */
   def readAggStore(spark: SparkSession, basePath: String): DataFrame =
     spark.read.parquet(basePath).drop("__bucket")

@@ -33,6 +33,22 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(got == Set((1L, 1L, 10L), (2L, 2L, 25L), (3L, 1L, 7L)))
   }
 
+  test("retract undoes a merge value-for-value") {
+    val base = Files.createTempDirectory("aggstore-retract").toString
+    val store = Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("k", "n", "v")
+    val batch = Seq((2L, 1L, 5L), (3L, 1L, 7L)).toDF("k", "n", "v")
+    IncrementalAggOps.writeAggStore(store, spark, base, Seq("k"), Seq("n", "v"), 8)
+    val orig = IncrementalAggOps.readAggStore(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    IncrementalAggOps.mergeIntoAggStore(batch, spark, base, Seq("k"), Seq("n", "v"), 8)
+    IncrementalAggOps.retractFromAggStore(batch, spark, base, Seq("k"), Seq("n", "v"), 8)
+    val back = IncrementalAggOps.readAggStore(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // key 3 existed only in the batch: it remains as an explicit zero row
+    assert(back == orig + ((3L, 0L, 0L)),
+      s"retraction must invert the merge: $back vs $orig")
+  }
+
   test("a merge rewrites only the delta's buckets") {
     val base = Files.createTempDirectory("aggstore-loc").toString
     val orders = graft.queries.t(spark, sfTiny, "orders")
