@@ -184,6 +184,57 @@ object CurationOps {
     // recursive closure. This is the end-to-end shape a curation run
     // executes before training.
     q(
+      "pipeline_dataprep",
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n
+        |  FROM documents
+        |  WHERE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) >= 20
+        |), d AS (
+        |  SELECT MIN(doc_id) AS doc_id, MAX(n) AS n
+        |  FROM q GROUP BY md5(text)
+        |), c AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 30 THEN 1
+        |         ELSE CAST(CEIL((n - 30) / 20.0) AS INT) + 1 END AS n_chunks
+        |  FROM d
+        |), s AS (
+        |  SELECT *, CASE
+        |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'train'
+        |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 95 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM c
+        |)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      // the session-4 tier composed end-to-end: token-count quality gate
+      // → exact dedup (min doc_id per identical text) → RAG chunk count
+      // (the text_chunk window math) → md5 split assignment (the
+      // split_assign convention) → per-split corpus accounting. Every
+      // stage is the oracle-gated operator; the composition itself is
+      // what this query hash-checks.
+      val toksN = size(split(trim(col("text")), "\\s+"))
+      val q1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), toksN.as("n"))
+        .filter(col("n") >= 20)
+      val d = q1.groupBy(md5(col("text")))
+        .agg(min("doc_id").as("doc_id"), max("n").as("n"))
+      val c = d.withColumn("n_chunks",
+        when(col("n") <= 30, lit(1)).otherwise(
+          ceil((col("n") - 30).cast("double") / 20).cast("int") + 1))
+      val b = hashBucket(col("doc_id"), 100)
+      c.withColumn("split",
+          when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chunks").cast("long").as("n_chunks"),
+          sum("n").cast("long").as("n_tokens"))
+    },
+
+    q(
       "pipeline_curation",
       """WITH RECURSIVE gated AS (
         |  SELECT doc_id, text FROM documents
