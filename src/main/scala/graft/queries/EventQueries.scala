@@ -396,6 +396,30 @@ object EventQueries {
           col("last_event_id"), col("last_ts_us"))
     },
 
+    // ---- SCD2 (slowly-changing-dimension) intervals from a change
+    // log: each event opens a validity window closed by the user's next
+    // event (null = current). One keyed window (lead over user_id —
+    // scalable); the oracle is the independent correlated-min
+    // formulation, not the same lead.
+    q(
+      "ev_scd2",
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |  (SELECT MIN(epoch_us(e2.ts)) FROM events e2
+        |   WHERE e2.user_id = e.user_id AND e2.ts > e.ts) AS valid_to_us,
+        |  (SELECT MIN(e2.ts) FROM events e2
+        |   WHERE e2.user_id = e.user_id AND e2.ts > e.ts) IS NULL
+        |  AS is_current
+        |FROM events e""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+      tEvents(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    },
+
     // ---- Cohort retention: users grouped by first-seen week, counted
     // distinct in each subsequent week-offset — all time math in integer
     // epoch days/weeks (floor division), so the matrix hash-compares

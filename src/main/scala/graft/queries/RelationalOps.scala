@@ -533,6 +533,24 @@ object RelationalOps {
           (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
     },
 
+    // ---- W5: NTILE quartiles within each priority group — both
+    // engines' NATIVE ntile over a deterministic (price, key) order;
+    // the window is keyed by o_orderpriority, so it scales like any
+    // partitioned window (never a global sort).
+    q(
+      "w5_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")).cast("long").as("quartile"))
+    },
+
     // ---- Fixed-point-integer PageRank (beyond-reference) on the
     // bipartite part↔supplier co-occurrence graph (both directions, so
     // no dangling mass): 3 power-iteration rounds entirely in scaled
