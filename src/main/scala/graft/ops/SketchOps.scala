@@ -143,6 +143,30 @@ object SketchOps {
         (col("__est") <= col("exact_n") + eps).as("within_eps"))
   }
 
+  /** Per-GROUP heavy hitters: one Misra-Gries summary per group key —
+    * the sketch rides the normal partial-agg tree per group, so state
+    * is `k` counters × |groups|, never |distinct keys|. Same
+    * self-check contract as [[heavyHittersChecked]], with the bound
+    * applied within each group (n = the group's row count). */
+  def heavyHittersPerGroupChecked(df: DataFrame, groupCol: Column,
+                                  keyCol: Column, k: Int): DataFrame = {
+    val keyed = df.select(groupCol.cast("string").as("grp"),
+      keyCol.cast("string").as("key"))
+    val sketches = keyed.groupBy("grp")
+      .agg(misraGries(col("key"), k).as("__sketch"))
+    val exact = keyed.groupBy("grp", "key").agg(count(lit(1)).as("exact_n"))
+    val totals = keyed.groupBy("grp").agg(count(lit(1)).as("__n"))
+    exact
+      .join(broadcast(totals), "grp")
+      .join(broadcast(sketches), "grp")
+      .filter(col("exact_n") * (k + 1) > col("__n"))
+      .select(
+        col("grp"), col("key"), col("exact_n"),
+        (element_at(col("__sketch"), col("key")).isNotNull &&
+          (col("exact_n") - coalesce(element_at(col("__sketch"), col("key")), lit(0L)))
+            * (k + 1) <= col("__n")).as("within_bound"))
+  }
+
   /** Join-size estimation by CMS inner product — the query-optimizer
     * classic: |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), and the sketches'
     * row-wise inner product min'd over rows estimates it from two

@@ -82,6 +82,35 @@ object VectorStoreOps {
     spark.catalog.refreshByPath(s"$basePath/items")
   }
 
+  /** Compact cells whose file count exceeded `maxFilesPerCell` —
+    * repeated appends leave one file per (append, cell), and at some
+    * point the scan's open-file overhead beats the append savings. Only
+    * oversized cells are rewritten (the usual locality contract); data
+    * is unchanged (spec-pinned). */
+  def compactVectorStore(spark: SparkSession, basePath: String,
+                         maxFilesPerCell: Int = 4): Unit = {
+    val itemsPath = s"$basePath/items"
+    val root = new org.apache.hadoop.fs.Path(itemsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oversized = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cid=").toLong)
+    if (oversized.nonEmpty) {
+      val items = spark.read.parquet(itemsPath)
+        .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+      val rewritten = items
+        .filter(col("cid").isin(oversized.toIndexedSeq: _*))
+        .repartition(col("cid"))
+        .localCheckpoint(true) // freeze before overwriting what it reads
+      rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(itemsPath)
+      spark.catalog.refreshByPath(itemsPath)
+    }
+  }
+
   /** Delete vectors by id — the right-to-be-forgotten path, with the
     * same locality contract as every other store mutation: only the
     * cells that actually hold a deleted id are rewritten (dynamic

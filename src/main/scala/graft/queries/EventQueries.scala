@@ -494,6 +494,32 @@ object EventQueries {
         tEvents(s, dir), col("user_id"), d = 4, w = 16384)
     },
 
+    // ---- Heavy hitters PER GROUP: one MG summary per event type (the
+    // sketch rides the partial-agg tree per group — state is k·|groups|
+    // counters). Same hot-key derivation as ev_heavy_hitters so true
+    // heavies exist inside each group; exact counts hash-compared, the
+    // within-group bound as the claim column.
+    q(
+      "ev_heavy_per_type",
+      """WITH keyed AS (
+        |  SELECT event_type AS grp,
+        |    CASE WHEN user_id % 5 = 0 THEN 'hot_a'
+        |         WHEN user_id % 5 = 1 THEN 'hot_b'
+        |         ELSE CAST(user_id AS VARCHAR) END AS key
+        |  FROM events
+        |), tot AS (SELECT grp, COUNT(*) AS n FROM keyed GROUP BY 1)
+        |SELECT k.grp, k.key, COUNT(*) AS exact_n, TRUE AS within_bound
+        |FROM keyed k JOIN tot t ON t.grp = k.grp
+        |GROUP BY k.grp, k.key, t.n HAVING COUNT(*) * 10 > t.n""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.SketchOps.heavyHittersPerGroupChecked(
+        tEvents(s, dir), col("event_type"),
+        when(col("user_id") % 5 === 0, "hot_a")
+          .when(col("user_id") % 5 === 1, "hot_b")
+          .otherwise(col("user_id").cast("string")),
+        k = 9)
+    },
+
     // ---- Join-size estimation from two CMS sketches (inner product —
     // the optimizer's cardinality-estimation primitive): exact join
     // count hash-compared, the sketch's no-undercount guarantee and

@@ -95,6 +95,35 @@ class VectorStoreSpec extends SparkTestBase {
     assert(a == b, "post-delete search must equal a rebuild on the remnant")
   }
 
+  test("compaction rewrites only oversized cells and preserves the data") {
+    val base = Files.createTempDirectory("vstore-compact").toString
+    val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+    // initial store + 5 appends → up to 6 files per cell
+    VectorStoreOps.writeVectorStore(
+      emb.filter(col("vec_id") % 6 === 0), spark, base, cents)
+    (1 to 5).foreach { m =>
+      VectorStoreOps.appendToVectorStore(
+        emb.filter(col("vec_id") % 6 === m), spark, base)
+    }
+    def files(cid: Long) = {
+      val d = new java.io.File(s"$base/items/cid=$cid")
+      if (!d.exists()) Array.empty[java.io.File]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+    }
+    val cells = new java.io.File(s"$base/items").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName.stripPrefix("cid=").toLong)
+    assert(cells.exists(files(_).length > 4), "appends must fragment cells")
+    val before = spark.read.parquet(s"$base/items")
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    VectorStoreOps.compactVectorStore(spark, base, maxFilesPerCell = 4)
+    cells.foreach { c =>
+      assert(files(c).length <= 4, s"cell $c still has ${files(c).length} files")
+    }
+    val after = spark.read.parquet(s"$base/items")
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("append is visible to a reader opened in the same session") {
     val base = Files.createTempDirectory("vstore-vis").toString
     val store = emb.filter(col("vec_id") % 5 =!= 0)
