@@ -202,6 +202,53 @@ object EventQueries {
       EventOps.sessionizeBatch(tEvents(s, dir))
     },
 
+    // ---- Session conversion: of all 30-min-gap sessions, how many
+    // contain a purchase — the sessionization machinery composed with a
+    // per-session flag, then ONE global scalar row (integer counts +
+    // a ppm rate, so the division is exact on both sides).
+    q(
+      "ev_session_conv",
+      """WITH s AS (
+        |  SELECT user_id, session_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+        |  FROM (
+        |    SELECT user_id, event_type,
+        |      CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS session_id
+        |    FROM (
+        |      SELECT user_id, event_type, epoch_us(ts) AS us,
+        |        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+        |          THEN 1 ELSE 0 END AS gap
+        |      FROM events))
+        |  GROUP BY user_id, session_id
+        |)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(has_p) AS BIGINT) AS n_purchase_sessions,
+        |  SUM(has_p) * 1000000 // COUNT(*) AS conv_ppm
+        |FROM s""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us")
+      val sessions = tEvents(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap",
+          when(col("us") - lag("us", 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum("gap").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("has_p"))
+      sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        sum("has_p").cast("long").as("n_purchase_sessions"),
+        expr("sum(has_p) * 1000000 div count(1)").as("conv_ppm"))
+    },
+
     // ---- Top event types per day (rank in window).
     q(
       "ev_top_types",
