@@ -101,26 +101,31 @@ object Bench {
     // and the old "third run only when sub-second" trigger missed exactly
     // the contended case it was added for (a sub-second query inflated
     // above 1 s in both samples never earned its tiebreaker).
-    val results = selected.map { case (name, fn) =>
+    // Failed queries are EXCLUDED from the timing map and reported in a
+    // separate "errors" map: round-7's artifact benched 22 crashed queries
+    // as the fastest entries in the suite because a failure's wall time is
+    // indistinguishable from a success's in a bare {name: sec} JSON.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = selected.flatMap { case (name, fn) =>
       // (wall, cpu, succeeded) — a failed attempt's (often fast) elapsed
       // time must never win over a successful run's real time
-      def once(): (Double, Double, Boolean) = {
+      def once(): (Double, Double, Option[String]) = {
         val t0 = System.nanoTime()
         val c0 = procCpuSec()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
           }
-        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0, ok)
+        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0, err)
       }
       val runs = Seq(once(), once(), once())
-      val succeeded = runs.filter(_._3)
-      val chosen =
-        if (succeeded.isEmpty) runs.minBy(_._1) // all failed → fastest failure, visible on stderr
-        else succeeded.sortBy(_._1).apply(succeeded.size / 2)
-      name -> chosen
+      val succeeded = runs.filter(_._3.isEmpty)
+      if (succeeded.isEmpty) {
+        failures(name) = runs.head._3.getOrElse("unknown")
+        None
+      } else Some(name -> succeeded.sortBy(_._1).apply(succeeded.size / 2))
     }
     val benchWall = (System.nanoTime() - benchWall0) / 1e9
     val benchCpu = procCpuSec() - benchCpu0
@@ -138,8 +143,16 @@ object Bench {
     val qsCpu = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","queries_cpu":$qsCpu,"loadavg_start":$loadStart,"loadavg_end":$loadEnd""" +
+      s""","errors":$errs,"queries_cpu":$qsCpu,"loadavg_start":$loadStart,"loadavg_end":$loadEnd""" +
       s""","cpus":$cpus,"bench_wall_sec":$benchWall,"bench_cpu_sec":$benchCpu""" +
       s""","cores_used":$coresUsed,"external_load_est":$externalLoad,"contended":$contended}"""
     println(json)

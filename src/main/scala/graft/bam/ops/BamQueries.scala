@@ -51,6 +51,13 @@ object BamQueries {
   private def longReadBai(s: org.apache.spark.sql.SparkSession): String =
     freshBaiCopy(s, longBaiMemo, "longread-baionly.bam", BamFixture.longRead.bamPath)
 
+  /** Test hook: drop the per-JVM bai-copy memos, simulating a fresh JVM —
+    * the next access must re-copy and re-index even if stale artifacts sit
+    * on disk (the freshness contract [[freshBaiCopy]] documents). */
+  private[ops] def resetBaiMemos(): Unit = {
+    baiOnlyMemo.set(null); longBaiMemo.set(null)
+  }
+
   /** Two fixtures with DIFFERENT contig dictionaries (same names, different
     * order) — the heterogeneous multi-file read every mixed-pipeline BAM
     * directory hits. Built once per JVM (Bench's un-timed warmup). */

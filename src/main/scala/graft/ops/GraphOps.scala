@@ -243,8 +243,35 @@ object GraphOps {
       // which every later round still joins; freeing it would free that
       if (i > 0) freeCheckpoint(prev)
     }
+    // The final round's cut is eagerly materialized, so the three static
+    // pins (edges, node set, out-degrees) are dead the moment the loop
+    // exits — free them NOW rather than leaking one edge-sized block set
+    // per invocation for the session's lifetime (a 135-query bench session
+    // accumulated enough of these to distort unrelated queries' timings).
+    freeCheckpoint(e); freeCheckpoint(nodes); freeCheckpoint(outdeg)
+    // The result itself is also a pin (it must be: the caller reads it).
+    // Bound the per-session debt to ONE result by freeing the previous
+    // invocation's result when the next one completes; callers wanting
+    // tighter control can `GraphOps.free(df)` once they've materialized.
+    lastPageRank.synchronized {
+      Option(lastPageRank.get(edges.sparkSession)).foreach(freeCheckpoint)
+      val it = lastPageRank.keySet.iterator
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      lastPageRank.put(edges.sparkSession, r)
+    }
     r
   }
+
+  /** One-slot per-session memo of the last [[pageRankFixedPoint]] result:
+    * the next invocation frees the previous result's blocks, bounding the
+    * session-lifetime pin debt to a single node-sized frame. */
+  private val lastPageRank =
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
+  /** Release the executor blocks (and any reliable-checkpoint files) pinned
+    * by a DataFrame this module returned. Safe to call on any frame —
+    * non-checkpoint frames are a no-op. */
+  def free(df: DataFrame): Unit = freeCheckpoint(df)
 
   /** Full cluster assignment for a document set: every doc gets the min
     * doc-id of its near-dup cluster (itself when unpaired). The survivor

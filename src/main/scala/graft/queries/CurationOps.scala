@@ -49,6 +49,16 @@ object CurationOps {
     * depends only on (id, its source's weight): rerun-stable, growth-stable
     * (adding docs never flips an existing doc's fate), resumable, and a
     * pure per-row projection — embarrassingly parallel at any scale. */
+  /** Weight-ppm derived from a source id's numeric suffix ("srcNNN…" →
+    * `(NNN % mod) * mulPpm + addPpm`), taking the UNBOUNDED suffix
+    * (position 4 to end): a fixed-length cap would silently truncate a
+    * 10-digit suffix and diverge from any oracle using `SUBSTR(source, 4)`.
+    * Shared by `sample_mixture`/`sample_upweight` and their specs so the
+    * convention can't fork. */
+  def sourceSuffixPpm(mod: Int, mulPpm: Long, addPpm: Long): org.apache.spark.sql.Column =
+    (col("source").substr(lit(4), length(col("source")))
+      .cast("long") % mod) * mulPpm + addPpm
+
   def mixtureSample(docs: DataFrame, idCol: String,
                     weightPpm: org.apache.spark.sql.Column): DataFrame = {
     val thresh = when(weightPpm >= 1000000L, lit(HashSpace))
@@ -383,8 +393,7 @@ object CurationOps {
       // unbounded suffix (substr from 4 to end), matching the oracle's
       // SUBSTR(source, 4) exactly — a fixed length cap would silently
       // diverge on sources with suffixes longer than the cap
-      val ppm = (col("source").substr(lit(4), length(col("source")))
-        .cast("long") % 4 + 1) * 250000L
+      val ppm = sourceSuffixPpm(mod = 4, mulPpm = 250000L, addPpm = 250000L)
       mixtureSample(t(s, dir, "documents"), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm")
     },
@@ -413,8 +422,7 @@ object CurationOps {
         |FROM n WHERE n_rep > 0""".stripMargin
     ) { (s, dir) =>
       // same unbounded-suffix convention as sample_mixture (oracle parity)
-      val ppm = (col("source").substr(lit(4), length(col("source")))
-        .cast("long") % 3) * 750000L + 500000L
+      val ppm = sourceSuffixPpm(mod = 3, mulPpm = 750000L, addPpm = 500000L)
       mixtureUpsample(t(s, dir, "documents"), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm", "rep")
     },

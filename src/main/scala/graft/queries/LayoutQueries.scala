@@ -31,7 +31,7 @@ object LayoutQueries {
     // moved every row to its correct dir.
     q(
       "layout_part_roundtrip",
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang IN ('en','zh') GROUP BY lang""".stripMargin
     ) { (s, dir) =>
       val out = tmp("graft-layout-part")
@@ -110,7 +110,7 @@ object LayoutQueries {
     // was lost or duplicated by either rewrite.
     q(
       "layout_compact",
-      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY source""".stripMargin
     ) { (s, dir) =>
       val base = tmp("graft-layout-cmp")

@@ -591,7 +591,7 @@ object RelationalOps {
         |    FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src
         |    GROUP BY e.dst) m ON m.id = nd.id
         |)
-        |SELECT id AS node_id, r AS rank_fp FROM r3""".stripMargin
+        |SELECT id AS node_id, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
     ) { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val fwd = li.select((col("l_partkey") * 2).as("src"),

@@ -37,14 +37,27 @@ package object queries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Load the events table. Its `ts` is parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses as a timestamp; read it as raw nanos and convert with
-    * integer division (ns ~1.7e18 exceeds double precision — `DIV`, not
-    * `/`). DuckDB's `epoch_us` truncates the same way. */
+  /** Load the events table, normalizing `ts` to session-zoned TimestampType
+    * whatever the file's physical type is:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses it as a timestamp, so it is
+    *    read as raw nanos (`nanosAsLong`) and converted with integer division
+    *    (ns ~1.7e18 exceeds double precision — `DIV`, not `/`). DuckDB's
+    *    `epoch_us` truncates the same way.
+    *  - parquet timestamp[us] without UTC adjustment: Spark infers
+    *    TIMESTAMP_NTZ; cast to TimestampType, which is value-preserving
+    *    because every entry point pins `spark.sql.session.timeZone=UTC`.
+    *  - already TimestampType: used as-is.
+    */
   def tEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
 

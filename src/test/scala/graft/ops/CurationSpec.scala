@@ -120,6 +120,34 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("sourceSuffixPpm: unbounded suffix — 10-digit source ids don't truncate") {
+    import spark.implicits._
+    // 10-digit suffixes: a SUBSTR(source, 4, 8)-style cap would read only
+    // the first 8 digits and derive the WRONG weight class for exactly
+    // the ids below whose full-vs-truncated suffix differ mod 4
+    val longIds = Seq(
+      (1L, "src1234567890"), // full % 4 = 2; first-8 (12345678) % 4 = 2
+      (2L, "src1234567891"), // full % 4 = 3
+      (3L, "src9999999998"), // full % 4 = 2; first-8 (99999999) % 4 = 3
+      (4L, "src9999999997")  // full % 4 = 1
+    ).toDF("doc_id", "source")
+    val ppm = graft.queries.CurationOps
+      .sourceSuffixPpm(mod = 4, mulPpm = 250000L, addPpm = 250000L)
+    val got = longIds.select(col("doc_id"), ppm.as("weight_ppm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expect(sfx: String): Long = (sfx.toLong % 4 + 1) * 250000L
+    assert(got(1L) == expect("1234567890"))
+    assert(got(2L) == expect("1234567891"))
+    assert(got(3L) == expect("9999999998"))
+    assert(got(4L) == expect("9999999997"))
+    // and the full sample path accepts/derives on the same untruncated ppm
+    val sampled = graft.queries.CurationOps
+      .mixtureSample(longIds, "doc_id", ppm)
+      .select("doc_id", "weight_ppm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sampled.foreach { case (id, w) => assert(w == got(id), s"doc $id") }
+  }
+
   test("sample_upweight: per-class repetition semantics, contiguous reps") {
     val got = SparkEntry.queries("sample_upweight")(spark, sfSmall)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -146,7 +174,7 @@ class CurationSpec extends SparkTestBase {
     // weight 0.5 (class 0): subset, one copy each — and the ACCEPTED SET
     // matches mixtureSample at the same weight (shared threshold math)
     val half = graft.queries.CurationOps.mixtureSample(
-      docs.filter(expr("CAST(SUBSTR(source, 4, 8) AS LONG) % 3 = 0")),
+      docs.filter(expr("CAST(SUBSTR(source, 4) AS LONG) % 3 = 0")),
       "doc_id", lit(500000L))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val upHalf = copiesByDoc.collect { case (id, (s, n)) if cls(s) == 0 => (id, n) }
