@@ -166,6 +166,38 @@ object MultimodalOps {
     }(enc)
   }
 
+  private val imageStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** REAL image decode → integer channel statistics, optionally through a
+    * nearest-neighbor resize first: payloads parse as binary PPM/PGM via
+    * [[JvmMediaCodec]] (not the fake byte arithmetic), rows that fail to
+    * parse are dropped (the production skip-corrupt-payload behavior), and
+    * the emitted sums are exact integers an independent engine can rebuild
+    * from the same pixel bytes — `mm_decode_ppm` / `mm_resize_ppm` do.
+    * Same partition-local batched seam as [[extractFeatures]]. */
+  def imageStats(media: DataFrame,
+                 resizeTo: Option[(Int, Int)] = None): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageStatsSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        JvmMediaCodec.decodeImage(r.getAs[Array[Byte]](1)).map { img0 =>
+          val img = resizeTo.fold(img0) { case (w, h) =>
+            JvmMediaCodec.resizeNearest(img0, w, h) }
+          Row(r.getLong(0), img.width.toLong, img.height.toLong,
+            img.channelSum(0),
+            if (img.channels > 1) img.channelSum(1) else img.channelSum(0),
+            if (img.channels > 2) img.channelSum(2) else img.channelSum(0))
+        }
+      }
+    }(enc)
+  }
+
   /** "Resize": metadata-only transform (dimension halving) + payload
     * passthrough — the cheap-path op that must not decode. */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame =

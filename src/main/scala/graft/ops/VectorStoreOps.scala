@@ -44,13 +44,27 @@ object VectorStoreOps {
       .select(col("__id"), col("__v"), col("cid"))
   }
 
+  /** Corpus/delta → cell assignment. Unlike [[bestCells]] (top-n for the
+    * QUERY side's probes, a small frame), this is the whole-corpus path of
+    * a store build — top-1 expressed as `max_by` so it runs as a hash
+    * aggregate with MAP-SIDE partials over the crossJoin output instead of
+    * a full-corpus sort-window keyed on the (unique) vector id. Tie rule
+    * identical to bestCells: highest score, then lowest cid
+    * (lexicographic max of (score, -cid)). `first(__v)` is deterministic
+    * here — every row of a group carries the same vector. */
   private def assigned(spark: SparkSession, df: DataFrame, cents: DataFrame,
                        idCol: String, vecCol: String,
-                       probeRound: Option[Int]): DataFrame =
-    bestCells(spark,
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-      cents, top = 1, probeRound)
-      .select(col("__id").as("item_id"), col("__v").as("cv"), col("cid"))
+                       probeRound: Option[Int]): DataFrame = {
+    val raw = SimilarityOps.cosineFast(spark, col("__v"), col("cvec"))
+    val s = probeRound.fold(raw)(d => round(raw, d))
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__s", s)
+      .groupBy("__id")
+      .agg(first(col("__v")).as("cv"),
+        max_by(col("cid"), struct(col("__s"), -col("cid"))).as("cid"))
+      .select(col("__id").as("item_id"), col("cv"), col("cid"))
+  }
 
   /** Create the store at `basePath`: the frozen centroid table (tiny,
     * one file) plus the corpus assigned to cells, partitioned by cid. */

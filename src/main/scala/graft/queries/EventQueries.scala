@@ -17,6 +17,22 @@ object EventQueries {
   private def qq(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
 
+  /** One GENUINE binary P6 PPM per document: canonical header + an
+    * 8×8 RGB raster whose 192 bytes are the ASCII codes of six chained md5
+    * hex digests of the doc id — fully deterministic, fully rebuildable by
+    * an independent engine (the mm_decode_ppm / mm_resize_ppm oracles do).
+    * Columnar construction: concat of binary literals and md5 exprs, no
+    * UDF. */
+  private def ppmMediaTable(docs: DataFrame): DataFrame = {
+    val header = lit("P6\n8 8\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val raster = concat((0 to 5).map(k =>
+      md5(concat(col("doc_id").cast("string"), lit(s"-$k")))): _*).cast("binary")
+    docs.select(col("doc_id").cast("long").as("media_id"),
+      lit("image").as("media_type"),
+      concat(header, raster).as("payload"))
+  }
+
   val all: Seq[Q] = Seq(
     // ---- Tumbling-window aggregation (streaming's bread and butter).
     q(
@@ -370,6 +386,69 @@ object EventQueries {
         MultimodalOps.fakeMediaTable(t(s, dir, "documents")), targetLen = 64)
         .select(col("media_id"), col("n_bytes_in"),
           col("resampled").cast("string").as("resized"))
+    },
+
+    // ---- REAL image decode under the oracle: each doc becomes a genuine
+    // binary P6 PPM — "P6\n8 8\n255\n" + a 192-byte raster whose bytes are
+    // the ASCII codes of six chained md5 hex digests (8·8·3 = 192 = 6·32;
+    // md5 is the one hash both engines produce bit-identically). Spark
+    // parses the image with the real Netpbm decoder (header grammar,
+    // raster extraction — JvmMediaCodec, not byte arithmetic) and emits
+    // integer per-channel sums; DuckDB rebuilds the identical raster
+    // string and sums ord() at each channel's byte positions. Equal
+    // hashes prove the DECODER — dims, header skip, channel interleave —
+    // on every row.
+    q(
+      "mm_decode_ppm",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '-0') || md5(CAST(doc_id AS VARCHAR) || '-1') ||
+        |    md5(CAST(doc_id AS VARCHAR) || '-2') || md5(CAST(doc_id AS VARCHAR) || '-3') ||
+        |    md5(CAST(doc_id AS VARCHAR) || '-4') || md5(CAST(doc_id AS VARCHAR) || '-5') AS ras
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, ras, UNNEST(GENERATE_SERIES(1, 192)) AS i FROM m
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN (i-1) % 3 = 0 THEN ord(substr(ras, CAST(i AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN (i-1) % 3 = 1 THEN ord(substr(ras, CAST(i AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN (i-1) % 3 = 2 THEN ord(substr(ras, CAST(i AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM x GROUP BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.imageStats(ppmMediaTable(t(s, dir, "documents")))
+    },
+
+    // ---- REAL nearest-neighbor resize under the oracle: same genuine P6
+    // payloads, decoded then scaled 8×8 → 4×4 by the real resizer (output
+    // pixel (x,y) samples input (⌊x·8/4⌋, ⌊y·8/4⌋) = (2x, 2y)). DuckDB
+    // replicates the SAMPLING ARITHMETIC itself — byte position
+    // (2y·8 + 2x)·3 + c + 1 per output pixel/channel — so the hash pins
+    // which pixels a resize keeps, not just that row counts agree.
+    q(
+      "mm_resize_ppm",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '-0') || md5(CAST(doc_id AS VARCHAR) || '-1') ||
+        |    md5(CAST(doc_id AS VARCHAR) || '-2') || md5(CAST(doc_id AS VARCHAR) || '-3') ||
+        |    md5(CAST(doc_id AS VARCHAR) || '-4') || md5(CAST(doc_id AS VARCHAR) || '-5') AS ras
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, ras, UNNEST(GENERATE_SERIES(0, 15)) AS p FROM m
+        |), c AS (
+        |  SELECT doc_id, ras, (p % 4) AS x, (p // 4) AS y,
+        |    UNNEST(GENERATE_SERIES(0, 2)) AS ch
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN ch = 0 THEN ord(substr(ras, CAST((2*y*8 + 2*x)*3 + ch + 1 AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN ch = 1 THEN ord(substr(ras, CAST((2*y*8 + 2*x)*3 + ch + 1 AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN ch = 2 THEN ord(substr(ras, CAST((2*y*8 + 2*x)*3 + ch + 1 AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM c GROUP BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.imageStats(ppmMediaTable(t(s, dir, "documents")),
+        resizeTo = Some((4, 4)))
     },
 
     // ---- HLL sketch under the oracle, self-check pattern: exact

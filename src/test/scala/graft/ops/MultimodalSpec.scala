@@ -77,6 +77,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(fr.getAs[Array[Byte]]("frame_bytes").toSeq == Seq(2.toByte))
   }
 
+  test("REAL codec through the Spark seams: P6 videos frame-sample and resample") {
+    // build genuine media: each "video" is 4 concatenated 2x2 P6 frames
+    // whose red channel encodes (media_id, frame_idx)
+    def p6Frame(id: Int, f: Int): Array[Byte] =
+      s"P6\n2 2\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate[Byte](12)(i => if (i % 3 == 0) (id * 16 + f).toByte else 0)
+    val vids = (1 to 5).map { id =>
+      (id.toLong, "video", (0 until 4).map(p6Frame(id, _)).reduce(_ ++ _),
+        (2, 2, 16000, 4))
+    }.toDF("media_id", "media_type", "payload", "m")
+      .select($"media_id", $"media_type", $"payload",
+        struct($"m._1".as("width"), $"m._2".as("height"),
+          $"m._3".as("sample_rate"), $"m._4".as("n_frames")).as("meta"))
+    val frames = MultimodalOps.sampleFrames(vids, everyNth = 2,
+      codec = JvmMediaCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        JvmMediaCodec.decodeImage(r.getAs[Array[Byte]](2)).get))
+    assert(frames.length == 5 * 2) // frames 0 and 2 of each video
+    frames.foreach { case (id, f, img) =>
+      assert(img.width == 2 && img.height == 2)
+      assert((img.raster(0) & 0xff) == id * 16 + f,
+        "the DECODED frame must be the payload's idx-th image")
+    }
+    // resample through the same partition-batched seam: every payload is a
+    // parseable image again, smaller, with the real resizer's dims
+    val big = (1 to 3).map { id =>
+      (id.toLong, "image",
+        s"P6\n8 8\n255\n".getBytes("US-ASCII") ++ new Array[Byte](192))
+    }.toDF("media_id", "media_type", "payload")
+    val rs = MultimodalOps.resampleMedia(big, targetLen = 60,
+      codec = JvmMediaCodec).collect()
+    rs.foreach { r =>
+      val img = JvmMediaCodec.decodeImage(r.getAs[Array[Byte]](3)).get
+      assert(img.width == 4 && img.height == 4)
+    }
+  }
+
   test("resize caps dimensions without touching payloads") {
     val out = MultimodalOps.resize(media, 320, 240)
     assert(out.filter($"meta.width" > 320 || $"meta.height" > 240).count() == 0)
