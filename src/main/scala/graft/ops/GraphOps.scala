@@ -213,8 +213,8 @@ object GraphOps {
     * their mass, the standard simplification. */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int = 3, scale: Long = 1000000000000L,
-                         dampPct: Int = 85): DataFrame = {
-    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+                         dampPct: Int = 85, cutEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && cutEvery >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
@@ -226,22 +226,31 @@ object GraphOps {
     // identical bracketing to the oracle SQL: ((15·scale) div 100) div n
     val base = ((100L - dampPct) * scale / 100L) / n
     var r = nodes.withColumn("r", lit(scale / n))
+    // Lineage cuts are PERIODIC (PeriodicCheckpointer cadence), not
+    // per-round: each eager cut is a full materialization job, and a
+    // handful of join+agg levels between cuts is a plan Catalyst handles
+    // easily — at the default cadence a 3-round call runs as ONE job
+    // (the final cut, which the loop always takes so the static pins can
+    // be freed below) instead of three. Long loops still cut every
+    // `cutEvery` rounds to stop lineage (and optimizer time) growing
+    // without bound.
+    var lastCut: Option[DataFrame] = None
     (0 until iters).foreach { i =>
       val inmass = e
         .join(r.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("id"), expr("r div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("inmass"))
-      val prev = r
-      r = nodes.join(inmass, Seq("id"), "left")
+      val next = nodes.join(inmass, Seq("id"), "left")
         .select(col("id"),
           (lit(base) +
             expr(s"$dampPct * coalesce(inmass, 0L) div 100")).as("r"))
-        .localCheckpoint(true)
-      // free round i−1's cut (PeriodicCheckpointer pattern) — but round
-      // 0's `prev` is a projection OVER the shared `nodes` checkpoint,
-      // which every later round still joins; freeing it would free that
-      if (i > 0) freeCheckpoint(prev)
+      if (i == iters - 1 || (i + 1) % cutEvery == 0) {
+        r = next.localCheckpoint(true)
+        // the new cut is materialized: the previous cut's blocks are dead
+        lastCut.foreach(freeCheckpoint)
+        lastCut = Some(r)
+      } else r = next
     }
     // The final round's cut is eagerly materialized, so the three static
     // pins (edges, node set, out-degrees) are dead the moment the loop
