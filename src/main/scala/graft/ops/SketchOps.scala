@@ -221,4 +221,35 @@ object SketchOps {
           (col("exact_n") - coalesce(element_at(col("__sketch"), col("key")), lit(0L)))
             * (k + 1) <= col("__n")).as("within_bound"))
   }
+
+  // ------------------------------------------------- persisted HLL store
+
+  /** Write (or append to) a PERSISTED mergeable-sketch rollup: one
+    * DataSketches HLL sketch (binary column, Spark's `hll_sketch_agg`)
+    * per `groupCols` cell over the distinct values of `keyCol`.
+    *
+    * This is the sketch-rollup-table pattern for 100 TB distinct-count
+    * workloads: the raw corpus is scanned ONCE per ingest batch (a day, an
+    * hour), each batch appends its cells' fixed-size register blobs
+    * (2^lgK bytes-ish, independent of cardinality), and any later
+    * distinct-count query over any subset of batches merges blobs instead
+    * of re-shuffling raw keys — HLL register merge is max-commutative, so
+    * the union is order- and partitioning-independent. */
+  def writeHllStore(df: DataFrame, path: String, groupCols: Seq[String],
+                    keyCol: Column, lgK: Int = 12,
+                    append: Boolean = false): Unit =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(keyCol, lit(lgK)).as("hll"))
+      .write.mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Distinct-count estimates from a [[writeHllStore]] table: union the
+    * persisted sketches down to `rollupCols` (a PREFIX or subset of the
+    * store's group columns) and estimate. Touches only the store — cost is
+    * proportional to the number of cells, never the raw corpus. */
+  def readHllStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                   rollupCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(rollupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll"), lit(true)))
+        .as("approx_distinct"))
 }

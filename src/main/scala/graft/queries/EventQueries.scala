@@ -681,6 +681,41 @@ object EventQueries {
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users"))
             <= col("n_users") * lit(0.05)).as("within_5pct"))
+    },
+
+    // ---- PERSISTED mergeable-sketch rollup store, same self-check
+    // pattern as ev_hll_users but through DISK: per-(event_type, day)
+    // DataSketches HLL blobs are written for the historical days, the
+    // remaining days APPENDED as a second ingest batch (the store is
+    // never rewritten — the incremental-ingest contract every rollup
+    // table needs), then the per-type distinct-user query runs by
+    // UNIONING the persisted registers — no raw-event re-scan, cost ∝
+    // store cells. The gate hash-compares the exact counts and asserts
+    // the merged-store estimate lands within 5% — a store that dropped a
+    // batch, double-merged a cell, or corrupted a blob flips the claim.
+    q(
+      "ev_hll_store",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  TRUE AS store_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val ev = tEvents(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-hllstore").toString
+      graft.ops.SketchOps.writeHllStore(
+        ev.filter(col("day") % 3 =!= 0), store,
+        Seq("event_type", "day"), col("user_id"))
+      graft.ops.SketchOps.writeHllStore(
+        ev.filter(col("day") % 3 === 0), store,
+        Seq("event_type", "day"), col("user_id"), append = true)
+      val approx = graft.ops.SketchOps.readHllStore(s, store, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(approx, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx_distinct") - col("n_users"))
+            <= col("n_users") * lit(0.05)).as("store_within_5pct"))
     }
   )
 }

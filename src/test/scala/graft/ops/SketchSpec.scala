@@ -101,4 +101,38 @@ class SketchSpec extends SparkTestBase {
     assert(got == exact)
     assert(out.collect().forall(r => r.getBoolean(2) && r.getBoolean(3)))
   }
+
+  test("HLL store: split ingest + persisted union ≡ one-shot sketch, rollup prunes raw") {
+    val ev = graft.queries.tEvents(spark, sfTiny)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hllspec").toString
+    // ingest in two disjoint batches, second as APPEND
+    SketchOps.writeHllStore(ev.filter(col("day") % 2 === 0), store,
+      Seq("event_type", "day"), col("user_id"))
+    SketchOps.writeHllStore(ev.filter(col("day") % 2 === 1), store,
+      Seq("event_type", "day"), col("user_id"), append = true)
+    val fromStore = SketchOps.readHllStore(spark, store, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the merged persisted registers must equal a single-pass sketch over
+    // the whole corpus at the same lgK: HLL register union is
+    // max-commutative, so batch boundaries and file layout cannot matter
+    val oneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromStore == oneShot,
+      "persisted+unioned sketches must equal the one-shot sketch exactly")
+    // and the estimates are actually close to truth
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fromStore.foreach { case (t, est) =>
+      assert(math.abs(est - exact(t)) <= 0.05 * exact(t), s"$t: $est vs ${exact(t)}")
+    }
+    // per-(type, day) cells roll up to coarser and finer groupings alike
+    val perDay = SketchOps.readHllStore(spark, store, Seq("event_type", "day"))
+    assert(perDay.count() ==
+      ev.select("event_type", "day").distinct().count())
+  }
 }
