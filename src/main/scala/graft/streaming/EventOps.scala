@@ -320,6 +320,26 @@ object EventOps {
         .countMin(col("user_id").cast("string"), d, w).as("cms"))
       .select(unix_micros(col("window.start")).as("win_us"), col("cms"))
 
+  /** Streaming ingest into the persisted HLL rollup store
+    * ([[graft.ops.SketchOps.writeHllStore]]): each micro-batch APPENDS its
+    * own per-cell register blobs — no read-modify-write, no state store,
+    * because HLL union is max-commutative: however the stream is
+    * micro-batched, unioning the accumulated blobs at read time gives
+    * exactly the one-shot sketch of everything ingested (StreamingSpec
+    * pins the equality). This is the streaming path every sketch-rollup
+    * table wants: sink cost ∝ batch size, store growth ∝ cells × batches
+    * (bounded by a later compaction, same as any append store), query
+    * cost ∝ cells. */
+  def hllStoreSink(events: DataFrame, path: String, groupCols: Seq[String],
+                   keyCol: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.SketchOps.writeHllStore(
+          batch, path, groupCols, col(keyCol), lgK, append = true)
+      }
+
   /** Time-bounded funnel (view → click → purchase, each step within
     * `boundMinutes` of the one before): per-stage distinct-user counts.
     *

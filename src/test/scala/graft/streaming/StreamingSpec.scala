@@ -515,4 +515,31 @@ class StreamingSpec extends SparkTestBase {
       assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
     } finally q.stop()
   }
+
+  test("streamed HLL-store ingest: unioned blobs equal the one-shot sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SketchOps
+    val input = MemoryStream[EventOps.Event]
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hllstream").toString
+    val q = EventOps.hllStoreSink(input.toDF(), store,
+      Seq("event_type"), "user_id").start()
+    try {
+      // three micro-batches with overlapping users across batches — the
+      // union must count each user once however the stream was chopped
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val fromStore = SketchOps.readHllStore(spark, store, Seq("event_type"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oneShot = eventsDF.groupBy("event_type")
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg($"user_id", lit(12))).as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fromStore == oneShot,
+        "micro-batched ingest must union to the one-shot sketch exactly")
+    } finally q.stop()
+  }
 }
