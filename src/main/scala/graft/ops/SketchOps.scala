@@ -252,4 +252,24 @@ object SketchOps {
       .groupBy(rollupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"), lit(true)))
         .as("approx_distinct"))
+
+  /** Compact an append-accreted [[writeHllStore]] table down to ONE blob
+    * per cell: union within each group-column cell and atomically swap the
+    * result in. Append ingest leaves one blob per (cell, batch); estimates
+    * stay exact regardless (union is what reads do anyway), but store size
+    * and read fan-in grow with batch count — the same accretion every
+    * append store pays, reclaimed the same way. Union-then-rewrite loses
+    * nothing: the compacted registers are byte-for-byte what any later
+    * union would have produced from the parts. `groupCols` must be the
+    * store's full grouping (compacting to a coarser rollup would destroy
+    * the finer cells). */
+  def compactHllStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      groupCols: Seq[String]): Unit = {
+    val compacted = spark.read.parquet(path)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
+      .localCheckpoint(true) // freeze before overwriting what it reads
+    compacted.write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+  }
 }

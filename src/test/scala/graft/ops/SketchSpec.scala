@@ -134,5 +134,13 @@ class SketchSpec extends SparkTestBase {
     val perDay = SketchOps.readHllStore(spark, store, Seq("event_type", "day"))
     assert(perDay.count() ==
       ev.select("event_type", "day").distinct().count())
+    // compaction: one blob per cell afterwards, identical estimates
+    SketchOps.compactHllStore(spark, store, Seq("event_type", "day"))
+    assert(spark.read.parquet(store).count() ==
+      ev.select("event_type", "day").distinct().count(),
+      "compaction must leave exactly one blob per cell")
+    val afterCompact = SketchOps.readHllStore(spark, store, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterCompact == fromStore, "compaction must not change estimates")
   }
 }
