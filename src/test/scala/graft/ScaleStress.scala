@@ -249,6 +249,59 @@ object ScaleStress {
       f"""{"op":"textIndex","ingest1_sec":$tii1%.3f,"ingest10_sec":$tii10%.3f,"ingest_ratio":$idxIngestRatio%.2f,"search1_sec":$tis1%.3f,"search10_sec":$tis10%.3f,"search_ratio":$idxSearchRatio%.2f}"""
     java.nio.file.Files.write(out.resolve("scale_stress_tindex.json"),
       (idxJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // --- HLL rollup store: ingest appends only the BATCH's cells (never
+    // reads the store — flat by construction, measured anyway), and a
+    // rollup read costs ∝ cells, which here grow ~k (shifted days), so it
+    // must beat re-aggregating the k-times-bigger raw corpus.
+    import graft.ops.SketchOps
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+    def scaledEv(k: Int) = (0 until k).map { i =>
+      ev.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), (col("day") + lit(i * 1000L)).as("day"))
+    }.reduce(_ union _)
+    val hllBase = java.nio.file.Files
+      .createTempDirectory("scale-hll").toString
+    def evDelta = ev.filter(col("user_id") % 25 === 0)
+      .select((col("user_id") + 900000000L).as("user_id"),
+        col("event_type"), (col("day") + 5000L).as("day"))
+    def buildHll(k: Int): Unit =
+      SketchOps.writeHllStore(scaledEv(k), s"$hllBase/k$k",
+        Seq("event_type", "day"), col("user_id"))
+    def hllIngest(k: Int): Long = {
+      SketchOps.writeHllStore(evDelta, s"$hllBase/k$k",
+        Seq("event_type", "day"), col("user_id"), append = true)
+      evDelta.count()
+    }
+    def hllRead(k: Int): Long =
+      SketchOps.readHllStore(spark, s"$hllBase/k$k", Seq("event_type")).count()
+    buildHll(1); buildHll(10)
+    hllRead(1) // warmup
+    val (thi1, _) = time(hllIngest(1))
+    val (thi10, _) = time(hllIngest(10))
+    val (thr1, _) = time(hllRead(1))
+    val (thr10, _) = time(hllRead(10))
+    val (thx10, _) = time(
+      scaledEv(10).groupBy("event_type").agg(countDistinct("user_id")).count())
+    val hllIngestRatio = thi10 / math.max(thi1, 1e-9)
+    val hllReadRatio = thr10 / math.max(thr1, 1e-9)
+    println(f"[scale-stress] hllstore ingest     k=1: $thi1%6.2fs  " +
+      f"k=10: $thi10%6.2fs  ratio $hllIngestRatio%5.2f")
+    println(f"[scale-stress] hllstore read       k=1: $thr1%6.2fs  " +
+      f"k=10: $thr10%6.2fs  ratio $hllReadRatio%5.2f  " +
+      f"raw-exact k=10: $thx10%6.2fs")
+    require(hllIngestRatio < 3.0,
+      s"hll-store ingest grew with the corpus: ratio $hllIngestRatio")
+    require(hllReadRatio < MaxRatio,
+      s"hll-store read super-linearithmic: ratio $hllReadRatio")
+    require(thr10 < thx10 * 1.5,
+      s"store read ($thr10 s) lost to raw exact re-aggregation ($thx10 s)")
+    val hllJson =
+      f"""{"op":"hllStore","ingest1_sec":$thi1%.3f,"ingest10_sec":$thi10%.3f,"ingest_ratio":$hllIngestRatio%.2f,"read1_sec":$thr1%.3f,"read10_sec":$thr10%.3f,"read_ratio":$hllReadRatio%.2f,"raw_exact10_sec":$thx10%.3f}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_hll.json"),
+      (hllJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
