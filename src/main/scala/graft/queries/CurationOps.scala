@@ -134,7 +134,7 @@ object CurationOps {
         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
     ) { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = tDocs(s, dir)
       val pairs = DedupOps.jaccardPairs(docs, w = 3, threshold = 0.5, maxDf = 64)
       GraphOps.clusterAssign(docs, "doc_id", pairs)
     },
@@ -153,7 +153,7 @@ object CurationOps {
         |FROM documents""".stripMargin
     ) { (s, dir) =>
       val b = hashBucket(col("doc_id"), 100)
-      t(s, dir, "documents").select(
+      tDocs(s, dir).select(
         col("doc_id"),
         b.as("bucket"),
         when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
@@ -177,7 +177,7 @@ object CurationOps {
         |    AS BIGINT), 0) // 512 AS seq_id
         |FROM tk""".stripMargin
     ) { (s, dir) =>
-      val tk = t(s, dir, "documents").select(
+      val tk = tDocs(s, dir).select(
         col("doc_id"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
       ScalableWindow
@@ -227,7 +227,7 @@ object CurationOps {
       // stage is the oracle-gated operator; the composition itself is
       // what this query hash-checks.
       val toksN = size(split(trim(col("text")), "\\s+"))
-      val q1 = t(s, dir, "documents")
+      val q1 = tDocs(s, dir)
         .select(col("doc_id"), col("text"), toksN.as("n"))
         .filter(col("n") >= 20)
       val d = q1.groupBy(md5(col("text")))
@@ -300,7 +300,7 @@ object CurationOps {
       val dupRatio = when(size(toksCol) === 0, lit(0.0)).otherwise(
         lit(1.0) - size(array_distinct(toksCol)).cast("double") /
           size(toksCol).cast("double"))
-      val gated = t(s, dir, "documents")
+      val gated = tDocs(s, dir)
         .filter(col("n_chars") >= 150 && dupRatio <= 0.5)
         .select("doc_id", "text")
       val pairs = DedupOps.jaccardPairs(gated, w = 3, threshold = 0.5, maxDf = 64)
@@ -344,7 +344,7 @@ object CurationOps {
         |  ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS ord
         |FROM h""".stripMargin
     ) { (s, dir) =>
-      val h = t(s, dir, "documents").select(col("doc_id"),
+      val h = tDocs(s, dir).select(col("doc_id"),
         hashLong(col("doc_id"), 15).as("hk"))
       ScalableWindow.rowNumber(h, Seq("hk", "doc_id"), "ord")
         .select(col("doc_id"), col("hk"), col("ord"))
@@ -365,7 +365,7 @@ object CurationOps {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("source")
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .select(col("doc_id"), col("source"),
           row_number().over(w).cast("long").as("rk"))
         .filter(col("rk") <= 5)
@@ -394,7 +394,7 @@ object CurationOps {
       // SUBSTR(source, 4) exactly — a fixed length cap would silently
       // diverge on sources with suffixes longer than the cap
       val ppm = sourceSuffixPpm(mod = 4, mulPpm = 250000L, addPpm = 250000L)
-      mixtureSample(t(s, dir, "documents"), "doc_id", ppm)
+      mixtureSample(tDocs(s, dir), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm")
     },
 
@@ -423,7 +423,7 @@ object CurationOps {
     ) { (s, dir) =>
       // same unbounded-suffix convention as sample_mixture (oracle parity)
       val ppm = sourceSuffixPpm(mod = 3, mulPpm = 750000L, addPpm = 500000L)
-      mixtureUpsample(t(s, dir, "documents"), "doc_id", ppm)
+      mixtureUpsample(tDocs(s, dir), "doc_id", ppm)
         .select("doc_id", "source", "weight_ppm", "rep")
     },
 
@@ -465,7 +465,7 @@ object CurationOps {
         lit(1.0) - size(array_distinct(toksCol)).cast("double") /
           size(toksCol).cast("double"))
       val w = Window.partitionBy(substring(col("text"), 1, 40))
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .withColumn("gated", col("n_chars") >= 150 && dupRatio <= 0.5)
         .withColumn("m",
           min(when(col("gated"), col("doc_id"))).over(w))

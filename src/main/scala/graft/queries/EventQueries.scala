@@ -296,7 +296,7 @@ object EventQueries {
     // (CORRECTNESS_r01); the array-typed API stays in MultimodalOps.
     qq("mm_features") { (s, dir) =>
       MultimodalOps.extractFeatures(
-        MultimodalOps.fakeMediaTable(t(s, dir, "documents")))
+        MultimodalOps.fakeMediaTable(tDocs(s, dir)))
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           concat_ws(",",
             transform(col("features"), f => round(f.cast("double"), 6).cast("string")))
@@ -332,7 +332,7 @@ object EventQueries {
         |FROM fb LEFT JOIN cnt ON cnt.doc_id = fb.doc_id AND cnt.bucket = fb.idx""".stripMargin
     ) { (s, dir) =>
       MultimodalOps.extractFeatures(
-        MultimodalOps.fakeMediaTable(t(s, dir, "documents")), dim = 16)
+        MultimodalOps.fakeMediaTable(tDocs(s, dir)), dim = 16)
         .select(col("media_id"), col("n_bytes"), posexplode(col("features")))
         .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("pos").cast("long").as("idx"), col("col").as("feat"))
@@ -341,7 +341,7 @@ object EventQueries {
     // ---- Multimodal: frame sampling explode.
     qq("mm_frames") { (s, dir) =>
       MultimodalOps.sampleFrames(
-        MultimodalOps.fakeMediaTable(t(s, dir, "documents")))
+        MultimodalOps.fakeMediaTable(tDocs(s, dir)))
         .orderBy("media_id", "frame_idx")
     },
 
@@ -362,7 +362,7 @@ object EventQueries {
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin
     ) { (s, dir) =>
       MultimodalOps.sampleFrames(
-        MultimodalOps.fakeMediaTable(t(s, dir, "documents")), everyNth = 2)
+        MultimodalOps.fakeMediaTable(tDocs(s, dir)), everyNth = 2)
         .select(col("media_id"), col("frame_idx"),
           col("frame_bytes").cast("string").as("frame"))
     },
@@ -383,7 +383,7 @@ object EventQueries {
         |FROM documents""".stripMargin
     ) { (s, dir) =>
       MultimodalOps.resampleMedia(
-        MultimodalOps.fakeMediaTable(t(s, dir, "documents")), targetLen = 64)
+        MultimodalOps.fakeMediaTable(tDocs(s, dir)), targetLen = 64)
         .select(col("media_id"), col("n_bytes_in"),
           col("resampled").cast("string").as("resized"))
     },
@@ -416,7 +416,7 @@ object EventQueries {
         |  CAST(SUM(CASE WHEN (i-1) % 3 = 2 THEN ord(substr(ras, CAST(i AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_b
         |FROM x GROUP BY doc_id""".stripMargin
     ) { (s, dir) =>
-      MultimodalOps.imageStats(ppmMediaTable(t(s, dir, "documents")))
+      MultimodalOps.imageStats(ppmMediaTable(tDocs(s, dir)))
     },
 
     // ---- REAL nearest-neighbor resize under the oracle: same genuine P6
@@ -447,7 +447,7 @@ object EventQueries {
         |  CAST(SUM(CASE WHEN ch = 2 THEN ord(substr(ras, CAST((2*y*8 + 2*x)*3 + ch + 1 AS INT), 1)) ELSE 0 END) AS BIGINT) AS sum_b
         |FROM c GROUP BY doc_id""".stripMargin
     ) { (s, dir) =>
-      MultimodalOps.imageStats(ppmMediaTable(t(s, dir, "documents")),
+      MultimodalOps.imageStats(ppmMediaTable(tDocs(s, dir)),
         resizeTo = Some((4, 4)))
     },
 

@@ -36,7 +36,7 @@ object LayoutQueries {
     ) { (s, dir) =>
       val out = tmp("graft-layout-part")
       LayoutOps.writePartitioned(
-        t(s, dir, "documents"), out,
+        tDocs(s, dir), out,
         partCols = Seq("lang"), sortCols = Seq("doc_id"),
         filesPerDir = 2, distCol = Some("doc_id"))
       s.read.parquet(out)
@@ -114,7 +114,7 @@ object LayoutQueries {
         |FROM documents GROUP BY source""".stripMargin
     ) { (s, dir) =>
       val base = tmp("graft-layout-cmp")
-      t(s, dir, "documents").repartition(32)
+      tDocs(s, dir).repartition(32)
         .write.mode("overwrite").parquet(s"$base/frag")
       LayoutOps.compact(s, s"$base/frag", s"$base/packed", 256L * 1024 * 1024)
       s.read.parquet(s"$base/packed")

@@ -42,7 +42,7 @@ object PipelineOps {
     }
     perSession.synchronized {
       perSession.getOrElseUpdate(dir,
-        SimilarityOps.ivfCentroids(t(s, dir, "embeddings"), nlist = 8, iters = 1)
+        SimilarityOps.ivfCentroids(tEmbeddings(s, dir), nlist = 8, iters = 1)
           .localCheckpoint(true))
     }
   }
@@ -62,7 +62,7 @@ object PipelineOps {
   private def md5Signatures(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.SignatureFunctions.register(s)
     val P = graft.expressions.SignatureParams.Prime
-    t(s, dir, "documents")
+    tDocs(s, dir)
       .withColumn("toks", DedupOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", DedupOps.shingles(col("toks")))
@@ -108,7 +108,7 @@ object PipelineOps {
     // ---- MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
     // xxhash64 signatures aren't reproducible in the oracle engine).
     qq("dedup_minhash") { (s, dir) =>
-      DedupOps.minhashPairs(t(s, dir, "documents"))
+      DedupOps.minhashPairs(tDocs(s, dir))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -120,7 +120,7 @@ object PipelineOps {
     // machinery is oracle-gated by minhash_inc_md5 and value-pinned
     // against minhashPairs in IncrementalDedupSpec).
     qq("dedup_incremental") { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = tDocs(s, dir)
       val base = java.nio.file.Files
         .createTempDirectory("graft-fp").toString
       DedupOps.writeFingerprintStore(
@@ -137,7 +137,7 @@ object PipelineOps {
 
     // ---- SimHash near-dup pairs (rows-only, same reason).
     qq("dedup_simhash") { (s, dir) =>
-      DedupOps.simhashPairs(t(s, dir, "documents")).orderBy("id_a", "id_b")
+      DedupOps.simhashPairs(tDocs(s, dir)).orderBy("id_a", "id_b")
     },
 
     // ---- The MinHash ESTIMATOR under the oracle: signatures from
@@ -368,7 +368,7 @@ object PipelineOps {
         |FROM bits GROUP BY 1""".stripMargin
     ) { (s, dir) =>
       graft.expressions.SignatureFunctions.register(s)
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .withColumn("toks", DedupOps.tokens(col("text")))
         .filter(size(col("toks")) > 0) // docs with no tokens vote on nothing
         .withColumn("hs", transform(col("toks"),
@@ -388,14 +388,14 @@ object PipelineOps {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4""".stripMargin
     ) { (s, dir) =>
-      SimilarityOps.cosinePairs(t(s, dir, "embeddings"), 0.4)
+      SimilarityOps.cosinePairs(tEmbeddings(s, dir), 0.4)
     },
 
     // ---- LSH-bucketed embedding near-dup pairs (the scale path for
     // dedup_embcos; exact cosine re-check keeps precision 1.0, recall
     // asserted in ScalaTest). Rows-only: signature hashes have no oracle.
     qq("dedup_emblsh") { (s, dir) =>
-      SimilarityOps.cosinePairsLsh(t(s, dir, "embeddings"), 0.4, dim = 64)
+      SimilarityOps.cosinePairsLsh(tEmbeddings(s, dir), 0.4, dim = 64)
         .orderBy("id_a", "id_b")
     },
 
@@ -411,7 +411,7 @@ object PipelineOps {
         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
         |) WHERE rank <= 10""".stripMargin
     ) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       SimilarityOps.bruteForceTopK(
         emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
         .withColumn("rank", col("rank").cast("long"))
@@ -419,7 +419,7 @@ object PipelineOps {
 
     // ---- LSH-bucketed ANN (scale path; recall asserted in ScalaTest).
     qq("ann_lsh") { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       SimilarityOps.lshTopK(
         emb.filter(col("vec_id") % 50 === 0), emb, k = 10, dim = 64)
         .orderBy("query_id", "rank")
@@ -471,7 +471,7 @@ object PipelineOps {
       }
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       val qb = SimilarityOps.lshTopKQuantizedBands(
         emb.filter(col("vec_id") % 50 === 0), "query_id", dim = 64)
       val cb = SimilarityOps.lshTopKQuantizedBands(emb, "item_id", dim = 64)
@@ -557,7 +557,7 @@ object PipelineOps {
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       // one eager checkpoint: the exploded quantized frame feeds the seed
       // scoring, the centroid build AND the final scoring (three
       // consumers, differing pruning — no exchange reuse)
@@ -618,7 +618,7 @@ object PipelineOps {
     // real use the IVF build is once-per-corpus and amortized; one Lloyd
     // refinement is enough for the recall the spec asserts.
     qq("ann_ivf") { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       SimilarityOps.ivfTopK(
         emb.filter(col("vec_id") % 50 === 0), emb, k = 10,
         nlist = 8, nprobe = 4, iters = 1)
@@ -632,7 +632,7 @@ object PipelineOps {
     // output to ann_ivf by construction (same centroid arithmetic;
     // pinned in SimilaritySpec).
     qq("ann_ivf_cached") { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       SimilarityOps.ivfTopKWithCentroids(
         emb.filter(col("vec_id") % 50 === 0), emb,
         cachedCentroids(s, dir), k = 10, nprobe = 4)
@@ -645,7 +645,7 @@ object PipelineOps {
     // DuckDB analog.
     qq("ann_quant") { (s, dir) =>
       import org.apache.spark.sql.functions.{col => c}
-      val q = SimilarityOps.quantizeInt8(t(s, dir, "embeddings"))
+      val q = SimilarityOps.quantizeInt8(tEmbeddings(s, dir))
       val deq = q.select(c("vec_id"),
         SimilarityOps.dequantize(c("embedding_q"), c("embedding_scale"))
           .as("embedding"))
@@ -662,7 +662,7 @@ object PipelineOps {
     // store is never re-assigned — then searched with the probed cells
     // pruned into the scan.
     qq("ann_incremental") { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       val store = emb.filter(col("vec_id") % 5 =!= 0)
       val delta = emb.filter(col("vec_id") % 5 === 0)
       val base = java.nio.file.Files
@@ -715,7 +715,7 @@ object PipelineOps {
         |              JOIN embeddings i ON i.vec_id = c.item_id
         |) WHERE rank <= 10""".stripMargin
     ) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = tEmbeddings(s, dir)
       val store = emb.filter(col("vec_id") % 5 =!= 0)
       val delta = emb.filter(col("vec_id") % 5 === 0)
       val base = java.nio.file.Files
@@ -751,7 +751,7 @@ object PipelineOps {
         |  CAST(SUM(u.q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_v
         |FROM x GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "embeddings")
+      tEmbeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")))
         .select(col("label"), (col("pos") + 1).cast("long").as("idx"),
           round(col("col").cast("double") * 1000000).cast("long").as("q"))
@@ -799,7 +799,7 @@ object PipelineOps {
         |FROM pred WHERE rk = 1 GROUP BY 1, 2""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val el = t(s, dir, "embeddings")
+      val el = tEmbeddings(s, dir)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")))
         .select(col("vec_id"), col("label"), (col("pos") + 1).as("idx"),
           round(col("col").cast("double") * 1000000).cast("long").as("qv"))
@@ -861,7 +861,7 @@ object PipelineOps {
     ) { (s, dir) =>
       // tokens staged as a multi-referenced attribute: one tokenization
       // per row, not one per language profile
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .withColumn("toks", DedupOps.tokens(col("text")))
         .select(TextAnalysisOps.langIdFromToks(col("toks")).as("pred_lang"))
         .groupBy("pred_lang").agg(count(lit(1)).as("n"))
@@ -893,7 +893,7 @@ object PipelineOps {
          |  FROM documents)""".stripMargin
     ) { (s, dir) =>
       val m = TextAnalysisOps.qualityMetricsFromToks(col("text"), col("toks"))
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .withColumn("toks", DedupOps.tokens(col("text")))
         .select(
           col("doc_id") +: m.map { case (n, c) => c.as(n) } :+
@@ -908,7 +908,7 @@ object PipelineOps {
         |  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      tDocs(s, dir).select(col("doc_id"),
         TextAnalysisOps.bpeTokenCount(col("text")).as("n_bpe"))
     },
 
@@ -916,7 +916,7 @@ object PipelineOps {
     // text is staged as a column so the k-gram scan references an
     // attribute, not a regexp tree.
     qq("text_fingerprint") { (s, dir) =>
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .withColumn("norm", TextAnalysisOps.normalized(col("text")))
         .select(col("doc_id"),
           xxhash64(col("norm")).as("fp"),
@@ -946,7 +946,7 @@ object PipelineOps {
         |FROM n""".stripMargin
     ) { (s, dir) =>
       val norm = col("norm")
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .withColumn("norm", TextAnalysisOps.normalized(col("text")))
         .select(col("doc_id"),
           md5(norm).as("fp_md5"),

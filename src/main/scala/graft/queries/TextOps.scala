@@ -22,7 +22,7 @@ object TextOps {
       """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .groupBy("text")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
         .select("keeper", "n_copies")
@@ -46,7 +46,7 @@ object TextOps {
         |FROM documents GROUP BY SUBSTR(text, 1, 40) HAVING COUNT(*) > 1""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
+      val docs = tDocs(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("__pfx"))
       val dupes = docs.groupBy("__pfx")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
@@ -68,7 +68,7 @@ object TextOps {
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
     },
@@ -85,7 +85,7 @@ object TextOps {
         |                / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) END AS dup_ratio
         |FROM documents""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .withColumn("__t", split(col("text"), " ", -1))
         .select(
           col("doc_id"),
@@ -130,7 +130,7 @@ object TextOps {
         |FROM sh JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) >= 0.5""".stripMargin
     ) { (s, dir) =>
-      graft.ops.DedupOps.jaccardPairs(t(s, dir, "documents"), w = 3,
+      graft.ops.DedupOps.jaccardPairs(tDocs(s, dir), w = 3,
         threshold = 0.5, maxDf = 64)
     },
 
@@ -169,13 +169,13 @@ object TextOps {
       // per (source, term)), so even a stopword's window stays tiny. N is
       // a narrow source-only scan of documents (column-pruned parquet),
       // broadcast as a single row.
-      val tf = t(s, dir, "documents")
+      val tf = tDocs(s, dir)
         .select(col("source"),
           explode(graft.ops.DedupOps.tokens(col("text"))).as("term"))
         .groupBy("source", "term").agg(count(lit(1)).as("tf"))
       val withDf = tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy("term")))
-      val ns = t(s, dir, "documents").agg(countDistinct("source").as("ns"))
+      val ns = tDocs(s, dir).agg(countDistinct("source").as("ns"))
       val w = Window.partitionBy("source")
         .orderBy(col("score").desc, col("term"))
       withDf.crossJoin(broadcast(ns))
@@ -208,7 +208,7 @@ object TextOps {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
     ) { (s, dir) =>
       graft.ops.TextAnalysisOps.contamination(
-        t(s, dir, "documents"), col("source") === "src19",
+        tDocs(s, dir), col("source") === "src19",
         w = 3, minShared = 3)
     },
 
@@ -237,7 +237,7 @@ object TextOps {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
     ) { (s, dir) =>
       graft.ops.TextAnalysisOps.contamination(
-        t(s, dir, "documents"), col("source") === "src19",
+        tDocs(s, dir), col("source") === "src19",
         w = 3, minShared = 3, bloomGateBits = Some(1L << 21))
     },
 
@@ -271,7 +271,7 @@ object TextOps {
         |WHERE d.n_chars BETWEEN 50 AND 5000 AND d.source <> 'src19'
         |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.train_doc = d.doc_id)""".stripMargin
     ) { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = tDocs(s, dir)
       val keepers = docs.groupBy("text")
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val contaminated = graft.ops.TextAnalysisOps.contamination(
@@ -292,7 +292,7 @@ object TextOps {
         |  LEN(STRING_SPLIT(text, ' ')) AS n_tokens
         |FROM documents""".stripMargin
     ) { (s, dir) =>
-      t(s, dir, "documents").select(
+      tDocs(s, dir).select(
         col("doc_id"),
         length(col("text")).as("len_chars"),
         size(split(col("text"), " ", -1)).as("n_tokens"))
@@ -323,7 +323,7 @@ object TextOps {
         |FROM rk WHERE rank <= 10""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tc = t(s, dir, "documents")
+      val tc = tDocs(s, dir)
         .select(explode(graft.ops.DedupOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("tf"))
       val rk = tc.withColumn("rank",
@@ -353,7 +353,7 @@ object TextOps {
         |  AND list_contains(STRING_SPLIT_REGEX(LOWER(text), '\s+'), 'hash')""".stripMargin
     ) { (s, dir) =>
       import graft.ops.InvertedIndexOps
-      val docs = t(s, dir, "documents")
+      val docs = tDocs(s, dir)
       val base = java.nio.file.Files
         .createTempDirectory("graft-tidx").toString
       InvertedIndexOps.writeTextIndex(
@@ -389,7 +389,7 @@ object TextOps {
         |FROM g""".stripMargin
     ) { (s, dir) =>
       graft.ops.TextAnalysisOps.chunkDocuments(
-        t(s, dir, "documents"), chunkTokens = 30, strideTokens = 20)
+        tDocs(s, dir), chunkTokens = 30, strideTokens = 20)
     },
 
     // Span-level dedup: drop every 64-char chunk whose exact text repeats
@@ -415,7 +415,7 @@ object TextOps {
         |FROM d WHERE df = 1 GROUP BY doc_id""".stripMargin
     ) { (s, dir) =>
       graft.ops.TextAnalysisOps.dropDuplicatedSpans(
-        t(s, dir, "documents"), chunkChars = 64)
+        tDocs(s, dir), chunkChars = 64)
     },
 
     // PII redaction — the scrub pass every training-data pipeline runs
@@ -454,7 +454,7 @@ object TextOps {
         (col("doc_id") % 7).cast("string"), lit(".com or 555-"),
         lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      t(s, dir, "documents")
+      tDocs(s, dir)
         .select(col("doc_id"), pii.as("__pii"))
         .select(
           col("doc_id"),

@@ -37,6 +37,26 @@ package object queries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Load `documents`, pinning the dtypes every query assumes. The r7
+    * events regression (driver regenerated the parquet with a different
+    * physical type and every consumer died at analysis) applies to any
+    * table: these casts are no-ops against today's files and keep the
+    * whole tier loading if the generator's types drift. */
+  def tDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"),
+      col("lang").cast("string").as("lang"),
+      col("source").cast("string").as("source"),
+      col("n_chars").cast("long").as("n_chars"))
+
+  /** Load `embeddings` with pinned dtypes — see [[tDocs]]. */
+  def tEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"),
+      col("label").cast("int").as("label"))
+
   /** Load the events table, normalizing `ts` to session-zoned TimestampType
     * whatever the file's physical type is:
     *
