@@ -48,6 +48,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # A query that crashed in Verify leaves its PREVIOUS run's dump behind
+    # when outdir is reused — the compare would then "pass" on stale data
+    # (observed: 59 crashed queries masked by a warm outdir). _errors.json
+    # is authoritative for crashes; count every entry as a failure.
+    err_path = f"{outdir}/_errors.json"
+    if os.path.exists(err_path):
+        errs = json.load(open(err_path))
+        for name, msg in sorted(errs.items()):
+            print(f"FAIL {name}: crashed in Verify: {msg[:120]}")
+            n_fail += 1
+            oracles.pop(name, None)
     for name in sorted(oracles):
         sql = oracles[name]
         spark_dir = f"{outdir}/{name}"
