@@ -823,6 +823,63 @@ object RelationalOps {
           col("l_quantity")))
       r.groupBy("l_returnflag")
         .agg(at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"))
+    },
+
+    // ---- approx_percentile (the GK-summary scale path the row above
+    // documents) under the gate, self-check pattern like ev_hll_users:
+    // the EXACT p50/p90 hash-compare (same rank selection as
+    // a_quantile_disc), and the sketch's guarantee — the returned value's
+    // RANK is within n/accuracy of the target — rides along as claim
+    // columns DuckDB asserts literally TRUE. Rank-of-value is computed
+    // with <= / < counts so value ties can't fake a failure; the raw
+    // approx values are merge-order-sensitive and never leave the query.
+    q(
+      "a_quantile_approx",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90,
+        |  TRUE AS ok50, TRUE AS ok90
+        |FROM r GROUP BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val acc = 1000
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"),
+          array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val exact = li
+        .withColumn("rn", row_number().over(byFlag.orderBy("l_quantity")))
+        .withColumn("n", count(lit(1)).over(byFlag))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+            col("l_quantity"))).as("p50"),
+          max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
+            col("l_quantity"))).as("p90"))
+      val ranks = li.join(broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_quantity") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_quantity") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("l_quantity") < col("a90"), 1L).otherwise(0L)).as("lt90"))
+      def okAt(p: Double, le: String, lt: String) = {
+        val target = ceil(lit(p) * col("n")).cast("long")
+        val slack = (col("n") / acc).cast("long") + 1L
+        (col(le) >= target - slack) && (col(lt) <= target + slack)
+      }
+      exact.join(ranks, "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          okAt(0.5, "le50", "lt50").as("ok50"),
+          okAt(0.9, "le90", "lt90").as("ok90"))
     }
   )
 }
