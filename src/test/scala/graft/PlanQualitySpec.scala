@@ -220,6 +220,29 @@ class PlanQualitySpec extends SparkTestBase {
       s"global sort on the measure:\n$p")
   }
 
+  test("real-codec decode is map-only: no Exchange anywhere in mm_decode_ppm") {
+    // payload construction (md5 concat) and the decode (mapPartitions) are
+    // both per-row: a shuffle here would mean the decode stage picked up an
+    // accidental repartition/aggregation — at 100 TB the difference between
+    // scan-bandwidth and a corpus shuffle
+    val p = plan("mm_decode_ppm")
+    assert(!p.contains("Exchange"), s"decode must not shuffle:\n$p")
+  }
+
+  test("hll store read touches the store, never the raw events") {
+    // the rollup read must be a scan of the store parquet + one cell-count
+    // aggregation — re-deriving from raw events would defeat the store
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hllplan").toString
+    val ev = graft.queries.tEvents(spark, sfTiny)
+    graft.ops.SketchOps.writeHllStore(ev, store, Seq("event_type"), col("user_id"))
+    val read = graft.ops.SketchOps.readHllStore(spark, store, Seq("event_type"))
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains(store.split('/').last) || p.contains(store),
+      s"read must scan the store path:\n$p")
+    assert(!p.contains("events.parquet"), s"read must not rescan raw events:\n$p")
+  }
+
   test("asof / funnel / pagerank / store queries: no data-sized nested loops") {
     // queries with deliberate single-row cross joins (a broadcast scalar
     // frame joined onto a result — a_corr, ev_cms, ev_join_size,
