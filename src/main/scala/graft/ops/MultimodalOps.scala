@@ -198,6 +198,45 @@ object MultimodalOps {
     }(enc)
   }
 
+  private val wavStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("chk", LongType, nullable = false)))
+
+  /** WAV encode→decode round-trip gate: per id, derive
+    * `64 + id % 64` PCM16 samples from pure integer arithmetic
+    * (`((id·31 + k)·131071) mod 65536 − 32768` — replicable by any
+    * engine), push them through [[JvmMediaCodec]]'s RIFF encoder AND
+    * parser, and emit integer stats over the DECODED samples (position-
+    * weighted checksum so a reorder or off-by-one can't cancel out).
+    * Equal hashes against an oracle computing the same formula directly
+    * prove the container round-trip preserved every sample. */
+  def wavRoundTripStats(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(wavStatsSchema)
+    ids.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate[Short](n)(k =>
+          (((id * 31 + k) * 131071L) % 65536L - 32768L).toShort)
+        val wav = JvmMediaCodec.encodeWav(JvmMediaCodec.Pcm(16000, 1, samples))
+        val pcm = JvmMediaCodec.decodeWav(wav).getOrElse(
+          throw new IllegalStateException(s"round-trip parse failed for id $id"))
+        var sumAbs = 0L
+        var chk = 0L
+        var k = 0
+        while (k < pcm.samples.length) {
+          sumAbs += math.abs(pcm.samples(k).toLong)
+          chk += pcm.samples(k).toLong * (k % 7 + 1)
+          k += 1
+        }
+        Row(id, pcm.samples.length.toLong, pcm.sampleRate.toLong, sumAbs, chk)
+      }
+    }(enc)
+  }
+
   /** "Resize": metadata-only transform (dimension halving) + payload
     * passthrough — the cheap-path op that must not decode. */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame =

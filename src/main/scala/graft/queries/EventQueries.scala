@@ -451,6 +451,34 @@ object EventQueries {
         resizeTo = Some((4, 4)))
     },
 
+    // ---- WAV container round-trip under the oracle: both engines derive
+    // the same PCM16 samples from pure integer arithmetic; Spark routes
+    // them through the REAL RIFF encoder and parser and reports stats
+    // over the DECODED samples (position-weighted checksum — a dropped,
+    // reordered, or sign-flipped sample can't cancel); DuckDB computes
+    // the same stats from the formula directly. Equal hashes prove the
+    // encode→decode identity on every sample of every row.
+    q(
+      "mm_wav_roundtrip",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    UNNEST(GENERATE_SERIES(0, CAST(63 + doc_id % 64 AS INT))) AS k
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, k,
+        |    ((doc_id * 31 + k) * 131071) % 65536 - 32768 AS v
+        |  FROM g
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(v * (k % 7 + 1)) AS BIGINT) AS chk
+        |FROM s GROUP BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.wavRoundTripStats(tDocs(s, dir))
+    },
+
     // ---- HLL sketch under the oracle, self-check pattern: exact
     // COUNT(DISTINCT) is the 100 TB anti-pattern this sketch replaces
     // (every distinct value shuffles; HLL ships fixed 2^p-byte registers
