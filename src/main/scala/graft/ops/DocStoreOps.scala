@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed row store maintained by CHANGELOG APPLY — the lakehouse
+  * MERGE/CDC pattern (Delta `MERGE INTO`, Iceberg upsert, Hudi
+  * copy-on-write) expressed as plain Spark over plain parquet: a 100 TB
+  * corpus's canonical "current rows" table is kept up to date by folding
+  * in batches of keyed changes (upserts + deletes tagged with a
+  * monotonic sequence number) instead of rewriting the world.
+  *
+  * Layout: rows partitioned by `__bucket = pmod(hash(key), nBuckets)`.
+  * An apply
+  *  - elects one WINNER per key within the batch (highest `seqCol`;
+  *    equal sequences prefer the delete — a total order, so the
+  *    election is associative and batches can be split or coalesced
+  *    freely),
+  *  - reads back ONLY the buckets the winners hash into (partition
+  *    pruning at file listing),
+  *  - re-elects per key between store row and winner — a store row
+  *    carries the sequence that produced it, so a LATE-ARRIVING change
+  *    older than the stored row loses, which makes apply idempotent
+  *    (re-applying any already-applied batch is a no-op) and
+  *    out-of-order-safe, unlike the [[IncrementalAggOps]] fold — and
+  *  - rewrites only those buckets via dynamic partition overwrite;
+  *    deletes physically drop rows (no tombstone compaction debt).
+  *
+  * Cost per apply ∝ batch + affected buckets; untouched buckets are
+  * never read or written (spec-asserted byte-for-byte in DocStoreSpec).
+  * Size `nBuckets` so one bucket ≪ executor memory at the target
+  * corpus: the rewrite is per-bucket-local, never corpus-wide.
+  *
+  * Point/batch lookup prunes to the requested keys' buckets — a
+  * key-hash store read is O(batch + matching buckets), not a scan.
+  */
+object DocStoreOps {
+
+  private[ops] val OP = "__op"
+  private[ops] val BUCKET = "__bucket"
+
+  private[ops] def withBucket(df: DataFrame, key: String, nBuckets: Int): DataFrame =
+    df.withColumn(BUCKET, pmod(hash(col(key)), lit(nBuckets)))
+
+  /** One row per key: highest sequence wins; equal sequences prefer the
+    * delete (an explicit boolean rank — the op strings themselves don't
+    * order usefully). Total order ⇒ deterministic, associative election. */
+  private[ops] def electWinners(rows: DataFrame, key: String, seqCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(seqCol).desc, (col(OP) === "D").desc)
+    rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Initial build: `df`'s rows (current versions, one per key, with
+    * their producing sequence in `seqCol`) written bucket-partitioned. */
+  def writeDocStore(df: DataFrame, spark: SparkSession, basePath: String,
+                    key: String, seqCol: String, nBuckets: Int = 64): Unit = {
+    withBucket(df, key, nBuckets)
+      .write.mode("overwrite").partitionBy(BUCKET).parquet(basePath)
+    spark.catalog.refreshByPath(basePath)
+  }
+
+  /** Apply a batch of changes: columns = store payload + `seqCol` +
+    * `opCol` ("U" upsert / "D" delete). Idempotent and out-of-order-safe
+    * per the LWW election above. */
+  def applyChanges(changes: DataFrame, spark: SparkSession, basePath: String,
+                   key: String, seqCol: String, opCol: String,
+                   nBuckets: Int = 64): Unit = {
+    // within-batch election first: the store-side re-election then joins
+    // one row per key, so a million-change batch with hot keys costs one
+    // keyed window over the BATCH, never over the store
+    val winners = electWinners(
+      withBucket(changes.withColumnRenamed(opCol, OP), key, nBuckets),
+      key, seqCol)
+      // freeze before reading the files this apply will overwrite
+      .localCheckpoint(true)
+    val touched = winners.select(BUCKET).distinct()
+      .collect().map(_.getInt(0)) // bounded by nBuckets, never batch-sized
+    val affected = spark.read.parquet(basePath)
+      .filter(col(BUCKET).isin(touched.toIndexedSeq: _*))
+    val merged = electWinners(
+      affected.withColumn(OP, lit("U")).unionByName(winners),
+      key, seqCol)
+      .filter(col(OP) =!= "D").drop(OP)
+      // materialize BEFORE overwriting the partitions `affected` reads
+      // (bounded: the touched slice of the store plus the batch)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BUCKET).parquet(basePath)
+    // dynamic overwrite only replaces partitions it WRITES: a bucket
+    // whose every row was deleted never appears in `merged`, so its
+    // stale files would silently survive — remove those dirs explicitly
+    // (same failure mode and fix as VectorStoreOps.deleteFromVectorStore)
+    val surviving = merged.select(BUCKET).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touched.toSet -- surviving).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$basePath/$BUCKET=$b"), true)
+    }
+    spark.catalog.refreshByPath(basePath)
+  }
+
+  /** Current rows (all buckets). */
+  def readDocStore(spark: SparkSession, basePath: String): DataFrame =
+    spark.read.parquet(basePath).drop(BUCKET)
+
+  /** Rows for the given keys, reading only the buckets they hash into:
+    * the distinct-bucket set (bounded by nBuckets) becomes a partition
+    * IN-filter — pruned at file listing, then a semi join restricts to
+    * the exact keys. `keys` is a one-column DataFrame of key values. */
+  def lookupKeys(spark: SparkSession, basePath: String, keys: DataFrame,
+                 key: String, nBuckets: Int = 64): DataFrame = {
+    val k = keys.toDF(key)
+    val buckets = withBucket(k, key, nBuckets)
+      .select(BUCKET).distinct().collect().map(_.getInt(0))
+    spark.read.parquet(basePath)
+      .filter(col(BUCKET).isin(buckets.toIndexedSeq: _*))
+      .join(k, Seq(key), "left_semi")
+      .drop(BUCKET)
+  }
+
+  /** Single-key convenience over [[lookupKeys]]. */
+  def lookup(spark: SparkSession, basePath: String, key: String,
+             value: Long, nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    lookupKeys(spark, basePath, Seq(value).toDF(key), key, nBuckets)
+  }
+
+  /** Continuous CDC ingest: apply each micro-batch of a streaming
+    * changelog to the store. Per-batch cost inherits the bucket
+    * locality of [[applyChanges]]; the LWW election makes replayed
+    * batches (at-least-once sources) harmless. */
+  def cdcSink(changes: DataFrame, basePath: String, key: String,
+              seqCol: String, opCol: String, nBuckets: Int = 64,
+              checkpoint: Option[String] = None) = {
+    val w = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          applyChanges(batch, batch.sparkSession, basePath,
+            key, seqCol, opCol, nBuckets)
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+}

@@ -20,6 +20,36 @@ object RelationalOps {
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(oracle))
 
+  /** Deterministic CDC changelog derived from `documents` — shared by the
+    * store_cdc / store_timetravel / store_diff gates (their oracles spell
+    * out the same arithmetic): inserts of the rows held out of the base
+    * store, an update wave, a delete wave, and LATE-ARRIVING stale
+    * updates whose sequence is below the base rows' (they must lose).
+    * Sequence offsets are distinct per source, so every (key, seq) pair
+    * is unique and the LWW election is total. */
+  private def cdcBatch1(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 4 === 3)
+      .withColumn("seq", col("doc_id") * 10 + 5).withColumn("op", lit("U"))
+    .unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("lang", lit("xx"))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .withColumn("seq", col("doc_id") * 10 + 7).withColumn("op", lit("U")))
+    .unionByName(docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("seq", col("doc_id") * 10 + 9).withColumn("op", lit("D")))
+    .unionByName(docs.filter(col("doc_id") % 13 === 0)
+      .withColumn("lang", lit("stale"))
+      .withColumn("seq", col("doc_id") * 10 - 5).withColumn("op", lit("U")))
+
+  /** Second CDC wave for the versioned-store gates: an update sweep and
+    * a delete sweep, both sequenced above every batch-1 change. */
+  private def cdcBatch2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("lang", lit("v2"))
+      .withColumn("n_chars", col("n_chars") + 5000)
+      .withColumn("seq", col("doc_id") * 10 + 20).withColumn("op", lit("U"))
+    .unionByName(docs.filter(col("doc_id") % 17 === 0)
+      .withColumn("seq", col("doc_id") * 10 + 25).withColumn("op", lit("D")))
+
   val all: Seq[Q] = Seq(
     // ---- flagship: TPC-H Q1 shape = A7 monoid-sum of a struct of measures
     // (reference: FullCheck.scala:157-165 reduceByKey of Counts monoid).
@@ -638,6 +668,90 @@ object RelationalOps {
         prepped.filter(col("o_orderkey") % 5 === 0).drop("o_orderkey"),
         s, base, keys, ms, nBuckets = 16)
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
+    },
+
+    // ---- Row-level CDC store (beyond-reference): the lakehouse MERGE
+    // pattern — a keyed current-rows store maintained by changelog apply
+    // (DocStoreOps: within-batch LWW election, only the winners' hash
+    // buckets read back and dynamically overwritten; untouched buckets
+    // byte-equal, spec-asserted). The batch mixes inserts, updates, a
+    // delete wave and LATE-ARRIVING stale updates that must LOSE to the
+    // rows already in the store, and is applied TWICE — the oracle's
+    // one-shot global last-writer-wins recompute over base+changelog
+    // must match, which proves the election order (seq desc, delete
+    // wins ties), out-of-order safety and idempotent re-apply at once.
+    q(
+      "store_cdc",
+      """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |rows_all AS (
+        |  SELECT doc_id, lang, source, n_chars, doc_id*10 AS seq, 'U' AS op
+        |  FROM d WHERE doc_id % 4 <> 3
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+5, 'U'
+        |  FROM d WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, 'xx', source, n_chars+1000, doc_id*10+7, 'U'
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+9, 'D'
+        |  FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, 'stale', source, n_chars, doc_id*10-5, 'U'
+        |  FROM d WHERE doc_id % 13 = 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY seq DESC, (op = 'D') DESC) AS rn FROM rows_all)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY lang""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.DocStoreOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-docstore").toString
+      val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      DocStoreOps.writeDocStore(
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .withColumn("seq", col("doc_id") * 10),
+        s, base, "doc_id", "seq", nBuckets = 16)
+      val changes =
+        docs.filter(col("doc_id") % 4 === 3)
+          .withColumn("seq", col("doc_id") * 10 + 5).withColumn("op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("lang", lit("xx"))
+          .withColumn("n_chars", col("n_chars") + 1000)
+          .withColumn("seq", col("doc_id") * 10 + 7).withColumn("op", lit("U")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("seq", col("doc_id") * 10 + 9).withColumn("op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("lang", lit("stale"))
+          .withColumn("seq", col("doc_id") * 10 - 5).withColumn("op", lit("U")))
+      DocStoreOps.applyChanges(changes, s, base, "doc_id", "seq", "op", 16)
+      // second apply of the SAME batch: must be a no-op under the oracle
+      DocStoreOps.applyChanges(changes, s, base, "doc_id", "seq", "op", 16)
+      DocStoreOps.readDocStore(s, base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    },
+
+    // ---- Keyed lookup against the CDC store: only the requested keys'
+    // hash buckets are listed and scanned (file-level prune asserted in
+    // DocStoreSpec); the oracle reads the flat original — equal hashes
+    // prove pruning loses nothing.
+    q(
+      "store_lookup",
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 97 = 0""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.DocStoreOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-docstore-lk").toString
+      val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      DocStoreOps.writeDocStore(
+        docs.withColumn("seq", col("doc_id")),
+        s, base, "doc_id", "seq", nBuckets = 16)
+      DocStoreOps.lookupKeys(s, base,
+          docs.filter(col("doc_id") % 97 === 0).select("doc_id"),
+          "doc_id", nBuckets = 16)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     },
 
     // ---- Exact Pearson correlation (beyond-reference): the libm-free,

@@ -1,0 +1,144 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[DocStoreOps]] — the gate (store_cdc / store_lookup) hash-compares
+  * the applied store against DuckDB's one-shot LWW recompute; this spec
+  * pins what the oracle can't see: the election tie rules, idempotent
+  * re-apply, bucket-local rewrites, lookup file pruning, and streaming
+  * ingest parity with the one-shot batch apply. */
+case class CdcChange(k: Long, v: String, seq: Long, op: String)
+
+class DocStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rows(base: String): Set[(Long, String, Long)] =
+    DocStoreOps.readDocStore(spark, base)
+      .select("k", "v", "seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("LWW election: update, delete, delete-wins-tie, stale loses, insert") {
+    val base = Files.createTempDirectory("docstore-lww").toString
+    val store = Seq(
+      (1L, "one", 10L), (2L, "two", 10L), (3L, "three", 10L), (4L, "four", 10L)
+    ).toDF("k", "v", "seq")
+    DocStoreOps.writeDocStore(store, spark, base, "k", "seq", 8)
+    val changes = Seq(
+      CdcChange(1L, "one'", 20L, "U"),   // plain update
+      CdcChange(2L, "dead", 20L, "D"),   // plain delete
+      CdcChange(3L, "tie", 10L, "U"),    // ties the STORE row: update at
+      CdcChange(3L, "tie", 10L, "D"),    //   equal seq loses to delete
+      CdcChange(4L, "stale", 5L, "U"),   // older than the store: loses
+      CdcChange(5L, "five", 20L, "U"),   // fresh insert
+      CdcChange(5L, "older", 15L, "U")   // within-batch LWW: loses to 20
+    ).toDF("k", "v", "seq", "op")
+    DocStoreOps.applyChanges(changes, spark, base, "k", "seq", "op", 8)
+    val want = Set(
+      (1L, "one'", 20L), (4L, "four", 10L), (5L, "five", 20L))
+    assert(rows(base) == want)
+    // re-applying the SAME batch is a no-op (at-least-once safety)
+    DocStoreOps.applyChanges(changes, spark, base, "k", "seq", "op", 8)
+    assert(rows(base) == want)
+  }
+
+  test("an apply rewrites only the winners' buckets") {
+    val base = Files.createTempDirectory("docstore-loc").toString
+    val docs = graft.queries.tDocs(spark, sfTiny)
+      .select(col("doc_id").as("k"), col("lang").as("v"),
+        col("doc_id").as("seq"))
+    DocStoreOps.writeDocStore(docs, spark, base, "k", "seq", 8)
+    def bucketFiles: Map[String, Map[String, Long]] =
+      new File(base).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> f.lastModified()).toMap
+        }.toMap
+    val before = bucketFiles
+    assert(before.size == 8, s"expected 8 bucket dirs: ${before.keySet}")
+    val change = Seq(CdcChange(7L, "upd", Long.MaxValue, "U"))
+      .toDF("k", "v", "seq", "op")
+    DocStoreOps.applyChanges(change, spark, base, "k", "seq", "op", 8)
+    val after = bucketFiles
+    val touched = "__bucket=" + spark.range(1)
+      .select(pmod(hash(lit(7L)), lit(8))).head().getInt(0)
+    assert(after(touched) != before(touched), "the key's bucket must change")
+    (before.keySet - touched).foreach { b =>
+      assert(after(b) == before(b),
+        s"unaffected bucket $b was rewritten: ${before(b)} -> ${after(b)}")
+    }
+    assert(DocStoreOps.readDocStore(spark, base)
+      .filter(col("k") === 7L).select("v").head().getString(0) == "upd")
+  }
+
+  test("lookup scans only the requested keys' buckets") {
+    val base = Files.createTempDirectory("docstore-lk").toString
+    val docs = graft.queries.tDocs(spark, sfTiny)
+      .select(col("doc_id").as("k"), col("lang").as("v"),
+        col("doc_id").as("seq"))
+    DocStoreOps.writeDocStore(docs, spark, base, "k", "seq", 16)
+    val nDirs = new File(base).listFiles()
+      .count(_.getName.startsWith("__bucket="))
+    assert(nDirs == 16)
+    val df = DocStoreOps.lookup(spark, base, "k", 7L, 16)
+    val got = df.collect()
+    assert(got.length == 1 && got.head.getAs[Long]("k") == 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("__bucket"),
+      s"lookup must carry a partition filter:\n${plan.take(1200)}")
+    // one key → one bucket dir listed; each dir holds >=1 file, and only
+    // that dir's files may be scanned. The join makes the plan adaptive,
+    // so unwrap AdaptiveSparkPlanExec before collecting scan leaves.
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(q.plan)
+        case l => Seq(l)
+      }
+    val scanned = leaves(df.queryExecution.executedPlan).flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(base)) =>
+        f.metrics.get("numFiles").map(_.value)
+      case _ => None
+    }.sum
+    val touched = "__bucket=" + spark.range(1)
+      .select(pmod(hash(lit(7L)), lit(16))).head().getInt(0)
+    val dirFiles = new File(s"$base/$touched").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(scanned == dirFiles,
+      s"expected only $touched's $dirFiles file(s) scanned, got $scanned")
+  }
+
+  test("streamed CDC micro-batches land exactly like one batch apply") {
+    val baseStream = Files.createTempDirectory("docstore-st").toString
+    val baseBatch = Files.createTempDirectory("docstore-bt").toString
+    val init = Seq((1L, "one", 10L), (2L, "two", 10L)).toDF("k", "v", "seq")
+    DocStoreOps.writeDocStore(init, spark, baseStream, "k", "seq", 8)
+    DocStoreOps.writeDocStore(init, spark, baseBatch, "k", "seq", 8)
+
+    val b1 = Seq(CdcChange(1L, "one'", 20L, "U"), CdcChange(3L, "three", 20L, "U"))
+    val b2 = Seq(CdcChange(2L, "gone", 30L, "D"), CdcChange(3L, "stale", 15L, "U"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val q = DocStoreOps.cdcSink(input.toDF(), baseStream, "k", "seq", "op", 8)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    DocStoreOps.applyChanges((b1 ++ b2).toDF("k", "v", "seq", "op"),
+      spark, baseBatch, "k", "seq", "op", 8)
+    assert(rows(baseStream) == rows(baseBatch))
+    assert(rows(baseStream) ==
+      Set((1L, "one'", 20L), (3L, "three", 20L)))
+  }
+}
