@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write SNAPSHOTS over the [[DocStoreOps]] CDC store — the
+  * time-travel half of the lakehouse pattern (Delta/Iceberg version
+  * reads): every changelog apply creates a NEW version that shares all
+  * untouched buckets with its predecessor, so
+  *
+  *  - historical snapshots stay readable forever (`readVersion(v)`),
+  *  - a long-running reader pinned to version v is isolated from
+  *    concurrent applies (no file it reads is ever rewritten — applies
+  *    only ADD `v=N/__bucket=B/` dirs), and
+  *  - storage cost per version ∝ touched buckets, not corpus size.
+  *
+  * Layout: parquet files under `base/v=N/__bucket=B/` plus a tiny `_manifest`
+  * parquet of `(v, bucket, empty)` rows — which buckets each version
+  * rewrote, with `empty = true` as the TOMBSTONE for a bucket whose
+  * every row was deleted (nothing is written for it, but readers at ≥ N
+  * must stop falling back to the older copy). A snapshot at version V
+  * resolves each bucket to its latest rewrite ≤ V; the resolution map
+  * is bounded by nBuckets × versions and computed driver-side from the
+  * manifest — never from data.
+  *
+  * Same LWW election (seq desc, delete wins ties) as the in-place
+  * store, so `readVersion(latest)` ≡ [[DocStoreOps]] state after the
+  * same applies (spec-pinned), and apply stays idempotent in VALUE —
+  * re-applying a batch creates a new version with identical content.
+  * Old versions are dropped by `vacuum(keepFrom)` once no reader needs
+  * them: buckets still referenced by surviving snapshots are kept.
+  */
+object VersionedStoreOps {
+
+  import DocStoreOps.{BUCKET, OP, electWinners, withBucket}
+
+  private def manifestPath(base: String) = s"$base/_manifest"
+
+  private def readManifest(spark: SparkSession, base: String): Array[(Long, Int, Boolean)] =
+    spark.read.parquet(manifestPath(base))
+      .select("v", "bucket", "empty")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+
+  private def appendManifest(spark: SparkSession, base: String,
+                             rows: Seq[(Long, Int, Boolean)]): Unit = {
+    import spark.implicits._
+    rows.toDF("v", "bucket", "empty")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(manifestPath(base))
+  }
+
+  /** Latest committed version, -1 on a fresh base. */
+  def currentVersion(spark: SparkSession, base: String): Long =
+    try readManifest(spark, base).map(_._1).max
+    catch { case _: Throwable => -1L }
+
+  /** Version 0: the initial rows (one per key, producing sequence in
+    * `seqCol`), bucket-partitioned under `base/v=0`. */
+  def writeVersioned(df: DataFrame, spark: SparkSession, base: String,
+                     key: String, seqCol: String, nBuckets: Int = 64): Unit = {
+    val b = withBucket(df, key, nBuckets).localCheckpoint(true)
+    b.write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(s"$base/v=0")
+    val written = b.select(BUCKET).distinct().collect().map(_.getInt(0))
+    appendManifest(spark, base, written.toSeq.map(bk => (0L, bk, false)))
+  }
+
+  /** Bucket → dir resolution for a snapshot: latest rewrite ≤ v per
+    * bucket, tombstones excluded. */
+  private def liveDirs(spark: SparkSession, base: String, v: Long): Seq[String] =
+    readManifest(spark, base)
+      .filter(_._1 <= v)
+      .groupBy(_._2).toSeq
+      .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
+      .collect { case (bk, (ver, _, empty)) if !empty => s"$base/v=$ver/$BUCKET=$bk" }
+
+  /** The store AS OF version `v` (default: latest). Reads only the
+    * resolved bucket dirs — each bucket's single winning copy. */
+  def readVersion(spark: SparkSession, base: String,
+                  v: Option[Long] = None): DataFrame = {
+    val ver = v.getOrElse(currentVersion(spark, base))
+    val dirs = liveDirs(spark, base, ver)
+    require(dirs.nonEmpty, s"version $ver has no data under $base")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Apply a changes batch as a NEW version. Identical semantics to
+    * [[DocStoreOps.applyChanges]]; the difference is purely physical —
+    * winners' buckets are re-elected against the CURRENT snapshot and
+    * written under `v=N`, prior versions untouched. */
+  def applyChangesVersioned(changes: DataFrame, spark: SparkSession,
+                            base: String, key: String, seqCol: String,
+                            opCol: String, nBuckets: Int = 64): Long = {
+    val cur = currentVersion(spark, base)
+    val next = cur + 1
+    val winners = electWinners(
+      withBucket(changes.withColumnRenamed(opCol, OP), key, nBuckets),
+      key, seqCol)
+      .localCheckpoint(true)
+    val touched = winners.select(BUCKET).distinct()
+      .collect().map(_.getInt(0)) // bounded by nBuckets
+    val touchedDirs = readManifest(spark, base)
+      .filter { case (ver, bk, _) => ver <= cur && touched.contains(bk) }
+      .groupBy(_._2).toSeq
+      .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
+      .collect { case (bk, (ver, _, empty)) if !empty => s"$base/v=$ver/$BUCKET=$bk" }
+    val affected =
+      if (touchedDirs.isEmpty) winners.filter(lit(false)).drop(OP)
+      else withBucket(spark.read.parquet(touchedDirs: _*), key, nBuckets)
+    val merged = electWinners(
+      affected.withColumn(OP, lit("U")).unionByName(winners),
+      key, seqCol)
+      .filter(col(OP) =!= "D").drop(OP)
+      .localCheckpoint(true) // copy-on-write needs no read-own-write fence,
+                             // but the two manifest scans below must not recompute it
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(BUCKET).parquet(s"$base/v=$next")
+    val surviving = merged.select(BUCKET).distinct()
+      .collect().map(_.getInt(0)).toSet
+    appendManifest(spark, base,
+      touched.toSeq.map(bk => (next, bk, !surviving.contains(bk))))
+    next
+  }
+
+  /** Added / deleted / changed rows between two snapshots, by key:
+    * `change` ∈ {add, del, upd}. Payload comparison is by the producing
+    * sequence — two versions of a key differ iff their sequences do,
+    * which the LWW election guarantees. */
+  def diffVersions(spark: SparkSession, base: String, key: String,
+                   seqCol: String, vFrom: Long, vTo: Long): DataFrame = {
+    val a = readVersion(spark, base, Some(vFrom))
+      .select(col(key), col(seqCol).as("__seq_from"))
+    val b = readVersion(spark, base, Some(vTo))
+      .select(col(key), col(seqCol).as("__seq_to"))
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("__seq_from").isNull, lit("add"))
+          .when(col("__seq_to").isNull, lit("del"))
+          .when(col("__seq_from") =!= col("__seq_to"), lit("upd")))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+  }
+
+  /** Drop snapshots older than `keepFrom`: a bucket dir survives iff
+    * some snapshot ≥ keepFrom still resolves to it — e.g. a v=0 bucket
+    * never rewritten since stays on disk (under its original path, the
+    * manifest row preserved so resolution keeps finding it) while v=0's
+    * superseded buckets are deleted. Readers pinned below `keepFrom`
+    * lose their snapshot — that is the caller's retention contract. */
+  def vacuum(spark: SparkSession, base: String, keepFrom: Long): Unit = {
+    val manifest = readManifest(spark, base)
+    require(keepFrom <= manifest.map(_._1).max,
+      s"keepFrom=$keepFrom is past the latest version")
+    // per bucket, the entry a snapshot at keepFrom resolves to; rows at
+    // or above keepFrom always survive (some later snapshot uses them)
+    val resolved = manifest.filter(_._1 <= keepFrom)
+      .groupBy(_._2).map { case (_, hist) => hist.maxBy(_._1) }.toSet
+    val (kept, pruned) = manifest.partition { r =>
+      r._1 > keepFrom || resolved(r)
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pruned.foreach { case (ver, bk, empty) =>
+      if (!empty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/v=$ver/$BUCKET=$bk"), true)
+    }
+    import spark.implicits._
+    kept.toSeq.toDF("v", "bucket", "empty")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(manifestPath(base))
+  }
+}

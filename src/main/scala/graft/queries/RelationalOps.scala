@@ -708,18 +708,7 @@ object RelationalOps {
         docs.filter(col("doc_id") % 4 =!= 3)
           .withColumn("seq", col("doc_id") * 10),
         s, base, "doc_id", "seq", nBuckets = 16)
-      val changes =
-        docs.filter(col("doc_id") % 4 === 3)
-          .withColumn("seq", col("doc_id") * 10 + 5).withColumn("op", lit("U"))
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .withColumn("lang", lit("xx"))
-          .withColumn("n_chars", col("n_chars") + 1000)
-          .withColumn("seq", col("doc_id") * 10 + 7).withColumn("op", lit("U")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .withColumn("seq", col("doc_id") * 10 + 9).withColumn("op", lit("D")))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .withColumn("lang", lit("stale"))
-          .withColumn("seq", col("doc_id") * 10 - 5).withColumn("op", lit("U")))
+      val changes = cdcBatch1(docs)
       DocStoreOps.applyChanges(changes, s, base, "doc_id", "seq", "op", 16)
       // second apply of the SAME batch: must be a no-op under the oracle
       DocStoreOps.applyChanges(changes, s, base, "doc_id", "seq", "op", 16)
@@ -752,6 +741,108 @@ object RelationalOps {
           "doc_id", nBuckets = 16)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // ---- Time travel (beyond-reference): copy-on-write snapshots over
+    // the CDC store (VersionedStoreOps) — each apply writes ONLY its
+    // touched buckets under a new v=N dir; prior versions share every
+    // other bucket and are never rewritten. The query applies TWO waves
+    // and reads AT VERSION 1: the oracle recomputes the batch-1-only
+    // state, so a hash match proves snapshot immutability under later
+    // writes (the v1 read resolves through the manifest while v2's dirs
+    // already exist on disk).
+    q(
+      "store_timetravel",
+      """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |rows_all AS (
+        |  SELECT doc_id, lang, source, n_chars, doc_id*10 AS seq, 'U' AS op
+        |  FROM d WHERE doc_id % 4 <> 3
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+5, 'U'
+        |  FROM d WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, 'xx', source, n_chars+1000, doc_id*10+7, 'U'
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+9, 'D'
+        |  FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, 'stale', source, n_chars, doc_id*10-5, 'U'
+        |  FROM d WHERE doc_id % 13 = 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY seq DESC, (op = 'D') DESC) AS rn FROM rows_all)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY lang""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.VersionedStoreOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-vstore-tt").toString
+      val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      VersionedStoreOps.writeVersioned(
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .withColumn("seq", col("doc_id") * 10),
+        s, base, "doc_id", "seq", nBuckets = 16)
+      VersionedStoreOps.applyChangesVersioned(
+        cdcBatch1(docs), s, base, "doc_id", "seq", "op", 16)
+      VersionedStoreOps.applyChangesVersioned(
+        cdcBatch2(docs), s, base, "doc_id", "seq", "op", 16)
+      VersionedStoreOps.readVersion(s, base, Some(1L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    },
+
+    // ---- Snapshot diff (beyond-reference): rows added / deleted /
+    // changed between two store versions, computed as a full-outer join
+    // of the two snapshot reads on the key with the producing SEQUENCE
+    // as the change detector (LWW guarantees versions of a key differ
+    // iff their sequences do). The oracle recomputes both states from
+    // the changelog arithmetic and diffs them declaratively.
+    q(
+      "store_diff",
+      """WITH d AS (SELECT doc_id FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, doc_id*10 AS seq, 'U' AS op FROM d WHERE doc_id % 4 <> 3
+        |  UNION ALL SELECT doc_id, doc_id*10+5, 'U' FROM d WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, doc_id*10+7, 'U' FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id*10+9, 'D' FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, doc_id*10-5, 'U' FROM d WHERE doc_id % 13 = 0),
+        |s1 AS (SELECT doc_id, seq FROM (SELECT doc_id, seq, op,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC, (op = 'D') DESC) AS rn FROM r1)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |r2 AS (
+        |  SELECT doc_id, seq, op FROM r1
+        |  UNION ALL SELECT doc_id, doc_id*10+20, 'U' FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, doc_id*10+25, 'D' FROM d WHERE doc_id % 17 = 0),
+        |s2 AS (SELECT doc_id, seq FROM (SELECT doc_id, seq, op,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC, (op = 'D') DESC) AS rn FROM r2)
+        |  WHERE rn = 1 AND op <> 'D')
+        |SELECT CASE WHEN s1.doc_id IS NULL THEN 'add'
+        |            WHEN s2.doc_id IS NULL THEN 'del'
+        |            ELSE 'upd' END AS change,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(s2.doc_id, s1.doc_id)) AS BIGINT) AS id_sum
+        |FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+        |WHERE s1.doc_id IS NULL OR s2.doc_id IS NULL OR s1.seq <> s2.seq
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.VersionedStoreOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-vstore-diff").toString
+      val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      VersionedStoreOps.writeVersioned(
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .withColumn("seq", col("doc_id") * 10),
+        s, base, "doc_id", "seq", nBuckets = 16)
+      val v1 = VersionedStoreOps.applyChangesVersioned(
+        cdcBatch1(docs), s, base, "doc_id", "seq", "op", 16)
+      val v2 = VersionedStoreOps.applyChangesVersioned(
+        cdcBatch2(docs), s, base, "doc_id", "seq", "op", 16)
+      VersionedStoreOps.diffVersions(s, base, "doc_id", "seq", v1, v2)
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("change")
     },
 
     // ---- Exact Pearson correlation (beyond-reference): the libm-free,
