@@ -16,6 +16,93 @@ object TextOps {
     Q(name, run, Some(oracle))
 
   val all: Seq[Q] = Seq(
+    // REAL BPE training (BpeOps — Sennrich-style iterative pair merges
+    // over the word-frequency dictionary, windows keyed by word, one-row
+    // argmax per round). The oracle unrolls TWO full training steps in
+    // SQL: pair counting via LEAD (overlaps included), argmax with the
+    // (freq desc, left, right) tie-break, greedy left-to-right
+    // non-overlapping replacement as gaps-and-islands with odd-rank
+    // merge starts, and position renumbering. `tokens_after` folds the
+    // whole post-merge dictionary state into the hash, so step 2's row
+    // only matches if step 1's REPLACEMENT (not just its argmax) was
+    // exactly right across every word.
+    q(
+      "bpe_merges",
+      """WITH w0 AS (
+        |  SELECT w AS word, COUNT(*) AS freq FROM (
+        |    SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1 ORDER BY freq DESC, word LIMIT 1000
+        |), s0 AS (
+        |  SELECT word, freq, i AS pos, substr(word, CAST(i + 1 AS INT), 1) AS sym
+        |  FROM w0, UNNEST(range(length(word))) AS t(i)
+        |), p1 AS (
+        |  SELECT word, freq, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b FROM s0
+        |), c1 AS (
+        |  SELECT sym AS a, b, CAST(SUM(freq) AS BIGINT) AS f
+        |  FROM p1 WHERE b IS NOT NULL GROUP BY 1, 2
+        |), b1 AS (SELECT a, b, f FROM c1 ORDER BY f DESC, a, b LIMIT 1
+        |), m1 AS (
+        |  SELECT p1.*, (sym = (SELECT a FROM b1) AND b = (SELECT b FROM b1)) AS isp
+        |  FROM p1
+        |), i1 AS (
+        |  SELECT *, CASE WHEN isp THEN pos -
+        |    ROW_NUMBER() OVER (PARTITION BY word, isp ORDER BY pos) END AS island
+        |  FROM m1
+        |), t1 AS (
+        |  SELECT *, (isp AND ROW_NUMBER() OVER
+        |    (PARTITION BY word, island ORDER BY pos) % 2 = 1) AS strt
+        |  FROM i1
+        |), u1 AS (
+        |  SELECT word, freq, pos,
+        |    CASE WHEN strt THEN sym || b ELSE sym END AS sym,
+        |    COALESCE(LAG(strt) OVER (PARTITION BY word ORDER BY pos), FALSE)
+        |      AS consumed
+        |  FROM t1
+        |), s1 AS (
+        |  SELECT word, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, sym
+        |  FROM u1 WHERE NOT consumed
+        |), p2 AS (
+        |  SELECT word, freq, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b FROM s1
+        |), c2 AS (
+        |  SELECT sym AS a, b, CAST(SUM(freq) AS BIGINT) AS f
+        |  FROM p2 WHERE b IS NOT NULL GROUP BY 1, 2
+        |), b2 AS (SELECT a, b, f FROM c2 ORDER BY f DESC, a, b LIMIT 1
+        |), m2 AS (
+        |  SELECT p2.*, (sym = (SELECT a FROM b2) AND b = (SELECT b FROM b2)) AS isp
+        |  FROM p2
+        |), i2 AS (
+        |  SELECT *, CASE WHEN isp THEN pos -
+        |    ROW_NUMBER() OVER (PARTITION BY word, isp ORDER BY pos) END AS island
+        |  FROM m2
+        |), t2 AS (
+        |  SELECT *, (isp AND ROW_NUMBER() OVER
+        |    (PARTITION BY word, island ORDER BY pos) % 2 = 1) AS strt
+        |  FROM i2
+        |), u2 AS (
+        |  SELECT word, freq, pos,
+        |    CASE WHEN strt THEN sym || b ELSE sym END AS sym,
+        |    COALESCE(LAG(strt) OVER (PARTITION BY word ORDER BY pos), FALSE)
+        |      AS consumed
+        |  FROM t2
+        |), s2 AS (
+        |  SELECT word, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, sym
+        |  FROM u2 WHERE NOT consumed
+        |)
+        |SELECT 1 AS step, a AS lsym, b AS rsym, f AS pair_freq,
+        |  (SELECT CAST(SUM(freq) AS BIGINT) FROM s1) AS tokens_after FROM b1
+        |UNION ALL
+        |SELECT 2, a, b, f,
+        |  (SELECT CAST(SUM(freq) AS BIGINT) FROM s2) FROM b2""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.BpeOps.train(tDocs(s, dir), s, topWords = 1000, merges = 2)
+        .orderBy("step")
+    },
+
     // Exact dedup: group identical texts, keep min doc_id as the survivor.
     q(
       "dedup_exact",

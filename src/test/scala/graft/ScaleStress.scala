@@ -302,6 +302,58 @@ object ScaleStress {
       f"""{"op":"hllStore","ingest1_sec":$thi1%.3f,"ingest10_sec":$thi10%.3f,"ingest_ratio":$hllIngestRatio%.2f,"read1_sec":$thr1%.3f,"read10_sec":$thr10%.3f,"read_ratio":$hllReadRatio%.2f,"raw_exact10_sec":$thx10%.3f}"""
     java.nio.file.Files.write(out.resolve("scale_stress_hll.json"),
       (hllJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // --- CDC doc store: a FIXED changes batch applies at cost ∝ batch +
+    // its keys' buckets (a small fraction of the store at production
+    // bucket counts — here ~20 of 256), never the corpus; and the apply
+    // must clearly beat the full rewrite it replaces. Keyed lookup reads
+    // only its keys' buckets, so a fixed key set finds the same rows at
+    // every k.
+    import graft.ops.DocStoreOps
+    val dsBase = java.nio.file.Files
+      .createTempDirectory("scale-ds").toString
+    val dsB = 256
+    def dsRows(k: Int) = scaled(k).select(col("doc_id"),
+      length(col("text")).as("n"), col("doc_id").as("seq"))
+    def buildDs(k: Int, dir: String): Unit =
+      DocStoreOps.writeDocStore(dsRows(k), spark, dir, "doc_id", "seq", dsB)
+    def dsDelta = dsRows(1).filter(col("doc_id") % 251 === 0)
+      .withColumn("seq", col("seq") + 1000000L).withColumn("op", lit("U"))
+    def dsApply(k: Int): Long = {
+      DocStoreOps.applyChanges(dsDelta, spark, s"$dsBase/k$k",
+        "doc_id", "seq", "op", dsB)
+      dsDelta.count()
+    }
+    def dsLookup(k: Int): Long =
+      DocStoreOps.lookupKeys(spark, s"$dsBase/k$k",
+        dsRows(1).filter(col("doc_id") % 997 === 0).select("doc_id"),
+        "doc_id", dsB).count()
+    buildDs(1, s"$dsBase/k1"); buildDs(10, s"$dsBase/k10")
+    dsLookup(1) // warmup
+    val (tda1, _) = time(dsApply(1))
+    val (tda10, _) = time(dsApply(10))
+    val (tdl1, ndl1) = time(dsLookup(1))
+    val (tdl10, ndl10) = time(dsLookup(10))
+    val (tdr10, _) = time { buildDs(10, s"$dsBase/k10full"); 1L }
+    val dsApplyRatio = tda10 / math.max(tda1, 1e-9)
+    val dsLookupRatio = tdl10 / math.max(tdl1, 1e-9)
+    println(f"[scale-stress] docstore apply      k=1: $tda1%6.2fs  " +
+      f"k=10: $tda10%6.2fs  ratio $dsApplyRatio%5.2f  " +
+      f"full-rewrite k=10: $tdr10%6.2fs")
+    println(f"[scale-stress] docstore lookup     k=1: $tdl1%6.2fs ($ndl1 rows)  " +
+      f"k=10: $tdl10%6.2fs ($ndl10 rows)  ratio $dsLookupRatio%5.2f")
+    require(ndl1 == ndl10,
+      s"fixed key set must find the same rows: $ndl1 vs $ndl10")
+    require(dsApplyRatio < MaxRatio,
+      s"doc-store apply super-linearithmic: ratio $dsApplyRatio")
+    require(tda10 * 2 < tdr10,
+      s"apply ($tda10 s) not clearly cheaper than full rewrite ($tdr10 s)")
+    require(dsLookupRatio < MaxRatio,
+      s"doc-store lookup super-linearithmic: ratio $dsLookupRatio")
+    val dsJson =
+      f"""{"op":"docStore","apply1_sec":$tda1%.3f,"apply10_sec":$tda10%.3f,"apply_ratio":$dsApplyRatio%.2f,"lookup1_sec":$tdl1%.3f,"lookup10_sec":$tdl10%.3f,"lookup_ratio":$dsLookupRatio%.2f,"full_rewrite10_sec":$tdr10%.3f}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_docstore.json"),
+      (dsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
