@@ -122,6 +122,30 @@ object BpeOps {
       .toDF("step", "lsym", "rsym", "pair_freq", "tokens_after")
   }
 
+  /** Per-word subword counts after the merges already applied to a
+    * trained symbol table: `(word, n_sub)` — the segmentation lookup the
+    * corpus encode joins against. */
+  def segmentCounts(trainedSyms: DataFrame): DataFrame =
+    trainedSyms.groupBy("word").agg(count(lit(1)).as("n_sub"))
+
+  /** Distributed corpus encode — how 100 TB gets tokenized with a
+    * trained vocabulary: the iterative merge loop runs only over the
+    * (bounded) word DICTIONARY; the corpus then BROADCAST-joins its
+    * exploded words to the resulting `(word, n_sub)` segmentation, so
+    * the corpus-sized pass is one map-side join + aggregate, no windows
+    * and no per-row merge loop. Words outside the trained dictionary
+    * are dropped (inner join) — the caller's vocab-coverage contract,
+    * measured separately by `tok_vocab`'s OOV rate. Returns
+    * `(doc_id, bpe_tokens)`. */
+  def encodeCorpus(docs: DataFrame, seg: DataFrame,
+                   textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .join(broadcast(seg), "word")
+      .groupBy("doc_id").agg(sum("n_sub").as("bpe_tokens"))
+
   /** Segment a word with a learned merge list (applied in order — the
     * standard BPE encode): returns the symbol sequence. Driver-side
     * single-word helper used by specs; the distributed encode is the

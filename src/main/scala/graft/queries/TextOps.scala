@@ -103,6 +103,103 @@ object TextOps {
         .orderBy("step")
     },
 
+    // Corpus tokenization with the TRAINED vocabulary (BpeOps
+    // .encodeCorpus): the merge loop runs only over the bounded word
+    // dictionary; the corpus pass is explode → broadcast-join the
+    // segmentation → sum, no windows. The oracle re-derives the
+    // segmented dictionary with the same two unrolled steps and joins
+    // it declaratively — equal hashes prove the trained segmentation
+    // and the corpus join agree end-to-end. Dictionary words only
+    // (inner join): OOV coverage is tok_vocab's metric.
+    q(
+      "bpe_encode",
+      """WITH w0 AS (
+        |  SELECT w AS word, COUNT(*) AS freq FROM (
+        |    SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1 ORDER BY freq DESC, word LIMIT 1000
+        |), s0 AS (
+        |  SELECT word, freq, i AS pos, substr(word, CAST(i + 1 AS INT), 1) AS sym
+        |  FROM w0, UNNEST(range(length(word))) AS t(i)
+        |), p1 AS (
+        |  SELECT word, freq, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b FROM s0
+        |), c1 AS (
+        |  SELECT sym AS a, b, CAST(SUM(freq) AS BIGINT) AS f
+        |  FROM p1 WHERE b IS NOT NULL GROUP BY 1, 2
+        |), b1 AS (SELECT a, b, f FROM c1 ORDER BY f DESC, a, b LIMIT 1
+        |), m1 AS (
+        |  SELECT p1.*, (sym = (SELECT a FROM b1) AND b = (SELECT b FROM b1)) AS isp
+        |  FROM p1
+        |), i1 AS (
+        |  SELECT *, CASE WHEN isp THEN pos -
+        |    ROW_NUMBER() OVER (PARTITION BY word, isp ORDER BY pos) END AS island
+        |  FROM m1
+        |), t1 AS (
+        |  SELECT *, (isp AND ROW_NUMBER() OVER
+        |    (PARTITION BY word, island ORDER BY pos) % 2 = 1) AS strt
+        |  FROM i1
+        |), u1 AS (
+        |  SELECT word, freq, pos,
+        |    CASE WHEN strt THEN sym || b ELSE sym END AS sym,
+        |    COALESCE(LAG(strt) OVER (PARTITION BY word ORDER BY pos), FALSE)
+        |      AS consumed
+        |  FROM t1
+        |), s1 AS (
+        |  SELECT word, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, sym
+        |  FROM u1 WHERE NOT consumed
+        |), p2 AS (
+        |  SELECT word, freq, pos, sym,
+        |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b FROM s1
+        |), c2 AS (
+        |  SELECT sym AS a, b, CAST(SUM(freq) AS BIGINT) AS f
+        |  FROM p2 WHERE b IS NOT NULL GROUP BY 1, 2
+        |), b2 AS (SELECT a, b, f FROM c2 ORDER BY f DESC, a, b LIMIT 1
+        |), m2 AS (
+        |  SELECT p2.*, (sym = (SELECT a FROM b2) AND b = (SELECT b FROM b2)) AS isp
+        |  FROM p2
+        |), i2 AS (
+        |  SELECT *, CASE WHEN isp THEN pos -
+        |    ROW_NUMBER() OVER (PARTITION BY word, isp ORDER BY pos) END AS island
+        |  FROM m2
+        |), t2 AS (
+        |  SELECT *, (isp AND ROW_NUMBER() OVER
+        |    (PARTITION BY word, island ORDER BY pos) % 2 = 1) AS strt
+        |  FROM i2
+        |), u2 AS (
+        |  SELECT word, freq, pos,
+        |    CASE WHEN strt THEN sym || b ELSE sym END AS sym,
+        |    COALESCE(LAG(strt) OVER (PARTITION BY word ORDER BY pos), FALSE)
+        |      AS consumed
+        |  FROM t2
+        |), s2 AS (
+        |  SELECT word, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos, sym
+        |  FROM u2 WHERE NOT consumed
+        |), segc AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s2 GROUP BY 1
+        |), cw AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS bpe_tokens
+        |FROM cw JOIN segc USING (word) GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.BpeOps
+      val docs = tDocs(s, dir)
+      val (_, syms) = BpeOps.trainFromSymbols(
+        BpeOps.initialSymbols(BpeOps.wordDict(docs, 1000)), merges = 2)
+      // the segmentation is dictionary-bounded (≤1000 rows): collect it
+      // and free the pinned symbol table so repeated invocations leave
+      // no executor-block debt behind (the a_rollup lesson)
+      val seg = BpeOps.segmentCounts(syms)
+        .as[(String, Long)].collect().toSeq.toDF("word", "n_sub")
+      syms.unpersist()
+      BpeOps.encodeCorpus(docs, seg).orderBy("doc_id")
+    },
+
     // Exact dedup: group identical texts, keep min doc_id as the survivor.
     q(
       "dedup_exact",

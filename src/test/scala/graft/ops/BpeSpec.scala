@@ -86,6 +86,19 @@ class BpeSpec extends SparkTestBase {
     assert(got == want, s"\ngot:  $got\nwant: $want")
   }
 
+  test("corpus encode joins the segmentation by broadcast, not shuffle") {
+    val docs = graft.queries.tDocs(spark, sfTiny)
+    val (_, syms) = BpeOps.trainFromSymbols(
+      BpeOps.initialSymbols(BpeOps.wordDict(docs, 100)), 2)
+    val enc = BpeOps.encodeCorpus(docs, BpeOps.segmentCounts(syms))
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"segmentation join must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+    assert(enc.agg(sum("bpe_tokens")).head().getLong(0) > 0)
+    syms.unpersist()
+  }
+
   test("encodeWord applies learned merges in order") {
     assert(BpeOps.encodeWord("hugs",
       Seq(("u", "g"), ("u", "n"), ("h", "ug"))) == Seq("hug", "s"))
