@@ -159,6 +159,67 @@ object CurationOps {
         when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
     },
 
+    // LEAKAGE-FREE split: near-duplicate documents must never straddle
+    // train and test (a near-copy of a training doc in the eval set is
+    // contamination), so the split hashes the CLUSTER id, not the doc
+    // id — every member of a connected near-dup component lands in the
+    // same split by construction. Composition of the registered
+    // dedup_clusters and split_assign operators; the oracle chains the
+    // same recursive transitive closure into the same md5 bucket
+    // arithmetic over the cluster representative.
+    q(
+      "split_leakfree",
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+        |      i -> ARRAY_TO_STRING(t[i:i+2], ' ')))) AS gram
+        |  FROM tk WHERE LEN(t) >= 3
+        |), k AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 64)
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM k GROUP BY 1
+        |), sh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM sh JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |), comp AS (
+        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        |), asg AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM asg""".stripMargin
+    ) { (s, dir) =>
+      val docs = tDocs(s, dir)
+      val pairs = DedupOps.jaccardPairs(docs, w = 3, threshold = 0.5, maxDf = 64)
+      val b = hashBucket(col("cluster_id"), 100)
+      GraphOps.clusterAssign(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+            .as("split"))
+        .orderBy("doc_id")
+    },
+
     // Sequence packing (concat-then-chunk): documents in doc_id order are
     // concatenated into training sequences of a 512-token budget; a doc's
     // sequence id is its exclusive running token total DIV the budget.
