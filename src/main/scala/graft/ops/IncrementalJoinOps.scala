@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained JOIN view — the delta-join rule of classic
+  * incremental view maintenance, the join-shaped sibling of
+  * [[IncrementalAggOps]]: a 100 TB `A ⋈ B` is joined once, persisted,
+  * and kept current under APPEND-ONLY batches by
+  *
+  *   ΔJ  =  ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+  *
+  * (A, B are the pre-append states; the three terms partition the new
+  * pairs, so J ∪ ΔJ is exactly (A∪ΔA) ⋈ (B∪ΔB) with no dedup pass).
+  *
+  * All three tables live bucket-partitioned by the join key's hash, so
+  * a refresh joins each delta against ONLY the buckets its keys hash
+  * into (partition-pruned at listing) and APPENDS — nothing is ever
+  * rewritten, and the delta⋈delta term is delta-sized. Cost per
+  * refresh ∝ deltas + matching buckets; the rest of A, B and J is
+  * never read or written (spec-asserted byte-for-byte).
+  *
+  * Inner equi-join, append-only sides (retraction of join rows needs
+  * multiplicity bookkeeping — out of scope here; use the
+  * [[DocStoreOps]] LWW store when rows change in place). Column names
+  * besides the key must be disjoint across A and B. Appends accumulate
+  * one file per touched bucket per refresh — compact with
+  * [[LayoutOps.compact]] on the usual small-files cadence.
+  */
+object IncrementalJoinOps {
+
+  private val BUCKET = "__bucket"
+
+  private def withBucket(df: DataFrame, key: String, nBuckets: Int): DataFrame =
+    df.withColumn(BUCKET, pmod(hash(col(key)), lit(nBuckets)))
+
+  private def writeSide(df: DataFrame, path: String, key: String,
+                        nBuckets: Int, mode: SaveMode): Unit =
+    withBucket(df, key, nBuckets)
+      .write.mode(mode).partitionBy(BUCKET).parquet(path)
+
+  /** Initial build: persists `a`, `b` and their join under `base`. */
+  def writeJoinView(a: DataFrame, b: DataFrame, spark: SparkSession,
+                    base: String, key: String, nBuckets: Int = 64): Unit = {
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared == Set(key),
+      s"sides must share only the join key, got $shared")
+    writeSide(a, s"$base/a", key, nBuckets, SaveMode.Overwrite)
+    writeSide(b, s"$base/b", key, nBuckets, SaveMode.Overwrite)
+    writeSide(a.join(b, key), s"$base/j", key, nBuckets, SaveMode.Overwrite)
+    spark.catalog.refreshByPath(s"$base/j")
+  }
+
+  /** Fold new rows into both sides and the view. Either delta may be
+    * empty. Only buckets the deltas' keys hash into are read; every
+    * write is an append. */
+  def appendToJoinView(dA: DataFrame, dB: DataFrame, spark: SparkSession,
+                       base: String, key: String, nBuckets: Int = 64): Unit = {
+    // freeze the deltas: the view append below must not race a source
+    // that could re-evaluate differently (and the bucket sets are read
+    // twice)
+    val dAw = withBucket(dA, key, nBuckets).localCheckpoint(true)
+    val dBw = withBucket(dB, key, nBuckets).localCheckpoint(true)
+    def buckets(d: DataFrame): Set[Int] =
+      d.select(BUCKET).distinct().collect().map(_.getInt(0)).toSet
+    val tA = buckets(dAw) // bounded by nBuckets
+    val tB = buckets(dBw)
+    def readSide(path: String, touched: Set[Int]): DataFrame =
+      spark.read.parquet(path)
+        .filter(col(BUCKET).isin(touched.toSeq: _*)).drop(BUCKET)
+    // pre-append states, pruned to the buckets that can match a delta
+    val aAff = readSide(s"$base/a", tB)
+    val bAff = readSide(s"$base/b", tA)
+    val deltaJ = dAw.drop(BUCKET).join(bAff, key)
+      .unionByName(aAff.join(dBw.drop(BUCKET), key))
+      .unionByName(dAw.drop(BUCKET).join(dBw.drop(BUCKET), key))
+    // ΔJ must materialize BEFORE the side appends land: it reads the
+    // pre-append a/ and b/ listings
+    writeSide(deltaJ, s"$base/j", key, nBuckets, SaveMode.Append)
+    dAw.write.mode(SaveMode.Append).partitionBy(BUCKET).parquet(s"$base/a")
+    dBw.write.mode(SaveMode.Append).partitionBy(BUCKET).parquet(s"$base/b")
+    Seq("a", "b", "j").foreach(p =>
+      spark.catalog.refreshByPath(s"$base/$p"))
+    dAw.unpersist(); dBw.unpersist()
+  }
+
+  /** The maintained join (all buckets). */
+  def readJoinView(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/j").drop(BUCKET)
+}

@@ -159,6 +159,46 @@ object CurationOps {
         when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
     },
 
+    // Temperature re-balancing with weights DERIVED FROM THE CORPUS
+    // (the production recipe — sample_mixture's weights are inputs;
+    // here they come from the data): per-source keep-rate ∝ 1/√n so the
+    // resampled source sizes flatten toward √n (α = 0.5 temperature
+    // sampling), computed in exact integer arithmetic — ⌊√n⌋ is safe
+    // cross-engine because IEEE sqrt is correctly rounded — and applied
+    // through the shared md5-threshold convention. The per-source
+    // weight table is corpus-bounded and broadcast; acceptance stays a
+    // pure per-row projection.
+    q(
+      "sample_temperature",
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_src,
+        |    LEAST(1000000, 10 * CAST(FLOOR(SQRT(CAST(n_src AS DOUBLE))) AS BIGINT)
+        |                   * 1000000 // n_src) AS weight_ppm
+        |  FROM c),
+        |k AS (
+        |  SELECT d.doc_id, d.source, w.n_src, w.weight_ppm,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) AS BIGINT) AS hk
+        |  FROM documents d JOIN w USING (source))
+        |SELECT source, n_src, weight_ppm, COUNT(*) AS n_kept
+        |FROM k
+        |WHERE weight_ppm >= 1000000 OR hk < weight_ppm * 1152921504606
+        |GROUP BY 1, 2, 3""".stripMargin
+    ) { (s, dir) =>
+      val docs = tDocs(s, dir)
+      val cnts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("weight_ppm",
+          least(lit(1000000L),
+            expr("10 * cast(floor(sqrt(cast(n_src as double))) as bigint)" +
+              " * 1000000 div n_src")))
+      mixtureSample(docs.join(broadcast(cnts), "source"),
+          "doc_id", col("weight_ppm"))
+        .groupBy("source", "n_src", "weight_ppm")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // LEAKAGE-FREE split: near-duplicate documents must never straddle
     // train and test (a near-copy of a training doc in the eval set is
     // contamination), so the split hashes the CLUSTER id, not the doc

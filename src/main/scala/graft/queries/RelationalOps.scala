@@ -670,6 +670,48 @@ object RelationalOps {
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 
+    // ---- Incrementally-maintained JOIN view (beyond-reference): the
+    // delta-join IVM rule (IncrementalJoinOps: ΔJ = ΔA⋈B ∪ A⋈ΔB ∪
+    // ΔA⋈ΔB, every table bucket-partitioned by the key hash, deltas
+    // join only their buckets and every write is an append). Orders and
+    // lineitem are split 80/20 on INDEPENDENT key sets so all four
+    // old/new pair combinations genuinely occur; the maintained view
+    // read back must hash-equal DuckDB's one-shot join of the full
+    // tables.
+    q(
+      "join_view_inc",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalJoinOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-jview").toString
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      // independent 80/20 splits: %5 on the key for A, %7 ON THE KEY for
+      // B, so delta-A keys meet base-B rows and vice versa
+      IncrementalJoinOps.writeJoinView(
+        a.filter(col("k") % 5 =!= 0), b.filter(col("k") % 7 =!= 0),
+        s, base, "k", nBuckets = 16)
+      IncrementalJoinOps.appendToJoinView(
+        a.filter(col("k") % 5 === 0), b.filter(col("k") % 7 === 0),
+        s, base, "k", nBuckets = 16)
+      IncrementalJoinOps.readJoinView(s, base)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(D)
+            * (lit(1) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Row-level CDC store (beyond-reference): the lakehouse MERGE
     // pattern — a keyed current-rows store maintained by changelog apply
     // (DocStoreOps: within-batch LWW election, only the winners' hash

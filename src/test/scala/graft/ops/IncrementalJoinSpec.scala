@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[IncrementalJoinOps]] — the gate (join_view_inc) hash-compares the
+  * maintained view against DuckDB's one-shot join; this spec pins the
+  * delta-join mechanics the oracle can't see: all four old/new pair
+  * combinations land exactly once, and a refresh APPENDS without ever
+  * touching existing files or unaffected buckets. */
+class IncrementalJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("delta join emits each old/new pair combination exactly once") {
+    val base = Files.createTempDirectory("jview-val").toString
+    // key 1: old-old; key 2: oldA-newB; key 3: newA-oldB; key 4: new-new;
+    // key 5: newA with no B ever (no row); key 2 also gets a SECOND new
+    // B row (dup multiplicity)
+    val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (3L, "b3")).toDF("k", "bv")
+    val dA = Seq((3L, "a3"), (4L, "a4"), (5L, "a5")).toDF("k", "av")
+    val dB = Seq((2L, "b2"), (2L, "b2x"), (4L, "b4")).toDF("k", "bv")
+    IncrementalJoinOps.writeJoinView(a0, b0, spark, base, "k", 8)
+    IncrementalJoinOps.appendToJoinView(dA, dB, spark, base, "k", 8)
+    val got = IncrementalJoinOps.readJoinView(spark, base)
+      .select("k", "av", "bv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val want = Seq((1L, "a1", "b1"), (2L, "a2", "b2"), (2L, "a2", "b2x"),
+      (3L, "a3", "b3"), (4L, "a4", "b4"))
+    assert(got == want, s"got $got")
+    // and it equals the from-scratch join
+    val full = a0.union(dA).join(b0.union(dB), "k")
+      .select("k", "av", "bv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got == full)
+  }
+
+  test("a refresh only appends, and only in the deltas' buckets") {
+    val base = Files.createTempDirectory("jview-loc").toString
+    val orders = graft.queries.t(spark, sfTiny, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val li = graft.queries.t(spark, sfTiny, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber"))
+    IncrementalJoinOps.writeJoinView(orders, li, spark, base, "k", 8)
+    def files(sub: String): Map[String, Long] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new File(s"$base/$sub")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = Seq("a", "b", "j").map(s => s -> files(s)).toMap
+    // one new A row for one key; no B delta
+    val dA = Seq((7L, "X")).toDF("k", "o_orderpriority")
+    val dB = li.filter(lit(false))
+    IncrementalJoinOps.appendToJoinView(dA, dB, spark, base, "k", 8)
+    val after = Seq("a", "b", "j").map(s => s -> files(s)).toMap
+    // every pre-existing file byte-untouched (append-only refresh)
+    Seq("a", "b", "j").foreach { s =>
+      before(s).foreach { case (p, m) =>
+        assert(after(s).get(p).contains(m), s"$p was modified")
+      }
+    }
+    // new files appear only under the delta's bucket in a/ and j/
+    val bk = spark.range(1).select(pmod(hash(lit(7L)), lit(8))).head().getInt(0)
+    val newFiles = Seq("a", "j").flatMap(s =>
+      (after(s).keySet -- before(s).keySet).map(s -> _))
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { case (s, p) =>
+      assert(p.contains(s"__bucket=$bk"), s"unexpected new file $p in $s/")
+    }
+    assert((after("b").keySet -- before("b").keySet).isEmpty,
+      "empty B delta must write nothing")
+    // the view gained exactly the new pairs
+    val gained = IncrementalJoinOps.readJoinView(spark, base)
+      .filter(col("k") === 7L && col("o_orderpriority") === "X").count()
+    assert(gained == li.filter(col("k") === 7L).count())
+  }
+}
