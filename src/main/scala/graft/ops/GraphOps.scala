@@ -295,4 +295,56 @@ object GraphOps {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_id"))
   }
+
+  /** Triangle count + global clustering coefficient, one row:
+    * `(n_edges, n_wedges, n_triangles, gcc)`.
+    *
+    * Degree-ordered orientation (the MapReduce triangle-counting
+    * formulation): each undirected edge points from its lower-(degree,
+    * id) endpoint, so every triangle is generated exactly once from its
+    * lowest-rank apex AND per-node wedge fan-out is bounded by
+    * out-degree ≤ O(√m) — the skew guard that keeps the wedge join
+    * alive on power-law graphs where a raw hub-adjacency self-join is
+    * quadratic in the hub degree. `n_wedges` is the standard open-wedge
+    * count Σ C(deg, 2); `gcc_ppm = 3·triangles·10^6 div wedges` — the
+    * global clustering coefficient in exact integer parts-per-million
+    * (cross-engine ROUND conventions differ; integer division doesn't). */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      // three consumers (degrees, orientation, closing join): one
+      // materialization, freed before returning the one-row result
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val nEdges = e.count()
+    val nWedges = deg.agg(sum(expr("dg * (dg - 1) div 2"))).head().getLong(0)
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("u"),
+      when(aLower, col("b")).otherwise(col("a")).as("v"),
+      when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    val vLower = col("x.dv") < col("y.dv") ||
+      (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.u") === col("y.u") && vLower)
+      .select(col("x.v").as("p"), col("y.v").as("q"))
+    // the wedge's endpoints are rank-ordered, so the closing edge — if
+    // it exists — is oriented exactly p→q: one equi-join, no OR
+    val nTri = wedges.join(o.select(col("u").as("p"), col("v").as("q")),
+      Seq("p", "q")).count()
+    e.unpersist()
+    val gccPpm = if (nWedges == 0) 0L else 3L * nTri * 1000000L / nWedges
+    import spark.implicits._
+    Seq((nEdges, nWedges, nTri, gccPpm))
+      .toDF("n_edges", "n_wedges", "n_triangles", "gcc_ppm")
+  }
 }

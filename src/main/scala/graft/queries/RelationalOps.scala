@@ -670,6 +670,44 @@ object RelationalOps {
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 
+    // ---- Triangle counting (beyond-reference): co-purchase graph
+    // (parts sharing an order) counted via GraphOps.triangleStats'
+    // degree-ordered orientation — each triangle generated once from
+    // its lowest-(degree,id) apex, wedge fan-out bounded by out-degree
+    // ≤ O(√m) (hub-safe on power-law graphs). The oracle brute-forces
+    // the id-canonical 3-way self-join; counts are representation
+    // independent, so equality proves the oriented formulation drops
+    // and double-counts nothing. Clustering coefficient in exact ppm.
+    q(
+      "graph_triangles",
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM p x JOIN p y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |d AS (SELECT id, COUNT(*) AS dg FROM (
+        |  SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |t AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM d) AS n_wedges,
+        |  (SELECT n_triangles FROM t) AS n_triangles,
+        |  (SELECT CAST(3 * n_triangles * 1000000 //
+        |    (SELECT SUM(dg * (dg - 1) // 2) FROM d) AS BIGINT) FROM t)
+        |    AS gcc_ppm""".stripMargin
+    ) { (s, dir) =>
+      val p = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = p.as("x").join(p.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+      graft.ops.GraphOps.triangleStats(e, "src", "dst")
+    },
+
     // ---- Incrementally-maintained JOIN view (beyond-reference): the
     // delta-join IVM rule (IncrementalJoinOps: ΔJ = ΔA⋈B ∪ A⋈ΔB ∪
     // ΔA⋈ΔB, every table bucket-partitioned by the key hash, deltas

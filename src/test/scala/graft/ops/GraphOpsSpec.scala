@@ -163,6 +163,21 @@ class GraphOpsSpec extends SparkTestBase {
     assert(run(1) == r && run(17) == r)
   }
 
+  test("triangleStats counts a known graph exactly once per triangle") {
+    // K4 on {1,2,3,4} (4 triangles, 6 edges, Σ C(3,2)=12 wedges) plus a
+    // pendant 4-5 (wedges +3: node 4 now deg 4 → C(4,2)=6) and an
+    // isolated edge 6-7; duplicate and reversed inputs must not
+    // double-count
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = GraphOps.triangleStats(e, "src", "dst").head()
+    assert(r.getAs[Long]("n_edges") == 8)
+    // degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1; 6,7 -> 1 ⇒ 3·3 + 6 = 15
+    assert(r.getAs[Long]("n_wedges") == 15)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(r.getAs[Long]("gcc_ppm") == 3L * 4 * 1000000 / 15)
+  }
+
   test("clusterAssign covers unpaired docs with their own id") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id_a", "id_b")
