@@ -279,6 +279,39 @@ object EventQueries {
         .withColumn("rank", col("rank").cast("long"))
     },
 
+    // ---- Path analysis: the first-order Markov transition matrix of
+    // per-user event sequences — LEAD over (user, time) pairs adjacent
+    // events, then the |types|²-bounded aggregate carries the transition
+    // counts and their within-source probabilities in exact integer ppm
+    // (the tiny per-from_type window rides the AGGREGATED frame, never
+    // the corpus — the a_rev_share bounded-domain pattern).
+    q(
+      "ev_transitions",
+      """WITH o AS (
+        |  SELECT user_id, event_type, LEAD(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS p_ppm
+        |FROM t""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tEvents(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_ppm",
+          expr("n * 1000000 div sum(n) over (partition by from_type)"))
+        .orderBy("from_type", "to_type")
+    },
+
     // ---- Dedup-on-ingest, batch form (watermark-bounded streaming form
     // parity-tested in StreamingSpec).
     q(

@@ -243,6 +243,25 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("events.parquet"), s"read must not rescan raw events:\n$p")
   }
 
+  test("round-8 tier: corpus-scale windows keyed, stores pruned, no nest loops") {
+    // bpe windows partition by word, ev_transitions by user — none of the
+    // new tier's corpus-sized frames may fall into a global WindowExec
+    Seq("bpe_merges", "ev_transitions", "store_cdc", "join_view_inc")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfTiny)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q must not nest-loop:\n$p")
+      }
+    // the store lookup carries its bucket partition filter into the scan
+    val lk = SparkEntry.queries("store_lookup")(spark, sfTiny)
+    lk.collect()
+    assert(lk.queryExecution.executedPlan.toString.contains("__bucket"),
+      "store_lookup must prune on the bucket partition column")
+  }
+
   test("asof / funnel / pagerank / store queries: no data-sized nested loops") {
     // queries with deliberate single-row cross joins (a broadcast scalar
     // frame joined onto a result — a_corr, ev_cms, ev_join_size,
