@@ -299,16 +299,7 @@ object EventQueries {
         |    AS p_ppm
         |FROM t""".stripMargin
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      tEvents(s, dir)
-        .withColumn("next_type", lead("event_type", 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"),
-          col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p_ppm",
-          expr("n * 1000000 div sum(n) over (partition by from_type)"))
+      EventOps.transitionsBatch(tEvents(s, dir))
         .orderBy("from_type", "to_type")
     },
 

@@ -176,6 +176,53 @@ object EventOps {
       }
   }
 
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String)
+
+  /** Batch transition matrix (the ev_transitions gate shape): adjacent
+    * per-user event pairs via LEAD, aggregated to counts and exact-ppm
+    * probabilities on the |types|²-bounded frame. */
+  def transitionsBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * 1000000 div sum(n) over (partition by from_type)"))
+  }
+
+  /** Streaming twin: per-user LAST-EVENT state (three scalars — O(1) per
+    * user, no buffering), each arriving event emits its transition from
+    * the predecessor, across micro-batch boundaries included. The
+    * matrix itself is a plain downstream aggregation of the emitted
+    * pairs. Within-trigger ordering by (ts, event_id), same caveat and
+    * remedy as [[sessionizeStream]] (watermark + timeout in production). */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = it.toVector.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Vector.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach { case (_, _, prevType) =>
+              out += Transition(user, prevType, e.event_type)
+            }
+            last = Some((epochMicros(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Exact dedup-on-ingest, keyed on content columns — the events-table
     * face of the documents dedup family. Batch form: the first (lowest
     * event_id) event per key plus the duplicate count. */

@@ -46,6 +46,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming transitions equal the batch matrix across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      val all = toEvents.collect().sortBy(e => (e.ts.getTime, e.event_id))
+      // two chunks: cross-trigger pairs must come from the kept state
+      val (a, b) = all.splitAt(all.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("transitions")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = EventOps.transitionsBatch(eventsDF).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"stream/batch transition counts diverge")
+      assert(got.values.sum > 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes the same sessions as batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventOps.Event]
