@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   *  - reads back ONLY the buckets the winners hash into (partition
   *    pruning at file listing),
   *  - re-elects per key between store row and winner — a store row
-  *    carries the sequence that produced it, so a LATE-ARRIVING change
-  *    older than the stored row loses, which makes apply idempotent
-  *    (re-applying any already-applied batch is a no-op) and
+  *    carries the sequence AND op that produced it, so a LATE-ARRIVING
+  *    change older than the stored row loses, which makes apply
+  *    idempotent (re-applying any already-applied batch is a no-op) and
   *    out-of-order-safe, unlike the [[IncrementalAggOps]] fold — and
-  *  - rewrites only those buckets via dynamic partition overwrite;
-  *    deletes physically drop rows (no tombstone compaction debt).
+  *  - rewrites only those buckets via dynamic partition overwrite.
+  *
+  * Deletes persist as TOMBSTONES (the winning row with its `__op = D`,
+  * filtered out of every read): physically dropping the row would
+  * forget the delete's sequence, and a stale update arriving in a LATER
+  * batch would silently resurrect it (DocStoreProps pins exactly this).
+  * `compactDocStore` physically drops tombstones — run it only once no
+  * out-of-order change older than a tombstone can still arrive.
   *
   * Cost per apply ∝ batch + affected buckets; untouched buckets are
   * never read or written (spec-asserted byte-for-byte in DocStoreSpec).
@@ -57,7 +63,7 @@ object DocStoreOps {
     * their producing sequence in `seqCol`) written bucket-partitioned. */
   def writeDocStore(df: DataFrame, spark: SparkSession, basePath: String,
                     key: String, seqCol: String, nBuckets: Int = 64): Unit = {
-    withBucket(df, key, nBuckets)
+    withBucket(df.withColumn(OP, lit("U")), key, nBuckets)
       .write.mode("overwrite").partitionBy(BUCKET).parquet(basePath)
     spark.catalog.refreshByPath(basePath)
   }
@@ -78,35 +84,56 @@ object DocStoreOps {
       .localCheckpoint(true)
     val touched = winners.select(BUCKET).distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets, never batch-sized
+    // store rows carry their own OP (tombstones included), so the
+    // re-election sees deletes' sequences and stale resurrections lose
     val affected = spark.read.parquet(basePath)
       .filter(col(BUCKET).isin(touched.toIndexedSeq: _*))
-    val merged = electWinners(
-      affected.withColumn(OP, lit("U")).unionByName(winners),
-      key, seqCol)
-      .filter(col(OP) =!= "D").drop(OP)
+    val merged = electWinners(affected.unionByName(winners), key, seqCol)
       // materialize BEFORE overwriting the partitions `affected` reads
       // (bounded: the touched slice of the store plus the batch)
       .localCheckpoint(true)
+    // every touched bucket keeps at least its winners (tombstones are
+    // rows, not absences), so dynamic overwrite rewrites exactly the
+    // touched partitions and no bucket can silently vanish
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BUCKET).parquet(basePath)
-    // dynamic overwrite only replaces partitions it WRITES: a bucket
-    // whose every row was deleted never appears in `merged`, so its
-    // stale files would silently survive — remove those dirs explicitly
-    // (same failure mode and fix as VectorStoreOps.deleteFromVectorStore)
-    val surviving = merged.select(BUCKET).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(basePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (touched.toSet -- surviving).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$basePath/$BUCKET=$b"), true)
-    }
     spark.catalog.refreshByPath(basePath)
   }
 
-  /** Current rows (all buckets). */
+  /** Physically drop tombstones (full rewrite of every bucket that
+    * holds one; buckets left row-empty are removed). ONLY safe once no
+    * out-of-order change older than any tombstone can still arrive —
+    * after compaction a stale update for a compacted key would
+    * resurrect it. */
+  def compactDocStore(spark: SparkSession, basePath: String): Unit = {
+    val all = spark.read.parquet(basePath)
+    val tombBuckets = all.filter(col(OP) === "D")
+      .select(BUCKET).distinct().collect().map(_.getInt(0))
+    if (tombBuckets.nonEmpty) {
+      val kept = all.filter(col(BUCKET).isin(tombBuckets.toIndexedSeq: _*))
+        .filter(col(OP) =!= "D")
+        .localCheckpoint(true) // freeze before overwriting what it reads
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET).parquet(basePath)
+      // a bucket holding ONLY tombstones writes no partition above and
+      // its stale files would survive the dynamic overwrite — drop it
+      val surviving = kept.select(BUCKET).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (tombBuckets.toSet -- surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$basePath/$BUCKET=$b"), true)
+      }
+      spark.catalog.refreshByPath(basePath)
+    }
+  }
+
+  /** Current rows (all buckets; tombstones filtered). */
   def readDocStore(spark: SparkSession, basePath: String): DataFrame =
-    spark.read.parquet(basePath).drop(BUCKET)
+    spark.read.parquet(basePath)
+      .filter(col(OP) =!= "D").drop(OP, BUCKET)
 
   /** Rows for the given keys, reading only the buckets they hash into:
     * the distinct-bucket set (bounded by nBuckets) becomes a partition
@@ -119,8 +146,9 @@ object DocStoreOps {
       .select(BUCKET).distinct().collect().map(_.getInt(0))
     spark.read.parquet(basePath)
       .filter(col(BUCKET).isin(buckets.toIndexedSeq: _*))
+      .filter(col(OP) =!= "D")
       .join(k, Seq(key), "left_semi")
-      .drop(BUCKET)
+      .drop(OP, BUCKET)
   }
 
   /** Single-key convenience over [[lookupKeys]]. */

@@ -57,7 +57,8 @@ object VersionedStoreOps {
     * `seqCol`), bucket-partitioned under `base/v=0`. */
   def writeVersioned(df: DataFrame, spark: SparkSession, base: String,
                      key: String, seqCol: String, nBuckets: Int = 64): Unit = {
-    val b = withBucket(df, key, nBuckets).localCheckpoint(true)
+    val b = withBucket(df.withColumn(OP, lit("U")), key, nBuckets)
+      .localCheckpoint(true)
     b.write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(s"$base/v=0")
     val written = b.select(BUCKET).distinct().collect().map(_.getInt(0))
     appendManifest(spark, base, written.toSeq.map(bk => (0L, bk, false)))
@@ -73,13 +74,16 @@ object VersionedStoreOps {
       .collect { case (bk, (ver, _, empty)) if !empty => s"$base/v=$ver/$BUCKET=$bk" }
 
   /** The store AS OF version `v` (default: latest). Reads only the
-    * resolved bucket dirs — each bucket's single winning copy. */
+    * resolved bucket dirs — each bucket's single winning copy —
+    * filtering the delete tombstones those copies retain (see
+    * [[DocStoreOps]]: a tombstone carries the delete's sequence so
+    * later stale updates cannot resurrect the row). */
   def readVersion(spark: SparkSession, base: String,
                   v: Option[Long] = None): DataFrame = {
     val ver = v.getOrElse(currentVersion(spark, base))
     val dirs = liveDirs(spark, base, ver)
     require(dirs.nonEmpty, s"version $ver has no data under $base")
-    spark.read.parquet(dirs: _*)
+    spark.read.parquet(dirs: _*).filter(col(OP) =!= "D").drop(OP)
   }
 
   /** Apply a changes batch as a NEW version. Identical semantics to
@@ -102,13 +106,13 @@ object VersionedStoreOps {
       .groupBy(_._2).toSeq
       .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
       .collect { case (bk, (ver, _, empty)) if !empty => s"$base/v=$ver/$BUCKET=$bk" }
+    // snapshot rows carry their OP (tombstones included) — the
+    // re-election sees deletes' sequences, same contract as the
+    // in-place store
     val affected =
-      if (touchedDirs.isEmpty) winners.filter(lit(false)).drop(OP)
+      if (touchedDirs.isEmpty) winners.filter(lit(false))
       else withBucket(spark.read.parquet(touchedDirs: _*), key, nBuckets)
-    val merged = electWinners(
-      affected.withColumn(OP, lit("U")).unionByName(winners),
-      key, seqCol)
-      .filter(col(OP) =!= "D").drop(OP)
+    val merged = electWinners(affected.unionByName(winners), key, seqCol)
       .localCheckpoint(true) // copy-on-write needs no read-own-write fence,
                              // but the two manifest scans below must not recompute it
     merged.write.mode(SaveMode.Overwrite)

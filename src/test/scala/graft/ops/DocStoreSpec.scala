@@ -117,6 +117,35 @@ class DocStoreSpec extends SparkTestBase {
       s"expected only $touched's $dirFiles file(s) scanned, got $scanned")
   }
 
+  test("compaction drops tombstones and empties all-tombstone buckets") {
+    val base = Files.createTempDirectory("docstore-compact").toString
+    // keys 1,2 share bucket-mates; key 3 alone in its bucket (probe)
+    val probe = spark.range(50).select(col("id"),
+      pmod(hash(col("id")), lit(4)).as("b")).collect()
+    val loner = probe.groupBy(_.getInt(1)).values.find(_.size == 1)
+      .orElse(probe.groupBy(_.getInt(1)).values.headOption).get.head.getLong(0)
+    val others = probe.filter(r =>
+      r.getInt(1) != probe.find(_.getLong(0) == loner).get.getInt(1))
+      .take(2).map(_.getLong(0))
+    val init = (others :+ loner).toSeq.map(k => (k, s"v$k", 10L))
+      .toDF("k", "v", "seq")
+    DocStoreOps.writeDocStore(init, spark, base, "k", "seq", 4)
+    val dels = Seq((others.head, "x", 20L, "D"), (loner, "x", 20L, "D"))
+      .toDF("k", "v", "seq", "op")
+    DocStoreOps.applyChanges(dels, spark, base, "k", "seq", "op", 4)
+    val visible = rows(base)
+    // tombstones are physically present pre-compaction
+    assert(spark.read.parquet(base).filter(col("__op") === "D").count() == 2)
+    DocStoreOps.compactDocStore(spark, base)
+    assert(rows(base) == visible, "compaction must not change visible rows")
+    assert(spark.read.parquet(base).filter(col("__op") === "D").count() == 0)
+    // a post-compaction stale update CAN resurrect — the documented trade
+    DocStoreOps.applyChanges(
+      Seq((others.head, "back", 15L, "U")).toDF("k", "v", "seq", "op"),
+      spark, base, "k", "seq", "op", 4)
+    assert(rows(base).contains((others.head, "back", 15L)))
+  }
+
   test("streamed CDC micro-batches land exactly like one batch apply") {
     val baseStream = Files.createTempDirectory("docstore-st").toString
     val baseBatch = Files.createTempDirectory("docstore-bt").toString
