@@ -303,6 +303,63 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // ---- Incrementally-maintained EXACT quantiles: the value domain is
+    // 2-decimal money, so an integer-cent histogram is LOSSLESS — and a
+    // histogram is a sum-monoid, so the maintained rollup store
+    // (IncrementalAggOps: 80% build + 20% fold, bucket-local merges)
+    // carries it incrementally and quantile reconstruction is a
+    // cumulative-sum walk over the |types|·|distinct cents| bounded
+    // frame. No sketch, no approximation: p50/p90 from the STORE must
+    // hash-equal DuckDB's walk over the raw corpus. (Contrast
+    // a_quantile_approx, which gates the GK sketch for unbounded
+    // domains.)
+    q(
+      "ev_quantile_store",
+      """WITH h AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, cents, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN cents END) AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN cents END) AS BIGINT) AS p90_cents,
+        |  CAST(MIN(tot) AS BIGINT) AS n_total
+        |FROM c GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      import org.apache.spark.sql.expressions.Window
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-qstore").toString
+      val prepped = tEvents(s, dir).select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        lit(1L).as("n"))
+      val keys = Seq("event_type", "cents")
+      IncrementalAggOps.writeAggStore(
+        prepped.filter(col("event_id") % 5 =!= 0).drop("event_id"),
+        s, base, keys, Seq("n"), nBuckets = 16)
+      IncrementalAggOps.mergeIntoAggStore(
+        prepped.filter(col("event_id") % 5 === 0).drop("event_id"),
+        s, base, keys, Seq("n"), nBuckets = 16)
+      val byCents = Window.partitionBy("event_type").orderBy("cents")
+      val all = Window.partitionBy("event_type")
+      IncrementalAggOps.readAggStore(s, base)
+        .withColumn("cum", sum("n").over(byCents))
+        .withColumn("tot", sum("n").over(all))
+        .groupBy("event_type")
+        .agg(
+          min(when(col("cum") * 2 >= col("tot"), col("cents")))
+            .as("p50_cents"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("cents")))
+            .as("p90_cents"),
+          min("tot").as("n_total"))
+        .orderBy("event_type")
+    },
+
     // ---- Dedup-on-ingest, batch form (watermark-bounded streaming form
     // parity-tested in StreamingSpec).
     q(
