@@ -87,4 +87,38 @@ object IncrementalJoinOps {
   /** The maintained join (all buckets). */
   def readJoinView(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/j").drop(BUCKET)
+
+  /** Small-files maintenance: every refresh appends one file per
+    * touched bucket, so long-lived views accumulate files linearly in
+    * refresh count. Rewrite each bucket of the three tables that holds
+    * more than `maxFilesPerBucket` files back to one file — bucket
+    * layout (and therefore refresh locality) preserved, data unchanged
+    * (spec-asserted). Buckets under the threshold keep their files
+    * byte-untouched, so compaction cost ∝ fragmented buckets only. */
+  def compactJoinView(spark: SparkSession, base: String,
+                      maxFilesPerBucket: Int = 4): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("a", "b", "j").foreach { side =>
+      val root = new org.apache.hadoop.fs.Path(s"$base/$side")
+      val frag = fs.listStatus(root)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$BUCKET="))
+        .filter { d =>
+          fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+        }
+        .map(_.getPath.getName.stripPrefix(s"$BUCKET=").toInt)
+      if (frag.nonEmpty) {
+        val rewritten = spark.read.parquet(s"$base/$side")
+          .filter(col(BUCKET).isin(frag.toIndexedSeq: _*))
+          .repartition(frag.length, col(BUCKET))
+          .localCheckpoint(true) // freeze before overwriting what it reads
+        rewritten.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BUCKET).parquet(s"$base/$side")
+        spark.catalog.refreshByPath(s"$base/$side")
+      }
+    }
+  }
 }

@@ -79,4 +79,37 @@ class IncrementalJoinSpec extends SparkTestBase {
       .filter(col("k") === 7L && col("o_orderpriority") === "X").count()
     assert(gained == li.filter(col("k") === 7L).count())
   }
+
+  test("compaction collapses fragmented buckets only, data unchanged") {
+    val base = Files.createTempDirectory("jview-cmp").toString
+    val a0 = Seq((1L, "a1")).toDF("k", "av")
+    val b0 = Seq((1L, "b1")).toDF("k", "bv")
+    IncrementalJoinOps.writeJoinView(a0, b0, spark, base, "k", 4)
+    // six refreshes on the SAME key fragment one bucket of a/ and j/
+    (2 to 7).foreach { i =>
+      IncrementalJoinOps.appendToJoinView(
+        Seq((1L, s"a$i")).toDF("k", "av"), b0.filter(lit(false)),
+        spark, base, "k", 4)
+    }
+    def bucketFiles(side: String): Map[String, Set[String]] =
+      new File(s"$base/$side").listFiles()
+        .filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .toMap
+    val hot = "__bucket=" + spark.range(1)
+      .select(pmod(hash(lit(1L)), lit(4))).head().getInt(0)
+    val beforeData = IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet
+    val beforeA = bucketFiles("a")
+    assert(beforeA(hot).size == 7, s"expected fragmentation: $beforeA")
+    IncrementalJoinOps.compactJoinView(spark, base, maxFilesPerBucket = 4)
+    val afterA = bucketFiles("a")
+    assert(afterA(hot).size == 1, s"hot bucket must collapse: $afterA")
+    // untouched buckets keep their exact files
+    (beforeA.keySet - hot).foreach(bk => assert(afterA(bk) == beforeA(bk)))
+    assert(IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet == beforeData)
+    assert(bucketFiles("j")(hot).size == 1)
+  }
 }
