@@ -85,10 +85,15 @@ object DocStoreOps {
     val touched = winners.select(BUCKET).distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets, never batch-sized
     // store rows carry their own OP (tombstones included), so the
-    // re-election sees deletes' sequences and stale resurrections lose
-    val affected = spark.read.parquet(basePath)
+    // re-election sees deletes' sequences and stale resurrections lose.
+    // mergeSchema + allowMissingColumns = SCHEMA EVOLUTION: a batch may
+    // add payload columns; rewritten buckets carry the widened schema,
+    // untouched buckets keep theirs, and rows from before the column
+    // existed read as null (spec-pinned).
+    val affected = spark.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col(BUCKET).isin(touched.toIndexedSeq: _*))
-    val merged = electWinners(affected.unionByName(winners), key, seqCol)
+    val merged = electWinners(
+      affected.unionByName(winners, allowMissingColumns = true), key, seqCol)
       // materialize BEFORE overwriting the partitions `affected` reads
       // (bounded: the touched slice of the store plus the batch)
       .localCheckpoint(true)
@@ -107,7 +112,7 @@ object DocStoreOps {
     * after compaction a stale update for a compacted key would
     * resurrect it. */
   def compactDocStore(spark: SparkSession, basePath: String): Unit = {
-    val all = spark.read.parquet(basePath)
+    val all = spark.read.option("mergeSchema", "true").parquet(basePath)
     val tombBuckets = all.filter(col(OP) === "D")
       .select(BUCKET).distinct().collect().map(_.getInt(0))
     if (tombBuckets.nonEmpty) {
@@ -130,9 +135,10 @@ object DocStoreOps {
     }
   }
 
-  /** Current rows (all buckets; tombstones filtered). */
+  /** Current rows (all buckets; tombstones filtered; schemas of
+    * different bucket generations merged). */
   def readDocStore(spark: SparkSession, basePath: String): DataFrame =
-    spark.read.parquet(basePath)
+    spark.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col(OP) =!= "D").drop(OP, BUCKET)
 
   /** Rows for the given keys, reading only the buckets they hash into:
@@ -144,7 +150,7 @@ object DocStoreOps {
     val k = keys.toDF(key)
     val buckets = withBucket(k, key, nBuckets)
       .select(BUCKET).distinct().collect().map(_.getInt(0))
-    spark.read.parquet(basePath)
+    spark.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col(BUCKET).isin(buckets.toIndexedSeq: _*))
       .filter(col(OP) =!= "D")
       .join(k, Seq(key), "left_semi")

@@ -88,6 +88,26 @@ object IncrementalJoinOps {
   def readJoinView(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/j").drop(BUCKET)
 
+  /** Continuous maintenance: fold a STREAMING delta of side A into the
+    * view per micro-batch (side-B deltas keep arriving through the
+    * batch API — the common fact-stream / dimension-batch shape). Each
+    * trigger inherits [[appendToJoinView]]'s bucket locality. */
+  def joinViewSinkA(deltaA: DataFrame, base: String, key: String,
+                    nBuckets: Int = 64,
+                    checkpoint: Option[String] = None) = {
+    val w = deltaA.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val emptyB = s.read.parquet(s"$base/b")
+            .drop(BUCKET).filter(lit(false))
+          appendToJoinView(batch, emptyB, s, base, key, nBuckets)
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Small-files maintenance: every refresh appends one file per
     * touched bucket, so long-lived views accumulate files linearly in
     * refresh count. Rewrite each bucket of the three tables that holds

@@ -83,7 +83,8 @@ object VersionedStoreOps {
     val ver = v.getOrElse(currentVersion(spark, base))
     val dirs = liveDirs(spark, base, ver)
     require(dirs.nonEmpty, s"version $ver has no data under $base")
-    spark.read.parquet(dirs: _*).filter(col(OP) =!= "D").drop(OP)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      .filter(col(OP) =!= "D").drop(OP)
   }
 
   /** Apply a changes batch as a NEW version. Identical semantics to
@@ -111,8 +112,11 @@ object VersionedStoreOps {
     // in-place store
     val affected =
       if (touchedDirs.isEmpty) winners.filter(lit(false))
-      else withBucket(spark.read.parquet(touchedDirs: _*), key, nBuckets)
-    val merged = electWinners(affected.unionByName(winners), key, seqCol)
+      else withBucket(
+        spark.read.option("mergeSchema", "true").parquet(touchedDirs: _*),
+        key, nBuckets)
+    val merged = electWinners(
+      affected.unionByName(winners, allowMissingColumns = true), key, seqCol)
       .localCheckpoint(true) // copy-on-write needs no read-own-write fence,
                              // but the two manifest scans below must not recompute it
     merged.write.mode(SaveMode.Overwrite)

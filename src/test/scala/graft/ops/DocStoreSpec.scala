@@ -117,6 +117,29 @@ class DocStoreSpec extends SparkTestBase {
       s"expected only $touched's $dirFiles file(s) scanned, got $scanned")
   }
 
+  test("a batch may widen the schema; pre-evolution rows read as null") {
+    val base = Files.createTempDirectory("docstore-evolve").toString
+    DocStoreOps.writeDocStore(
+      Seq((1L, "one", 10L), (2L, "two", 10L)).toDF("k", "v", "seq"),
+      spark, base, "k", "seq", 4)
+    DocStoreOps.applyChanges(
+      Seq((2L, "two'", 20L, "U", "extra2"), (3L, "three", 20L, "U", "extra3"))
+        .toDF("k", "v", "seq", "op", "w"),
+      spark, base, "k", "seq", "op", 4)
+    val got = DocStoreOps.readDocStore(spark, base)
+      .select("k", "v", "seq", "w").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, "one", 10L, None), // untouched bucket, pre-evolution schema
+      (2L, "two'", 20L, Some("extra2")),
+      (3L, "three", 20L, Some("extra3"))))
+    // the widened column participates in lookups too
+    val lk = DocStoreOps.lookup(spark, base, "k", 3L, 4)
+      .select("w").head().getString(0)
+    assert(lk == "extra3")
+  }
+
   test("compaction drops tombstones and empties all-tombstone buckets") {
     val base = Files.createTempDirectory("docstore-compact").toString
     // keys 1,2 share bucket-mates; key 3 alone in its bucket (probe)

@@ -80,6 +80,26 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(gained == li.filter(col("k") === 7L).count())
   }
 
+  test("a streamed A-side delta maintains the same view as batch folds") {
+    val base = Files.createTempDirectory("jview-st").toString
+    val a0 = Seq((1L, "a1")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (2L, "b2"), (3L, "b3")).toDF("k", "bv")
+    IncrementalJoinOps.writeJoinView(a0, b0, spark, base, "k", 8)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = IncrementalJoinOps.joinViewSinkA(
+      input.toDF().toDF("k", "av"), base, "k", 8)
+    try {
+      input.addData((2L, "a2")); q.processAllAvailable()
+      input.addData((3L, "a3"), (4L, "a4")); q.processAllAvailable()
+    } finally q.stop()
+    val got = IncrementalJoinOps.readJoinView(spark, base)
+      .select("k", "av", "bv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a1", "b1"), (2L, "a2", "b2"), (3L, "a3", "b3")))
+  }
+
   test("compaction collapses fragmented buckets only, data unchanged") {
     val base = Files.createTempDirectory("jview-cmp").toString
     val a0 = Seq((1L, "a1")).toDF("k", "av")
