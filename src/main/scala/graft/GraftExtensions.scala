@@ -17,6 +17,9 @@ import graft.expressions.{CosineSim, MinHashSignature, SignatureParams, SimHash6
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectQueryStagePrepRule(_ => graft.plans.PidShuffleElimination())
+    // materialized-view matching: serve registered rollup stores in
+    // place of fact-table aggregate scans (AggStoreRegistry.register)
+    ext.injectOptimizerRule(spark => graft.plans.AggStoreRewrite(spark))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-view matching for the [[graft.ops.IncrementalAggOps]]
+  * rollup store — the optimizer half of incremental view maintenance:
+  * once a `(fact table, keys, measures)` rollup is registered, any
+  * `fact.groupBy(keys).agg(sum(measure)…)` in the session is rewritten
+  * to read the (delta-maintained, key-sized) store instead of scanning
+  * the fact table. At 100 TB that turns a full corpus scan into a read
+  * of |keys| rows — and callers don't change a line: the match happens
+  * on the LOGICAL PLAN, exactly how enterprise engines serve
+  * materialized views.
+  *
+  * Matching is deliberately STRICT — a rewrite must never change
+  * results, so anything not provably store-answerable scans the fact
+  * table as before:
+  *  - the aggregate's child is the registered fact relation (bare or
+  *    under a column-pruning Project) — no filters, no joins;
+  *  - every grouping expression is a bare column, and the grouping set
+  *    equals the store's key set exactly (a rollup can answer coarser
+  *    groupings only by re-aggregating — v1 keeps the 1:1 form);
+  *  - every output is a grouping column or `sum(<bare measure col>)`,
+  *    non-distinct, unfiltered, with matching result type. Sums only:
+  *    that is the monoid the store itself is restricted to (counts are
+  *    sums of prepared 1-columns on both sides by convention).
+  *
+  * The store holds ONE row per key (merges re-aggregate per bucket), so
+  * the replacement is a pure projection of the store scan aliased onto
+  * the original output attribute ids — parents above notice nothing.
+  * The rule is idempotent (the rewritten child no longer matches the
+  * fact path), so the optimizer's fixed-point loop is safe.
+  */
+object AggStoreRegistry {
+  final case class Registration(factPath: String, storePath: String,
+                                keys: Seq[String], measures: Seq[String])
+
+  private val entries =
+    new java.util.concurrent.CopyOnWriteArrayList[Registration]()
+
+  private def qualified(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Register a rollup built by
+    * [[graft.ops.IncrementalAggOps.writeAggStore]] over `factPath`. */
+  def register(spark: SparkSession, factPath: String, storePath: String,
+               keys: Seq[String], measures: Seq[String]): Unit =
+    entries.add(Registration(
+      qualified(spark, factPath), storePath, keys, measures))
+
+  def clear(): Unit = entries.clear()
+
+  private[plans] def lookup(factPath: String): Option[Registration] = {
+    val it = entries.iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      if (r.factPath == factPath) return Some(r)
+    }
+    None
+  }
+}
+
+case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** The fact relation's root path, looking through column-pruning
+    * Projects only (any other operator in between disqualifies). */
+  private def factRoot(p: LogicalPlan): Option[String] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      factRoot(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(grouping, aggExprs, child, _)
+        if grouping.nonEmpty && grouping.forall(_.isInstanceOf[AttributeReference]) =>
+      (for {
+        root <- factRoot(child)
+        reg <- AggStoreRegistry.lookup(root)
+        groupNames = grouping.map(_.asInstanceOf[AttributeReference].name)
+        if groupNames.toSet == reg.keys.toSet
+        rewritten <- rewrite(agg, reg, groupNames.toSet)
+      } yield rewritten).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate, reg: AggStoreRegistry.Registration,
+                      groupNames: Set[String]): Option[LogicalPlan] = {
+    val storePlan = spark.read.parquet(reg.storePath)
+      .queryExecution.analyzed
+    def storeAttr(name: String): Option[AttributeReference] =
+      storePlan.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+    // every output must map onto a store column with the same type
+    val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames(a.name) =>
+        storeAttr(a.name).filter(_.dataType == a.dataType)
+          .map(sa => Alias(sa, a.name)(exprId = a.exprId))
+      case al @ Alias(AggregateExpression(
+          Sum(m: AttributeReference, _), Complete, false, None, _), name)
+          if reg.measures.contains(m.name) =>
+        storeAttr(m.name).filter(_.dataType == al.dataType)
+          .map(sa => Alias(sa, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.forall(_.isDefined)) {
+      logInfo(s"redirecting aggregate over ${reg.factPath} " +
+        s"to rollup store ${reg.storePath}")
+      Some(Project(mapped.flatten, storePlan))
+    } else None
+  }
+}

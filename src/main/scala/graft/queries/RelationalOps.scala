@@ -670,6 +670,47 @@ object RelationalOps {
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 
+    // ---- Materialized-view matching (beyond-reference): the optimizer
+    // half of IVM. A rollup store is built 80/20 (write + fold) and
+    // REGISTERED; the query then runs the PLAIN raw aggregate over the
+    // fact parquet — AggStoreRewrite redirects it to the store at plan
+    // time (plan-asserted in AggRewriteSpec; at 100 TB this is a
+    // corpus scan turned into a |keys|-row read with no caller change).
+    // The oracle aggregates the raw table: equal hashes prove the
+    // served store state matches the truth through build + fold +
+    // rewrite. Quantities are integer-valued doubles, so sums are
+    // exact and order-free in both engines.
+    q(
+      "agg_rewrite",
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      import graft.plans.AggStoreRegistry
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-aggrw").toString
+      val factPath = s"$dir/lineitem.parquet"
+      val li = s.read.parquet(factPath)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_orderkey")
+      IncrementalAggOps.writeAggStore(
+        li.filter(col("l_orderkey") % 5 =!= 0)
+          .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"),
+        s, store, keys, ms, nBuckets = 8)
+      IncrementalAggOps.mergeIntoAggStore(
+        li.filter(col("l_orderkey") % 5 === 0)
+          .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"),
+        s, store, keys, ms, nBuckets = 8)
+      AggStoreRegistry.clear()
+      AggStoreRegistry.register(s, factPath, store, keys, ms)
+      // the RAW aggregate — served by the store via the optimizer rule
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          sum("l_orderkey").as("key_sum"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // ---- Triangle counting (beyond-reference): co-purchase graph
     // (parts sharing an order) counted via GraphOps.triangleStats'
     // degree-ordered orientation — each triangle generated once from

@@ -1,0 +1,98 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.IncrementalAggOps
+
+/** [[AggStoreRewrite]] — registered rollups must transparently serve
+  * matching fact-table aggregates (plan-visibly), stay correct under
+  * delta maintenance, and NEVER touch a query the store can't provably
+  * answer. */
+class AggRewriteSpec extends SparkTestBase {
+
+  private def fact = s"$sfTiny/lineitem.parquet"
+  private def li = spark.read.parquet(fact)
+
+  private def rawAgg = li
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(sum("l_quantity").as("sum_qty"))
+
+  private def resultMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+  /** Root paths of every file relation in the optimized plan (the plan's
+    * toString elides paths, so assertions must look at the relations). */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("a registered rollup serves the aggregate without a fact scan") {
+    val store = Files.createTempDirectory("aggrw").toString
+    try {
+      // 80/20 build + fold: the rewrite must serve the MAINTAINED state
+      val prepped = li.select(col("l_orderkey"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"))
+      IncrementalAggOps.writeAggStore(
+        prepped.filter(col("l_orderkey") % 5 =!= 0).drop("l_orderkey"),
+        spark, store, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"), 8)
+      IncrementalAggOps.mergeIntoAggStore(
+        prepped.filter(col("l_orderkey") % 5 === 0).drop("l_orderkey"),
+        spark, store, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"), 8)
+      val want = resultMap(rawAgg) // registry empty: the real fact scan
+
+      AggStoreRegistry.register(spark, fact, store,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      val served = rawAgg
+      val paths = scanPaths(served)
+      assert(paths.exists(_.contains(store.split('/').last)),
+        s"plan must read the store, scans: $paths")
+      assert(!paths.exists(_.contains("lineitem.parquet")),
+        s"plan must not scan the fact table, scans: $paths")
+      // quantities are integer-valued doubles: sums are exact, order-free
+      assert(resultMap(served) == want)
+    } finally AggStoreRegistry.clear()
+  }
+
+  test("non-answerable shapes are left untouched") {
+    val store = Files.createTempDirectory("aggrw2").toString
+    try {
+      IncrementalAggOps.writeAggStore(
+        li.select("l_returnflag", "l_linestatus", "l_quantity"),
+        spark, store, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"), 8)
+      AggStoreRegistry.register(spark, fact, store,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      def factScanned(df: org.apache.spark.sql.DataFrame): Boolean =
+        scanPaths(df).exists(_.contains("lineitem.parquet"))
+      // a filter between scan and aggregate: store can't answer
+      assert(factScanned(li.filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("s"))))
+      // sum over an expression, not a bare measure column
+      assert(factScanned(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity") * 2).as("s"))))
+      // coarser grouping than the store's key set
+      assert(factScanned(li.groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s"))))
+      // an aggregate the store does not carry
+      assert(factScanned(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(max("l_quantity").as("s"))))
+      // a different fact table entirely
+      assert(scanPaths(spark.read.parquet(s"$sfTiny/orders.parquet")
+        .groupBy("o_orderpriority").agg(sum("o_totalprice").as("s")))
+        .exists(_.contains("orders.parquet")))
+    } finally AggStoreRegistry.clear()
+  }
+}
