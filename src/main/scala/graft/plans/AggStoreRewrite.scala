@@ -22,9 +22,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * table as before:
   *  - the aggregate's child is the registered fact relation (bare or
   *    under a column-pruning Project) — no filters, no joins;
-  *  - every grouping expression is a bare column, and the grouping set
-  *    equals the store's key set exactly (a rollup can answer coarser
-  *    groupings only by re-aggregating — v1 keeps the 1:1 form);
+  *  - every grouping expression is a bare column and the grouping set
+  *    is a SUBSET of the store's key set: the exact set is served as a
+  *    pure projection (the store holds one row per key), a coarser set
+  *    by RE-AGGREGATING the store — sums are monoids, so partials of
+  *    partials are the whole. Re-aggregation is restricted to integral
+  *    measures (exact, type-stable); float and decimal stay 1:1-only
+  *    because a rewrite must be bit- and type-identical, not close;
   *  - every output is a grouping column or `sum(<bare measure col>)`,
   *    non-distinct, unfiltered, with matching result type. Sums only:
   *    that is the monoid the store itself is restricted to (counts are
@@ -82,6 +86,16 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Types whose re-summed sum keeps BOTH the value and the result
+    * type: integral sums are exact and `sum(long) = long`. (Decimal
+    * re-sums are exact too but widen the precision — the output type
+    * would no longer match the original aggregate's — and float
+    * re-association changes last-ulp results; both stay 1:1-only.) */
+  private def reAggregatable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(grouping, aggExprs, child, _)
         if grouping.nonEmpty && grouping.forall(_.isInstanceOf[AttributeReference]) =>
@@ -89,35 +103,54 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         root <- factRoot(child)
         reg <- AggStoreRegistry.lookup(root)
         groupNames = grouping.map(_.asInstanceOf[AttributeReference].name)
-        if groupNames.toSet == reg.keys.toSet
+        if groupNames.toSet.subsetOf(reg.keys.toSet)
         rewritten <- rewrite(agg, reg, groupNames.toSet)
       } yield rewritten).getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate, reg: AggStoreRegistry.Registration,
                       groupNames: Set[String]): Option[LogicalPlan] = {
+    val exact = groupNames == reg.keys.toSet
     val storePlan = spark.read.parquet(reg.storePath)
       .queryExecution.analyzed
     def storeAttr(name: String): Option[AttributeReference] =
       storePlan.output.collectFirst {
         case a: AttributeReference if a.name == name => a
       }
-    // every output must map onto a store column with the same type
+    // every output must map onto a store column with the same type; the
+    // exact key set is a pure projection (one store row per key), a
+    // coarser set re-sums the store partials (exact-typed measures only)
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case a: AttributeReference if groupNames(a.name) =>
         storeAttr(a.name).filter(_.dataType == a.dataType)
           .map(sa => Alias(sa, a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(
-          Sum(m: AttributeReference, _), Complete, false, None, _), name)
+          Sum(m: AttributeReference, em), Complete, false, None, _), name)
           if reg.measures.contains(m.name) =>
-        storeAttr(m.name).filter(_.dataType == al.dataType)
-          .map(sa => Alias(sa, name)(exprId = al.exprId))
+        storeAttr(m.name)
+          .filter(sa => sa.dataType == al.dataType &&
+            (exact || reAggregatable(sa.dataType)))
+          .map { sa =>
+            val served =
+              if (exact) sa
+              else AggregateExpression(Sum(sa, em), Complete,
+                isDistinct = false, filter = None)
+            Alias(served, name)(exprId = al.exprId)
+          }
       case _ => None
     }
     if (mapped.forall(_.isDefined)) {
       logInfo(s"redirecting aggregate over ${reg.factPath} " +
-        s"to rollup store ${reg.storePath}")
-      Some(Project(mapped.flatten, storePlan))
+        s"to rollup store ${reg.storePath}" +
+        (if (exact) "" else " (re-aggregated to a coarser grouping)"))
+      val outs = mapped.flatten
+      if (exact) Some(Project(outs, storePlan))
+      else {
+        val groupAttrs = agg.groupingExpressions.map {
+          case a: AttributeReference => storeAttr(a.name).get
+        }
+        Some(Aggregate(groupAttrs, outs, storePlan))
+      }
     } else None
   }
 }

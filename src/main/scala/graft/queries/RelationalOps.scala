@@ -711,6 +711,47 @@ object RelationalOps {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ---- The same registered rollup answering a COARSER grouping: the
+    // rule re-aggregates the store's partials (sums are monoids;
+    // integral measures only, so re-association is exact and
+    // type-stable). One store, many granularities — the point of a
+    // materialized rollup. Oracle aggregates raw; AggRewriteSpec pins
+    // that the plan reads the store.
+    q(
+      "agg_rewrite_rollup",
+      """SELECT l_returnflag, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups_src
+        |FROM lineitem GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      import graft.plans.AggStoreRegistry
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-aggrw2").toString
+      val factPath = s"$dir/lineitem.parquet"
+      val li = s.read.parquet(factPath)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      // n_rows as a prepared 1-column: COUNT(*) is a sum on both sides
+      val withOne = li.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), lit(1L).as("n_rows"))
+      IncrementalAggOps.writeAggStore(withOne, s, store, keys,
+        Seq("l_orderkey", "n_rows"), nBuckets = 8)
+      AggStoreRegistry.clear()
+      AggStoreRegistry.register(s, factPath, store, keys,
+        Seq("l_orderkey", "n_rows"))
+      // key_sum: a coarser RAW aggregate — the rule re-sums the store.
+      // n_groups_src: count(*) as the sum-of-ones convention; its child
+      // carries a computed column, so it scans raw by design (the rule
+      // only matches bare relations) — the join pairs a served side
+      // with an unserved side in one result.
+      val served = li.groupBy("l_returnflag")
+        .agg(sum("l_orderkey").as("key_sum"))
+      val counts = withOne.groupBy("l_returnflag")
+        .agg(sum("n_rows").as("n_groups_src"))
+      served.join(counts, "l_returnflag")
+        .select("l_returnflag", "key_sum", "n_groups_src")
+        .orderBy("l_returnflag")
+    },
+
     // ---- Triangle counting (beyond-reference): co-purchase graph
     // (parts sharing an order) counted via GraphOps.triangleStats'
     // degree-ordered orientation — each triangle generated once from

@@ -65,6 +65,38 @@ class AggRewriteSpec extends SparkTestBase {
     } finally AggStoreRegistry.clear()
   }
 
+  test("coarser groupings re-aggregate the store for integral measures") {
+    val store = Files.createTempDirectory("aggrw3").toString
+    try {
+      IncrementalAggOps.writeAggStore(
+        li.select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"),
+        spark, store, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_orderkey"), 8)
+      AggStoreRegistry.register(spark, fact, store,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_orderkey"))
+      // integral measure, subset grouping: served by re-summing partials
+      val coarse = li.groupBy("l_returnflag")
+        .agg(sum("l_orderkey").as("key_sum"))
+      val paths = scanPaths(coarse)
+      assert(paths.exists(_.contains(store.split('/').last)) &&
+        !paths.exists(_.contains("lineitem.parquet")),
+        s"coarse grouping must re-aggregate the store, scans: $paths")
+      val got = coarse.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      AggStoreRegistry.clear() // ground truth: the real fact scan
+      val want = li.groupBy("l_returnflag")
+        .agg(sum("l_orderkey").as("key_sum")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      // double measure at a coarser grouping: must NOT be re-associated
+      AggStoreRegistry.register(spark, fact, store,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_orderkey"))
+      assert(scanPaths(li.groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("s")))
+        .exists(_.contains("lineitem.parquet")))
+    } finally AggStoreRegistry.clear()
+  }
+
   test("non-answerable shapes are left untouched") {
     val store = Files.createTempDirectory("aggrw2").toString
     try {
