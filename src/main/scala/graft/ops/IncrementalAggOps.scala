@@ -29,20 +29,41 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAggOps {
 
-  private def bucketed(df: DataFrame, keys: Seq[String], measures: Seq[String],
-                       nBuckets: Int): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(sum(col(measures.head)).as(measures.head),
-        measures.tail.map(m => sum(col(m)).as(m)): _*)
-      .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+  /** Per-measure merge function. Any COMMUTATIVE MONOID whose partial
+    * merge is the function itself qualifies: sum (the default), min,
+    * max. Partial + partial = whole in any order for all three; only
+    * sum additionally supports retraction (inverses exist). */
+  private def kindOf(kinds: Seq[String], measures: Seq[String], m: String): String =
+    if (kinds.isEmpty) "sum"
+    else kinds(measures.indexOf(m)) match {
+      case k @ ("sum" | "min" | "max") => k
+      case bad => throw new IllegalArgumentException(
+        s"unsupported measure kind '$bad' (sum|min|max)")
+    }
 
-  /** Initial build: aggregate `df` by `keys` (summing each measure
-    * column) into a bucket-partitioned store at `basePath`. */
+  private def mergeExpr(kind: String, m: String) = kind match {
+    case "sum" => sum(col(m)).as(m)
+    case "min" => min(col(m)).as(m)
+    case "max" => max(col(m)).as(m)
+  }
+
+  private def bucketed(df: DataFrame, keys: Seq[String], measures: Seq[String],
+                       nBuckets: Int, kinds: Seq[String]): DataFrame = {
+    val exprs = measures.map(m => mergeExpr(kindOf(kinds, measures, m), m))
+    df.groupBy(keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+      .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+  }
+
+  /** Initial build: aggregate `df` by `keys` (merging each measure
+    * column with its kind — all-sum when `kinds` is empty) into a
+    * bucket-partitioned store at `basePath`. */
   def writeAggStore(df: DataFrame, spark: SparkSession, basePath: String,
                     keys: Seq[String], measures: Seq[String],
-                    nBuckets: Int = 64): Unit = {
+                    nBuckets: Int = 64, kinds: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty && measures.nonEmpty)
-    bucketed(df, keys, measures, nBuckets)
+    require(kinds.isEmpty || kinds.length == measures.length)
+    bucketed(df, keys, measures, nBuckets, kinds)
       .write.mode("overwrite").partitionBy("__bucket").parquet(basePath)
     spark.catalog.refreshByPath(basePath)
   }
@@ -53,18 +74,20 @@ object IncrementalAggOps {
     * exactly once (it is a fold, not an upsert of absolutes). */
   def mergeIntoAggStore(delta: DataFrame, spark: SparkSession,
                         basePath: String, keys: Seq[String],
-                        measures: Seq[String], nBuckets: Int = 64): Unit = {
-    val dAgg = bucketed(delta, keys, measures, nBuckets)
+                        measures: Seq[String], nBuckets: Int = 64,
+                        kinds: Seq[String] = Nil): Unit = {
+    require(kinds.isEmpty || kinds.length == measures.length)
+    val dAgg = bucketed(delta, keys, measures, nBuckets, kinds)
       // freeze before reading the store this write will mutate
       .localCheckpoint(true)
     val touched = dAgg.select("__bucket").distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets, never data-sized
     val affected = spark.read.parquet(basePath)
       .filter(col("__bucket").isin(touched.toIndexedSeq: _*))
+    val exprs = measures.map(m => mergeExpr(kindOf(kinds, measures, m), m))
     val merged = affected.unionByName(dAgg)
       .groupBy((keys :+ "__bucket").map(col): _*)
-      .agg(sum(col(measures.head)).as(measures.head),
-        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .agg(exprs.head, exprs.tail: _*)
       .select((keys ++ measures :+ "__bucket").map(col): _*)
       // materialize BEFORE the write: the write overwrites the very
       // partitions `affected` reads — without the eager cut the job

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -41,8 +41,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * fact path), so the optimizer's fixed-point loop is safe.
   */
 object AggStoreRegistry {
+  /** `kinds` parallels `measures` (sum|min|max); empty = all sums —
+    * mirroring [[graft.ops.IncrementalAggOps]]'s measure kinds. */
   final case class Registration(factPath: String, storePath: String,
-                                keys: Seq[String], measures: Seq[String])
+                                keys: Seq[String], measures: Seq[String],
+                                kinds: Seq[String] = Nil) {
+    def kindOf(m: String): String =
+      if (kinds.isEmpty) "sum" else kinds(measures.indexOf(m))
+  }
 
   private val entries =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
@@ -56,9 +62,10 @@ object AggStoreRegistry {
   /** Register a rollup built by
     * [[graft.ops.IncrementalAggOps.writeAggStore]] over `factPath`. */
   def register(spark: SparkSession, factPath: String, storePath: String,
-               keys: Seq[String], measures: Seq[String]): Unit =
+               keys: Seq[String], measures: Seq[String],
+               kinds: Seq[String] = Nil): Unit =
     entries.add(Registration(
-      qualified(spark, factPath), storePath, keys, measures))
+      qualified(spark, factPath), storePath, keys, measures, kinds))
 
   def clear(): Unit = entries.clear()
 
@@ -124,19 +131,34 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if groupNames(a.name) =>
         storeAttr(a.name).filter(_.dataType == a.dataType)
           .map(sa => Alias(sa, a.name)(exprId = a.exprId))
-      case al @ Alias(AggregateExpression(
-          Sum(m: AttributeReference, em), Complete, false, None, _), name)
-          if reg.measures.contains(m.name) =>
-        storeAttr(m.name)
-          .filter(sa => sa.dataType == al.dataType &&
-            (exact || reAggregatable(sa.dataType)))
-          .map { sa =>
-            val served =
-              if (exact) sa
-              else AggregateExpression(Sum(sa, em), Complete,
-                isDistinct = false, filter = None)
-            Alias(served, name)(exprId = al.exprId)
-          }
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        // (kind, measure attr, rebuild-over-store-column) — the query's
+        // aggregate must be the SAME monoid the store column was built
+        // with, or the store value answers a different question
+        val asked: Option[(String, AttributeReference,
+            AttributeReference => AggregateFunction)] = fn match {
+          case Sum(m: AttributeReference, em) =>
+            Some(("sum", m, sa => Sum(sa, em)))
+          case Min(m: AttributeReference) => Some(("min", m, Min(_)))
+          case Max(m: AttributeReference) => Some(("max", m, Max(_)))
+          case _ => None
+        }
+        asked.filter { case (kind, m, _) =>
+          reg.measures.contains(m.name) && reg.kindOf(m.name) == kind
+        }.flatMap { case (kind, m, rebuild) =>
+          storeAttr(m.name)
+            .filter(sa => sa.dataType == al.dataType &&
+              // min-of-mins / max-of-maxes are exact and type-stable for
+              // EVERY type; re-summing is integral-only (see above)
+              (exact || kind != "sum" || reAggregatable(sa.dataType)))
+            .map { sa =>
+              val served =
+                if (exact) sa
+                else AggregateExpression(rebuild(sa), Complete,
+                  isDistinct = false, filter = None)
+              Alias(served, name)(exprId = al.exprId): NamedExpression
+            }
+        }
       case _ => None
     }
     if (mapped.forall(_.isDefined)) {

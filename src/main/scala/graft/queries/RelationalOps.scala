@@ -670,6 +670,38 @@ object RelationalOps {
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 
+    // ---- Min/max measure kinds in the rollup store: min and max are
+    // commutative monoids like sum (partial ∘ partial = whole in any
+    // order), so the same bucket-local build + fold maintains them —
+    // they just forgo retraction (no inverses). Exact integer cents.
+    q(
+      "agg_store_minmax",
+      """SELECT o_orderpriority,
+        |  MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS min_cents,
+        |  MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mmstore").toString
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val prepped = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        cents.as("min_cents"), cents.as("max_cents"), cents.as("total_cents"))
+      val keys = Seq("o_orderpriority")
+      val ms = Seq("min_cents", "max_cents", "total_cents")
+      val kinds = Seq("min", "max", "sum")
+      IncrementalAggOps.writeAggStore(
+        prepped.filter(col("o_orderkey") % 5 =!= 0).drop("o_orderkey"),
+        s, base, keys, ms, nBuckets = 8, kinds = kinds)
+      IncrementalAggOps.mergeIntoAggStore(
+        prepped.filter(col("o_orderkey") % 5 === 0).drop("o_orderkey"),
+        s, base, keys, ms, nBuckets = 8, kinds = kinds)
+      IncrementalAggOps.readAggStore(s, base).orderBy("o_orderpriority")
+    },
+
     // ---- Materialized-view matching (beyond-reference): the optimizer
     // half of IVM. A rollup store is built 80/20 (write + fold) and
     // REGISTERED; the query then runs the PLAIN raw aggregate over the

@@ -97,6 +97,35 @@ class AggRewriteSpec extends SparkTestBase {
     } finally AggStoreRegistry.clear()
   }
 
+  test("min/max measures serve coarser groupings for any type") {
+    val store = Files.createTempDirectory("aggrw4").toString
+    try {
+      IncrementalAggOps.writeAggStore(
+        li.select("l_returnflag", "l_linestatus", "l_extendedprice"),
+        spark, store, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_extendedprice"), 8, kinds = Seq("min"))
+      AggStoreRegistry.register(spark, fact, store,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_extendedprice"),
+        kinds = Seq("min"))
+      // min-of-mins is exact even for doubles: coarser grouping served
+      val coarse = li.groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("m"))
+      assert(scanPaths(coarse).exists(_.contains(store.split('/').last)),
+        s"coarse min must re-aggregate the store: ${scanPaths(coarse)}")
+      val got = coarse.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // a SUM over the min-kind measure must NOT be served (wrong monoid)
+      assert(scanPaths(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_extendedprice").as("s")))
+        .exists(_.contains("lineitem.parquet")))
+      AggStoreRegistry.clear()
+      val want = li.groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("m")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want)
+    } finally AggStoreRegistry.clear()
+  }
+
   test("non-answerable shapes are left untouched") {
     val store = Files.createTempDirectory("aggrw2").toString
     try {
