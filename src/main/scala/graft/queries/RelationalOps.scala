@@ -670,6 +670,76 @@ object RelationalOps {
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 
+    // ---- CDC change feed DRIVING rollup maintenance (the downstream-
+    // sync pattern, end-to-end): a versioned store takes two change
+    // waves; the v1→v2 snapshot diff becomes a retract/merge pair
+    // against a rollup built from the v1 state — old rows of deletes
+    // and updates retract, new rows of adds and updates merge. The
+    // rollup maintained ONLY from the change feed must equal the
+    // oracle's aggregate of the final LWW state, proving the diff
+    // loses nothing and the monoid fold inverts cleanly. Zero-count
+    // rows (a group retracted to nothing) are filtered on read — the
+    // documented compaction semantic.
+    q(
+      "pipeline_cdc_rollup",
+      """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |r2 AS (
+        |  SELECT doc_id, lang, source, n_chars, doc_id*10 AS seq, 'U' AS op
+        |  FROM d WHERE doc_id % 4 <> 3
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+5, 'U'
+        |  FROM d WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, 'xx', source, n_chars+1000, doc_id*10+7, 'U'
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+9, 'D'
+        |  FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, 'stale', source, n_chars, doc_id*10-5, 'U'
+        |  FROM d WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT doc_id, 'v2', source, n_chars+5000, doc_id*10+20, 'U'
+        |  FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+25, 'D'
+        |  FROM d WHERE doc_id % 17 = 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY seq DESC, (op = 'D') DESC) AS rn FROM r2)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY lang""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.{IncrementalAggOps, VersionedStoreOps}
+      val vbase = java.nio.file.Files
+        .createTempDirectory("graft-cdcroll-v").toString
+      val abase = java.nio.file.Files
+        .createTempDirectory("graft-cdcroll-a").toString
+      val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      VersionedStoreOps.writeVersioned(
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .withColumn("seq", col("doc_id") * 10),
+        s, vbase, "doc_id", "seq", nBuckets = 16)
+      val v1 = VersionedStoreOps.applyChangesVersioned(
+        cdcBatch1(docs), s, vbase, "doc_id", "seq", "op", 16)
+      val v2 = VersionedStoreOps.applyChangesVersioned(
+        cdcBatch2(docs), s, vbase, "doc_id", "seq", "op", 16)
+      def prep(df: DataFrame) =
+        df.select(col("lang"), lit(1L).as("n"), col("n_chars").as("chars"))
+      // the rollup is built from the v1 SNAPSHOT and then maintained
+      // purely from the change feed
+      IncrementalAggOps.writeAggStore(
+        prep(VersionedStoreOps.readVersion(s, vbase, Some(v1))),
+        s, abase, Seq("lang"), Seq("n", "chars"), nBuckets = 8)
+      val diff = VersionedStoreOps
+        .diffVersions(s, vbase, "doc_id", "seq", v1, v2)
+        .localCheckpoint(true) // two consumers below
+      val oldRows = VersionedStoreOps.readVersion(s, vbase, Some(v1))
+        .join(diff.filter(col("change").isin("del", "upd")), "doc_id")
+      val newRows = VersionedStoreOps.readVersion(s, vbase, Some(v2))
+        .join(diff.filter(col("change").isin("add", "upd")), "doc_id")
+      IncrementalAggOps.retractFromAggStore(
+        prep(oldRows), s, abase, Seq("lang"), Seq("n", "chars"), 8)
+      IncrementalAggOps.mergeIntoAggStore(
+        prep(newRows), s, abase, Seq("lang"), Seq("n", "chars"), 8)
+      IncrementalAggOps.readAggStore(s, abase)
+        .filter(col("n") =!= 0)
+        .orderBy("lang")
+    },
+
     // ---- Min/max measure kinds in the rollup store: min and max are
     // commutative monoids like sum (partial ∘ partial = whole in any
     // order), so the same bucket-local build + fold maintains them —
