@@ -135,6 +135,40 @@ object DocStoreOps {
     }
   }
 
+  /** Constraint-enforced apply — the dead-letter pattern: changes
+    * violating any expectation are DIVERTED to `quarantinePath`
+    * (appended, stamped with the violated rule names) instead of
+    * corrupting the store; the clean remainder applies normally.
+    * Expectations are (name, predicate-that-must-hold) pairs evaluated
+    * per change row; deletes are exempt from payload rules by passing
+    * predicates of the form `op =!= "D" implies ...` — the caller owns
+    * that choice. Returns (applied, quarantined) counts. */
+  def applyChangesChecked(changes: DataFrame, spark: SparkSession,
+                          basePath: String, key: String, seqCol: String,
+                          opCol: String,
+                          expectations: Seq[(String, org.apache.spark.sql.Column)],
+                          quarantinePath: String,
+                          nBuckets: Int = 64): (Long, Long) = {
+    require(expectations.nonEmpty)
+    val violated = array(expectations.map { case (name, pred) =>
+      when(!pred, lit(name))
+    }: _*)
+    val tagged = changes
+      .withColumn("__violations", filter(violated, v => v.isNotNull))
+      .localCheckpoint(true) // one evaluation feeds both branches
+    val bad = tagged.filter(size(col("__violations")) > 0)
+    val good = tagged.filter(size(col("__violations")) === 0)
+      .drop("__violations")
+    val nBad = bad.count()
+    if (nBad > 0)
+      bad.write.mode("append").parquet(quarantinePath)
+    val nGood = good.count()
+    if (nGood > 0)
+      applyChanges(good, spark, basePath, key, seqCol, opCol, nBuckets)
+    tagged.unpersist()
+    (nGood, nBad)
+  }
+
   /** Current rows (all buckets; tombstones filtered; schemas of
     * different bucket generations merged). */
   def readDocStore(spark: SparkSession, basePath: String): DataFrame =

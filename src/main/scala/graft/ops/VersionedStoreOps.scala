@@ -147,6 +147,30 @@ object VersionedStoreOps {
       .select(col(key), col("change"))
   }
 
+  /** The v`From`→v`To` change feed WITH payloads — what a downstream
+    * consumer needs to stay in sync (see the pipeline_cdc_rollup gate):
+    * one row per changed key with `change` ∈ {add, del, upd}, the
+    * from-snapshot payload under `old_row` and the to-snapshot payload
+    * under `new_row` (null on the absent side). Cost: the two snapshot
+    * reads plus one key-partitioned full outer join. */
+  def changeFeed(spark: SparkSession, base: String, key: String,
+                 seqCol: String, vFrom: Long, vTo: Long): DataFrame = {
+    def packed(v: Long, as: String) = {
+      val df = readVersion(spark, base, Some(v))
+      val payload = df.columns.filterNot(_ == key)
+      df.select(col(key),
+        struct(payload.map(col).toIndexedSeq: _*).as(as),
+        col(seqCol).as(s"__seq_$as"))
+    }
+    packed(vFrom, "old_row").join(packed(vTo, "new_row"), Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("__seq_old_row").isNull, lit("add"))
+          .when(col("__seq_new_row").isNull, lit("del"))
+          .when(col("__seq_old_row") =!= col("__seq_new_row"), lit("upd")))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"), col("old_row"), col("new_row"))
+  }
+
   /** Drop snapshots older than `keepFrom`: a bucket dir survives iff
     * some snapshot ≥ keepFrom still resolves to it — e.g. a v=0 bucket
     * never rewritten since stays on disk (under its original path, the

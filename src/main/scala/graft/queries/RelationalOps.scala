@@ -990,6 +990,66 @@ object RelationalOps {
         .orderBy("lang")
     },
 
+    // ---- Constraint-enforced CDC apply (the dead-letter pattern):
+    // changes violating declared expectations are diverted to a
+    // quarantine table instead of corrupting the store; deletes are
+    // rule-exempt by construction of the predicates. The oracle splits
+    // the changelog with the same predicates, recomputes the LWW state
+    // of the VALID subset, and accounts for the quarantined rows in a
+    // summary row — equal hashes prove the gate diverted exactly the
+    // violating rows and nothing else.
+    q(
+      "store_cdc_checked",
+      """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |ch AS (
+        |  SELECT doc_id, lang, source, n_chars, doc_id*10+5 AS seq, 'U' AS op
+        |  FROM d WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, 'xx', source, n_chars+1000, doc_id*10+7, 'U'
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+9, 'D'
+        |  FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, 'stale', source, n_chars, doc_id*10-5, 'U'
+        |  FROM d WHERE doc_id % 13 = 0),
+        |ok AS (SELECT op = 'D' OR (n_chars % 9 <> 0 AND lang <> 'stale') AS v, *
+        |       FROM ch),
+        |rows_all AS (
+        |  SELECT doc_id, lang, source, n_chars, doc_id*10 AS seq, 'U' AS op
+        |  FROM d WHERE doc_id % 4 <> 3
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, seq, op
+        |  FROM ok WHERE v),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY seq DESC, (op = 'D') DESC) AS rn FROM rows_all)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY lang
+        |UNION ALL
+        |SELECT '__quarantined', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM ok WHERE NOT v""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.DocStoreOps
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-docstore-chk").toString
+      val quarantine = java.nio.file.Files
+        .createTempDirectory("graft-docstore-dlq").toString
+      val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      DocStoreOps.writeDocStore(
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .withColumn("seq", col("doc_id") * 10),
+        s, base, "doc_id", "seq", nBuckets = 16)
+      DocStoreOps.applyChangesChecked(
+        cdcBatch1(docs), s, base, "doc_id", "seq", "op",
+        expectations = Seq(
+          "chars_not_div9" -> (col("op") === "D" || col("n_chars") % 9 =!= 0),
+          "no_stale_lang" -> (col("op") === "D" || col("lang") =!= "stale")),
+        quarantinePath = quarantine, nBuckets = 16)
+      DocStoreOps.readDocStore(s, base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .unionByName(s.read.parquet(quarantine)
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .select(lit("__quarantined").as("lang"), col("n"), col("chars")))
+        .orderBy("lang")
+    },
+
     // ---- Keyed lookup against the CDC store: only the requested keys'
     // hash buckets are listed and scanned (file-level prune asserted in
     // DocStoreSpec); the oracle reads the flat original — equal hashes

@@ -97,6 +97,27 @@ class VersionedStoreSpec extends SparkTestBase {
     assert(v0.size == 3, "the v0 snapshot must keep the deleted rows")
   }
 
+  test("changeFeed carries payloads for adds, deletes and updates") {
+    val base = Files.createTempDirectory("vstore-cf").toString
+    val init = Seq((1L, "one", 10L), (2L, "two", 10L), (3L, "three", 10L))
+      .toDF("k", "v", "seq")
+    VersionedStoreOps.writeVersioned(init, spark, base, "k", "seq", 4)
+    val b = Seq((1L, "one'", 20L, "U"), (2L, "gone", 20L, "D"),
+      (4L, "four", 20L, "U")).toDF("k", "v", "seq", "op")
+    VersionedStoreOps.applyChangesVersioned(b, spark, base, "k", "seq", "op", 4)
+    val feed = VersionedStoreOps.changeFeed(spark, base, "k", "seq", 0L, 1L)
+      .collect().map { r =>
+        def row(o: Any) = Option(o)
+          .map(_.asInstanceOf[org.apache.spark.sql.Row])
+          .map(x => (x.getAs[String]("v"), x.getAs[Long]("seq")))
+        r.getLong(0) -> (r.getString(1), row(r.get(2)), row(r.get(3)))
+      }.toMap
+    assert(feed == Map(
+      1L -> ("upd", Some(("one", 10L)), Some(("one'", 20L))),
+      2L -> ("del", Some(("two", 10L)), None),
+      4L -> ("add", None, Some(("four", 20L)))))
+  }
+
   test("vacuum drops superseded dirs and preserves surviving snapshots") {
     val base = Files.createTempDirectory("vstore-vac").toString
     val docs = graft.queries.tDocs(spark, sfTiny)
