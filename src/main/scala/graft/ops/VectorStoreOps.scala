@@ -190,4 +190,40 @@ object VectorStoreOps {
       .filter(col("rank") <= k)
       .select("query_id", "item_id", "rank", "cos")
   }
+
+  /** FILTERED vector search — top-k among only the items whose metadata
+    * satisfies `pred` (PRE-FILTER semantics: ranks are assigned after
+    * filtering, so every query still gets k eligible results when k
+    * eligible candidates exist in its probed cells — a post-filtered
+    * top-k would silently return fewer). `meta` maps item id →
+    * attribute columns; the eligible-id set is semi-joined into the
+    * probed candidates before the re-rank, so at scale it is the
+    * filtered (small) side that moves, never the store. Same output
+    * contract as [[searchStore]]. */
+  def searchStoreFiltered(queries: DataFrame, spark: SparkSession,
+                          basePath: String, k: Int, meta: DataFrame,
+                          pred: org.apache.spark.sql.Column,
+                          nprobe: Int = 4,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          probeRound: Option[Int] = None): DataFrame = {
+    val cents = spark.read.parquet(s"$basePath/centroids")
+    val items = spark.read.parquet(s"$basePath/items")
+      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+    val eligible = meta.filter(pred)
+      .select(col(idCol).as("item_id")).distinct()
+    val probes = bestCells(spark,
+      queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      cents, top = nprobe, probeRound)
+      .select(col("__id").as("query_id"), col("__v").as("qv"), col("cid"))
+    val cand = items.join(broadcast(probes), "cid")
+      .join(eligible, Seq("item_id"), "left_semi")
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos",
+        round(SimilarityOps.cosineFast(spark, col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
 }

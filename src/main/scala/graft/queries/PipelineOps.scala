@@ -733,6 +733,65 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- FILTERED vector search under the oracle: top-k among only
+    // the items whose metadata passes the predicate (label = 1),
+    // PRE-FILTER semantics — ranks assigned after filtering, so the
+    // oracle's rank column only matches if the engine filtered before
+    // ranking, not after. Same store build/append/probe machinery as
+    // ann_inc_q; the eligible-id set semi-joins into the probed
+    // candidates, so the filtered side moves, never the store.
+    q(
+      "ann_filtered_q",
+      """WITH seeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p
+        |  JOIN asg a ON a.cid = p.cid
+        |  JOIN embeddings m ON m.vec_id = a.item_id AND m.label = 1
+        |  WHERE a.item_id <> p.query_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN embeddings i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-vstore-f").toString
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6))
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      VectorStoreOps.searchStoreFiltered(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10,
+        meta = emb.select("vec_id", "label"),
+        pred = col("label") === 1,
+        nprobe = 4, probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Per-label mean embedding (class prototypes / the IVF build
     // block) with a FULL oracle: cross-row float means are order-
     // dependent in double, so each element is quantized to
