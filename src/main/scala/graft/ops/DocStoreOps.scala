@@ -201,16 +201,29 @@ object DocStoreOps {
   /** Continuous CDC ingest: apply each micro-batch of a streaming
     * changelog to the store. Per-batch cost inherits the bucket
     * locality of [[applyChanges]]; the LWW election makes replayed
-    * batches (at-least-once sources) harmless. */
+    * batches (at-least-once sources) harmless. With `expectations`,
+    * each micro-batch goes through [[applyChangesChecked]] instead —
+    * violating changes land in `quarantinePath` and never reach the
+    * store, continuously. */
   def cdcSink(changes: DataFrame, basePath: String, key: String,
               seqCol: String, opCol: String, nBuckets: Int = 64,
-              checkpoint: Option[String] = None) = {
+              checkpoint: Option[String] = None,
+              expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+              quarantinePath: Option[String] = None) = {
+    require(expectations.isEmpty == quarantinePath.isEmpty,
+      "expectations and quarantinePath come together")
     val w = changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          applyChanges(batch, batch.sparkSession, basePath,
-            key, seqCol, opCol, nBuckets)
+        if (!batch.isEmpty) {
+          if (expectations.isEmpty)
+            applyChanges(batch, batch.sparkSession, basePath,
+              key, seqCol, opCol, nBuckets)
+          else {
+            val _ = applyChangesChecked(batch, batch.sparkSession, basePath,
+              key, seqCol, opCol, expectations, quarantinePath.get, nBuckets)
+          }
+        }
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }

@@ -69,13 +69,17 @@ object AggStoreRegistry {
 
   def clear(): Unit = entries.clear()
 
-  private[plans] def lookup(factPath: String): Option[Registration] = {
+  /** Every registration over `factPath` — several rollups with
+    * different keys/measures may coexist for one fact table, and the
+    * rule serves from the first that can answer the query. */
+  private[plans] def lookupAll(factPath: String): Seq[Registration] = {
+    val b = Seq.newBuilder[Registration]
     val it = entries.iterator()
     while (it.hasNext) {
       val r = it.next()
-      if (r.factPath == factPath) return Some(r)
+      if (r.factPath == factPath) b += r
     }
-    None
+    b.result()
   }
 }
 
@@ -106,13 +110,15 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(grouping, aggExprs, child, _)
         if grouping.nonEmpty && grouping.forall(_.isInstanceOf[AttributeReference]) =>
-      (for {
-        root <- factRoot(child)
-        reg <- AggStoreRegistry.lookup(root)
-        groupNames = grouping.map(_.asInstanceOf[AttributeReference].name)
-        if groupNames.toSet.subsetOf(reg.keys.toSet)
-        rewritten <- rewrite(agg, reg, groupNames.toSet)
-      } yield rewritten).getOrElse(agg)
+      val groupNames = grouping
+        .map(_.asInstanceOf[AttributeReference].name).toSet
+      factRoot(child).toSeq
+        .flatMap(AggStoreRegistry.lookupAll)
+        .filter(reg => groupNames.subsetOf(reg.keys.toSet))
+        // several rollups may cover one fact table: first answerer wins
+        .iterator.map(reg => rewrite(agg, reg, groupNames))
+        .collectFirst { case Some(r) => r }
+        .getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate, reg: AggStoreRegistry.Registration,

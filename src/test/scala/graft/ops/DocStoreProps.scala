@@ -82,14 +82,26 @@ class DocStoreProps extends SparkTestBase {
         VersionedStoreOps.applyChangesVersioned(b.toDF("k", "v", "seq", "op"),
           spark, vbase, "k", "seq", "op", 4)
       }
-      (0 to applied.length).foreach { i =>
+      def snapshot(i: Int): Map[Long, (String, Long)] = {
         val wantI = model(init, applied.take(i))
-        val gotI =
-          if (wantI.isEmpty) Map.empty // readVersion refuses an empty store
-          else VersionedStoreOps.readVersion(spark, vbase, Some(i.toLong))
-            .select("k", "v", "seq").collect()
-            .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-        assert(gotI == wantI, s"trial $trial snapshot $i: $gotI vs $wantI")
+        if (wantI.isEmpty) Map.empty // readVersion refuses an empty store
+        else VersionedStoreOps.readVersion(spark, vbase, Some(i.toLong))
+          .select("k", "v", "seq").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      }
+      (0 to applied.length).foreach { i =>
+        assert(snapshot(i) == model(init, applied.take(i)),
+          s"trial $trial snapshot $i")
+      }
+      // vacuum to a random horizon: every surviving snapshot must still
+      // equal its model prefix (the pruned dirs were truly unreferenced)
+      if (applied.nonEmpty) {
+        val keepFrom = rnd.nextInt(applied.length) + 1
+        VersionedStoreOps.vacuum(spark, vbase, keepFrom.toLong)
+        (keepFrom to applied.length).foreach { i =>
+          assert(snapshot(i) == model(init, applied.take(i)),
+            s"trial $trial post-vacuum($keepFrom) snapshot $i")
+        }
       }
     }
   }

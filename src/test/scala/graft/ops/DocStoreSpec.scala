@@ -169,6 +169,29 @@ class DocStoreSpec extends SparkTestBase {
     assert(rows(base).contains((others.head, "back", 15L)))
   }
 
+  test("a streamed changelog with expectations quarantines continuously") {
+    val base = Files.createTempDirectory("docstore-stq").toString
+    val dlq = Files.createTempDirectory("docstore-stq-dlq").toString
+    DocStoreOps.writeDocStore(
+      Seq((1L, "one", 10L)).toDF("k", "v", "seq"),
+      spark, base, "k", "seq", 8)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CdcChange]
+    val q = DocStoreOps.cdcSink(input.toDF(), base, "k", "seq", "op", 8,
+      expectations = Seq("no_bad" -> (col("v") =!= "bad")),
+      quarantinePath = Some(dlq))
+    try {
+      input.addData(CdcChange(1L, "bad", 20L, "U"), CdcChange(2L, "two", 20L, "U"))
+      q.processAllAvailable()
+      input.addData(CdcChange(3L, "bad", 30L, "U")); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(base) == Set((1L, "one", 10L), (2L, "two", 20L)))
+    val dlqRows = spark.read.parquet(dlq).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(dlqRows == Set(1L, 3L))
+  }
+
   test("streamed CDC micro-batches land exactly like one batch apply") {
     val baseStream = Files.createTempDirectory("docstore-st").toString
     val baseBatch = Files.createTempDirectory("docstore-bt").toString

@@ -38,6 +38,8 @@ class AggRewriteSpec extends SparkTestBase {
 
   test("a registered rollup serves the aggregate without a fact scan") {
     val store = Files.createTempDirectory("aggrw").toString
+    AggStoreRegistry.clear() // the registry is session-global: drop any
+                             // registrations left by gate queries
     try {
       // 80/20 build + fold: the rewrite must serve the MAINTAINED state
       val prepped = li.select(col("l_orderkey"), col("l_returnflag"),
