@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -42,10 +42,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object AggStoreRegistry {
   /** `kinds` parallels `measures` (sum|min|max); empty = all sums —
-    * mirroring [[graft.ops.IncrementalAggOps]]'s measure kinds. */
+    * mirroring [[graft.ops.IncrementalAggOps]]'s measure kinds.
+    * `countMeasure` names a sum-kind measure that was prepared as
+    * `lit(1)` per fact row (the sum-of-ones convention): with it
+    * declared, plain `COUNT(*)` queries are store-servable too. */
   final case class Registration(factPath: String, storePath: String,
                                 keys: Seq[String], measures: Seq[String],
-                                kinds: Seq[String] = Nil) {
+                                kinds: Seq[String] = Nil,
+                                countMeasure: Option[String] = None) {
     def kindOf(m: String): String =
       if (kinds.isEmpty) "sum" else kinds(measures.indexOf(m))
   }
@@ -63,9 +67,16 @@ object AggStoreRegistry {
     * [[graft.ops.IncrementalAggOps.writeAggStore]] over `factPath`. */
   def register(spark: SparkSession, factPath: String, storePath: String,
                keys: Seq[String], measures: Seq[String],
-               kinds: Seq[String] = Nil): Unit =
+               kinds: Seq[String] = Nil,
+               countMeasure: Option[String] = None): Unit = {
+    require(countMeasure.forall(cm =>
+      measures.contains(cm) && (kinds.isEmpty ||
+        kinds(measures.indexOf(cm)) == "sum")),
+      "countMeasure must be a sum-kind measure")
     entries.add(Registration(
-      qualified(spark, factPath), storePath, keys, measures, kinds))
+      qualified(spark, factPath), storePath, keys, measures, kinds,
+      countMeasure))
+  }
 
   def clear(): Unit = entries.clear()
 
@@ -138,21 +149,29 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         storeAttr(a.name).filter(_.dataType == a.dataType)
           .map(sa => Alias(sa, a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        // (kind, measure attr, rebuild-over-store-column) — the query's
-        // aggregate must be the SAME monoid the store column was built
-        // with, or the store value answers a different question
-        val asked: Option[(String, AttributeReference,
+        // (store column, its kind, rebuild-over-store-column) — the
+        // query's aggregate must be the SAME monoid the store column
+        // was built with, or the store value answers a different
+        // question; COUNT(*) maps onto the declared sum-of-ones column
+        val asked: Option[(String, String,
             AttributeReference => AggregateFunction)] = fn match {
-          case Sum(m: AttributeReference, em) =>
-            Some(("sum", m, sa => Sum(sa, em)))
-          case Min(m: AttributeReference) => Some(("min", m, Min(_)))
-          case Max(m: AttributeReference) => Some(("max", m, Max(_)))
+          case Sum(m: AttributeReference, em)
+              if reg.measures.contains(m.name) && reg.kindOf(m.name) == "sum" =>
+            Some((m.name, "sum", sa => Sum(sa, em)))
+          case Min(m: AttributeReference)
+              if reg.measures.contains(m.name) && reg.kindOf(m.name) == "min" =>
+            Some((m.name, "min", Min(_)))
+          case Max(m: AttributeReference)
+              if reg.measures.contains(m.name) && reg.kindOf(m.name) == "max" =>
+            Some((m.name, "max", Max(_)))
+          case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+              if l.value != null => // count(*) ≡ count(1); count(NULL) is 0s
+            reg.countMeasure.map(cm => (cm, "sum",
+              (sa: AttributeReference) => Sum(sa)))
           case _ => None
         }
-        asked.filter { case (kind, m, _) =>
-          reg.measures.contains(m.name) && reg.kindOf(m.name) == kind
-        }.flatMap { case (kind, m, rebuild) =>
-          storeAttr(m.name)
+        asked.flatMap { case (colName, kind, rebuild) =>
+          storeAttr(colName)
             .filter(sa => sa.dataType == al.dataType &&
               // min-of-mins / max-of-maxes are exact and type-stable for
               // EVERY type; re-summing is integral-only (see above)

@@ -839,16 +839,15 @@ object RelationalOps {
         Seq("l_orderkey", "n_rows"), nBuckets = 8)
       AggStoreRegistry.clear()
       AggStoreRegistry.register(s, factPath, store, keys,
-        Seq("l_orderkey", "n_rows"))
-      // key_sum: a coarser RAW aggregate — the rule re-sums the store.
-      // n_groups_src: count(*) as the sum-of-ones convention; its child
-      // carries a computed column, so it scans raw by design (the rule
-      // only matches bare relations) — the join pairs a served side
-      // with an unserved side in one result.
+        Seq("l_orderkey", "n_rows"), countMeasure = Some("n_rows"))
+      // BOTH outputs are coarser RAW aggregates over the bare fact
+      // table: the rule re-sums l_orderkey from the store, and serves
+      // COUNT(*) from the declared sum-of-ones column — no scan of
+      // lineitem survives in either branch (spec-asserted).
       val served = li.groupBy("l_returnflag")
         .agg(sum("l_orderkey").as("key_sum"))
-      val counts = withOne.groupBy("l_returnflag")
-        .agg(sum("n_rows").as("n_groups_src"))
+      val counts = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_groups_src"))
       served.join(counts, "l_returnflag")
         .select("l_returnflag", "key_sum", "n_groups_src")
         .orderBy("l_returnflag")

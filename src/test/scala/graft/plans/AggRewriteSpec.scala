@@ -99,6 +99,35 @@ class AggRewriteSpec extends SparkTestBase {
     } finally AggStoreRegistry.clear()
   }
 
+  test("count(*) is served from a declared sum-of-ones measure") {
+    val store = Files.createTempDirectory("aggrw5").toString
+    AggStoreRegistry.clear()
+    try {
+      IncrementalAggOps.writeAggStore(
+        li.select(col("l_returnflag"), col("l_linestatus"),
+          lit(1L).as("n_rows")),
+        spark, store, Seq("l_returnflag", "l_linestatus"),
+        Seq("n_rows"), 8)
+      AggStoreRegistry.register(spark, fact, store,
+        Seq("l_returnflag", "l_linestatus"), Seq("n_rows"),
+        countMeasure = Some("n_rows"))
+      // exact key set: pure projection; coarser: re-summed ones
+      val exactQ = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      val coarseQ = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      Seq(exactQ, coarseQ).foreach { q =>
+        assert(scanPaths(q).exists(_.contains(store.split('/').last)) &&
+          !scanPaths(q).exists(_.contains("lineitem.parquet")),
+          s"count(*) must be store-served: ${scanPaths(q)}")
+      }
+      val got = coarseQ.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      AggStoreRegistry.clear()
+      val want = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally AggStoreRegistry.clear()
+  }
+
   test("min/max measures serve coarser groupings for any type") {
     val store = Files.createTempDirectory("aggrw4").toString
     try {
