@@ -135,6 +135,39 @@ object DocStoreOps {
     }
   }
 
+  /** Physical retention purge — the right-to-be-forgotten path: every
+    * stored row (live or tombstone) whose payload matches `cond` is
+    * removed, rewriting only the buckets that hold a match (emptied
+    * buckets dropped). Rows where `cond` evaluates to null are KEPT —
+    * a predicate that cannot decide must not delete. Like
+    * [[compactDocStore]], purging forgets sequences: a late stale
+    * change for a purged key can re-insert it, so purge past the
+    * reorder horizon (or route the purge through a delete changelog
+    * when LWW protection must hold). */
+  def purgeWhere(spark: SparkSession, basePath: String,
+                 cond: org.apache.spark.sql.Column): Unit = {
+    val all = spark.read.option("mergeSchema", "true").parquet(basePath)
+    val hitCond = coalesce(cond, lit(false))
+    val hit = all.filter(hitCond)
+      .select(BUCKET).distinct().collect().map(_.getInt(0))
+    if (hit.nonEmpty) {
+      val kept = all.filter(col(BUCKET).isin(hit.toIndexedSeq: _*))
+        .filter(!hitCond)
+        .localCheckpoint(true) // freeze before overwriting what it reads
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET).parquet(basePath)
+      val surviving = kept.select(BUCKET).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (hit.toSet -- surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$basePath/$BUCKET=$b"), true)
+      }
+      spark.catalog.refreshByPath(basePath)
+    }
+  }
+
   /** Constraint-enforced apply — the dead-letter pattern: changes
     * violating any expectation are DIVERTED to `quarantinePath`
     * (appended, stamped with the violated rule names) instead of

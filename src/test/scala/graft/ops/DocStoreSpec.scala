@@ -169,6 +169,40 @@ class DocStoreSpec extends SparkTestBase {
     assert(rows(base).contains((others.head, "back", 15L)))
   }
 
+  test("purge removes matching rows bucket-locally; null predicate keeps") {
+    val base = Files.createTempDirectory("docstore-purge").toString
+    val docs = graft.queries.tDocs(spark, sfTiny)
+      .select(col("doc_id").as("k"), col("lang").as("v"),
+        col("doc_id").as("seq"))
+    DocStoreOps.writeDocStore(docs, spark, base, "k", "seq", 8)
+    def bucketFiles: Map[String, Map[String, Long]] =
+      new File(base).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> f.lastModified()).toMap
+        }.toMap
+    val before = bucketFiles
+    val nBefore = DocStoreOps.readDocStore(spark, base).count()
+    val purgeKeys = docs.filter(col("v") === "zh")
+    val nPurge = purgeKeys.count()
+    assert(nPurge > 0 && nPurge < nBefore)
+    val hitBuckets = purgeKeys
+      .select(pmod(hash(col("k")), lit(8)).as("b")).distinct()
+      .collect().map("__bucket=" + _.getInt(0)).toSet
+    DocStoreOps.purgeWhere(spark, base, col("v") === "zh")
+    val after = bucketFiles
+    (before.keySet -- hitBuckets).foreach { b =>
+      assert(after(b) == before(b), s"unaffected bucket $b was rewritten")
+    }
+    val left = DocStoreOps.readDocStore(spark, base)
+    assert(left.count() == nBefore - nPurge)
+    assert(left.filter(col("v") === "zh").count() == 0)
+    // a predicate that evaluates to null must not delete
+    DocStoreOps.purgeWhere(spark, base,
+      when(col("v") === "en", lit(null).cast("boolean")))
+    assert(DocStoreOps.readDocStore(spark, base).count() == nBefore - nPurge)
+  }
+
   test("a streamed changelog with expectations quarantines continuously") {
     val base = Files.createTempDirectory("docstore-stq").toString
     val dlq = Files.createTempDirectory("docstore-stq-dlq").toString
