@@ -20,8 +20,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Matching is deliberately STRICT — a rewrite must never change
   * results, so anything not provably store-answerable scans the fact
   * table as before:
-  *  - the aggregate's child is the registered fact relation (bare or
-  *    under a column-pruning Project) — no filters, no joins;
+  *  - the aggregate's child is the registered fact relation, bare or
+  *    under column-pruning Projects and Filters whose predicates touch
+  *    ONLY key columns — a key predicate commutes with the rollup
+  *    (every fact row it removes belongs wholly to removed groups), so
+  *    it is replayed verbatim against the store scan; a predicate on
+  *    any other column disqualifies (it splits groups, which partials
+  *    cannot express). No joins;
   *  - every grouping expression is a bare column and the grouping set
   *    is a SUBSET of the store's key set: the exact set is served as a
   *    pure projection (the store holds one row per key), a coarser set
@@ -96,17 +101,25 @@ object AggStoreRegistry {
 
 case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** The fact relation's root path, looking through column-pruning
-    * Projects only (any other operator in between disqualifies). */
-  private def factRoot(p: LogicalPlan): Option[String] = p match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
+  /** The fact relation's root path plus Filter predicates collected on
+    * the way down, looking through column-pruning Projects and Filters
+    * only (any other operator in between disqualifies). Predicate
+    * admissibility (keys-only) is checked per registration by the
+    * caller. */
+  private def factRoot(p: LogicalPlan)
+      : Option[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression])] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.toString -> Nil)
+        case _ => None
+      }
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        factRoot(child)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        factRoot(child).map { case (root, cs) => (root, cond +: cs) }
       case _ => None
     }
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      factRoot(child)
-    case _ => None
-  }
 
   /** Types whose re-summed sum keeps BOTH the value and the result
     * type: integral sums are exact and `sum(long) = long`. (Decimal
@@ -124,16 +137,29 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val groupNames = grouping
         .map(_.asInstanceOf[AttributeReference].name).toSet
       factRoot(child).toSeq
-        .flatMap(AggStoreRegistry.lookupAll)
-        .filter(reg => groupNames.subsetOf(reg.keys.toSet))
+        .flatMap { case (root, conds) =>
+          AggStoreRegistry.lookupAll(root).map(reg => (reg, conds))
+        }
+        .filter { case (reg, conds) =>
+          groupNames.subsetOf(reg.keys.toSet) &&
+            // a key-only filter commutes with the rollup: every fact row
+            // it removes belongs wholly to removed groups, so it replays
+            // verbatim against the store; any other column disqualifies
+            conds.forall(_.references.toSeq
+              .forall(a => reg.keys.contains(a.name)))
+        }
         // several rollups may cover one fact table: first answerer wins
-        .iterator.map(reg => rewrite(agg, reg, groupNames))
+        .iterator.map { case (reg, conds) =>
+          rewrite(agg, reg, groupNames, conds)
+        }
         .collectFirst { case Some(r) => r }
         .getOrElse(agg)
   }
 
   private def rewrite(agg: Aggregate, reg: AggStoreRegistry.Registration,
-                      groupNames: Set[String]): Option[LogicalPlan] = {
+                      groupNames: Set[String],
+                      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] = {
     val exact = groupNames == reg.keys.toSet
     val storePlan = spark.read.parquet(reg.storePath)
       .queryExecution.analyzed
@@ -186,17 +212,38 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => None
     }
-    if (mapped.forall(_.isDefined)) {
+    // rebase admissible key filters onto the store's attributes; a key
+    // name the store somehow lacks aborts the rewrite (None), never
+    // silently drops a predicate
+    val rebased: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
+      val each = conds.map { c =>
+        var ok = true
+        val r = c.transform {
+          case a: AttributeReference =>
+            storeAttr(a.name) match {
+              case Some(sa) if sa.dataType == a.dataType => sa
+              case _ => ok = false; a
+            }
+        }
+        if (ok) Some(r) else None
+      }
+      if (each.forall(_.isDefined)) Some(each.flatten) else None
+    }
+    if (mapped.forall(_.isDefined) && rebased.isDefined) {
       logInfo(s"redirecting aggregate over ${reg.factPath} " +
         s"to rollup store ${reg.storePath}" +
-        (if (exact) "" else " (re-aggregated to a coarser grouping)"))
+        (if (exact) "" else " (re-aggregated to a coarser grouping)") +
+        (if (conds.isEmpty) "" else s" with ${conds.size} key filter(s)"))
       val outs = mapped.flatten
-      if (exact) Some(Project(outs, storePlan))
+      val source = rebased.get.foldLeft(storePlan) { (p, c) =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(c, p)
+      }
+      if (exact) Some(Project(outs, source))
       else {
         val groupAttrs = agg.groupingExpressions.map {
           case a: AttributeReference => storeAttr(a.name).get
         }
-        Some(Aggregate(groupAttrs, outs, storePlan))
+        Some(Aggregate(groupAttrs, outs, source))
       }
     } else None
   }

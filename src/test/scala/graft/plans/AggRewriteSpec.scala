@@ -168,10 +168,32 @@ class AggRewriteSpec extends SparkTestBase {
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
       def factScanned(df: org.apache.spark.sql.DataFrame): Boolean =
         scanPaths(df).exists(_.contains("lineitem.parquet"))
-      // a filter between scan and aggregate: store can't answer
+      // a filter on a NON-KEY column between scan and aggregate splits
+      // groups: the store can't answer
       assert(factScanned(li.filter(col("l_quantity") > 10)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("s"))))
+      // but a filter on KEY columns commutes with the rollup: served,
+      // with the predicate replayed against the store
+      val keyFiltered = li.filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("s"))
+      assert(!factScanned(keyFiltered),
+        s"key-only filters must be served: ${scanPaths(keyFiltered)}")
+      val gotKf = keyFiltered.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(gotKf.keySet.forall(_._1 != "N") && gotKf.nonEmpty)
+      val wantKf = {
+        AggStoreRegistry.clear()
+        val m = li.filter(col("l_returnflag") =!= "N")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("s")).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+        AggStoreRegistry.register(spark, fact, store,
+          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        m
+      }
+      assert(gotKf == wantKf)
       // sum over an expression, not a bare measure column
       assert(factScanned(li.groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity") * 2).as("s"))))
