@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.LayoutOps
+import graft.ops.{LayoutOps, StatsOps}
 
 /** Oracle-gated round-trips through [[graft.ops.LayoutOps]]: the write
   * paths run for real (fresh temp dir per invocation, same precedent as
@@ -102,6 +102,34 @@ object LayoutQueries {
       s.read.parquet(out)
         .filter(col("x").between(32, 47) && col("y").between(64, 79))
         .select("o_orderkey", "x", "y", "z")
+    },
+
+    // Manifest-based data skipping is a semantic no-op: documents land
+    // range-clustered with a per-file min/max manifest (80 % bulk write +
+    // 20 % incremental append, so the gate also covers the append-time
+    // manifest maintenance), the read-back consults the MANIFEST to open
+    // only files intersecting the n_chars box, and DuckDB full-scans the
+    // original with the same predicate — equal hashes prove skipping
+    // dropped no in-range row from either the bulk or the appended files.
+    // File-count pruning itself is asserted in StatsSkippingSpec.
+    q(
+      "layout_skipping",
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars BETWEEN 100 AND 200
+        |GROUP BY lang""".stripMargin
+    ) { (s, dir) =>
+      val out = tmp("graft-layout-skip")
+      val docs = tDocs(s, dir)
+      StatsOps.writeWithStats(
+        docs.filter(col("doc_id") % 5 =!= 0), s, out,
+        sortCols = Seq("n_chars"), statsCols = Seq("n_chars"), numFiles = 8)
+      StatsOps.appendWithStats(
+        docs.filter(col("doc_id") % 5 === 0), s, out,
+        sortCols = Seq("n_chars"), statsCols = Seq("n_chars"), numFiles = 2)
+      StatsOps.readSkipping(s, out,
+          Seq(StatsOps.ColRange("n_chars", Some(100L), Some(200L))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
     },
 
     // Small-files compaction is a semantic no-op: fragment documents into
