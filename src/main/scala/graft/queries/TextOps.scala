@@ -647,6 +647,91 @@ object TextOps {
             phonePat, "<PHONE>").as("redacted"),
           regexp_count(col("__pii"), lit(emailPat)).as("n_emails"),
           regexp_count(col("__pii"), lit(phonePat)).as("n_phones"))
+    },
+
+    // Bigram LM training (the perplexity-filter model): counts from the
+    // trusted slice (lang='en'), top 200 bigrams under a total-order
+    // tie-break, each with its history count. c1 is derived FROM the
+    // bigram table (c1 = Σ_w2 c2), so a single miscounted pair breaks
+    // both columns. Spark builds bigrams in-row from the token array
+    // (zero-shuffle transform); the oracle builds them with LEAD — two
+    // formulations, one answer.
+    q(
+      "lm_train",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, i AS pos, ws[CAST(i + 1 AS INT)] AS w
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_extract_all(LOWER(text), '[a-z]+') AS ws
+        |        FROM documents) d,
+        |       UNNEST(range(len(ws))) AS t(i)
+        |), big AS (
+        |  SELECT doc_id, lang, w AS w1,
+        |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks
+        |), c2t AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM big WHERE w2 IS NOT NULL AND lang = 'en' GROUP BY 1, 2
+        |), c1t AS (
+        |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1
+        |)
+        |SELECT c2t.w1 AS w1, w2, c2, c1
+        |FROM c2t JOIN c1t ON c2t.w1 = c1t.w1
+        |ORDER BY c2 DESC, w1, w2 LIMIT 200""".stripMargin
+    ) { (s, dir) =>
+      val m = graft.ops.LmOps.trainBigram(
+        tDocs(s, dir).filter(col("lang") === "en"))
+      m.bigrams.join(m.unigrams, "w1")
+        .orderBy(desc("c2"), col("w1"), col("w2"))
+        .limit(200)
+        .select("w1", "w2", "c2", "c1")
+    },
+
+    // Per-document LM scoring: the integer sufficient statistics of the
+    // add-one-smoothed cross-entropy (bigram count, OOV count, summed
+    // bigram/history training counts) for EVERY document, including
+    // bigram-less ones (zeros). The float avg_nll/ppl derived from
+    // these is differentially spec-tested in LmSpec — here the exact
+    // counts pin the tokenization, the bigram construction and both
+    // model joins.
+    q(
+      "lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, i AS pos, ws[CAST(i + 1 AS INT)] AS w
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_extract_all(LOWER(text), '[a-z]+') AS ws
+        |        FROM documents) d,
+        |       UNNEST(range(len(ws))) AS t(i)
+        |), big AS (
+        |  SELECT doc_id, lang, w AS w1,
+        |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks
+        |), c2t AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM big WHERE w2 IS NOT NULL AND lang = 'en' GROUP BY 1, 2
+        |), c1t AS (
+        |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1
+        |), sc AS (
+        |  SELECT b.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN c2t.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov,
+        |    CAST(SUM(COALESCE(c2t.c2, 0)) AS BIGINT) AS sum_c2,
+        |    CAST(SUM(COALESCE(c1t.c1, 0)) AS BIGINT) AS sum_c1
+        |  FROM big b
+        |  LEFT JOIN c2t ON b.w1 = c2t.w1 AND b.w2 = c2t.w2
+        |  LEFT JOIN c1t ON b.w1 = c1t.w1
+        |  WHERE b.w2 IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams, COALESCE(n_oov, 0) AS n_oov,
+        |  COALESCE(sum_c2, 0) AS sum_c2, COALESCE(sum_c1, 0) AS sum_c1
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = tDocs(s, dir)
+      val m = graft.ops.LmOps.trainBigram(docs.filter(col("lang") === "en"))
+      graft.ops.LmOps.scoreDocs(docs, m)
+        .select("doc_id", "n_bigrams", "n_oov", "sum_c2", "sum_c1")
     }
   )
 }
