@@ -199,7 +199,7 @@ object Bam {
 
   // ---------------------------------------------------------------- encode
 
-  def writeHeader(out: java.io.ByteArrayOutputStream, text: String,
+  def writeHeader(out: java.io.OutputStream, text: String,
                   contigs: Seq[Contig]): Unit = {
     out.write(Magic)
     val t = text.getBytes("ASCII")
@@ -214,7 +214,7 @@ object Bam {
     }
   }
 
-  def writeRecord(out: java.io.ByteArrayOutputStream, r: Record): Unit = {
+  def writeRecord(out: java.io.OutputStream, r: Record): Unit = {
     val name = r.readName.getBytes("ASCII")
     val lSeq = r.seq.length
     val seqBytes = (lSeq + 1) / 2
@@ -281,12 +281,12 @@ object Bam {
     else 0
   }
 
-  private def writeIntLE(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+  private def writeIntLE(out: java.io.OutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
     out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
   }
 
-  private def writeShortLE(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+  private def writeShortLE(out: java.io.OutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
   }
 }

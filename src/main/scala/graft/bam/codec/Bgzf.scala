@@ -138,4 +138,55 @@ object Bgzf {
     out.write(Eof)
     (out.toByteArray, metas.result())
   }
+
+  /** Incremental BGZF encoder: buffers at most `payloadSize` uncompressed
+    * bytes and emits one independent BGZF member per full payload straight
+    * to `out`. Peak heap is O(payloadSize) regardless of stream length —
+    * the streaming complement of `compress` for writers whose input must
+    * not be materialized (BamSink shards: a rewrite partition at scale is
+    * hundreds of MB of record bytes). Does NOT write the EOF marker —
+    * BGZF is closed under concatenation and the final-file writer appends
+    * exactly one. */
+  final class StreamWriter(out: java.io.OutputStream,
+                           payloadSize: Int = MaxPayload)
+      extends java.io.OutputStream {
+    require(payloadSize > 0 && payloadSize <= MaxPayload)
+    private val buf = new Array[Byte](payloadSize)
+    private var n = 0
+    private var nBlocks = 0L
+    private var uncompressed = 0L
+    /** BGZF members emitted so far (diagnostics / specs). */
+    def blocksWritten: Long = nBlocks
+    /** Total uncompressed bytes accepted so far. */
+    def bytesWritten: Long = uncompressed + n
+
+    override def write(b: Int): Unit = {
+      buf(n) = b.toByte
+      n += 1
+      if (n == payloadSize) flushBlock()
+    }
+
+    override def write(b: Array[Byte], off0: Int, len0: Int): Unit = {
+      var off = off0
+      var len = len0
+      while (len > 0) {
+        val take = math.min(len, payloadSize - n)
+        System.arraycopy(b, off, buf, n, take)
+        n += take; off += take; len -= take
+        if (n == payloadSize) flushBlock()
+      }
+    }
+
+    private def flushBlock(): Unit = if (n > 0) {
+      out.write(deflateBlock(buf, 0, n))
+      nBlocks += 1
+      uncompressed += n
+      n = 0
+    }
+
+    /** Flush the trailing partial block. Does not write Eof or close `out`. */
+    def finish(): Unit = flushBlock()
+
+    override def close(): Unit = { finish(); out.close() }
+  }
 }

@@ -72,15 +72,19 @@ object BamSink {
         if (!rows.hasNext) Iterator.empty
         else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val buf = new java.io.ByteArrayOutputStream(1 << 20)
-          rows.foreach(r => Bam.writeRecord(buf, rowToRecord(r)))
-          val (img, _) = Bgzf.compress(buf.toByteArray, ps)
-          // strip the EOF marker; the driver appends exactly one
-          val body = java.util.Arrays.copyOf(img, img.length - Bgzf.Eof.length)
           val shard = new HPath(f"$shardDirS/shard-$pid%05d")
           val sfs = shard.getFileSystem(serConf.value)
-          val os = sfs.create(shard, true)
-          try os.write(body) finally os.close()
+          val os = new java.io.BufferedOutputStream(sfs.create(shard, true), 1 << 20)
+          // Stream-compress: one BGZF member per <= payloadSize bytes AS
+          // ROWS ARRIVE. Peak task heap is O(payloadSize + one record),
+          // not O(partition) — a rewrite partition at 100x is hundreds of
+          // MB of uncompressed record bytes and must never be buffered.
+          // No EOF member here; the driver appends exactly one.
+          val bw = new Bgzf.StreamWriter(os, ps)
+          try {
+            rows.foreach(r => Bam.writeRecord(bw, rowToRecord(r)))
+            bw.finish()
+          } finally os.close()
           Iterator.single(shard.toString)
         }
       }(org.apache.spark.sql.Encoders.STRING)

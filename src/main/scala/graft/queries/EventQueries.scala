@@ -242,7 +242,7 @@ object EventQueries {
         |)
         |SELECT COUNT(*) AS n_sessions,
         |  CAST(SUM(has_p) AS BIGINT) AS n_purchase_sessions,
-        |  SUM(has_p) * 1000000 // COUNT(*) AS conv_ppm
+        |  CAST(SUM(has_p) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
         |FROM s""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window

@@ -39,6 +39,43 @@ class CodecSpec extends AnyFunSuite {
     assert(Bgzf.isize(image, off.toInt, Bgzf.Eof.length) == 0)
   }
 
+  test("StreamWriter is byte-identical to batch compress and flushes incrementally") {
+    val rnd = new scala.util.Random(42)
+    val data = Array.fill(300 * 1024)(rnd.nextInt(256).toByte)
+    val ps = 16 * 1024
+    val (batch, _) = Bgzf.compress(data, ps)
+    val batchBody = java.util.Arrays.copyOf(batch, batch.length - Bgzf.Eof.length)
+
+    // Count bytes reaching the sink BEFORE finish(): proves blocks are
+    // emitted as input arrives (peak heap = one payload buffer), not
+    // buffered until the end.
+    var sunkBeforeFinish = -1L
+    val sink = new java.io.ByteArrayOutputStream() {
+      def sunk: Long = size().toLong
+    }
+    val sw = new Bgzf.StreamWriter(sink, ps)
+    // feed in awkward chunk sizes to exercise the buffer-boundary logic
+    var off = 0
+    val chunks = Seq(1, 7, ps - 1, ps, ps + 1, 3, 50000)
+    var ci = 0
+    while (off < data.length) {
+      val len = math.min(chunks(ci % chunks.length), data.length - off)
+      sw.write(data, off, len)
+      off += len
+      ci += 1
+    }
+    sunkBeforeFinish = sink.sunk
+    sw.finish()
+
+    assert(sink.toByteArray.sameElements(batchBody),
+      "streamed image must equal batch-compressed image (minus EOF)")
+    val fullBlocks = data.length / ps
+    assert(sw.blocksWritten == fullBlocks + (if (data.length % ps == 0) 0 else 1))
+    assert(sw.bytesWritten == data.length.toLong)
+    assert(sunkBeforeFinish > 0,
+      "blocks must reach the sink before finish() — no whole-stream buffering")
+  }
+
   test("checkHeader rejects non-BGZF bytes") {
     val junk = Array.fill[Byte](18)(0x42)
     assert(Bgzf.checkHeader(junk, 0, 18) == -1)
