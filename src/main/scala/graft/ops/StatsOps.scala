@@ -79,9 +79,14 @@ object StatsOps {
       .write.mode("overwrite").parquet(statsDir(path))
   }
 
+  /** Manifest rows key files by BASENAME, not absolute URI (Delta stores
+    * log paths relative to the table root for the same reason): a store
+    * that is copied or moved keeps a valid manifest, resolved against the
+    * CURRENT `path` at read time. Basenames are unique within one
+    * directory-shaped store (Spark part-file names embed a task UUID). */
   private def statsFor(df: DataFrame, statsCols: Seq[String]): DataFrame = {
     val aggs = statsAggs(statsCols)
-    df.groupBy(input_file_name().as("file"))
+    df.groupBy(fileName(input_file_name()).as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -98,10 +103,25 @@ object StatsOps {
     buildStats(spark, path, statsCols)
   }
 
+  /** Manifest part-file count above which [[appendWithStats]] folds the
+    * manifest back into one file. Each append adds one coalesce(1) part;
+    * without compaction the "one small read" listing-time advantage
+    * erodes linearly over a long-lived store's append history. */
+  val ManifestCompactionThreshold = 16
+
+  private def hasStats(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(statsDir(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Append a batch as new clustered files and extend the manifest by
     * reading back ONLY the files this append created (set difference of
     * the listing against the manifest) — manifest maintenance cost is
-    * proportional to the append, never to the store. */
+    * proportional to the append, never to the store. Appending to a store
+    * with no manifest yet bootstraps one over every file present (the
+    * degenerate "all files are fresh" case). The manifest is compacted to
+    * a single part once its own file count crosses
+    * [[ManifestCompactionThreshold]]. */
   def appendWithStats(df: DataFrame, spark: SparkSession, path: String,
                       sortCols: Seq[String], statsCols: Seq[String],
                       numFiles: Int): Unit = {
@@ -109,14 +129,33 @@ object StatsOps {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("append").parquet(path)
     spark.catalog.refreshByPath(path)
-    val known = spark.read.parquet(statsDir(path))
-      .select(fileName(col("file"))).distinct()
-      .collect().map(_.getString(0)).toSet
+    val known: Set[String] =
+      if (!hasStats(spark, path)) Set.empty
+      else spark.read.parquet(statsDir(path))
+        .select(fileName(col("file"))).distinct()
+        .collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(spark, path).filterNot(p => known(p.getName))
     if (fresh.nonEmpty)
       statsFor(spark.read.parquet(fresh.map(_.toString): _*), statsCols)
         .coalesce(1)
         .write.mode("append").parquet(statsDir(path))
+    compactManifestIfNeeded(spark, path)
+  }
+
+  private def compactManifestIfNeeded(spark: SparkSession, path: String): Unit = {
+    val dir = new Path(statsDir(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val parts = fs.listStatus(dir).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (parts > ManifestCompactionThreshold) {
+      // localCheckpoint materializes the rows before the overwrite deletes
+      // the files they came from (self-overwrite hazard); the manifest is
+      // KB-scale so this is a driver-trivial operation.
+      val m = spark.read.parquet(statsDir(path)).localCheckpoint(eager = true)
+      m.coalesce(1).write.mode("overwrite").parquet(statsDir(path))
+      spark.catalog.refreshByPath(statsDir(path))
+    }
   }
 
   private def listDataFiles(spark: SparkSession, path: String): Seq[Path] = {
@@ -141,12 +180,18 @@ object StatsOps {
       val hiOk = r.lo.map(a => col(s"max_${r.name}") >= lit(a)).getOrElse(lit(true))
       (loOk && hiOk) || col(s"min_${r.name}").isNull
     }.reduce(_ && _)
+    // `file` is a basename (fileName() also tolerates pre-migration
+    // absolute URIs); resolve against the CURRENT listing so the result
+    // points into `path` even after a store copy/move, and a manifest row
+    // whose file no longer exists on disk resolves to nothing.
+    val onDisk: Map[String, String] =
+      listDataFiles(spark, path).map(p => p.getName -> p.toString).toMap
     val fromManifest = manifest.filter(keep)
-      .select("file").collect().map(_.getString(0))
+      .select(fileName(col("file"))).collect()
+      .flatMap(r => onDisk.get(r.getString(0)))
     val known = manifest.select(fileName(col("file")))
       .collect().map(_.getString(0)).toSet
-    val unknown = listDataFiles(spark, path)
-      .filterNot(p => known(p.getName)).map(_.toString)
+    val unknown = onDisk.collect { case (name, full) if !known(name) => full }
     (fromManifest ++ unknown).toIndexedSeq
   }
 

@@ -46,8 +46,12 @@ class StatsSkippingSpec extends SparkTestBase {
     StatsOps.appendWithStats(docs.filter($"doc_id" % 5 === 0), spark, base,
       Seq("n_chars"), Seq("n_chars"), numFiles = 2)
     val manifest = spark.read.parquet(s"$base/_graft_stats")
-    assert(manifest.count() == before + 2,
-      "append must add exactly its own files' stats rows")
+    val dataFiles = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(manifest.count() == dataFiles,
+      "manifest must have exactly one row per data file on disk")
+    assert(manifest.count() > before,
+      "append must extend the manifest with its own files' stats rows")
     // every data file on disk is covered — nothing left to the
     // conservative unknown-file path
     val known = manifest.select(substring_index($"file", "/", -1))
@@ -62,6 +66,68 @@ class StatsSkippingSpec extends SparkTestBase {
     val want = docs.filter($"n_chars".between(100, 150))
       .select("doc_id").as[Long].collect().sorted
     assert(got.sameElements(want))
+  }
+
+  test("a moved store keeps a valid manifest (paths are store-relative)") {
+    val base = freshDir("stats-move-src")
+    StatsOps.writeWithStats(docs, spark, base,
+      Seq("n_chars"), Seq("n_chars"), numFiles = 8)
+    val moved = freshDir("stats-move-dst") + "/store"
+    assert(new java.io.File(base).renameTo(new java.io.File(moved)))
+    spark.catalog.refreshByPath(base)
+    val ranges = Seq(ColRange("n_chars", Some(100L), Some(150L)))
+    val surviving = StatsOps.survivingFiles(spark, moved, ranges)
+    assert(surviving.nonEmpty && surviving.forall(_.contains("stats-move-dst")),
+      s"survivors must resolve inside the NEW location: $surviving")
+    assert(surviving.size < 8, "pruning must still work after the move")
+    val got = StatsOps.readSkipping(spark, moved, ranges)
+      .select("doc_id").as[Long].collect().sorted
+    val want = docs.filter($"n_chars".between(100, 150))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
+
+  test("appendWithStats bootstraps a manifest on a store that never had one") {
+    val base = freshDir("stats-boot")
+    docs.filter($"doc_id" < 400).coalesce(2)
+      .write.mode("overwrite").parquet(base)
+    // no writeWithStats/buildStats ever ran; append must not throw and
+    // must cover EVERY file (pre-existing ones included)
+    StatsOps.appendWithStats(docs.filter($"doc_id" >= 400), spark, base,
+      Seq("n_chars"), Seq("n_chars"), numFiles = 2)
+    val manifest = spark.read.parquet(s"$base/_graft_stats")
+    val dataFiles = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(manifest.count() == dataFiles)
+    val got = StatsOps.readSkipping(spark, base,
+        Seq(ColRange("n_chars", Some(100L), Some(150L))))
+      .select("doc_id").as[Long].collect().sorted
+    val want = docs.filter($"n_chars".between(100, 150))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
+
+  test("long-lived append history compacts the manifest back to one part") {
+    val base = freshDir("stats-compact")
+    StatsOps.writeWithStats(docs.filter($"doc_id" < 100), spark, base,
+      Seq("n_chars"), Seq("n_chars"), numFiles = 2)
+    val slices = (0 until StatsOps.ManifestCompactionThreshold + 2).map { i =>
+      docs.filter($"doc_id" % 37 === i && $"doc_id" >= 100)
+    }
+    slices.foreach(s =>
+      StatsOps.appendWithStats(s, spark, base, Seq("n_chars"), Seq("n_chars"), 1))
+    val manifestParts = new java.io.File(s"$base/_graft_stats").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(manifestParts <= StatsOps.ManifestCompactionThreshold,
+      s"manifest must compact, found $manifestParts parts")
+    // compaction loses no stats rows: still one row per data file
+    spark.catalog.refreshByPath(s"$base/_graft_stats")
+    val manifest = spark.read.parquet(s"$base/_graft_stats")
+    val dataFiles = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(manifest.count() == dataFiles)
+    assert(manifest.select($"file").as[String].collect().toSet.size == dataFiles,
+      "no duplicate manifest rows after compaction")
   }
 
   test("files missing from the manifest are read conservatively") {
