@@ -340,6 +340,101 @@ object PipelineOps {
         .select("id_old", "id_new", "n_match", "n_shared", "jaccard")
     },
 
+    // ---- The STORE-MERGE loop step under the oracle — the one
+    // incremental-dedup stage minhash_inc_md5 leaves uncovered: there the
+    // corpus store is built in ONE bucketed write; here it is seeded from
+    // 60% (doc_id % 5 ∈ {2,3,4}) and an accepted 20% wave (% 5 = 1) is
+    // FOLDED IN via LayoutOps.appendBucketed — the exact
+    // appendToFingerprintStore machinery of continuous ingest — before
+    // the % 5 = 0 delta dedups against the merged store. The oracle
+    // computes the same store×delta restriction declaratively (old side
+    // = all non-delta docs), so a merge that dropped rows, duplicated
+    // them, or broke bucket routing diverges in the hash compare.
+    q(
+      "minhash_merge_md5",
+      dMd5SigCtes +
+        """,
+          |bk AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |    STRING_AGG(CAST(s AS VARCHAR), '_' ORDER BY k) AS key
+          |  FROM sig GROUP BY 1, 2
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS id_old, y.doc_id AS id_new
+          |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+          |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+          |), est AS (
+          |  SELECT c.id_old, c.id_new,
+          |    CAST(SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          |  FROM cand c
+          |  JOIN sig sx ON sx.doc_id = c.id_old
+          |  JOIN sig sy ON sy.doc_id = c.id_new AND sy.k = sx.k
+          |  GROUP BY 1, 2
+          |  HAVING SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) >= 32
+          |), sz AS (
+          |  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1
+          |), shared AS (
+          |  SELECT e.id_old, e.id_new, e.n_match,
+          |    CAST(COUNT(hb.h) AS BIGINT) AS n_shared
+          |  FROM est e
+          |  LEFT JOIN h ha ON ha.doc_id = e.id_old
+          |  LEFT JOIN h hb ON hb.doc_id = e.id_new AND hb.h = ha.h
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT s.id_old, s.id_new, s.n_match, s.n_shared,
+          |  CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) AS jaccard
+          |FROM shared s
+          |JOIN sz sa ON sa.doc_id = s.id_old
+          |JOIN sz sb ON sb.doc_id = s.id_new""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.LayoutOps
+      val staged = md5Signatures(s, dir).localCheckpoint(true)
+      def bandsOf(sig: DataFrame) = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until DedupOps.NumBands).map(j =>
+          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
+            element_at(col("sig"), j * DedupOps.BandRows + r + 1)): _*)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val m5 = pmod(col("doc_id"), lit(5))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-fpmrg").toString
+      // seed: 60% of the corpus in one bucketed write
+      LayoutOps.writeBucketed(bandsOf(staged.filter(m5 >= 2)), s,
+        "graft_fpmrg_bands", s"$base/bands", 32, "band", "key")
+      LayoutOps.writeBucketed(
+        staged.filter(m5 >= 2).select(col("doc_id"), col("hs")), s,
+        "graft_fpmrg_sets", s"$base/sets", 32, "doc_id")
+      // merge: fold the accepted 20% wave into the SAME tables
+      LayoutOps.appendBucketed(bandsOf(staged.filter(m5 === 1)), s,
+        "graft_fpmrg_bands")
+      LayoutOps.appendBucketed(
+        staged.filter(m5 === 1).select(col("doc_id"), col("hs")), s,
+        "graft_fpmrg_sets")
+      val deltaStaged = staged.filter(m5 === 0)
+      val cand = s.table("graft_fpmrg_bands")
+        .select(col("band"), col("key"),
+          col("doc_id").as("id_old"), col("sig").as("so"))
+        .join(bandsOf(deltaStaged).select(col("band"), col("key"),
+          col("doc_id").as("id_new"), col("sig").as("sn")),
+          Seq("band", "key"))
+        .select("id_old", "id_new", "so", "sn")
+        .dropDuplicates("id_old", "id_new")
+        .withColumn("n_match",
+          aggregate(zip_with(col("so"), col("sn"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x))
+        .filter(col("n_match") >= (DedupOps.NumHashes / 2))
+        .select("id_old", "id_new", "n_match")
+      cand
+        .join(s.table("graft_fpmrg_sets")
+          .select(col("doc_id").as("id_old"), col("hs").as("ho")), "id_old")
+        .join(deltaStaged
+          .select(col("doc_id").as("id_new"), col("hs").as("hn")), "id_new")
+        .withColumn("n_shared",
+          size(array_intersect(col("ho"), col("hn"))).cast("long"))
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (size(col("ho")) + size(col("hn")) - col("n_shared")).cast("double"))
+        .select("id_old", "id_new", "n_match", "n_shared", "jaccard")
+    },
+
     // ---- SimHash under the oracle — the last signature family with no
     // oracle: 60-bit md5 token hashes (duplicates KEPT, as in the
     // production tokenHashes path), per-bit ±1 votes, packed sign bits.
