@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view matching: serve registered rollup stores in
     // place of fact-table aggregate scans (AggStoreRegistry.register)
     ext.injectOptimizerRule(spark => graft.plans.AggStoreRewrite(spark))
+    // flags-bit predicates (no V1 Filter form) → BAM scan decode-skip hint
+    ext.injectOptimizerRule(spark => graft.plans.BamBitFilterPushdown(spark))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))

@@ -109,6 +109,71 @@ object Bam {
     val body = new Array[Byte](blockSize.toInt)
     require(r.readFully(body, 0, body.length) == body.length,
       s"truncated record at $vp")
+    decodeBody(body, vp, withSeq, withQual, withAttrs)
+  }
+
+  /** Cheap-prefix record predicate for reader-side skipping: sees only
+    * the fields of the fixed 32-byte record prefix. Must be CONSERVATIVE
+    * with respect to the query's full filter — Spark re-applies the
+    * filter as a residual, so a `true` for a non-matching record costs a
+    * decode, never a wrong row. */
+  trait PrefixPred extends Serializable {
+    def apply(refIdx: Int, pos: Int, mapq: Int, flags: Int,
+              nextRefIdx: Int, nextPos: Int, templateLen: Int): Boolean
+  }
+
+  /** Sentinel returned by [[readRecordIf]] for a record the predicate
+    * rejected: the reader advanced past it WITHOUT materializing name /
+    * cigar / seq / qual / attrs (reference-compare with `eq`). */
+  val SkippedRecord: Record = Record(Int.MinValue, -1, 0, 0, "", Nil, -1,
+    -1, 0, "", Array.emptyByteArray, Map.empty, -1, -1)
+
+  /** [[readRecord]] with a prefix predicate: decodes the fixed 32-byte
+    * prefix into `scratch` (caller-owned, >= [[FixedAfterSize]] bytes,
+    * reused across records — zero per-skip allocation), and for a
+    * rejected record SKIPS the variable tail instead of materializing it.
+    * Returns null at clean EOF, [[SkippedRecord]] for a rejected record
+    * (caller loops), else the decoded record. */
+  def readRecordIf(r: UncompressedReader, withSeq: Boolean,
+                   withQual: Boolean, withAttrs: Boolean,
+                   pred: PrefixPred, scratch: Array[Byte]): Record = {
+    val vp = r.pos
+    if (!r.hasMore) return null
+    val blockSize = r.readIntLE()
+    if (blockSize < 0) return null
+    val n = blockSize.toInt
+    require(n >= FixedAfterSize, s"malformed record (block_size=$n) at $vp")
+    require(r.readFully(scratch, 0, FixedAfterSize) == FixedAfterSize,
+      s"truncated record at $vp")
+    val bb = ByteBuffer.wrap(scratch, 0, FixedAfterSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val refIdx = bb.getInt
+    val pos = bb.getInt
+    bb.get() // l_read_name
+    val mapq = bb.get() & 0xff
+    bb.getShort // bin
+    bb.getShort // n_cigar
+    val flags = bb.getShort & 0xffff
+    bb.getInt // l_seq
+    val nextRefIdx = bb.getInt
+    val nextPos = bb.getInt
+    val tlen = bb.getInt
+    if (!pred(refIdx, pos, mapq, flags, nextRefIdx, nextPos, tlen)) {
+      val tail = n - FixedAfterSize
+      require(r.skip(tail) == tail, s"truncated record at $vp")
+      SkippedRecord
+    } else {
+      val body = new Array[Byte](n)
+      System.arraycopy(scratch, 0, body, 0, FixedAfterSize)
+      require(r.readFully(body, FixedAfterSize, n - FixedAfterSize) ==
+        n - FixedAfterSize, s"truncated record at $vp")
+      decodeBody(body, vp, withSeq, withQual, withAttrs)
+    }
+  }
+
+  private def decodeBody(body: Array[Byte], vp: graft.bam.codec.Pos,
+                         withSeq: Boolean, withQual: Boolean,
+                         withAttrs: Boolean): Record = {
     val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     val refIdx = bb.getInt
     val pos = bb.getInt

@@ -378,7 +378,9 @@ class BamScan(paths: Seq[String], required: StructType,
       options.getOrElse("blockstocheck", "5").toInt,
       options.getOrElse("readstocheck", "10").toInt,
       options.getOrElse("maxreadsize", (1 << 21).toString).toInt,
-      options.getOrElse("checker", "eager"))
+      options.getOrElse("checker", "eager"),
+      filters = filters,
+      flagBits = options.getOrElse("flagbits", ""))
 }
 
 object BamScan {

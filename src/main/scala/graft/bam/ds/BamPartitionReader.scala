@@ -18,12 +18,15 @@ class BamPartitionReaderFactory(required: StructType, blocksToCheck: Int,
                                 readsToCheck: Int, maxReadSize: Int,
                                 checkerProfile: String = "eager",
                                 conf: org.apache.spark.util.SerializableConfiguration =
-                                  BamDataSource.serializableConf())
+                                  BamDataSource.serializableConf(),
+                                filters: Array[org.apache.spark.sql.sources.Filter] =
+                                  Array.empty,
+                                flagBits: String = "")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BamInputPartition]
     new BamPartitionReader(p, required, blocksToCheck, readsToCheck, maxReadSize,
-      checkerProfile, conf)
+      checkerProfile, conf, filters, flagBits)
   }
 }
 
@@ -41,11 +44,21 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
                          blocksToCheck: Int, readsToCheck: Int, maxReadSize: Int,
                          checkerProfile: String = "eager",
                          conf: org.apache.spark.util.SerializableConfiguration =
-                           BamDataSource.serializableConf())
+                           BamDataSource.serializableConf(),
+                         filters: Array[org.apache.spark.sql.sources.Filter] =
+                           Array.empty,
+                         flagBits: String = "")
     extends PartitionReader[InternalRow] {
 
   private val blocks = new BlockReader(SeekableInput.open(split.path, conf.value))
   private val reader = new UncompressedReader(blocks)
+
+  /** Prefix predicate compiled from the pushed filters + flag-bit spec;
+    * None on unfiltered scans (zero per-record overhead there). */
+  private val prefixPred: Option[Bam.PrefixPred] =
+    RecordFilter.build(filters.toIndexedSeq, flagBits)
+  private val prefixScratch: Array[Byte] =
+    if (prefixPred.isDefined) new Array[Byte](Bam.FixedAfterSize) else null
 
   private val wantSeq = required.fieldNames.contains("seq")
   private val wantQual = required.fieldNames.contains("qual")
@@ -86,11 +99,28 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
   }
 
   override def next(): Boolean = {
-    if (!active || !reader.hasMore) return false
-    val p = reader.pos
-    if (p.blockPos >= split.end) return false // next split's territory
-    rec = Bam.readRecord(reader, wantSeq, wantQual, wantAttrs)
-    rec != null
+    if (!active) return false
+    while (reader.hasMore) {
+      val p = reader.pos
+      if (p.blockPos >= split.end) return false // next split's territory
+      prefixPred match {
+        case None =>
+          rec = Bam.readRecord(reader, wantSeq, wantQual, wantAttrs)
+          if (rec != null) BamPartitionReader.decodedRecords.increment()
+          return rec != null
+        case Some(pred) =>
+          rec = Bam.readRecordIf(reader, wantSeq, wantQual, wantAttrs,
+            pred, prefixScratch)
+          if (rec == null) return false // clean EOF
+          if (rec ne Bam.SkippedRecord) {
+            BamPartitionReader.decodedRecords.increment()
+            return true
+          }
+          BamPartitionReader.skippedRecords.increment()
+        // rejected from the 32-byte prefix: loop to the next record
+      }
+    }
+    false
   }
 
   /** Per-column extractors resolved ONCE at reader construction — the name
@@ -139,4 +169,13 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
   }
 
   override def close(): Unit = blocks.close()
+}
+
+object BamPartitionReader {
+  /** Process-wide decode/skip tallies — observability for the pushdown
+    * specs (local mode shares the JVM): `decodedRecords` counts fully
+    * materialized records, `skippedRecords` records rejected from the
+    * 32-byte prefix. Monotonic; specs diff around an action. */
+  val decodedRecords = new java.util.concurrent.atomic.LongAdder
+  val skippedRecords = new java.util.concurrent.atomic.LongAdder
 }
