@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindow {
 
-  private val Pid = "__swb"
+  private[ops] val Pid = "__swb"
 
   /** Target size of the driver-collected boundary sample. Boundary QUALITY
     * only affects bucket balance, never results (see class doc), so a
@@ -64,13 +64,16 @@ object ScalableWindow {
     * ≤ stride × perPart rows per task, independent of data size. */
   private val SampleStride = 37
 
-  /** Bounded, DETERMINISTIC sample of the (non-null, cast-to-double) order
-    * key: a strided subset of partitions × a strided head of each. Unlike
-    * the previous full-input `percentile_approx` (and unlike a Bernoulli
-    * `df.sample`, which still reads every row), this job's IO is
+  /** Bounded, DETERMINISTIC sample of the (non-null) order key: a strided
+    * subset of partitions × a strided head of each. Unlike the previous
+    * full-input `percentile_approx` (and unlike a Bernoulli `df.sample`,
+    * which still reads every row), this job's IO is
     * O(partitions-probed × rows-per-probe) — constant per op however big
     * the input — so the boundary pass stops being a second full scan. */
-  private def sampleKeys(df: DataFrame, k: Column): Array[Double] = {
+  private def sampleKeys[T](df: DataFrame, k: Column)
+                           (get: org.apache.spark.sql.Row => T)
+                           (implicit ord: Ordering[T],
+                            ct: scala.reflect.ClassTag[T]): Array[T] = {
     val rdd = df.select(k.as("__k")).rdd
     val nParts = rdd.getNumPartitions
     if (nParts == 0) return Array.empty
@@ -82,7 +85,7 @@ object ScalableWindow {
     val chunks = df.sparkSession.sparkContext.runJob(
       rdd,
       (it: Iterator[org.apache.spark.sql.Row]) => {
-        val out = Array.newBuilder[Double]
+        val out = Array.newBuilder[T]
         var kept = 0
         var seen = 0
         // bound rows CONSUMED too, not just samples kept — a mostly-null
@@ -91,7 +94,7 @@ object ScalableWindow {
         while (it.hasNext && kept < perPart && seen < maxSeen) {
           val r = it.next()
           if (seen % SampleStride == 0 && !r.isNullAt(0)) {
-            out += r.getDouble(0)
+            out += get(r)
             kept += 1
           }
           seen += 1
@@ -102,15 +105,15 @@ object ScalableWindow {
     chunks.flatten.sorted
   }
 
-  /** Stamp the deterministic range-bucket id. First order column must be
-    * numeric (all engine call sites are; multi-column keys bucket by their
-    * first column — a sort-order-consistent prefix). */
-  private def bucketed(df: DataFrame, orderCols: Seq[String]): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val buckets = 4 * n
-    val k = col(orderCols.head).cast("double")
-    val sample = sampleKeys(df, k)
-    val bs: Seq[Double] =
+  /** Quantile boundaries from a sorted sample, then the codegen'd
+    * when-chain bucket id: the index of the first boundary ABOVE the key
+    * (nulls sort first → bucket 0). Correctness does not depend on
+    * boundary QUALITY — `min{i : k < b_i}` is monotone in `k` for any
+    * boundary list — only balance does, so an approximate sample is all
+    * the precision the op needs. */
+  private def bucketFromSample[T](k: Column, sample: Array[T],
+                                  buckets: Int): Column = {
+    val bs: Seq[T] =
       if (sample.isEmpty) Seq.empty
       else (1 until buckets)
         .map(i => sample(math.min( // Long math: buckets×sampleLen can pass Int.Max
@@ -118,14 +121,47 @@ object ScalableWindow {
         .distinct // equal quantiles → one boundary
     // whole-stage-codegen'd when-chain (functions.aggregate over an array
     // literal is a CodegenFallback higher-order function — interpreted
-    // per row, it cost more than the shuffle it organizes): bucket = index
-    // of the first boundary above the key
-    val bucket =
-      if (bs.isEmpty) lit(0)
-      else bs.tail.zipWithIndex
-        .foldLeft(when(k.isNull || k < bs.head, 0)) { // nulls sort FIRST
-          case (c, (b, i)) => c.when(k < b, i + 1)
-        }.otherwise(bs.length)
+    // per row, it cost more than the shuffle it organizes)
+    if (bs.isEmpty) lit(0)
+    else bs.tail.zipWithIndex
+      .foldLeft(when(k.isNull || k < lit(bs.head), 0)) { // nulls sort FIRST
+        case (c, (b, i)) => c.when(k < lit(b), i + 1)
+      }.otherwise(bs.length)
+  }
+
+  /** Stamp the deterministic range-bucket id from the FIRST order column
+    * (a sort-order-consistent prefix — later order columns only break
+    * ties within a bucket's window sort). Supported leading-key types:
+    * any numeric (incl. decimal), timestamp, date (bucketed through
+    * their epoch seconds), and string (bucketed by Spark's binary
+    * string order — the driver-side sample sort differs from UTF-8 byte
+    * order only for supplementary characters, which costs balance, not
+    * correctness). Any other leading type fails LOUDLY — a silent
+    * null-cast here would collapse every row into one bucket and
+    * re-create the single-partition cliff these operators exist to
+    * avoid. */
+  private[ops] def bucketed(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val buckets = 4 * n
+    val dt = df.select(col(orderCols.head)).schema.head.dataType
+    val bucket = dt match {
+      case _: NumericType =>
+        val k = col(orderCols.head).cast("double")
+        bucketFromSample(k, sampleKeys(df, k)(_.getDouble(0)), buckets)
+      case TimestampType | TimestampNTZType | DateType =>
+        val k = col(orderCols.head).cast("timestamp").cast("double")
+        bucketFromSample(k, sampleKeys(df, k)(_.getDouble(0)), buckets)
+      case StringType =>
+        val k = col(orderCols.head)
+        bucketFromSample(k, sampleKeys(df, k)(_.getString(0)), buckets)
+      case other =>
+        throw new IllegalArgumentException(
+          s"ScalableWindow: unsupported leading order-key type $other for " +
+            s"'${orderCols.head}' — supported: numeric, string, " +
+            "timestamp, date. Order by a supported prefix column (later " +
+            "columns may be any type) or derive a sortable key first.")
+    }
     df.withColumn(Pid, bucket)
   }
 

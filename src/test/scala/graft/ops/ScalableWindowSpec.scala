@@ -133,6 +133,78 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(scal == naive)
   }
 
+  test("string-keyed global order: rowNumber/lag1/prefixSum match naive plans") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n"))
+      // composite string key, unique per row so naive/scalable orders agree
+      .withColumn("k", concat_ws("#", col("lang"), lpad(col("doc_id"), 8, "0")))
+    val naiveRn = docs
+      .select(col("doc_id"), row_number().over(Window.orderBy("k")).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val gotRn = ScalableWindow.rowNumber(docs, Seq("k"), "rn")
+      .select("doc_id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRn == naiveRn)
+    // the string path must actually SPREAD buckets (no silent collapse
+    // to bucket 0, which is what the old cast-to-double did)
+    val spread = ScalableWindow.bucketed(docs, Seq("k"))
+      .select(ScalableWindow.Pid).distinct().count()
+    assert(spread > 8, s"string key must spread buckets, got $spread")
+
+    val naiveLag = docs
+      .select(col("doc_id"), lag("n", 1).over(Window.orderBy("k")).as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val gotLag = ScalableWindow.lag1(docs, Seq("k"), "n", "v")
+      .select("doc_id", "v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotLag == naiveLag)
+
+    val naivePs = docs
+      .select(col("doc_id"),
+        coalesce(sum("n").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotPs = ScalableWindow.prefixSumExclusive(docs, Seq("k"), col("n"), "p")
+      .select("doc_id", "p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPs == naivePs)
+  }
+
+  test("multi-column order key: string prefix + numeric tiebreaker") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n"))
+    // lang has heavy ties: doc_id breaks them inside each bucket's window
+    val naive = docs
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy("lang", "doc_id")).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = ScalableWindow.rowNumber(docs, Seq("lang", "doc_id"), "rn")
+      .select("doc_id", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
+
+  test("an unsupported leading key type fails loudly, not silently") {
+    val df = spark.range(10).select(array(col("id")).as("a"), col("id"))
+    val e = intercept[IllegalArgumentException] {
+      ScalableWindow.rowNumber(df, Seq("a", "id"), "rn")
+    }
+    assert(e.getMessage.contains("unsupported leading order-key type"))
+  }
+
+  test("timestamp-keyed order works through the epoch bucketing") {
+    val ev = spark.read.parquet(s"$sfSmall/events.parquet")
+      .select(col("event_id"), col("ts")).limit(5000)
+      .dropDuplicates("ts") // unique keys so naive/scalable orders agree
+    val naive = ev
+      .select(col("event_id"), row_number().over(Window.orderBy("ts")).as("rn"))
+      .collect().map(r => r.get(0) -> r.getInt(1).toLong).toMap
+    val got = ScalableWindow.rowNumber(ev, Seq("ts"), "rn")
+      .select("event_id", "rn")
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
+
   test("the plan has no partition-less Window") {
     val df = ScalableWindow.rowNumber(
       orders.select("o_orderkey"), Seq("o_orderkey"), "rn")
