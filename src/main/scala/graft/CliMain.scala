@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.bam.ops.{BamOps, BamSink, Reports, SplitTiming}
+import graft.bam.ops.{BamOps, BamSink, Reports, SplitReports, SplitTiming}
 
 /** Thin CLI front-end mirroring the reference's subcommand surface
   * (reference cli/src/main/scala/org/hammerlab/bam/Main.scala:19-28):
@@ -40,6 +40,9 @@ object Main {
       |  --split-size <n>     byte split size (default 65536)
       |  --num-partitions <n> partitions for check jobs (default 8)
       |  --range <lo:hi>      htsjdk-rewrite record-index range, 0-based exclusive/inclusive
+      |  -s                   compute-splits: eager algorithm only
+      |  -u                   compute-splits: relaxed algorithm only
+      |  --tsv                emit the machine-readable table instead of the text report
       |""".stripMargin
 
   private final case class Opts(out: Option[String] = None,
@@ -47,6 +50,9 @@ object Main {
                                 splitSize: Long = 65536L,
                                 numPartitions: Int = 8,
                                 range: Option[(Long, Long)] = None,
+                                eagerOnly: Boolean = false,
+                                relaxedOnly: Boolean = false,
+                                tsv: Boolean = false,
                                 paths: Vector[String] = Vector.empty)
 
   @annotation.tailrec
@@ -59,6 +65,9 @@ object Main {
     case "--range" :: v :: rest =>
       val Array(lo, hi) = v.split(":", 2)
       parse(rest, o.copy(range = Some((lo.toLong, hi.toLong))))
+    case "-s" :: rest => parse(rest, o.copy(eagerOnly = true))
+    case "-u" :: rest => parse(rest, o.copy(relaxedOnly = true))
+    case "--tsv" :: rest => parse(rest, o.copy(tsv = true))
     case flag :: _ if flag.startsWith("-") =>
       throw new IllegalArgumentException(s"unknown option $flag")
     case p :: rest => parse(rest, o.copy(paths = o.paths :+ p))
@@ -100,18 +109,24 @@ object Main {
       emit(Reports.fullCheckReport(spark, o.paths.head, o.numPartitions), o)
     case "check-blocks" =>
       require(o.paths.size == 1, "check-blocks takes exactly one BAM")
-      emit(tsv(BamOps.checkBlocks(spark, o.paths.head, o.numPartitions)), o)
+      if (o.tsv) emit(tsv(BamOps.checkBlocks(spark, o.paths.head, o.numPartitions)), o)
+      else emit(SplitReports.checkBlocksReport(spark, o.paths.head, o.numPartitions), o)
     case "count-reads" =>
       require(o.paths.nonEmpty, "count-reads takes one or more BAMs")
-      emit(o.paths.map(p =>
-        s"$p\t${spark.read.format("bam").load(p).count()}")
-        .mkString("", "\n", "\n"), o)
+      if (o.tsv || o.paths.size > 1)
+        emit(o.paths.map(p =>
+          s"$p\t${spark.read.format("bam").load(p).count()}")
+          .mkString("", "\n", "\n"), o)
+      else emit(SplitReports.countReadsReport(spark, o.paths.head, o.splitSize), o)
     case "time-load" =>
       require(o.paths.size == 1, "time-load takes exactly one BAM")
-      emit(tsv(SplitTiming.timeLoad(spark, o.paths.head, o.splitSize)), o)
+      if (o.tsv) emit(tsv(SplitTiming.timeLoad(spark, o.paths.head, o.splitSize)), o)
+      else emit(SplitReports.timeLoadReport(spark, o.paths.head, o.splitSize), o)
     case "compute-splits" =>
       require(o.paths.size == 1, "compute-splits takes exactly one BAM")
-      emit(tsv(BamOps.splits(spark, o.paths.head, o.splitSize)), o)
+      if (o.tsv) emit(tsv(BamOps.splits(spark, o.paths.head, o.splitSize)), o)
+      else emit(SplitReports.computeSplitsReport(o.paths.head, o.splitSize,
+        o.eagerOnly, o.relaxedOnly), o)
     case "compare-splits" =>
       require(o.paths.nonEmpty, "compare-splits takes one or more BAMs")
       import spark.implicits._

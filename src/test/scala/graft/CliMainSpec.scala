@@ -16,6 +16,29 @@ class CliMainSpec extends SparkTestBase {
       java.nio.file.Paths.get(getClass.getResource(s"/golden/$name").toURI)),
       java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Reference line-matcher idiom (ComputeSplitsTest.scala:15-70): every
+    * line byte-pinned except `<NUM>` placeholders, which match any number
+    * (timing values). */
+  private def assertGoldenLines(actual: String, goldenName: String): Unit = {
+    val got = actual.split("\n", -1)
+    val want = golden(goldenName).split("\n", -1)
+    assert(got.length == want.length,
+      s"line count ${got.length} != ${want.length} in $goldenName:\n$actual")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      if (w.contains("<NUM>")) {
+        val re = java.util.regex.Pattern.quote(w)
+          .replace("<NUM>", "\\E\\d+(?:\\.\\d+)?\\Q").r
+        assert(re.matches(g), s"line ${i + 1} of $goldenName: '$g' !~ '$w'")
+      } else assert(g == w, s"line ${i + 1} of $goldenName: '$g' != '$w'")
+    }
+  }
+
+  private def runToString(args: Seq[String]): String = {
+    val out = tmp("report.txt")
+    Main.runArgs(args ++ Seq("-o", out))
+    java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+  }
+
   test("check-bam subcommand reproduces the golden report") {
     val out = tmp("check-bam.txt")
     Main.runArgs(Seq("check-bam", "--checker", "eager", "-o", out,
@@ -31,13 +54,54 @@ class CliMainSpec extends SparkTestBase {
       golden("full-check-tiny.txt"))
   }
 
-  test("count-reads subcommand agrees with the bam source count") {
+  test("count-reads --tsv agrees with the bam source count") {
     val out = tmp("counts.tsv")
     val fx = BamFixture.tiny
-    Main.runArgs(Seq("count-reads", "-o", out, fx.bamPath))
+    Main.runArgs(Seq("count-reads", "--tsv", "-o", out, fx.bamPath))
     val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
       .trim.split("\n")
     assert(lines.toSeq == Seq(s"${fx.bamPath}\t${fx.numRecords}"))
+  }
+
+  test("compute-splits -s reproduces the golden eager report") {
+    assertGoldenLines(
+      runToString(Seq("compute-splits", "-s", "--split-size", "1024",
+        BamFixture.tiny.bamPath)),
+      "compute-splits-eager-tiny.txt")
+  }
+
+  test("compute-splits -u reproduces the golden relaxed report") {
+    assertGoldenLines(
+      runToString(Seq("compute-splits", "-u", "--split-size", "1024",
+        BamFixture.tiny.bamPath)),
+      "compute-splits-relaxed-tiny.txt")
+  }
+
+  test("compute-splits compare mode reproduces the golden diff report") {
+    assertGoldenLines(
+      runToString(Seq("compute-splits", "--split-size", "1024",
+        BamFixture.tiny.bamPath)),
+      "compute-splits-compare-tiny.txt")
+  }
+
+  test("count-reads reproduces the golden race report") {
+    assertGoldenLines(
+      runToString(Seq("count-reads", "--split-size", "1024",
+        BamFixture.tiny.bamPath)),
+      "count-reads-tiny.txt")
+  }
+
+  test("time-load reproduces the golden report") {
+    assertGoldenLines(
+      runToString(Seq("time-load", "--split-size", "1024",
+        BamFixture.tiny.bamPath)),
+      "time-load-tiny.txt")
+  }
+
+  test("check-blocks reproduces the golden report") {
+    assertGoldenLines(
+      runToString(Seq("check-blocks", BamFixture.tiny.bamPath)),
+      "check-blocks-tiny.txt")
   }
 
   test("compare-splits subcommand emits the timing report shape") {
