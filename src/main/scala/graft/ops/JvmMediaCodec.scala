@@ -1,11 +1,12 @@
 package graft.ops
 
 /** A REAL [[MediaCodec]]: pure-JVM decoders for genuinely standard formats
-  * that need no native libraries — Netpbm images (binary P6/P5 with full
-  * header grammar: comments, arbitrary whitespace, maxval) and RIFF/WAVE
-  * PCM16 audio. "Video" is a concatenated P6 frame stream (the Netpbm
-  * convention `ppmtoy4m` and friends consume: back-to-back images, each
-  * self-describing).
+  * that need no external libraries — Netpbm images (binary P6/P5 with full
+  * header grammar: comments, arbitrary whitespace, maxval), PNG and JPEG
+  * via the JDK's own ImageIO codecs (`java.desktop`, present in every
+  * standard JDK), and RIFF/WAVE PCM16 audio. "Video" is a concatenated P6
+  * frame stream (the Netpbm convention `ppmtoy4m` and friends consume:
+  * back-to-back images, each self-describing).
   *
   * Everything stays integer-exact so results are bit-reproducible across
   * partitionings and replicable by an independent engine (the
@@ -34,6 +35,11 @@ object JvmMediaCodec extends MediaCodec {
 
   /** A decoded PCM16 mono/stereo clip (interleaved samples). */
   final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  // JDK ImageIO touches java.awt; force headless so executors never try
+  // to reach a display. Safe to set repeatedly (object init runs once per
+  // JVM, i.e. once per executor).
+  System.setProperty("java.awt.headless", "true")
 
   // ---------------------------------------------------------------- netpbm
 
@@ -213,6 +219,106 @@ object JvmMediaCodec extends MediaCodec {
     Pcm(math.max(1, pcm.sampleRate / stride), pcm.channels, out)
   }
 
+  // ------------------------------------------------ PNG/JPEG (JDK ImageIO)
+
+  /** PNG signature (\x89PNG). */
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  /** JPEG SOI marker (\xFF\xD8\xFF). */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  /** Decode a PNG or JPEG payload through the JDK's own ImageIO codecs
+    * (`java.desktop` — shipped with every standard JDK, no external
+    * libraries) into the engine's interleaved-RGB raster. PNG decode is
+    * bit-exact (lossless container — the `mm_png_roundtrip` oracle proves
+    * encode→decode identity per pixel); JPEG is inherently lossy, so it is
+    * value-pinned in specs rather than oracle-gated. Non-PNG/JPEG or
+    * corrupt streams → None (the skip-don't-die contract). */
+  def decodeJdkImage(payload: Array[Byte]): Option[Image] = {
+    if (!isPng(payload) && !isJpeg(payload)) return None
+    try {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (bi == null) None
+      else {
+        val w = bi.getWidth
+        val h = bi.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
+        else {
+          val px = bi.getRGB(0, 0, w, h, null, 0, w)
+          val raster = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            raster(i * 3) = ((px(i) >> 16) & 0xff).toByte
+            raster(i * 3 + 1) = ((px(i) >> 8) & 0xff).toByte
+            raster(i * 3 + 2) = (px(i) & 0xff).toByte
+            i += 1
+          }
+          Some(Image(w, h, 255, 3, raster))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def toBufferedImage(img: Image): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val base = (y * img.width + x) * img.channels
+        val (r, g, b) =
+          if (img.channels >= 3)
+            (img.raster(base) & 0xff, img.raster(base + 1) & 0xff,
+              img.raster(base + 2) & 0xff)
+          else { // grayscale replicates into all three channels
+            val v = img.raster(base) & 0xff
+            (v, v, v)
+          }
+        bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    bi
+  }
+
+  /** Encode through the JDK's lossless PNG writer. */
+  def encodePng(img: Image): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(img.raster.length / 2 + 64)
+    javax.imageio.ImageIO.write(toBufferedImage(img), "png", out)
+    out.toByteArray
+  }
+
+  /** Encode through the JDK's baseline JPEG writer at the given quality. */
+  def encodeJpeg(img: Image, quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val out = new java.io.ByteArrayOutputStream(img.raster.length / 4 + 64)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null,
+        new javax.imageio.IIOImage(toBufferedImage(img), null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Netpbm first (header sniff is a 2-byte check), then the JDK image
+    * containers — the one image-decode entry the pipeline stages use. */
+  def decodeAnyImage(payload: Array[Byte]): Option[Image] =
+    decodeImage(payload).orElse(decodeJdkImage(payload))
+
   // -------------------------------------------------------- MediaCodec api
 
   /** Image → first `channels` slots are per-channel means (ppm-exact Long
@@ -222,7 +328,7 @@ object JvmMediaCodec extends MediaCodec {
     * so a mixed corpus never crashes the stage. */
   override def features(mediaType: String, payload: Array[Byte],
                         dim: Int): Array[Float] =
-    decodeImage(payload) match {
+    decodeAnyImage(payload) match {
       case Some(img) =>
         val feats = new Array[Float](dim)
         val n = math.max(1, img.width.toLong * img.height)
@@ -310,15 +416,29 @@ object JvmMediaCodec extends MediaCodec {
           encodeImage(resizeNearest(img,
             math.max(1, img.width / f), math.max(1, img.height / f)))
         }
-      case None => decodeWav(payload) match {
-        case Some(pcm) =>
+      case None => decodeJdkImage(payload) match {
+        case Some(img) =>
           if (payload.length <= targetLen) payload
           else {
-            val stride = math.max(1,
-              (pcm.samples.length * 2 + targetLen - 1) / math.max(1, targetLen))
-            encodeWav(decimate(pcm, stride))
+            // compressed output size tracks raster size only loosely;
+            // scale by the ENCODED ratio (conservative) and re-encode in
+            // the source's own container
+            val ratio = payload.length.toDouble / math.max(1, targetLen)
+            val f = math.max(1, math.ceil(math.sqrt(ratio)).toInt)
+            val small = resizeNearest(img,
+              math.max(1, img.width / f), math.max(1, img.height / f))
+            if (isJpeg(payload)) encodeJpeg(small) else encodePng(small)
           }
-        case None => FakeMediaCodec.resample(payload, targetLen)
+        case None => decodeWav(payload) match {
+          case Some(pcm) =>
+            if (payload.length <= targetLen) payload
+            else {
+              val stride = math.max(1,
+                (pcm.samples.length * 2 + targetLen - 1) / math.max(1, targetLen))
+              encodeWav(decimate(pcm, stride))
+            }
+          case None => FakeMediaCodec.resample(payload, targetLen)
+        }
       }
     }
 }

@@ -175,24 +175,64 @@ object MultimodalOps {
     StructField("sum_b", LongType, nullable = false)))
 
   /** REAL image decode → integer channel statistics, optionally through a
-    * nearest-neighbor resize first: payloads parse as binary PPM/PGM via
-    * [[JvmMediaCodec]] (not the fake byte arithmetic), rows that fail to
-    * parse are dropped (the production skip-corrupt-payload behavior), and
-    * the emitted sums are exact integers an independent engine can rebuild
-    * from the same pixel bytes — `mm_decode_ppm` / `mm_resize_ppm` do.
-    * Same partition-local batched seam as [[extractFeatures]]. */
+    * nearest-neighbor resize first: payloads parse as binary PPM/PGM or
+    * PNG/JPEG via [[JvmMediaCodec]] (not the fake byte arithmetic), rows
+    * that fail to parse are dropped (the production skip-corrupt-payload
+    * behavior), and the emitted sums are exact integers an independent
+    * engine can rebuild from the same pixel bytes — `mm_decode_ppm` /
+    * `mm_resize_ppm` do. Same partition-local batched seam as
+    * [[extractFeatures]]. */
   def imageStats(media: DataFrame,
                  resizeTo: Option[(Int, Int)] = None): DataFrame = {
     val enc = RowEncoder.encoderFor(imageStatsSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
-        JvmMediaCodec.decodeImage(r.getAs[Array[Byte]](1)).map { img0 =>
+        JvmMediaCodec.decodeAnyImage(r.getAs[Array[Byte]](1)).map { img0 =>
           val img = resizeTo.fold(img0) { case (w, h) =>
             JvmMediaCodec.resizeNearest(img0, w, h) }
           Row(r.getLong(0), img.width.toLong, img.height.toLong,
             img.channelSum(0),
             if (img.channels > 1) img.channelSum(1) else img.channelSum(0),
             if (img.channels > 2) img.channelSum(2) else img.channelSum(0))
+        }
+      }
+    }(enc)
+  }
+
+  private val pngStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("chk", LongType, nullable = false)))
+
+  /** PNG encode→decode round-trip gate: each (PPM) payload decodes with
+    * the Netpbm parser, re-encodes through the JDK's REAL PNG writer,
+    * decodes back through the REAL PNG reader, and emits exact integer
+    * stats over the round-tripped raster — per-channel sums plus a
+    * position-weighted checksum (a swapped, dropped, or channel-rotated
+    * byte can't cancel). PNG is lossless, so an oracle that rebuilds the
+    * source raster arithmetically (`mm_png_roundtrip`) hash-proves the
+    * whole encode→decode identity per byte per row. */
+  def pngRoundTripStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(pngStatsSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        JvmMediaCodec.decodeImage(r.getAs[Array[Byte]](1)).map { src =>
+          val png = JvmMediaCodec.encodePng(src)
+          val img = JvmMediaCodec.decodeJdkImage(png).getOrElse(
+            throw new IllegalStateException(
+              s"PNG round-trip parse failed for id ${r.getLong(0)}"))
+          var chk = 0L
+          var i = 0
+          while (i < img.raster.length) {
+            chk += (img.raster(i) & 0xff).toLong * (i % 7 + 1)
+            i += 1
+          }
+          Row(r.getLong(0), img.width.toLong, img.height.toLong,
+            img.channelSum(0), img.channelSum(1), img.channelSum(2), chk)
         }
       }
     }(enc)

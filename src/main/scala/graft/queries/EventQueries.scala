@@ -532,6 +532,37 @@ object EventQueries {
         resizeTo = Some((4, 4)))
     },
 
+    // ---- PNG encode→decode round-trip under the oracle: the md5-derived
+    // 8×8 raster goes PPM-parse → REAL JDK PNG writer → REAL JDK PNG
+    // reader; the decoded raster's channel sums and position-weighted
+    // checksum must equal DuckDB's arithmetic over the SOURCE raster —
+    // PNG is lossless, so equal hashes prove the whole encode→decode
+    // identity per byte per row (the JPEG path, being lossy, is
+    // value-pinned in JvmMediaCodecSpec instead).
+    q(
+      "mm_png_roundtrip",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '-0') || md5(CAST(doc_id AS VARCHAR) || '-1') ||
+        |    md5(CAST(doc_id AS VARCHAR) || '-2') || md5(CAST(doc_id AS VARCHAR) || '-3') ||
+        |    md5(CAST(doc_id AS VARCHAR) || '-4') || md5(CAST(doc_id AS VARCHAR) || '-5') AS ras
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, ras, UNNEST(GENERATE_SERIES(1, 192)) AS i FROM m
+        |), x AS (
+        |  SELECT doc_id, i, ord(substr(ras, CAST(i AS INT), 1)) AS b FROM u
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN (i-1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN (i-1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN (i-1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(SUM(b * ((i-1) % 7 + 1)) AS BIGINT) AS chk
+        |FROM x GROUP BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.pngRoundTripStats(ppmMediaTable(tDocs(s, dir)))
+    },
+
     // ---- WAV container round-trip under the oracle: both engines derive
     // the same PCM16 samples from pure integer arithmetic; Spark routes
     // them through the REAL RIFF encoder and parser and reports stats

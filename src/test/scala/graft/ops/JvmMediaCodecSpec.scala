@@ -132,4 +132,97 @@ class JvmMediaCodecSpec extends AnyFunSuite {
     assert(JvmMediaCodec.features("image", junk, 16).toSeq ==
       FakeMediaCodec.features("image", junk, 16).toSeq)
   }
+
+  // ------------------------------------------------ PNG/JPEG (JDK ImageIO)
+
+  private def gradient(w: Int, h: Int): JvmMediaCodec.Image = {
+    val raster = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        raster(base) = (x * 255 / math.max(1, w - 1)).toByte
+        raster(base + 1) = (y * 255 / math.max(1, h - 1)).toByte
+        raster(base + 2) = ((x + y) * 255 / math.max(1, w + h - 2)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    JvmMediaCodec.Image(w, h, 255, 3, raster)
+  }
+
+  test("PNG: encode→decode is a byte-exact raster round-trip") {
+    val img = gradient(9, 7)
+    val png = JvmMediaCodec.encodePng(img)
+    assert(JvmMediaCodec.isPng(png) && !JvmMediaCodec.isJpeg(png))
+    val back = JvmMediaCodec.decodeJdkImage(png).get
+    assert(back.width == 9 && back.height == 7 && back.channels == 3)
+    assert(back.raster.toSeq == img.raster.toSeq)
+  }
+
+  test("PNG: grayscale P5 source replicates into three equal channels") {
+    val p5img = JvmMediaCodec.decodeImage(
+      ascii("P5\n3 1\n255\n") ++ Array[Byte](5, 10, 15)).get
+    val back = JvmMediaCodec.decodeJdkImage(JvmMediaCodec.encodePng(p5img)).get
+    assert(back.channels == 3)
+    assert(back.channelSum(0) == 30 && back.channelSum(1) == 30 &&
+      back.channelSum(2) == 30)
+  }
+
+  test("JPEG: decode recovers dims exactly and a smooth image approximately") {
+    val img = gradient(16, 16)
+    val jpg = JvmMediaCodec.encodeJpeg(img, quality = 0.95f)
+    assert(JvmMediaCodec.isJpeg(jpg) && !JvmMediaCodec.isPng(jpg))
+    val back = JvmMediaCodec.decodeJdkImage(jpg).get
+    assert(back.width == 16 && back.height == 16)
+    // lossy but bounded on a smooth gradient: every pixel within 16/255
+    var maxErr = 0
+    var i = 0
+    while (i < img.raster.length) {
+      maxErr = math.max(maxErr,
+        math.abs((img.raster(i) & 0xff) - (back.raster(i) & 0xff)))
+      i += 1
+    }
+    assert(maxErr <= 16, s"max per-pixel JPEG error $maxErr")
+  }
+
+  test("JPEG decode is deterministic (same payload, same raster)") {
+    val jpg = JvmMediaCodec.encodeJpeg(gradient(8, 8))
+    val a = JvmMediaCodec.decodeJdkImage(jpg).get
+    val b = JvmMediaCodec.decodeJdkImage(jpg).get
+    assert(a.raster.toSeq == b.raster.toSeq)
+  }
+
+  test("corrupt PNG/JPEG payloads reject (no crash), wrong magic skips ImageIO") {
+    val png = JvmMediaCodec.encodePng(gradient(4, 4))
+    val truncated = png.take(20)
+    assert(JvmMediaCodec.decodeJdkImage(truncated).isEmpty)
+    val scrambled = png.clone()
+    scrambled(12) = 0x7f // corrupt the IHDR chunk type
+    assert(JvmMediaCodec.decodeJdkImage(scrambled).isEmpty)
+    assert(JvmMediaCodec.decodeJdkImage(ascii("plain text")).isEmpty)
+  }
+
+  test("features routes PNG payloads through the real decoded pixels") {
+    // all-white PNG → channel means = 10^6 ppm exactly, same as the PPM path
+    val white = JvmMediaCodec.encodePng(
+      JvmMediaCodec.Image(2, 2, 255, 3, Array.fill[Byte](12)(0xff.toByte)))
+    val f = JvmMediaCodec.features("image", white, 8)
+    assert(f(0) == 1000000f && f(1) == 1000000f && f(2) == 1000000f)
+    assert(f(7) == 1000000f && f(3) == 0f)
+  }
+
+  test("resample re-encodes in the source container (PNG→PNG, JPEG→JPEG)") {
+    val big = gradient(64, 64)
+    val png = JvmMediaCodec.encodePng(big)
+    val smallPng = JvmMediaCodec.resample(png, png.length / 4)
+    assert(JvmMediaCodec.isPng(smallPng))
+    val backP = JvmMediaCodec.decodeJdkImage(smallPng).get
+    assert(backP.width < 64 && backP.height < 64)
+    val jpg = JvmMediaCodec.encodeJpeg(big)
+    val smallJpg = JvmMediaCodec.resample(jpg, jpg.length / 4)
+    assert(JvmMediaCodec.isJpeg(smallJpg))
+    assert(JvmMediaCodec.decodeJdkImage(smallJpg).get.width < 64)
+  }
 }
