@@ -42,6 +42,8 @@ object Main {
       |  --range <lo:hi>      htsjdk-rewrite record-index range, 0-based exclusive/inclusive
       |  -s                   compute-splits: eager algorithm only
       |  -u                   compute-splits: relaxed algorithm only
+      |  -p                   compute-splits: also print per-split record-count stats
+      |  -n <k>               count-reads: repeat k times, report timing stats
       |  --tsv                emit the machine-readable table instead of the text report
       |""".stripMargin
 
@@ -52,6 +54,8 @@ object Main {
                                 range: Option[(Long, Long)] = None,
                                 eagerOnly: Boolean = false,
                                 relaxedOnly: Boolean = false,
+                                partitionStats: Boolean = false,
+                                iterations: Int = 1,
                                 tsv: Boolean = false,
                                 paths: Vector[String] = Vector.empty)
 
@@ -67,6 +71,8 @@ object Main {
       parse(rest, o.copy(range = Some((lo.toLong, hi.toLong))))
     case "-s" :: rest => parse(rest, o.copy(eagerOnly = true))
     case "-u" :: rest => parse(rest, o.copy(relaxedOnly = true))
+    case "-p" :: rest => parse(rest, o.copy(partitionStats = true))
+    case "-n" :: v :: rest => parse(rest, o.copy(iterations = v.toInt))
     case "--tsv" :: rest => parse(rest, o.copy(tsv = true))
     case flag :: _ if flag.startsWith("-") =>
       throw new IllegalArgumentException(s"unknown option $flag")
@@ -117,7 +123,8 @@ object Main {
         emit(o.paths.map(p =>
           s"$p\t${spark.read.format("bam").load(p).count()}")
           .mkString("", "\n", "\n"), o)
-      else emit(SplitReports.countReadsReport(spark, o.paths.head, o.splitSize), o)
+      else emit(SplitReports.countReadsReport(spark, o.paths.head, o.splitSize,
+        o.iterations), o)
     case "time-load" =>
       require(o.paths.size == 1, "time-load takes exactly one BAM")
       if (o.tsv) emit(tsv(SplitTiming.timeLoad(spark, o.paths.head, o.splitSize)), o)
@@ -125,8 +132,16 @@ object Main {
     case "compute-splits" =>
       require(o.paths.size == 1, "compute-splits takes exactly one BAM")
       if (o.tsv) emit(tsv(BamOps.splits(spark, o.paths.head, o.splitSize)), o)
-      else emit(SplitReports.computeSplitsReport(o.paths.head, o.splitSize,
-        o.eagerOnly, o.relaxedOnly), o)
+      else {
+        // -p: realized per-split record counts through the DSv2 source
+        val counts =
+          if (!o.partitionStats) None
+          else Some(BamOps.splits(spark, o.paths.head, o.splitSize)
+            .orderBy("split").select("numRecords")
+            .collect().toSeq.map(_.getLong(0)))
+        emit(SplitReports.computeSplitsReport(o.paths.head, o.splitSize,
+          o.eagerOnly, o.relaxedOnly, counts), o)
+      }
     case "compare-splits" =>
       require(o.paths.nonEmpty, "compare-splits takes one or more BAMs")
       import spark.implicits._

@@ -66,18 +66,24 @@ object SplitReports {
   }
 
   /** compute-splits: run eager and/or relaxed (both → diff them), timing
-    * line(s) first, reference line shapes throughout. */
+    * line(s) first, reference line shapes throughout. `partitionCounts`
+    * (the `-p` option) appends "Partition count stats:" over the realized
+    * per-split record counts. */
   def computeSplitsReport(path: String, splitSize: Long,
                           eagerOnly: Boolean = false,
-                          relaxedOnly: Boolean = false): String = {
+                          relaxedOnly: Boolean = false,
+                          partitionCounts: Option[Seq[Long]] = None): String = {
     val conf = graft.bam.ds.BamDataSource.hadoopConf()
+    def partStats: String = partitionCounts.fold("") { counts =>
+      s"Partition count stats:\n${Stats(counts.map(_.toDouble))}\n"
+    }
     (eagerOnly, relaxedOnly) match {
       case (true, false) =>
         val (ms, splits) = timedMs(splitLayout(path, splitSize, relaxed = false, conf))
-        s"Get eager splits: ${ms}ms\n\n" + printSplits(splits)
+        s"Get eager splits: ${ms}ms\n\n" + printSplits(splits) + partStats
       case (false, true) =>
         val (ms, splits) = timedMs(splitLayout(path, splitSize, relaxed = true, conf))
-        s"Get relaxed splits: ${ms}ms\n\n" + printSplits(splits)
+        s"Get relaxed splits: ${ms}ms\n\n" + printSplits(splits) + partStats
       case _ =>
         val (eMs, eager) = timedMs(splitLayout(path, splitSize, relaxed = false, conf))
         val (rMs, relax) = timedMs(splitLayout(path, splitSize, relaxed = true, conf))
@@ -98,15 +104,20 @@ object SplitReports {
         } else {
           sb ++= "All splits matched!\n\n"
           sb ++= printSplits(eager)
+          sb ++= partStats
         }
         sb.result()
     }
   }
 
   /** count-reads: race the two checker profiles through the bam source's
-    * distributed count, then the matched/mismatched verdict line. */
+    * distributed count, then the matched/mismatched verdict line. With
+    * `iterations > 1`, the reference's multi-run shape: per-profile
+    * timing Stats then the count verdict (CountReads.scala Results
+    * rendering, `-n` option). */
   def countReadsReport(spark: SparkSession, path: String,
-                       splitSize: Long): String = {
+                       splitSize: Long, iterations: Int = 1): String = {
+    require(iterations > 0, s"Invalid numIterations: $iterations")
     def countVia(checker: String): (Long, Long) = timedMs {
       spark.read.format("bam")
         .option("splitSize", splitSize.toString)
@@ -114,12 +125,34 @@ object SplitReports {
         .load(path)
         .count()
     }
-    val (eMs, e) = countVia("eager")
-    val (rMs, r) = countVia("relaxed")
-    s"eager read-count time: $eMs\n" +
-      s"relaxed read-count time: $rMs\n\n" +
-      (if (e == r) s"Read counts matched: $e\n"
-       else s"Read counts mismatched: $e via eager, $r via relaxed\n")
+    def verdict(e: Long, r: Long): String =
+      if (e == r) s"Read counts matched: $e\n"
+      else s"Read counts mismatched: $e via eager, $r via relaxed\n"
+    if (iterations == 1) {
+      val (eMs, e) = countVia("eager")
+      val (rMs, r) = countVia("relaxed")
+      s"eager read-count time: $eMs\n" +
+        s"relaxed read-count time: $rMs\n\n" + verdict(e, r)
+    } else {
+      val runs = (0 until iterations).map(_ => (countVia("eager"), countVia("relaxed")))
+      val eTimes = runs.map(_._1._1.toDouble)
+      val rTimes = runs.map(_._2._1.toDouble)
+      // count histograms, reference Results shape (one line when unanimous)
+      val eCounts = runs.groupBy(_._1._2).view.mapValues(_.size).toMap
+      val rCounts = runs.groupBy(_._2._2).view.mapValues(_.size).toMap
+      val sb = new StringBuilder
+      sb ++= s"eager times (ms):\n${Stats(eTimes)}\n\n"
+      sb ++= s"relaxed times (ms):\n${Stats(rTimes)}\n\n"
+      (eCounts.toSeq, rCounts.toSeq) match {
+        case (Seq((e, _)), Seq((r, _))) => sb ++= verdict(e, r)
+        case _ =>
+          sb ++= "eager read-counts:\n"
+          eCounts.toSeq.sorted.foreach { case (c, n) => sb ++= s"\t$c ($n runs)\n" }
+          sb ++= "\nrelaxed read-counts:\n"
+          rCounts.toSeq.sorted.foreach { case (c, n) => sb ++= s"\t$c ($n runs)\n" }
+      }
+      sb.result()
+    }
   }
 
   /** time-load: collect every partition's first read name through both

@@ -84,6 +84,25 @@ class CliMainSpec extends SparkTestBase {
       "compute-splits-compare-tiny.txt")
   }
 
+  test("count-reads -n emits per-profile timing Stats and the unanimous verdict") {
+    val report = runToString(Seq("count-reads", "-n", "3", "--split-size", "1024",
+      BamFixture.tiny.bamPath))
+    assert(report.contains("eager times (ms):\nN: 3,"), report)
+    assert(report.contains("relaxed times (ms):\nN: 3,"), report)
+    assert(report.contains(s"Read counts matched: ${BamFixture.tiny.numRecords}"), report)
+  }
+
+  test("compute-splits -p appends deterministic partition count stats") {
+    val report = runToString(Seq("compute-splits", "-s", "-p",
+      "--split-size", "1024", BamFixture.tiny.bamPath))
+    val idx = report.indexOf("Partition count stats:\n")
+    assert(idx > 0, report)
+    // 16 splits, 120 records: the stats header over per-split record
+    // counts is fully deterministic (timing plays no part)
+    val stats = report.substring(idx)
+    assert(stats.startsWith("Partition count stats:\nN: 16,"), stats)
+  }
+
   test("count-reads reproduces the golden race report") {
     assertGoldenLines(
       runToString(Seq("count-reads", "--split-size", "1024",
