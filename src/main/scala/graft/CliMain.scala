@@ -133,10 +133,11 @@ object Main {
       require(o.paths.size == 1, "compute-splits takes exactly one BAM")
       if (o.tsv) emit(tsv(BamOps.splits(spark, o.paths.head, o.splitSize)), o)
       else {
-        // -p: realized per-split record counts through the DSv2 source
+        // -p: realized per-split record counts through the DSv2 source —
+        // a thunk, so the scan only runs if the report prints the stats
         val counts =
           if (!o.partitionStats) None
-          else Some(BamOps.splits(spark, o.paths.head, o.splitSize)
+          else Some(() => BamOps.splits(spark, o.paths.head, o.splitSize)
             .orderBy("split").select("numRecords")
             .collect().toSeq.map(_.getLong(0)))
         emit(SplitReports.computeSplitsReport(o.paths.head, o.splitSize,

@@ -98,6 +98,12 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
     startPos.exists(reader.seek)
   }
 
+  // local tallies, folded into the shared adders ONCE at close() — a
+  // shared-memory increment per record would put cross-task contention on
+  // the unconditional decode path purely for spec observability
+  private var localDecoded = 0L
+  private var localSkipped = 0L
+
   override def next(): Boolean = {
     if (!active) return false
     while (reader.hasMore) {
@@ -106,17 +112,17 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
       prefixPred match {
         case None =>
           rec = Bam.readRecord(reader, wantSeq, wantQual, wantAttrs)
-          if (rec != null) BamPartitionReader.decodedRecords.increment()
+          if (rec != null) localDecoded += 1
           return rec != null
         case Some(pred) =>
           rec = Bam.readRecordIf(reader, wantSeq, wantQual, wantAttrs,
             pred, prefixScratch)
           if (rec == null) return false // clean EOF
           if (rec ne Bam.SkippedRecord) {
-            BamPartitionReader.decodedRecords.increment()
+            localDecoded += 1
             return true
           }
-          BamPartitionReader.skippedRecords.increment()
+          localSkipped += 1
         // rejected from the 32-byte prefix: loop to the next record
       }
     }
@@ -168,7 +174,13 @@ class BamPartitionReader(split: BamInputPartition, required: StructType,
     row
   }
 
-  override def close(): Unit = blocks.close()
+  override def close(): Unit = {
+    BamPartitionReader.decodedRecords.add(localDecoded)
+    BamPartitionReader.skippedRecords.add(localSkipped)
+    localDecoded = 0L
+    localSkipped = 0L
+    blocks.close()
+  }
 }
 
 object BamPartitionReader {

@@ -41,15 +41,28 @@ object RecordFilter {
     case _ => None
   }
 
-  /** Compile one filter; `true` (no-op) for anything not expressible on
-    * prefix fields. `Not`/`Or` only compile when BOTH children compile
-    * exactly (a conservative child under Not would flip to unsound). */
-  private def compile(f: Filter): P = compileExact(f).getOrElse(True)
+  /** TOP-LEVEL compile: pushed filters are implicitly conjoined, so a
+    * conjunction may keep whichever conjuncts compile and drop the rest —
+    * the result is conservative (a superset of matching records) and
+    * Spark's residual filter keeps the answer exact. This laxity is ONLY
+    * sound at the top level / under And: inside `Not` a conservative
+    * child would flip to unsound (records the query wants would be
+    * skipped before decode, and no residual filter can resurrect a
+    * skipped record), so nested compilation goes through [[compileExact]],
+    * where And demands BOTH children exact like Not/Or do. */
+  private def compileTop(f: Filter): Option[P] = f match {
+    case And(l, r) =>
+      (compileTop(l), compileTop(r)) match {
+        case (Some(a), Some(b)) => Some((v: Array[Int]) => a(v) && b(v))
+        case (a, b) => a.orElse(b) // drop the uncompilable conjunct
+      }
+    case other => compileExact(other)
+  }
 
   private def compileExact(f: Filter): Option[P] = f match {
     case And(l, r) =>
-      // conservative conjunction is sound even if one side is inexact
-      Some((compile(l), compile(r)) match { case (a, b) => v => a(v) && b(v) })
+      for (a <- compileExact(l); b <- compileExact(r))
+        yield (v: Array[Int]) => a(v) && b(v)
     case Or(l, r) =>
       for (a <- compileExact(l); b <- compileExact(r))
         yield (v: Array[Int]) => a(v) || b(v)
@@ -94,7 +107,7 @@ object RecordFilter {
     * reader then stays on the unconditional decode path — no per-record
     * predicate indirection on unfiltered scans). */
   def build(filters: Seq[Filter], flagBits: String): Option[Bam.PrefixPred] = {
-    val fromFilters = filters.map(compileExact).flatten
+    val fromFilters = filters.map(compileTop).flatten
     val fromBits: Seq[P] = parseFlagBits(flagBits).map {
       case ("all", m) => (v: Array[Int]) => (v(3) & m) == m
       case ("none", m) => (v: Array[Int]) => (v(3) & m) == 0

@@ -68,14 +68,16 @@ object SplitReports {
   /** compute-splits: run eager and/or relaxed (both → diff them), timing
     * line(s) first, reference line shapes throughout. `partitionCounts`
     * (the `-p` option) appends "Partition count stats:" over the realized
-    * per-split record counts. */
+    * per-split record counts — a THUNK, because the counts cost a full
+    * record scan and the compare mode's splits-differ branch (like the
+    * reference's) never prints them. */
   def computeSplitsReport(path: String, splitSize: Long,
                           eagerOnly: Boolean = false,
                           relaxedOnly: Boolean = false,
-                          partitionCounts: Option[Seq[Long]] = None): String = {
+                          partitionCounts: Option[() => Seq[Long]] = None): String = {
     val conf = graft.bam.ds.BamDataSource.hadoopConf()
     def partStats: String = partitionCounts.fold("") { counts =>
-      s"Partition count stats:\n${Stats(counts.map(_.toDouble))}\n"
+      s"Partition count stats:\n${Stats(counts().map(_.toDouble))}\n"
     }
     (eagerOnly, relaxedOnly) match {
       case (true, false) =>
@@ -214,6 +216,9 @@ object SplitReports {
         .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getLong(1))
         .toMap
       def offsetsInfo(): Unit = offHist.keySet.toVector.sortBy(_.getOrElse(-1)) match {
+        case Vector() => // empty file: no blocks, nothing to summarize
+        case Vector(None) => // legal header-only BAM: blocks but no reads
+          sb ++= s"\n${offHist(None)} blocks didn't contain a read\n"
         case Vector(None, Some(0)) =>
           sb ++= s"\n${offHist(Some(0))} blocks start with a read, ${offHist(None)} blocks didn't contain a read\n"
         case Vector(Some(0)) =>

@@ -267,24 +267,24 @@ object JvmMediaCodec extends MediaCodec {
   private def toBufferedImage(img: Image): java.awt.image.BufferedImage = {
     val bi = new java.awt.image.BufferedImage(
       img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < img.height) {
-      var x = 0
-      while (x < img.width) {
-        val base = (y * img.width + x) * img.channels
-        val (r, g, b) =
-          if (img.channels >= 3)
-            (img.raster(base) & 0xff, img.raster(base + 1) & 0xff,
-              img.raster(base + 2) & 0xff)
-          else { // grayscale replicates into all three channels
-            val v = img.raster(base) & 0xff
-            (v, v, v)
-          }
-        bi.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
-      }
-      y += 1
+    // one bulk setRGB (mirroring decodeJdkImage's bulk getRGB): the
+    // per-pixel form pays a ColorModel conversion per call
+    val px = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < px.length) {
+      val base = i * img.channels
+      px(i) =
+        if (img.channels >= 3)
+          ((img.raster(base) & 0xff) << 16) |
+            ((img.raster(base + 1) & 0xff) << 8) |
+            (img.raster(base + 2) & 0xff)
+        else { // grayscale replicates into all three channels
+          val v = img.raster(base) & 0xff
+          (v << 16) | (v << 8) | v
+        }
+      i += 1
     }
+    bi.setRGB(0, 0, img.width, img.height, px, 0, img.width)
     bi
   }
 

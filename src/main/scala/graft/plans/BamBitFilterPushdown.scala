@@ -98,13 +98,18 @@ case class BamBitFilterPushdown(
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, rel: DataSourceV2Relation)
         if rel.table.isInstanceOf[BamTable] =>
-      val spec = splitConjuncts(cond).flatMap(bitSpec(_, rel)).distinct
-        .mkString(";")
+      val derived = splitConjuncts(cond).flatMap(bitSpec(_, rel)).distinct
+      // flagbits conjuncts are ANDed, so a caller-supplied spec merges by
+      // UNION of conjuncts — overwriting would silently widen a reader
+      // restriction the caller set directly (which has no Catalyst filter
+      // above it to re-apply it)
       val existing = Option(rel.options.get("flagbits")).getOrElse("")
-      if (spec.isEmpty || spec == existing) f
+        .split(";").toIndexedSeq.filter(_.nonEmpty)
+      val spec = (existing ++ derived).distinct
+      if (derived.isEmpty || spec == existing) f
       else {
         val merged = new java.util.HashMap[String, String](rel.options.asCaseSensitiveMap())
-        merged.put("flagbits", spec)
+        merged.put("flagbits", spec.mkString(";"))
         f.copy(child = rel.copy(options = new CaseInsensitiveStringMap(merged)))
       }
   }

@@ -331,6 +331,40 @@ class PushdownSpec extends SparkTestBase {
       "interval pruning must still engage alongside the bit-test")
   }
 
+  test("Not over a partially-compilable And never yields an unsound prefix predicate") {
+    import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, GreaterThan => FGt, Not => FNot}
+    // !(pos > 100 && readName = 'x'): the And's readName conjunct has no
+    // prefix form, so the And is at best CONSERVATIVE — negating a
+    // conservative predicate would skip records the query wants
+    val f = FNot(FAnd(FGt("pos", 100), FEq("readName", "x")))
+    graft.bam.ds.RecordFilter.build(Seq(f), "") match {
+      case None => // dropped entirely: sound
+      case Some(p) =>
+        // pos=200, name != 'x' satisfies the ORIGINAL predicate; skipping
+        // it from the prefix would silently lose the row
+        assert(p(0, 200, 30, 0, 0, 0, 0),
+          "record satisfying the query was prefix-skipped")
+    }
+    // top-level And still keeps its compilable conjunct (conservative)
+    val top = graft.bam.ds.RecordFilter
+      .build(Seq(FAnd(FGt("pos", 100), FEq("readName", "x"))), "").get
+    assert(top(0, 200, 30, 0, 0, 0, 0)) // kept; residual filter decides
+    assert(!top(0, 50, 30, 0, 0, 0, 0)) // sound skip: pos <= 100
+  }
+
+  test("optimizer-derived flagbits MERGE with a caller-supplied spec") {
+    // caller restricts the reader to unmapped records (all:4) with no
+    // Catalyst filter above it; the optimizer derives all:16 from the
+    // bitwiseAND filter — both restrictions must hold
+    val want = fx.records.count(r => (r.flags & 4) == 4 && (r.flags & 16) == 16)
+    val got = spark.read.format("bam").option("flagbits", "all:4")
+      .load(fx.bamPath)
+      .filter((col("flags").bitwiseAND(16)) === 16)
+      .count()
+    assert(got == want.toLong,
+      s"derived spec must not overwrite the caller's: got $got want $want")
+  }
+
   test("indexGenomic rebuilds an equivalent index from the source") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-gri")
     val copy = tmpDir.resolve("copy.bam")
