@@ -272,4 +272,65 @@ object SketchOps {
     compacted.write.mode("overwrite").parquet(path)
     spark.catalog.refreshByPath(path)
   }
+
+  // -------------------------------------------------------- HDR quantiles
+
+  /** HdrHistogram-style log2 sub-bucket lower bound for a long value
+    * (Gray & Tene's HdrHistogram bucketing, public domain): positive
+    * values keep their top `subBits + 1` significant bits and zero the
+    * rest, so bucket width ≤ value · 2⁻ˢᵘᵇᴮⁱᵗˢ and any quantile read off
+    * the bucket table carries bounded RELATIVE error — the general-domain
+    * complement to `ev_quantile_store`'s exact bounded-domain histogram.
+    * Non-positive values pass through exactly (their own buckets).
+    *
+    * Every step is integer arithmetic replicable bit-for-bit by another
+    * engine — floor(log2 v) comes from the UNPADDED binary-string length
+    * (`length(bin(v)) - 1`), never floating log2, whose last-ulp rounding
+    * at bucket edges would diverge between libm implementations. */
+  def hdrBucket(v: Column, subBits: Int): Column = {
+    require(subBits >= 0 && subBits <= 20, s"subBits out of range: $subBits")
+    val e = length(bin(v)).cast("long") - 1L
+    val shift = greatest(lit(0L), e - subBits)
+    val width = call_function("shiftleft", lit(1L), shift.cast("int"))
+    when(v <= 0, v).otherwise(v - pmod(v, width))
+  }
+
+  /** The mergeable sketch state: (group, bucket) → count. A sum monoid —
+    * sketches of disjoint slices union + re-sum to the sketch of the
+    * whole (any order, any partitioning), so this table IS the store
+    * format for incremental quantile maintenance. ≤ 64·2^subBits buckets
+    * per group regardless of data size; one shuffle. */
+  def hdrBucketTable(df: DataFrame, group: Column, value: Column,
+                     subBits: Int = 5): DataFrame =
+    df.select(group.as("g"), hdrBucket(value, subBits).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("n"))
+
+  /** Merge sketch states (the monoid sum). */
+  def hdrMerge(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _).groupBy("g", "b")
+      .agg(sum("n").as("n"))
+
+  /** p50/p90/p99 (bucket lower bounds — underestimates by < 2⁻ˢᵘᵇᴮⁱᵗˢ
+    * relative) + exact n_total per group, from a sketch state: a
+    * group-partitioned cumulative walk over the bounded bucket frame —
+    * never a data-sized window. */
+  def hdrQuantilesFromTable(table: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byB = Window.partitionBy("g").orderBy("b")
+    val all = Window.partitionBy("g")
+    table
+      .withColumn("cum", sum("n").over(byB))
+      .withColumn("tot", sum("n").over(all))
+      .groupBy("g")
+      .agg(
+        min(when(col("cum") * 2 >= col("tot"), col("b"))).as("p50_b"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("b"))).as("p90_b"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("b"))).as("p99_b"),
+        min("tot").as("n_total"))
+  }
+
+  /** One-shot: bucket → count → quantile walk. */
+  def hdrQuantiles(df: DataFrame, group: Column, value: Column,
+                   subBits: Int = 5): DataFrame =
+    hdrQuantilesFromTable(hdrBucketTable(df, group, value, subBits))
 }

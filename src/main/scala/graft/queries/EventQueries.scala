@@ -360,6 +360,50 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // ---- HDR-sketch quantiles UNDER THE ORACLE (general-domain
+    // complement to ev_quantile_store's exact bounded-domain histogram):
+    // log2 sub-bucketed counts (SketchOps.hdrBucket — top 6 significant
+    // bits kept, pure integer arithmetic; floor-log2 from the unpadded
+    // binary-string length in BOTH engines, never floating log2) walked
+    // to p50/p90/p99 bucket lower bounds. DuckDB replicates the bucket
+    // formula and the cumulative walk exactly — equal hashes pin the
+    // bucketing arithmetic AND the rank selection. Mergeability and the
+    // 2^-5 relative-error bound are property-tested in SketchSpec.
+    q(
+      "ev_hdr_quantile",
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents <= 0 THEN cents
+        |         ELSE cents - (cents % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(cents)) - 1 - 5) AS INT)))
+        |    END AS b,
+        |    COUNT(*) AS n
+        |  FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, b, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM h
+        |)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN b END) AS BIGINT) AS p50_b,
+        |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN b END) AS BIGINT) AS p90_b,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN b END) AS BIGINT) AS p99_b,
+        |  CAST(MIN(tot) AS BIGINT) AS n_total
+        |FROM c GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.SketchOps.hdrQuantiles(
+        tEvents(s, dir),
+        col("event_type"),
+        round(col("value") * 100).cast("long"),
+        subBits = 5)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    },
+
     // ---- Dedup-on-ingest, batch form (watermark-bounded streaming form
     // parity-tested in StreamingSpec).
     q(

@@ -143,4 +143,67 @@ class SketchSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(afterCompact == fromStore, "compaction must not change estimates")
   }
+
+  // ------------------------------------------------------- HDR quantiles
+
+  test("hdrBucket: exact small values, top-bits-kept large values, integer edges") {
+    val vals = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 65L, 255L, 256L, 257L,
+      1000L, 12345L, (1L << 40) + 12345L, -7L)
+    val got = vals.toDF("v")
+      .select(SketchOps.hdrBucket(col("v"), subBits = 5).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    def ref(v: Long): Long =
+      if (v <= 0) v
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        val shift = math.max(0, e - 5)
+        v - (v % (1L << shift))
+      }
+    assert(got == vals.map(ref))
+    // values below 2^(subBits+1) are EXACT (shift 0)
+    assert(ref(63) == 63 && ref(33) == 33)
+    // 65 = 0b1000001 keeps top 6 bits → 64
+    assert(ref(65) == 64 && ref(12345) == 12288)
+  }
+
+  test("hdr sketch merge: sketch(parts) summed == sketch(whole), any split") {
+    val df = spark.range(0, 20000)
+      .select((col("id") % 3).cast("string").as("g"),
+        (pmod(col("id") * 2654435761L, lit(1000000L)) + 1).as("v"))
+    val whole = SketchOps.hdrBucketTable(df, col("g"), col("v"))
+    val merged = SketchOps.hdrMerge(
+      SketchOps.hdrBucketTable(df.filter(col("v") % 2 === 0), col("g"), col("v")),
+      SketchOps.hdrBucketTable(df.filter(col("v") % 2 =!= 0), col("g"), col("v")))
+    val a = whole.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = merged.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b, "bucket tables are a sum monoid")
+    // and the quantiles read identically off either state
+    val qa = SketchOps.hdrQuantilesFromTable(whole).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val qb = SketchOps.hdrQuantilesFromTable(merged).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(qa == qb)
+  }
+
+  test("hdr quantile estimates carry the 2^-subBits relative-error bound") {
+    val subBits = 5
+    val df = spark.range(1, 50001)
+      .select(lit("g").as("g"),
+        (pmod(col("id") * 48271L, lit(9999991L)) + 1).as("v"))
+    val est = SketchOps.hdrQuantiles(df, col("g"), col("v"), subBits)
+      .collect()(0)
+    val exact = df.selectExpr(
+      "percentile(v, 0.5) AS p50", "percentile(v, 0.9) AS p90",
+      "percentile(v, 0.99) AS p99").collect()(0)
+    def check(got: Long, want: Double, name: String): Unit = {
+      // bucket lower bound: within one bucket width BELOW the true value
+      assert(got <= want * (1 + math.pow(2, -subBits)) &&
+        got >= want * (1 - 2 * math.pow(2, -subBits)),
+        s"$name: est $got vs exact $want")
+    }
+    check(est.getLong(1), exact.getDouble(0), "p50")
+    check(est.getLong(2), exact.getDouble(1), "p90")
+    check(est.getLong(3), exact.getDouble(2), "p99")
+    assert(est.getLong(4) == 50000L)
+  }
 }
