@@ -404,6 +404,57 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // ---- HDR sketch MAINTAINED BY THE AGG STORE: the (group, bucket)
+    // count table is a sum monoid, so the incremental rollup store
+    // carries it natively — 80% of events build the store, 20% arrive as
+    // a bucket-local merge, and p50/p90/p99 read off the MAINTAINED
+    // buckets must hash-equal DuckDB's walk over the whole corpus (same
+    // oracle as ev_hdr_quantile: the store's split/merge provably
+    // changed nothing).
+    q(
+      "ev_hdr_store",
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents <= 0 THEN cents
+        |         ELSE cents - (cents % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(cents)) - 1 - 5) AS INT)))
+        |    END AS b,
+        |    COUNT(*) AS n
+        |  FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, b, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM h
+        |)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN b END) AS BIGINT) AS p50_b,
+        |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN b END) AS BIGINT) AS p90_b,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN b END) AS BIGINT) AS p99_b,
+        |  CAST(MIN(tot) AS BIGINT) AS n_total
+        |FROM c GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.{IncrementalAggOps, SketchOps}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-hdrstore").toString
+      def sketch(part: org.apache.spark.sql.DataFrame) =
+        SketchOps.hdrBucketTable(part,
+          col("event_type"), round(col("value") * 100).cast("long"))
+      val ev = tEvents(s, dir)
+      IncrementalAggOps.writeAggStore(
+        sketch(ev.filter(col("event_id") % 5 =!= 0)),
+        s, base, Seq("g", "b"), Seq("n"), nBuckets = 16)
+      IncrementalAggOps.mergeIntoAggStore(
+        sketch(ev.filter(col("event_id") % 5 === 0)),
+        s, base, Seq("g", "b"), Seq("n"), nBuckets = 16)
+      SketchOps.hdrQuantilesFromTable(IncrementalAggOps.readAggStore(s, base))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    },
+
     // ---- Dedup-on-ingest, batch form (watermark-bounded streaming form
     // parity-tested in StreamingSpec).
     q(
