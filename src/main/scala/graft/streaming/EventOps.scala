@@ -367,6 +367,21 @@ object EventOps {
         .countMin(col("user_id").cast("string"), d, w).as("cms"))
       .select(unix_micros(col("window.start")).as("win_us"), col("cms"))
 
+  /** HDR quantile sketch over a stream: the (group, bucket) count table
+    * is a plain streaming aggregation — a sum monoid needs no custom
+    * state, so however the stream is micro-batched the accumulated table
+    * EQUALS the batch sketch, and p50/p90/p99 read off it downstream
+    * with the same [[graft.ops.SketchOps.hdrQuantilesFromTable]] walk
+    * (StreamingSpec pins both equalities). */
+  def hdrSketchStream(events: DataFrame, subBits: Int = 5,
+                      watermark: String = "2 hours"): DataFrame =
+    hdrSketchBatch(events.withWatermark("ts", watermark), subBits)
+
+  /** Batch twin of [[hdrSketchStream]]. */
+  def hdrSketchBatch(events: DataFrame, subBits: Int = 5): DataFrame =
+    graft.ops.SketchOps.hdrBucketTable(events,
+      col("event_type"), round(col("value") * 100).cast("long"), subBits)
+
   /** Streaming ingest into the persisted HLL rollup store
     * ([[graft.ops.SketchOps.writeHllStore]]): each micro-batch APPENDS its
     * own per-cell register blobs — no read-modify-write, no state store,

@@ -476,6 +476,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("HDR sketch over a stream equals the batch sketch bucket-for-bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventOps.Event]
+    val q = EventOps.hdrSketchStream(input.toDF())
+      .writeStream.format("memory").queryName("hdr_stream")
+      .outputMode("complete").start()
+    try {
+      val all = toEvents.collect().sortBy(_.ts.getTime)
+      val (a, b) = all.splitAt(all.length / 3)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("hdr_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = EventOps.hdrSketchBatch(eventsDF).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want,
+        "sum-monoid sketch: the streamed bucket table must EQUAL the batch one")
+      // and the quantiles read identically off the streamed state
+      val qGot = graft.ops.SketchOps
+        .hdrQuantilesFromTable(spark.table("hdr_stream")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val qWant = graft.ops.SketchOps
+        .hdrQuantilesFromTable(EventOps.hdrSketchBatch(eventsDF)).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(qGot == qWant)
+    } finally q.stop()
+  }
+
   test("streaming funnel stage counts match the batch funnel") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventOps.Event]
