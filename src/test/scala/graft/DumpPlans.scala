@@ -18,7 +18,8 @@ object DumpPlans {
     Seq("q1_agg", "a15_prefix_sum", "j5_lag_prev", "dedup_minhash",
       "dedup_jaccard", "dedup_emblsh", "ann_ivf", "bam_check_blocks",
       "p2_interval_filter", "pack_sequences", "sample_per_source",
-      "emb_centroids", "tfidf_terms", "ev_spike").foreach { name =>
+      "emb_centroids", "tfidf_terms", "ev_spike",
+      "ev_hdr_quantile").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       out ++= s"## $name\n\n```\n"
