@@ -64,17 +64,19 @@ object ScalableWindow {
     * ≤ stride × perPart rows per task, independent of data size. */
   private val SampleStride = 37
 
-  /** Bounded, DETERMINISTIC sample of the (non-null) order key: a strided
-    * subset of partitions × a strided head of each. Unlike the previous
-    * full-input `percentile_approx` (and unlike a Bernoulli `df.sample`,
-    * which still reads every row), this job's IO is
+  /** Bounded, DETERMINISTIC sample of the order-key TUPLE (rows with a
+    * null leading key are excluded — they always land in bucket 0): a
+    * strided subset of partitions × a strided head of each. Unlike the
+    * previous full-input `percentile_approx` (and unlike a Bernoulli
+    * `df.sample`, which still reads every row), this job's IO is
     * O(partitions-probed × rows-per-probe) — constant per op however big
-    * the input — so the boundary pass stops being a second full scan. */
-  private def sampleKeys[T](df: DataFrame, k: Column)
-                           (get: org.apache.spark.sql.Row => T)
-                           (implicit ord: Ordering[T],
-                            ct: scala.reflect.ClassTag[T]): Array[T] = {
-    val rdd = df.select(k.as("__k")).rdd
+    * the input — so the boundary pass stops being a second full scan.
+    * Each sampled tuple element is `null` or the column's extracted
+    * value; tuples come back sorted by `ord`. */
+  private def sampleKeys(df: DataFrame, keys: Seq[Column])
+                        (implicit ord: Ordering[IndexedSeq[Any]])
+      : Array[IndexedSeq[Any]] = {
+    val rdd = df.select(keys: _*).rdd
     val nParts = rdd.getNumPartitions
     if (nParts == 0) return Array.empty
     val parts: Seq[Int] =
@@ -82,10 +84,11 @@ object ScalableWindow {
       else (0 until SampleMaxPartitions)
         .map(i => ((i.toLong * nParts) / SampleMaxPartitions).toInt)
     val perPart = math.max(64, SampleTarget / parts.length)
+    val width = keys.length
     val chunks = df.sparkSession.sparkContext.runJob(
       rdd,
       (it: Iterator[org.apache.spark.sql.Row]) => {
-        val out = Array.newBuilder[T]
+        val out = Array.newBuilder[IndexedSeq[Any]]
         var kept = 0
         var seen = 0
         // bound rows CONSUMED too, not just samples kept — a mostly-null
@@ -94,7 +97,8 @@ object ScalableWindow {
         while (it.hasNext && kept < perPart && seen < maxSeen) {
           val r = it.next()
           if (seen % SampleStride == 0 && !r.isNullAt(0)) {
-            out += get(r)
+            out += IndexedSeq.tabulate(width)(i =>
+              if (r.isNullAt(i)) null else r.get(i))
             kept += 1
           }
           seen += 1
@@ -105,15 +109,77 @@ object ScalableWindow {
     chunks.flatten.sorted
   }
 
-  /** Quantile boundaries from a sorted sample, then the codegen'd
+  /** How many leading order columns participate in bucket boundaries.
+    * One column is enough when it is (nearly) unique; a tie-heavy leading
+    * key (a language code, a category) would collapse the shuffle to
+    * ≤ #distinct buckets, so boundaries extend LEXICOGRAPHICALLY into the
+    * second column. Capped at two: each extra column multiplies the
+    * codegen'd when-chain's comparison count, and two levels already
+    * restore balance for the tie-heavy-leading-key shape. */
+  private val BucketCols = 2
+
+  /** One order column's bucketing plan: the (possibly cast) column the
+    * boundaries compare against, and a nulls-FIRST driver-side ordering
+    * for the sampled values. */
+  private final case class KeyCol(c: Column, ord: Ordering[Any])
+
+  private def nullsFirst(cmp: (Any, Any) => Int): Ordering[Any] =
+    new Ordering[Any] {
+      override def compare(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else cmp(a, b)
+    }
+
+  /** Typed plan for one order column, or None for a type the boundary
+    * grammar can't compare (legal for NON-leading columns: they simply
+    * stop the lexicographic extension; the leading column fails loudly
+    * in [[bucketed]]). */
+  private def keyColFor(df: DataFrame, name: String): Option[KeyCol] = {
+    import org.apache.spark.sql.types._
+    df.select(col(name)).schema.head.dataType match {
+      case _: NumericType =>
+        Some(KeyCol(col(name).cast("double"), nullsFirst((a, b) =>
+          java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))))
+      case TimestampType | TimestampNTZType | DateType =>
+        Some(KeyCol(col(name).cast("timestamp").cast("double"), nullsFirst((a, b) =>
+          java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))))
+      case StringType =>
+        Some(KeyCol(col(name), nullsFirst((a, b) =>
+          a.asInstanceOf[String].compareTo(b.asInstanceOf[String]))))
+      case _ => None
+    }
+  }
+
+  /** Codegen'd lexicographic `key < boundary` over the kept columns:
+    * `lt₁ ∨ (eq₁ ∧ (lt₂ ∨ …))`, nulls sorting FIRST at every level. The
+    * boundary is a driver-side literal tuple, so null boundary elements
+    * fold away at plan time. */
+  private def lexLt(keys: IndexedSeq[Column], b: IndexedSeq[Any]): Column =
+    keys.indices.foldRight(lit(false)) { (i, rest) =>
+      val c = keys(i)
+      val bi = b(i)
+      if (bi == null) {
+        // nothing sorts below null except nothing; equal means also null
+        c.isNull && rest
+      } else {
+        val lt = c.isNull || c < lit(bi)
+        val eq = c === lit(bi) // c null → lt already true; eq may be null-false
+        lt || (eq && rest)
+      }
+    }
+
+  /** Quantile boundary tuples from the sorted sample, then the codegen'd
     * when-chain bucket id: the index of the first boundary ABOVE the key
-    * (nulls sort first → bucket 0). Correctness does not depend on
-    * boundary QUALITY — `min{i : k < b_i}` is monotone in `k` for any
-    * boundary list — only balance does, so an approximate sample is all
-    * the precision the op needs. */
-  private def bucketFromSample[T](k: Column, sample: Array[T],
-                                  buckets: Int): Column = {
-    val bs: Seq[T] =
+    * tuple (null leading keys sort first → bucket 0). Correctness does
+    * not depend on boundary QUALITY — `min{i : k < b_i}` is monotone in
+    * `k` for any boundary list — only balance does, so an approximate
+    * sample is all the precision the op needs. */
+  private def bucketFromSample(keys: IndexedSeq[Column],
+                               sample: Array[IndexedSeq[Any]],
+                               buckets: Int): Column = {
+    val bs: Seq[IndexedSeq[Any]] =
       if (sample.isEmpty) Seq.empty
       else (1 until buckets)
         .map(i => sample(math.min( // Long math: buckets×sampleLen can pass Int.Max
@@ -124,44 +190,52 @@ object ScalableWindow {
     // per row, it cost more than the shuffle it organizes)
     if (bs.isEmpty) lit(0)
     else bs.tail.zipWithIndex
-      .foldLeft(when(k.isNull || k < lit(bs.head), 0)) { // nulls sort FIRST
-        case (c, (b, i)) => c.when(k < lit(b), i + 1)
+      .foldLeft(when(lexLt(keys, bs.head), 0)) {
+        case (c, (b, i)) => c.when(lexLt(keys, b), i + 1)
       }.otherwise(bs.length)
   }
 
-  /** Stamp the deterministic range-bucket id from the FIRST order column
-    * (a sort-order-consistent prefix — later order columns only break
-    * ties within a bucket's window sort). Supported leading-key types:
-    * any numeric (incl. decimal), timestamp, date (bucketed through
-    * their epoch seconds), and string (bucketed by Spark's binary
-    * string order — the driver-side sample sort differs from UTF-8 byte
-    * order only for supplementary characters, which costs balance, not
-    * correctness). Any other leading type fails LOUDLY — a silent
-    * null-cast here would collapse every row into one bucket and
-    * re-create the single-partition cliff these operators exist to
-    * avoid. */
+  /** Stamp the deterministic range-bucket id from a LEXICOGRAPHIC PREFIX
+    * of the order columns (up to [[BucketCols]] — a sort-order-consistent
+    * prefix; later order columns only break ties within a bucket's
+    * window sort). Supported key types: any numeric (incl. decimal),
+    * timestamp, date (bucketed through their epoch seconds), and string
+    * (bucketed by Spark's binary string order — the driver-side sample
+    * sort differs from UTF-8 byte order only for supplementary
+    * characters, which costs balance, not correctness). An unsupported
+    * LEADING type fails LOUDLY — a silent null-cast here would collapse
+    * every row into one bucket and re-create the single-partition cliff
+    * these operators exist to avoid; an unsupported second column just
+    * stops the lexicographic extension (sound, first-column balance). */
   private[ops] def bucketed(df: DataFrame, orderCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types._
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val buckets = 4 * n
-    val dt = df.select(col(orderCols.head)).schema.head.dataType
-    val bucket = dt match {
-      case _: NumericType =>
-        val k = col(orderCols.head).cast("double")
-        bucketFromSample(k, sampleKeys(df, k)(_.getDouble(0)), buckets)
-      case TimestampType | TimestampNTZType | DateType =>
-        val k = col(orderCols.head).cast("timestamp").cast("double")
-        bucketFromSample(k, sampleKeys(df, k)(_.getDouble(0)), buckets)
-      case StringType =>
-        val k = col(orderCols.head)
-        bucketFromSample(k, sampleKeys(df, k)(_.getString(0)), buckets)
-      case other =>
-        throw new IllegalArgumentException(
-          s"ScalableWindow: unsupported leading order-key type $other for " +
-            s"'${orderCols.head}' — supported: numeric, string, " +
-            "timestamp, date. Order by a supported prefix column (later " +
-            "columns may be any type) or derive a sortable key first.")
+    val head = keyColFor(df, orderCols.head).getOrElse {
+      val dt = df.select(col(orderCols.head)).schema.head.dataType
+      throw new IllegalArgumentException(
+        s"ScalableWindow: unsupported leading order-key type $dt for " +
+          s"'${orderCols.head}' — supported: numeric, string, " +
+          "timestamp, date. Order by a supported prefix column (later " +
+          "columns may be any type) or derive a sortable key first.")
     }
+    // extend boundaries into following columns while their types allow
+    val kcs: IndexedSeq[KeyCol] = head +:
+      orderCols.drop(1).take(BucketCols - 1).iterator
+        .map(keyColFor(df, _)).takeWhile(_.isDefined).map(_.get).toIndexedSeq
+    implicit val tupleOrd: Ordering[IndexedSeq[Any]] =
+      new Ordering[IndexedSeq[Any]] {
+        override def compare(a: IndexedSeq[Any], b: IndexedSeq[Any]): Int = {
+          var i = 0
+          while (i < a.length) {
+            val c = kcs(i).ord.compare(a(i), b(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+    val keys = kcs.map(_.c)
+    val bucket = bucketFromSample(keys, sampleKeys(df, keys), buckets)
     df.withColumn(Pid, bucket)
   }
 

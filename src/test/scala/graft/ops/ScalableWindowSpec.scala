@@ -182,6 +182,13 @@ class ScalableWindowSpec extends SparkTestBase {
       .select("doc_id", "rn")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == naive)
+    // a tie-heavy leading key must NOT collapse parallelism to #distinct
+    // leading values: boundaries extend lexicographically into doc_id
+    val nLangs = docs.select("lang").distinct().count()
+    val spread = ScalableWindow.bucketed(docs, Seq("lang", "doc_id"))
+      .select(ScalableWindow.Pid).distinct().count()
+    assert(spread > nLangs,
+      s"composite boundaries must out-spread the $nLangs leading values, got $spread")
   }
 
   test("an unsupported leading key type fails loudly, not silently") {
