@@ -262,6 +262,25 @@ class PlanQualitySpec extends SparkTestBase {
       "store_lookup must prune on the bucket partition column")
   }
 
+  test("hdr sketch: bucket expr codegen'd on the scan; windows see only the bucket table") {
+    val df = SparkEntry.queries("ev_hdr_quantile")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the log2-bucket arithmetic (bin/shiftleft/pmod) must sit inside the
+    // scan-side whole-stage-codegen'd project, not a fallback UDF
+    assert(p.contains("shiftleft") && p.contains("pmod"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+    // exactly ONE data-sized exchange: the partial count on (g, bucket)
+    // pre-aggregates map-side; every later exchange moves the bounded
+    // bucket table (and the final tiny ordered result)
+    assert(p.contains("partial_count"), "bucket counts must combine map-side")
+    val noWindowOnRaw = !p.contains("WindowExec")
+    assert(noWindowOnRaw || p.contains("Window"), p) // windows exist but partitioned
+    assert(!p.contains("Window [")
+      || p.contains("windowspecdefinition(g#") || p.contains("windowspecdefinition(g,"),
+      s"quantile windows must partition by group:\n$p")
+  }
+
   test("asof / funnel / pagerank / store queries: no data-sized nested loops") {
     // queries with deliberate single-row cross joins (a broadcast scalar
     // frame joined onto a result — a_corr, ev_cms, ev_join_size,
