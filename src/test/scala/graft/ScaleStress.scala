@@ -80,6 +80,24 @@ object ScaleStress {
         .agg(max("ord")).head().getLong(0)
     }
 
+    // tie-heavy leading key (7 categories): the composite lexicographic
+    // boundaries must keep the range shuffle balanced — without the
+    // second-column extension this collapses to 7 buckets and the ratio
+    // blows past linear
+    def rnTies(k: Int): Long = {
+      val h = scaled(k).select(col("doc_id"),
+        (col("doc_id") % 7).cast("string").as("cat"))
+      ScalableWindow.rowNumber(h, Seq("cat", "doc_id"), "ord")
+        .agg(max("ord")).head().getLong(0)
+    }
+
+    // HDR sketch: one scan + bounded bucket table — must track the scan
+    def hdr(k: Int): Long =
+      graft.ops.SketchOps.hdrQuantiles(
+        scaled(k).select((col("doc_id") % 7).cast("string").as("g"),
+          length(col("text")).cast("long").as("v")),
+        col("g"), col("v")).count()
+
     // Incremental-ingest growth curve: a FIXED delta (200 re-keyed copy-0
     // docs, so its vocabulary matches copy 0 in every k) against a
     // pre-built store of scaled(k). The timed ingest excludes the store
@@ -103,11 +121,12 @@ object ScaleStress {
       DedupOps.minhashPairs(scaled(k).union(delta0)).count()
 
     // un-timed warmup: codegen + JIT compile outside the clock
-    jac(1); cc(1); rn(1); buildStore(1); inc(1)
+    jac(1); cc(1); rn(1); rnTies(1); hdr(1); buildStore(1); inc(1)
 
     val results = Seq[(String, Int => Long)](
       ("jaccardPairs", jac), ("connectedComponents", cc),
-      ("rowNumber", rn)).map { case (name, f) =>
+      ("rowNumber", rn), ("rowNumberTies", rnTies),
+      ("hdrQuantiles", hdr)).map { case (name, f) =>
       val (t1, n1) = time(f(1))
       val (t10, n10) = time(f(10))
       val ratio = t10 / math.max(t1, 1e-9)
