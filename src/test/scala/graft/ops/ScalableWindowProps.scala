@@ -94,4 +94,41 @@ class ScalableWindowProps extends SparkTestBase {
       assert(scalF == naiveF, s"fillBackward / $label")
     }
   }
+
+  test("composite tie-heavy keys: rowNumber/prefixSum equal naive on " +
+    "adversarial category spreads") {
+    // leading key drawn from very few categories (incl. null and empty
+    // string), uniqueness restored by the numeric tiebreaker — the
+    // composite lexicographic boundaries must agree with the naive
+    // two-column order everywhere
+    val rng = new scala.util.Random(11)
+    val cats = Seq(null, "", "a", "aa", "b", "z")
+    Seq(
+      "few cats" -> (0 until 400).map(i =>
+        (cats(rng.nextInt(cats.length)), i.toLong,
+          Some(rng.nextInt(100000).toDouble / 100))),
+      "one cat" -> (0 until 100).map(i => ("only", i.toLong, Some(i / 100.0))),
+      "all null cat" -> (0 until 60).map(i =>
+        (null: String, i.toLong, Option.empty[Double]))
+    ).foreach { case (label, data) =>
+      val df = data.toDF("c", "k", "v")
+        .withColumn("vd", col("v").cast("decimal(18,2)"))
+      val w = Window.orderBy("c", "k")
+      def m(rows: Array[org.apache.spark.sql.Row]): Map[Long, Any] =
+        rows.map(r => r.getLong(0) -> (Option(r.get(1)) match {
+          case Some(d: java.math.BigDecimal) => Some(d.stripTrailingZeros)
+          case other => other
+        })).toMap
+      val naiveR = m(df.select(col("k"), row_number().over(w).as("rn")).collect())
+      val scalR = m(ScalableWindow.rowNumber(df, Seq("c", "k"), "rn")
+        .select("k", "rn").collect())
+      assert(scalR == naiveR, s"rowNumber / $label")
+      val naiveP = m(df.select(col("k"), coalesce(
+        sum("vd").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast("decimal(18,2)")).as("p")).collect())
+      val scalP = m(ScalableWindow.prefixSumExclusive(df, Seq("c", "k"), col("vd"), "p")
+        .select("k", "p").collect())
+      assert(scalP == naiveP, s"prefixSum / $label")
+    }
+  }
 }
