@@ -132,19 +132,39 @@ object ScalableWindow {
         else cmp(a, b)
     }
 
+  private val doubleOrd: Ordering[Any] = nullsFirst((a, b) =>
+    java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))
+
   /** Typed plan for one order column, or None for a type the boundary
     * grammar can't compare (legal for NON-leading columns: they simply
     * stop the lexicographic extension; the leading column fails loudly
-    * in [[bucketed]]). */
+    * in [[bucketed]]).
+    *
+    * The bucket key only needs WEAK monotonicity in the column's own sort
+    * order (ties collapse into one bucket; the in-bucket window sort
+    * settles exact order), but it must never INVERT it. That rules out
+    * casting TIMESTAMP_NTZ through the session zone: wall-clock →
+    * instant is non-monotone across a DST spring-forward gap (02:30
+    * resolves PAST 03:00's instant), which would mis-bucket rows near a
+    * boundary in the skipped hour. NTZ and DATE keys therefore derive
+    * from timezone-free wall-clock field arithmetic; only the
+    * instant-based TIMESTAMP casts numerically. */
   private def keyColFor(df: DataFrame, name: String): Option[KeyCol] = {
     import org.apache.spark.sql.types._
+    val epoch = to_date(lit("1970-01-01"))
     df.select(col(name)).schema.head.dataType match {
       case _: NumericType =>
-        Some(KeyCol(col(name).cast("double"), nullsFirst((a, b) =>
-          java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))))
-      case TimestampType | TimestampNTZType | DateType =>
-        Some(KeyCol(col(name).cast("timestamp").cast("double"), nullsFirst((a, b) =>
-          java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))))
+        Some(KeyCol(col(name).cast("double"), doubleOrd))
+      case TimestampType =>
+        Some(KeyCol(col(name).cast("double"), doubleOrd))
+      case TimestampNTZType =>
+        val c = col(name)
+        val wallSeconds =
+          datediff(c.cast("date"), epoch).cast("double") * 86400d +
+            hour(c) * 3600d + minute(c) * 60d + second(c)
+        Some(KeyCol(wallSeconds, doubleOrd))
+      case DateType =>
+        Some(KeyCol(datediff(col(name), epoch).cast("double"), doubleOrd))
       case StringType =>
         Some(KeyCol(col(name), nullsFirst((a, b) =>
           a.asInstanceOf[String].compareTo(b.asInstanceOf[String]))))

@@ -301,14 +301,34 @@ object SketchOps {
     * format for incremental quantile maintenance. ≤ 64·2^subBits buckets
     * per group regardless of data size; one shuffle. */
   def hdrBucketTable(df: DataFrame, group: Column, value: Column,
-                     subBits: Int = 5): DataFrame =
+                     subBits: Int = 5): DataFrame = {
+    // the bounded-state story (≤ 64·2^subBits buckets per group) only
+    // holds for integral values: bin() would silently truncate a double
+    // for the exponent while the pmod ran on the raw fraction, giving
+    // every distinct fractional value its own "bucket" — unbounded state
+    // in the streaming twin and the persisted store. Scale-and-cast
+    // first (e.g. `round(value * 100).cast("long")`).
+    import org.apache.spark.sql.types._
+    val vt = df.select(value.as("__v")).schema.head.dataType
+    val integral = vt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    require(integral,
+      s"hdrBucketTable needs an integral value column, got $vt — " +
+        "scale and cast first (e.g. round(value * 100).cast(\"long\"))")
     df.select(group.as("g"), hdrBucket(value, subBits).as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("n"))
+  }
 
   /** Merge sketch states (the monoid sum). */
-  def hdrMerge(tables: DataFrame*): DataFrame =
+  def hdrMerge(tables: DataFrame*): DataFrame = {
+    require(tables.nonEmpty,
+      "hdrMerge needs at least one sketch table (the monoid identity is " +
+        "an empty (g, b, n) table — pass one explicitly for a dynamic list)")
     tables.reduce(_ unionByName _).groupBy("g", "b")
       .agg(sum("n").as("n"))
+  }
 
   /** p50/p90/p99 (bucket lower bounds — underestimates by < 2⁻ˢᵘᵇᴮⁱᵗˢ
     * relative) + exact n_total per group, from a sketch state: a

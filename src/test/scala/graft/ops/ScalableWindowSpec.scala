@@ -212,6 +212,27 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(got == naive)
   }
 
+  test("timestamp_ntz keys bucket monotonically across a DST gap") {
+    // NTZ wall-clock 02:00-03:00 does not exist in America/New_York on
+    // 2026-03-08; casting through session-zone instants resolves 02:30
+    // PAST 03:00, inverting bucket order near a boundary — the key must
+    // come from timezone-free field arithmetic instead
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = spark.range(0, 180).select(col("id"),
+        expr("timestampadd(MINUTE, CAST(id AS INT), " +
+          "TIMESTAMP_NTZ '2026-03-08 01:00:00')").as("t"))
+      val naive = df
+        .select(col("id"), row_number().over(Window.orderBy("t")).as("rn"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val got = ScalableWindow.rowNumber(df, Seq("t"), "rn")
+        .select("id", "rn")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("the plan has no partition-less Window") {
     val df = ScalableWindow.rowNumber(
       orders.select("o_orderkey"), Seq("o_orderkey"), "rn")
