@@ -30,30 +30,49 @@ final case class Flags(
     tooFewRemainingBytes: Boolean = false,
     readsBeforeError: Int = 0
 ) {
+  /** The set flags in canonical order — every consumer (count, report
+    * names, boolean vectors) derives from [[Flags.fields]] so a flag
+    * added or reordered there can never silently desynchronize them. */
+  def setFields: Seq[Boolean] = Flags.fields.map(_._2(this))
+
   def numNonZeroFields: Int = {
     var n = 0
-    if (tooFewFixedBlockBytes) n += 1
-    if (negativeRefIdx) n += 1
-    if (tooLargeRefIdx) n += 1
-    if (negativeRefPos) n += 1
-    if (tooLargeRefPos) n += 1
-    if (negativeNextRefIdx) n += 1
-    if (tooLargeNextRefIdx) n += 1
-    if (negativeNextRefPos) n += 1
-    if (tooLargeNextRefPos) n += 1
-    if (tooFewBytesForReadName) n += 1
-    if (nonNullTerminatedReadName) n += 1
-    if (nonASCIIReadName) n += 1
-    if (noReadName) n += 1
-    if (emptyReadName) n += 1
-    if (tooFewBytesForCigarOps) n += 1
-    if (invalidCigarOp) n += 1
-    if (emptyMappedCigar) n += 1
-    if (emptyMappedSeq) n += 1
-    if (tooFewRemainingBytes) n += 1
+    val fs = Flags.fields
+    var i = 0
+    while (i < fs.length) {
+      if (fs(i)._2(this)) n += 1
+      i += 1
+    }
     n
   }
   def ok: Boolean = numNonZeroFields == 0
+}
+
+object Flags {
+  /** THE canonical (name, accessor) enumeration of the 19 check flags —
+    * the single source of truth for flag order and naming (names follow
+    * the reference's error ADTs, full/error/Flags.scala:21-45). Reports,
+    * histograms, and counters all derive from this list. */
+  val fields: IndexedSeq[(String, Flags => Boolean)] = IndexedSeq[(String, Flags => Boolean)](
+    ("tooFewFixedBlockBytes", _.tooFewFixedBlockBytes),
+    ("negativeRefIdx", _.negativeRefIdx),
+    ("tooLargeRefIdx", _.tooLargeRefIdx),
+    ("negativeRefPos", _.negativeRefPos),
+    ("tooLargeRefPos", _.tooLargeRefPos),
+    ("negativeNextRefIdx", _.negativeNextRefIdx),
+    ("tooLargeNextRefIdx", _.tooLargeNextRefIdx),
+    ("negativeNextRefPos", _.negativeNextRefPos),
+    ("tooLargeNextRefPos", _.tooLargeNextRefPos),
+    ("tooFewBytesForReadName", _.tooFewBytesForReadName),
+    ("nonNullTerminatedReadName", _.nonNullTerminatedReadName),
+    ("nonASCIIReadName", _.nonASCIIReadName),
+    ("noReadName", _.noReadName),
+    ("emptyReadName", _.emptyReadName),
+    ("tooFewBytesForCigarOps", _.tooFewBytesForCigarOps),
+    ("invalidCigarOp", _.invalidCigarOp),
+    ("emptyMappedCigar", _.emptyMappedCigar),
+    ("emptyMappedSeq", _.emptyMappedSeq),
+    ("tooFewRemainingBytes", _.tooFewRemainingBytes))
 }
 
 /** The boundary checkers: probe "does a valid chain of `readsToCheck`
@@ -254,6 +273,9 @@ object FindRecordStart {
         case Some(m) => m
         case None    => return None
       }
+      // metadataAt skips interior EOF markers: probe offsets within the
+      // block it actually found, and advance from there
+      block = meta.start
       var off = 0
       while (off < meta.uncompressedSize && scanned < maxReadSize) {
         if (accept(Pos(block, off))) return Some(Pos(block, off))

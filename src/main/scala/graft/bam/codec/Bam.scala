@@ -313,8 +313,10 @@ object Bam {
     out.write(attrBytes)
   }
 
-  /** Encode attrs from the decoded `"TG:t" -> value` string form (round-trip
-    * inverse of decodeAttrs for the scalar types the fixtures use). */
+  /** Encode attrs from the decoded `"TG:t" -> value` string form — the
+    * full round-trip inverse of decodeAttrs, covering every tag type the
+    * spec defines (A c C s S i I f Z H B), so rewrite never dies on a
+    * real-world BAM's array (ML/MM-style) or hex tags. */
   private def encodeAttrs(attrs: Map[String, String]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     attrs.toSeq.sortBy(_._1).foreach { case (key, v) =>
@@ -328,7 +330,26 @@ object Bam {
         case 'i' => writeIntLE(out, v.toInt)
         case 'I' => writeIntLE(out, v.toLong.toInt)
         case 'f' => writeIntLE(out, java.lang.Float.floatToIntBits(v.toFloat))
-        case 'Z' => v.getBytes("ASCII").foreach(b => out.write(b)); out.write(0)
+        case 'Z' | 'H' =>
+          v.getBytes("ASCII").foreach(b => out.write(b)); out.write(0)
+        case 'B' =>
+          // decode form: "<subtype>,v1,v2,…" (empty array = bare subtype)
+          val parts = v.split(",", -1)
+          val sub = parts(0).charAt(0)
+          val items = parts.drop(1)
+          out.write(sub)
+          writeIntLE(out, items.length)
+          items.foreach { s =>
+            sub match {
+              case 'c' | 'C' => out.write(s.toInt)
+              case 's' | 'S' => writeShortLE(out, s.toInt)
+              case 'i' => writeIntLE(out, s.toInt)
+              case 'I' => writeIntLE(out, s.toLong.toInt)
+              case 'f' => writeIntLE(out, java.lang.Float.floatToIntBits(s.toFloat))
+              case other =>
+                throw new IllegalArgumentException(s"bad B subtype '$other'")
+            }
+          }
         case other => throw new IllegalArgumentException(s"unsupported tag type '$other'")
       }
     }

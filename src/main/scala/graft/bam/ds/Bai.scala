@@ -84,16 +84,10 @@ object Bai {
     try os.write(bb.array()) finally os.close()
   }
 
-  /** SAM-spec R-tree bin containing [beg, endEx) entirely. */
-  def reg2bin(beg: Int, endEx: Int): Int = {
-    val end = endEx - 1
-    if (beg >> 14 == end >> 14) ((1 << 15) - 1) / 7 + (beg >> 14)
-    else if (beg >> 17 == end >> 17) ((1 << 12) - 1) / 7 + (beg >> 17)
-    else if (beg >> 20 == end >> 20) ((1 << 9) - 1) / 7 + (beg >> 20)
-    else if (beg >> 23 == end >> 23) ((1 << 6) - 1) / 7 + (beg >> 23)
-    else if (beg >> 26 == end >> 26) ((1 << 3) - 1) / 7 + (beg >> 26)
-    else 0
-  }
+  /** SAM-spec R-tree bin containing [beg, endEx) entirely — one
+    * definition for the whole engine (writer and reader must agree). */
+  def reg2bin(beg: Int, endEx: Int): Int =
+    graft.bam.codec.Bam.reg2bin(beg, endEx)
 
   /** All bins that can hold records overlapping [beg, endEx). */
   def reg2bins(beg0: Int, endEx0: Int): Seq[Int] = {
@@ -141,7 +135,12 @@ object Bai {
                   splitSize: Long): Option[Seq[(Long, Long)]] = {
     if (bounds.exists(_.refIdx.isEmpty)) return None
     val raw = bounds.flatMap { b =>
-      chunksFor(idx, b.refIdx.get, b.posLo, b.posHi).map { c =>
+      // clamp the Long bounds into chunksFor's int32 coordinate space —
+      // BAI coordinates cap at MaxCoord anyway, so saturation is lossless
+      chunksFor(idx, b.refIdx.get,
+        math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, b.posLo)).toInt,
+        math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, b.posHi)).toInt)
+        .map { c =>
         val s = c.beg >>> 16
         // include the end block only if the chunk has bytes in it
         val e = if ((c.end & 0xffffL) == 0L) c.end >>> 16 else (c.end >>> 16) + 1

@@ -21,8 +21,12 @@ object GenomicIndex {
                               minRef: Int, minPos: Int, maxRef: Int, maxPos: Int)
 
   /** One conjunctive genomic constraint; a query prunes with a
-    * disjunction of these. `posHi` exclusive. */
-  final case class GBound(refIdx: Option[Int], posLo: Int, posHi: Int) {
+    * disjunction of these. `posHi` exclusive. Bounds are LONG so the
+    * exclusive upper bound of an int32 predicate is always representable:
+    * `pos = Int.MaxValue` needs hi = Int.MaxValue + 1, which in Int
+    * arithmetic wraps to MinValue and turns a satisfiable query into
+    * "provably empty" (zero partitions, silently missing rows). */
+  final case class GBound(refIdx: Option[Int], posLo: Long, posHi: Long) {
     def intersect(o: GBound): Option[GBound] = {
       val ri = (refIdx, o.refIdx) match {
         case (Some(a), Some(b)) if a != b => return None
@@ -44,7 +48,7 @@ object GenomicIndex {
       }
     }
   }
-  val Unbounded: GBound = GBound(None, Int.MinValue, Int.MaxValue)
+  val Unbounded: GBound = GBound(None, Long.MinValue, Long.MaxValue)
 
   def sidecarPath(bamPath: String): String = bamPath + ".gri"
 
@@ -83,16 +87,16 @@ object GenomicIndex {
       case And(l, r) =>
         for (a <- one(l); b <- one(r); c <- a.intersect(b).toSeq) yield c
       case Or(l, r) => one(l) ++ one(r)
-      case EqualTo("refIdx", v: Int) => Seq(GBound(Some(v), Int.MinValue, Int.MaxValue))
+      case EqualTo("refIdx", v: Int) => Seq(GBound(Some(v), Long.MinValue, Long.MaxValue))
       case EqualTo("contig", v: String) =>
-        contigToIdx.get(v).map(i => GBound(Some(i), Int.MinValue, Int.MaxValue))
+        contigToIdx.get(v).map(i => GBound(Some(i), Long.MinValue, Long.MaxValue))
           .map(Seq(_)).getOrElse(Seq.empty) // unknown contig: no rows
-      case GreaterThan("pos", v: Int) => Seq(GBound(None, v + 1, Int.MaxValue))
-      case GreaterThanOrEqual("pos", v: Int) => Seq(GBound(None, v, Int.MaxValue))
-      case LessThan("pos", v: Int) => Seq(GBound(None, Int.MinValue, v))
+      case GreaterThan("pos", v: Int) => Seq(GBound(None, v.toLong + 1, Long.MaxValue))
+      case GreaterThanOrEqual("pos", v: Int) => Seq(GBound(None, v, Long.MaxValue))
+      case LessThan("pos", v: Int) => Seq(GBound(None, Long.MinValue, v))
       case LessThanOrEqual("pos", v: Int) =>
-        Seq(GBound(None, Int.MinValue, if (v == Int.MaxValue) v else v + 1))
-      case EqualTo("pos", v: Int) => Seq(GBound(None, v, v + 1))
+        Seq(GBound(None, Long.MinValue, v.toLong + 1))
+      case EqualTo("pos", v: Int) => Seq(GBound(None, v, v.toLong + 1))
       case _ => Seq(Unbounded)
     }
     // the filter array is a conjunction

@@ -28,31 +28,55 @@ final class BlockReader(in: SeekableInput, cacheSize: Int = 64) extends AutoClos
     if (n < Bgzf.HeaderSize) -1 else Bgzf.checkHeader(headerBuf, 0, n)
   }
 
-  /** Block metadata at `start` without inflating; None at EOF marker or
-    * invalid header. */
-  def metadataAt(start: Long): Option[Bgzf.Metadata] = {
-    val size = blockSizeAt(start)
-    if (size < 0) return None
-    val n = in.readFullyAt(start, blockBuf, 0, size)
-    if (n < size) return None
-    val usize = Bgzf.isize(blockBuf, 0, size)
-    if (usize == 0) None // EOF marker (or degenerate empty block): stream ends
-    else Some(Bgzf.Metadata(start, size, usize))
+  /** First non-empty block metadata at-or-after `start` without inflating;
+    * None at end of stream or invalid header. Empty members are SKIPPED,
+    * not treated as end-of-stream: BGZF is closed under concatenation
+    * (`cat a.bam b.bam` leaves a.bam's 28-byte EOF marker mid-file), so an
+    * interior empty member must not silently truncate everything after
+    * it — only the trailing marker ends the walk, by running into the
+    * physical end of file. */
+  def metadataAt(start0: Long): Option[Bgzf.Metadata] = {
+    var start = start0
+    while (true) {
+      // the boundary scan probes metadata then immediately inflates the
+      // same block through the checker — serve metadata from the payload
+      // cache so each probed block's compressed bytes are read ONCE
+      val hit = cache.get(start)
+      if (hit != null)
+        return Some(Bgzf.Metadata(hit.start, hit.compressedSize, hit.uncompressedSize))
+      val size = blockSizeAt(start)
+      if (size < 0) return None
+      val n = in.readFullyAt(start, blockBuf, 0, size)
+      if (n < size) return None
+      val usize = Bgzf.isize(blockBuf, 0, size)
+      if (usize != 0) return Some(Bgzf.Metadata(start, size, usize))
+      start += size // interior EOF marker / degenerate empty member: skip
+    }
+    None // unreachable
   }
 
-  /** Read + inflate the block at `start`; None at EOF marker / EOF / junk. */
-  def blockAt(start: Long): Option[Bgzf.Block] = {
-    val hit = cache.get(start)
-    if (hit != null) return Some(hit)
-    val size = blockSizeAt(start)
-    if (size < 0) return None
-    val n = in.readFullyAt(start, blockBuf, 0, size)
-    if (n < size) return None
-    val payload = Bgzf.inflate(blockBuf, 0, size)
-    if (payload.length == 0) return None
-    val b = Bgzf.Block(start, size, payload)
-    cache.put(start, b)
-    Some(b)
+  /** Read + inflate the first non-empty block at-or-after `start` (empty
+    * members skipped, same contract as [[metadataAt]]); None at end of
+    * stream / junk. The returned block's own `start` is the position the
+    * stream continues from. */
+  def blockAt(start0: Long): Option[Bgzf.Block] = {
+    var start = start0
+    while (true) {
+      val hit = cache.get(start)
+      if (hit != null) return Some(hit)
+      val size = blockSizeAt(start)
+      if (size < 0) return None
+      val n = in.readFullyAt(start, blockBuf, 0, size)
+      if (n < size) return None
+      val payload = Bgzf.inflate(blockBuf, 0, size)
+      if (payload.length != 0) {
+        val b = Bgzf.Block(start, size, payload)
+        cache.put(start, b)
+        return Some(b)
+      }
+      start += size // interior EOF marker / degenerate empty member: skip
+    }
+    None // unreachable
   }
 
   override def close(): Unit = in.close()

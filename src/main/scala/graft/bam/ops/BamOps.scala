@@ -1,5 +1,7 @@
 package graft.bam.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -59,8 +61,14 @@ object BamOps {
           var done = false
           while (!done && at < end) {
             blocks.metadataAt(at) match {
-              case Some(m) => out += ((m.start, m.compressedSize, m.uncompressedSize)); at += m.compressedSize
-              case None => done = true
+              // m.start can sit PAST `at` (interior EOF markers are
+              // skipped): advance from the block actually found, and stop
+              // if the skip crossed into the next split's territory (that
+              // split's own walk starts at the first header >= its start)
+              case Some(m) if m.start < end =>
+                out += ((m.start, m.compressedSize, m.uncompressedSize))
+                at = m.start + m.compressedSize
+              case _ => done = true
             }
           }
           out.result()
@@ -98,10 +106,13 @@ object BamOps {
       .orderBy("bp")
       .select(col("bp"), col("compressedSize"),
         col("minRef"), col("minPos"), col("maxRef"), col("maxPos"))
-    val w = new java.io.PrintWriter(graft.bam.ds.GenomicIndex.sidecarPath(path))
-    try rows.toLocalIterator().forEachRemaining { r =>
-      w.println(s"${r.getLong(0)},${r.getInt(1)},${r.getInt(2)},${r.getInt(3)},${r.getInt(4)},${r.getInt(5)}")
-    } finally w.close()
+    // write through GenomicIndex (Hadoop FS) — a local PrintWriter breaks
+    // for hdfs://-style paths, which is where the reader resolves it
+    graft.bam.ds.GenomicIndex.write(path,
+      rows.toLocalIterator().asScala.map { r =>
+        graft.bam.ds.GenomicIndex.BlockRange(r.getLong(0), r.getInt(1),
+          r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      }.toSeq)
   }
 
   /** SAM-spec R-tree bin of [beg, endEx) as a column (see Bai.reg2bin). */

@@ -71,8 +71,17 @@ object BamSink {
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val shard = new HPath(f"$shardDirS/shard-$pid%05d")
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          // attempt-unique shard path = the task-commit protocol: a
+          // speculative or retried attempt writes its OWN file, the driver
+          // concatenates only the paths returned by the attempts whose
+          // results Spark actually collected (exactly one per partition),
+          // and loser/zombie files die with the shard dir. A shared
+          // per-partition path would let a zombie attempt keep writing
+          // into a file the driver is reading — torn output.
+          val shard = new HPath(
+            f"$shardDirS/shard-$pid%05d-attempt-${tc.taskAttemptId()}")
           val sfs = shard.getFileSystem(serConf.value)
           val os = new java.io.BufferedOutputStream(sfs.create(shard, true), 1 << 20)
           // Stream-compress: one BGZF member per <= payloadSize bytes AS

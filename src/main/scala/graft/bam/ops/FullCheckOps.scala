@@ -16,13 +16,7 @@ import graft.bam.io.{BlockReader, SeekableInput}
   */
 object FullCheckOps {
 
-  val flagNames: Seq[String] = Seq(
-    "tooFewFixedBlockBytes", "negativeRefIdx", "tooLargeRefIdx",
-    "negativeRefPos", "tooLargeRefPos", "negativeNextRefIdx",
-    "tooLargeNextRefIdx", "negativeNextRefPos", "tooLargeNextRefPos",
-    "tooFewBytesForReadName", "nonNullTerminatedReadName", "nonASCIIReadName",
-    "noReadName", "emptyReadName", "tooFewBytesForCigarOps", "invalidCigarOp",
-    "emptyMappedCigar", "emptyMappedSeq", "tooFewRemainingBytes")
+  val flagNames: Seq[String] = graft.bam.check.Flags.fields.map(_._1)
 
   /** Per-position full-checker verdicts: one row per uncompressed position
     * with the 19 flag booleans (all-false = valid record start). */
@@ -48,16 +42,9 @@ object FullCheckOps {
               case None => (start, off, true, 0,
                 Array.empty[String], 0)
               case Some(f) =>
-                val set = Seq(
-                  f.tooFewFixedBlockBytes, f.negativeRefIdx, f.tooLargeRefIdx,
-                  f.negativeRefPos, f.tooLargeRefPos, f.negativeNextRefIdx,
-                  f.tooLargeNextRefIdx, f.negativeNextRefPos, f.tooLargeNextRefPos,
-                  f.tooFewBytesForReadName, f.nonNullTerminatedReadName,
-                  f.nonASCIIReadName, f.noReadName, f.emptyReadName,
-                  f.tooFewBytesForCigarOps, f.invalidCigarOp, f.emptyMappedCigar,
-                  f.emptyMappedSeq, f.tooFewRemainingBytes)
                 (start, off, false, f.numNonZeroFields,
-                  flagNames.zip(set).collect { case (n, true) => n }.toArray,
+                  flagNames.zip(f.setFields)
+                    .collect { case (n, true) => n }.toArray,
                   f.readsBeforeError)
             }
           }

@@ -158,21 +158,12 @@ object SplitReports {
   }
 
   /** time-load: collect every partition's first read name through both
-    * loaders, timed, and diff the name sets. */
+    * loaders, timed, and diff the name sets (race kernel shared with
+    * [[SplitTiming.timeLoad]]). */
   def timeLoadReport(spark: SparkSession, path: String,
                      splitSize: Long): String = {
-    import spark.implicits._
-    def firstNames(checker: String): (Long, Array[String]) = timedMs {
-      spark.read.format("bam")
-        .option("splitSize", splitSize.toString)
-        .option("checker", checker)
-        .load(path)
-        .select("readName").as[String]
-        .mapPartitions(it => if (it.hasNext) Iterator.single(it.next()) else Iterator.empty)
-        .collect()
-    }
-    val (eMs, eager) = firstNames("eager")
-    val (rMs, relaxed) = firstNames("relaxed")
+    val (eMs, eager) = SplitTiming.firstNames(spark, path, splitSize, "eager")
+    val (rMs, relaxed) = SplitTiming.firstNames(spark, path, splitSize, "relaxed")
     val sb = new StringBuilder
     sb ++= s"eager first-read collection time: $eMs\n"
     sb ++= s"relaxed first-read collection time: $rMs\n\n"

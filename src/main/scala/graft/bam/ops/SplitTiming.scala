@@ -120,25 +120,33 @@ object SplitTiming {
        |$ratioBlock""".stripMargin
   }
 
+  /** Timed first-read-name-per-partition collection through one checker
+    * profile — the shared kernel of time-load's race (reference:
+    * compare/TimeLoad.scala:30-48), used by both the DataFrame summary
+    * ([[timeLoad]]) and the CLI report (SplitReports.timeLoadReport) so
+    * the two surfaces can never diverge. */
+  def firstNames(spark: SparkSession, path: String, splitSize: Long,
+                 checker: String): (Long, Array[String]) = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val names = spark.read.format("bam")
+      .option("splitSize", splitSize.toString)
+      .option("checker", checker)
+      .load(path)
+      .select("readName").as[String]
+      .mapPartitions(it => if (it.hasNext) Iterator.single(it.next()) else Iterator.empty)
+      .collect()
+    (math.max(1L, (System.nanoTime() - t0) / 1000000), names)
+  }
+
   /** time-load: collect the first read name of every partition through the
     * eager-checker loader and the relaxed-checker loader (the `checker`
     * source option), timed, and diff the name sets (reference:
     * compare/TimeLoad.scala:30-98). One row summarizing the race. */
   def timeLoad(spark: SparkSession, path: String, splitSize: Long): DataFrame = {
     import spark.implicits._
-    def firstNames(checker: String): (Long, Array[String]) = {
-      val t0 = System.nanoTime()
-      val names = spark.read.format("bam")
-        .option("splitSize", splitSize.toString)
-        .option("checker", checker)
-        .load(path)
-        .select("readName").as[String]
-        .mapPartitions(it => if (it.hasNext) Iterator.single(it.next()) else Iterator.empty)
-        .collect()
-      ((System.nanoTime() - t0) / 1000000, names)
-    }
-    val (eagerMS, eager) = firstNames("eager")
-    val (relaxedMS, relaxed) = firstNames("relaxed")
+    val (eagerMS, eager) = firstNames(spark, path, splitSize, "eager")
+    val (relaxedMS, relaxed) = firstNames(spark, path, splitSize, "relaxed")
     val es = eager.toSet
     val rs = relaxed.toSet
     Seq((eager.length, relaxed.length, es.diff(rs).size, rs.diff(es).size,

@@ -122,10 +122,71 @@ class CodecSpec extends AnyFunSuite {
       var start = 0L
       val metas = Iterator.continually {
         val m = blocks.metadataAt(start)
-        m.foreach(mm => start += mm.compressedSize)
+        m.foreach(mm => start = mm.start + mm.compressedSize)
         m
       }.takeWhile(_.isDefined).map(_.get).toVector
       assert(metas == fx.blocks.toVector)
+    } finally blocks.close()
+  }
+
+  test("interior EOF markers are skipped, not treated as end-of-stream") {
+    // BGZF is closed under concatenation: `cat a b` leaves a's 28-byte
+    // EOF marker mid-file, and everything after it must still be read
+    val a = "first half ".getBytes("ASCII")
+    val b = "second half".getBytes("ASCII")
+    val (ia, _) = Bgzf.compress(a, 8) // each image ENDS with the EOF marker
+    val (ib, _) = Bgzf.compress(b, 8)
+    val tmp = java.nio.file.Files.createTempFile("concat", ".bgzf")
+    java.nio.file.Files.write(tmp, ia ++ ib)
+    val blocks = new BlockReader(new LocalFileInput(tmp.toString))
+    try {
+      // metadata walk sees every NON-EMPTY block of both halves
+      var at = 0L
+      val metas = Iterator.continually {
+        val m = blocks.metadataAt(at)
+        m.foreach(mm => at = mm.start + mm.compressedSize)
+        m
+      }.takeWhile(_.isDefined).map(_.get).toVector
+      assert(metas.map(_.uncompressedSize).sum == a.length + b.length)
+      assert(metas.forall(_.uncompressedSize > 0))
+      // the sequential reader crosses the interior marker transparently
+      val r = new UncompressedReader(blocks)
+      assert(r.seek(Pos(0, 0)))
+      val buf = new Array[Byte](a.length + b.length)
+      assert(r.readFully(buf, 0, buf.length) == buf.length)
+      assert(new String(buf, "ASCII") == "first half second half")
+      assert(!r.hasMore || r.readByte() == -1)
+    } finally blocks.close()
+  }
+
+  test("attrs round-trip every spec tag type incl. B arrays and H hex") {
+    val rec = BamFixture.generateRecords(1, BamFixture.DefaultContigs, 5).head
+      .copy(attrs = Map(
+        "RG:Z" -> "rg1",
+        "XA:A" -> "q",
+        "XC:c" -> "-3", "XD:C" -> "200",
+        "XS:s" -> "-1234", "XT:S" -> "60000",
+        "XI:i" -> "-123456", "XJ:I" -> "3000000000",
+        "XF:f" -> 1.5f.toString,
+        "XH:H" -> "1AFF00",
+        "MM:B" -> "c,-1,2,-3",
+        "ML:B" -> "C,0,255,128",
+        "XB:B" -> "i,-100000,2147483647",
+        "XU:B" -> "I,4294967295,0",
+        "XE:B" -> s"f,${0.25f},${-3.5f}",
+        "XZ:B" -> "S,65535,1"))
+    val out = new java.io.ByteArrayOutputStream()
+    Bam.writeRecord(out, rec)
+    val (img, _) = Bgzf.compress(out.toByteArray)
+    val tmp = java.nio.file.Files.createTempFile("attrs", ".bgzf")
+    java.nio.file.Files.write(tmp, img)
+    val blocks = new BlockReader(new LocalFileInput(tmp.toString))
+    try {
+      val r = new UncompressedReader(blocks)
+      assert(r.seek(Pos(0, 0)))
+      val got = Bam.readRecord(r)
+      assert(got != null)
+      assert(got.attrs == rec.attrs, s"attrs diverged:\n${got.attrs}\n${rec.attrs}")
     } finally blocks.close()
   }
 }

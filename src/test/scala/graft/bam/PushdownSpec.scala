@@ -365,6 +365,29 @@ class PushdownSpec extends SparkTestBase {
       s"derived spec must not overwrite the caller's: got $got want $want")
   }
 
+  test("pos predicates at Int.MaxValue stay satisfiable (no overflow wrap)") {
+    import org.apache.spark.sql.sources.{EqualTo => FEq, LessThanOrEqual => FLe, GreaterThan => FGt}
+    import graft.bam.ds.GenomicIndex
+    val edgeBlock = GenomicIndex.BlockRange(0L, 100,
+      0, Int.MaxValue, 0, Int.MaxValue)
+    // pos = MaxValue: the exclusive hi must be MaxValue+1 in LONG space —
+    // Int wrap turned this into "provably empty" and silently dropped rows
+    val eq = GenomicIndex.toBounds(
+      Seq(FEq("contig", "chr1"), FEq("pos", Int.MaxValue)),
+      Map("chr1" -> 0)).get
+    assert(eq.nonEmpty && eq.exists(_.matches(edgeBlock)))
+    // pos <= MaxValue is a full range: must keep the edge block
+    val le = GenomicIndex.toBounds(
+      Seq(FEq("contig", "chr1"), FLe("pos", Int.MaxValue)),
+      Map("chr1" -> 0)).get
+    assert(le.exists(_.matches(edgeBlock)))
+    // pos > MaxValue is genuinely unsatisfiable — provably empty is right
+    val gt = GenomicIndex.toBounds(
+      Seq(FEq("contig", "chr1"), FGt("pos", Int.MaxValue)),
+      Map("chr1" -> 0)).get
+    assert(gt.isEmpty || !gt.exists(_.matches(edgeBlock)))
+  }
+
   test("indexGenomic rebuilds an equivalent index from the source") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-gri")
     val copy = tmpDir.resolve("copy.bam")
