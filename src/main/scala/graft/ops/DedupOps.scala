@@ -115,6 +115,19 @@ object DedupOps {
     * candidate count quadratic, the skew that kills the join at 100 TB.
     * Docs sharing a dropped bucket almost always still collide in one of
     * their other bands; the oracle default (0) keeps every bucket. */
+  /** The hot-bucket skew guard shared by every band self-join: drop
+    * buckets holding more than `maxBucket` members (0 = keep all). One
+    * implementation — minhash and simhash must cap identically. */
+  private def capHotBuckets(allBands: DataFrame, bucketCols: Seq[String],
+                            maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) allBands
+    else {
+      val sizes = allBands.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("__bc"))
+        .filter(col("__bc") <= maxBucket)
+      allBands.join(sizes, bucketCols).drop("__bc")
+    }
+
   /** Production band frame `(id, sig, band, bandHash)` — one row per doc
     * per band, keys from `hash()` over the band's signature components.
     * Factored out of [[minhashPairs]] so the batch self-join and the
@@ -142,14 +155,7 @@ object DedupOps {
                    threshold: Double = 0.5,
                    maxBucket: Int = 0): DataFrame = {
     val allBands = bandFrame(docs, idCol, textCol)
-    val bands =
-      if (maxBucket <= 0) allBands
-      else {
-        val sizes = allBands.groupBy("band", "bandHash")
-          .agg(count(lit(1)).as("__bc"))
-          .filter(col("__bc") <= maxBucket)
-        allBands.join(sizes, Seq("band", "bandHash")).drop("__bc")
-      }
+    val bands = capHotBuckets(allBands, Seq("band", "bandHash"), maxBucket)
     val l = bands.select(col("band"), col("bandHash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = bands.select(col("band"), col("bandHash"),
@@ -220,14 +226,7 @@ object DedupOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     // same hot-bucket guard as minhashPairs: a degenerate 16-bit band key
     // (boilerplate/empty docs) makes its bucket's candidates quadratic
-    val bands =
-      if (maxBucket <= 0) allBands
-      else {
-        val sizes = allBands.groupBy("band", "key")
-          .agg(count(lit(1)).as("__bc"))
-          .filter(col("__bc") <= maxBucket)
-        allBands.join(sizes, Seq("band", "key")).drop("__bc")
-      }
+    val bands = capHotBuckets(allBands, Seq("band", "key"), maxBucket)
     val l = bands.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = bands.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("band", "key"))
@@ -295,20 +294,29 @@ object DedupOps {
       .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__s")) // bounded: one row per doc; list = that doc's own grams
       .select(col("id"), col("__s.__h").as("__hs"))
       .withColumn("__n", size(col("__hs")).cast("long"))
+      // prefix length n − ceil(t·n) + 1, computed CONSERVATIVELY: double
+      // rounding can land t·n a hair ABOVE an exact integer product
+      // (0.07·100 = 7.000000000000001 → ceil 8), silently shortening the
+      // prefix and dropping a boundary pair the exact verify would keep.
+      // One extra prefix gram costs a few candidates; the set-intersect
+      // verify keeps the RESULT exact either way.
       .withColumn("__p",
-        (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
+        least(col("__n"),
+          col("__n") - ceil(lit(threshold) * col("__n")) + 2).cast("int"))
     val prefix = byDoc.select(col("id"), col("__n"),
       explode(slice(col("__hs"), lit(1), col("__p"))).as("__h"))
     // LENGTH-RATIO filter (AllPairs): J ≤ min(|A|,|B|)/max(|A|,|B|), so a
     // pair failing min/max ≥ t can never verify — prune it in the
-    // candidate join, before the set-intersection pays for it. `>=` keeps
-    // every boundary pair (ratio exactly t), so the result is unchanged.
+    // candidate join, before the set-intersection pays for it. The
+    // epsilon keeps boundary pairs that double rounding would push a
+    // hair below the exact ratio (same failure mode as the prefix
+    // length); the verify step's exact J ≥ t keeps the result identical.
     val cand = prefix.select(col("id").as("id_a"), col("__n").as("__la"), col("__h"))
       .join(prefix.select(col("id").as("id_b"), col("__n").as("__lb"), col("__h")),
         Seq("__h"))
       .filter(col("id_a") < col("id_b") &&
         least(col("__la"), col("__lb")).cast("double") >=
-          lit(threshold) * greatest(col("__la"), col("__lb")).cast("double"))
+          lit(threshold) * greatest(col("__la"), col("__lb")).cast("double") - lit(1e-9))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     val sets = byDoc.select(col("id"), col("__hs"), col("__n"))
     cand

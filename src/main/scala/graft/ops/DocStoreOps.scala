@@ -51,10 +51,24 @@ object DocStoreOps {
 
   /** One row per key: highest sequence wins; equal sequences prefer the
     * delete (an explicit boolean rank — the op strings themselves don't
-    * order usefully). Total order ⇒ deterministic, associative election. */
+    * order usefully); rows still tied (two upserts sharing a sequence)
+    * fall through to the GREATEST payload by field-ordered struct
+    * comparison, so the order is TOTAL and VALUE-determined — without
+    * it, row_number picks an execution-dependent winner and splitting a
+    * batch across two applies could land on a different final payload
+    * than applying it whole, breaking the associativity/idempotence
+    * contract. (An arrival-order rule like first-writer-wins cannot
+    * exist here at all: out-of-order batch delivery is the premise.)
+    * Non-orderable payload columns (maps) are excluded from the
+    * tiebreaker; identical remaining rows tie harmlessly. */
   private[ops] def electWinners(rows: DataFrame, key: String, seqCol: String): DataFrame = {
+    val tieCols = rows.schema.fields
+      .filter(f => f.name != OP && f.name != BUCKET &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(_.name).sorted.toIndexedSeq
     val w = Window.partitionBy(col(key))
-      .orderBy(col(seqCol).desc, (col(OP) === "D").desc)
+      .orderBy(col(seqCol).desc, (col(OP) === "D").desc,
+        struct(tieCols.map(col): _*).desc)
     rows.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -111,43 +125,20 @@ object DocStoreOps {
     * out-of-order change older than any tombstone can still arrive —
     * after compaction a stale update for a compacted key would
     * resurrect it. */
-  def compactDocStore(spark: SparkSession, basePath: String): Unit = {
-    val all = spark.read.option("mergeSchema", "true").parquet(basePath)
-    val tombBuckets = all.filter(col(OP) === "D")
-      .select(BUCKET).distinct().collect().map(_.getInt(0))
-    if (tombBuckets.nonEmpty) {
-      val kept = all.filter(col(BUCKET).isin(tombBuckets.toIndexedSeq: _*))
-        .filter(col(OP) =!= "D")
-        .localCheckpoint(true) // freeze before overwriting what it reads
-      kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET).parquet(basePath)
-      // a bucket holding ONLY tombstones writes no partition above and
-      // its stale files would survive the dynamic overwrite — drop it
-      val surviving = kept.select(BUCKET).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(basePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (tombBuckets.toSet -- surviving).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$basePath/$BUCKET=$b"), true)
-      }
-      spark.catalog.refreshByPath(basePath)
-    }
-  }
+  def compactDocStore(spark: SparkSession, basePath: String): Unit =
+    rewriteBuckets(spark, basePath, dropCond = col(OP) === "D")
 
-  /** Physical retention purge — the right-to-be-forgotten path: every
-    * stored row (live or tombstone) whose payload matches `cond` is
-    * removed, rewriting only the buckets that hold a match (emptied
-    * buckets dropped). Rows where `cond` evaluates to null are KEPT —
-    * a predicate that cannot decide must not delete. Like
-    * [[compactDocStore]], purging forgets sequences: a late stale
-    * change for a purged key can re-insert it, so purge past the
-    * reorder horizon (or route the purge through a delete changelog
-    * when LWW protection must hold). */
-  def purgeWhere(spark: SparkSession, basePath: String,
-                 cond: org.apache.spark.sql.Column): Unit = {
+  /** The shared bucket-rewrite protocol: find the buckets holding any
+    * row matching `dropCond`, rewrite ONLY those buckets without the
+    * matching rows (checkpoint-fenced dynamic partition overwrite), and
+    * physically remove buckets the rewrite emptied (a row-empty bucket
+    * writes no partition, so its stale files would otherwise survive).
+    * One implementation for compaction and retention purge — the
+    * protocol must never diverge between them. */
+  private def rewriteBuckets(spark: SparkSession, basePath: String,
+                             dropCond: org.apache.spark.sql.Column): Unit = {
     val all = spark.read.option("mergeSchema", "true").parquet(basePath)
-    val hitCond = coalesce(cond, lit(false))
+    val hitCond = coalesce(dropCond, lit(false))
     val hit = all.filter(hitCond)
       .select(BUCKET).distinct().collect().map(_.getInt(0))
     if (hit.nonEmpty) {
@@ -168,6 +159,19 @@ object DocStoreOps {
     }
   }
 
+  /** Physical retention purge — the right-to-be-forgotten path: every
+    * stored row (live or tombstone) whose payload matches `cond` is
+    * removed, rewriting only the buckets that hold a match (emptied
+    * buckets dropped). Rows where `cond` evaluates to null are KEPT —
+    * a predicate that cannot decide must not delete. Like
+    * [[compactDocStore]], purging forgets sequences: a late stale
+    * change for a purged key can re-insert it, so purge past the
+    * reorder horizon (or route the purge through a delete changelog
+    * when LWW protection must hold). */
+  def purgeWhere(spark: SparkSession, basePath: String,
+                 cond: org.apache.spark.sql.Column): Unit =
+    rewriteBuckets(spark, basePath, dropCond = cond)
+
   /** Constraint-enforced apply — the dead-letter pattern: changes
     * violating any expectation are DIVERTED to `quarantinePath`
     * (appended, stamped with the violated rule names) instead of
@@ -183,8 +187,11 @@ object DocStoreOps {
                           quarantinePath: String,
                           nBuckets: Int = 64): (Long, Long) = {
     require(expectations.nonEmpty)
+    // a predicate that cannot DECIDE (null — typically the null payloads
+    // expectations exist to screen) counts as VIOLATED: a gate's safe
+    // default is quarantine, the mirror of purgeWhere's keep-on-null
     val violated = array(expectations.map { case (name, pred) =>
-      when(!pred, lit(name))
+      when(!coalesce(pred, lit(false)), lit(name))
     }: _*)
     val tagged = changes
       .withColumn("__violations", filter(violated, v => v.isNotNull))

@@ -259,23 +259,54 @@ object GraphOps {
     // accumulated enough of these to distort unrelated queries' timings).
     freeCheckpoint(e); freeCheckpoint(nodes); freeCheckpoint(outdeg)
     // The result itself is also a pin (it must be: the caller reads it).
-    // Bound the per-session debt to ONE result by freeing the previous
-    // invocation's result when the next one completes; callers wanting
-    // tighter control can `GraphOps.free(df)` once they've materialized.
+    // Bound the per-session debt by freeing the previous invocation's
+    // result when the next one completes — but ONLY if the caller has
+    // already dropped it (weak reference cleared): eagerly freeing a
+    // result the caller still holds would make a perfectly reasonable
+    // compare-two-graphs usage crash with missing checkpoint blocks. A
+    // still-held previous result stays the caller's responsibility
+    // (`GraphOps.free(df)`, or the GC + ContextCleaner backstop once
+    // they drop it).
     lastPageRank.synchronized {
-      Option(lastPageRank.get(edges.sparkSession)).foreach(freeCheckpoint)
+      Option(lastPageRank.get(edges.sparkSession)).foreach { prev =>
+        if (prev.ref.get() == null) prev.rdds.foreach(freeRdd(edges.sparkSession, _))
+      }
       val it = lastPageRank.keySet.iterator
       while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-      lastPageRank.put(edges.sparkSession, r)
+      lastPageRank.put(edges.sparkSession,
+        Retained(new java.lang.ref.WeakReference(r), checkpointRdds(r)))
     }
     r
   }
 
   /** One-slot per-session memo of the last [[pageRankFixedPoint]] result:
-    * the next invocation frees the previous result's blocks, bounding the
-    * session-lifetime pin debt to a single node-sized frame. */
+    * the next invocation frees the previous result's blocks IF the caller
+    * no longer holds the DataFrame, bounding the session-lifetime pin
+    * debt to the results still actually in use. */
+  private final case class Retained(
+      ref: java.lang.ref.WeakReference[DataFrame],
+      rdds: Seq[org.apache.spark.rdd.RDD[_]])
   private val lastPageRank =
-    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, Retained]()
+
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] = {
+    val out = Seq.newBuilder[org.apache.spark.rdd.RDD[_]]
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => out += r.rdd
+      case _ =>
+    }
+    out.result()
+  }
+
+  private def freeRdd(spark: org.apache.spark.sql.SparkSession,
+                      rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    try {
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      rdd.unpersist(blocking = false)
+    } catch { case scala.util.control.NonFatal(_) => }
 
   /** Release the executor blocks (and any reliable-checkpoint files) pinned
     * by a DataFrame this module returned. Safe to call on any frame —
@@ -322,7 +353,10 @@ object GraphOps {
       .unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
     val nEdges = e.count()
-    val nWedges = deg.agg(sum(expr("dg * (dg - 1) div 2"))).head().getLong(0)
+    // coalesce: sum over an EMPTY degree frame is null (a dedup pipeline
+    // with zero near-dup pairs reaches here with no edges)
+    val nWedges = deg.agg(coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L)))
+      .head().getLong(0)
     val withDeg = e
       .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
@@ -341,7 +375,9 @@ object GraphOps {
     // it exists — is oriented exactly p→q: one equi-join, no OR
     val nTri = wedges.join(o.select(col("u").as("p"), col("v").as("q")),
       Seq("p", "q")).count()
-    e.unpersist()
+    // Dataset.unpersist only consults the CacheManager — it is a no-op
+    // for a localCheckpoint's blocks; freeCheckpoint releases them
+    freeCheckpoint(e)
     val gccPpm = if (nWedges == 0) 0L else 3L * nTri * 1000000L / nWedges
     import spark.implicits._
     Seq((nEdges, nWedges, nTri, gccPpm))

@@ -110,11 +110,19 @@ object IncrementalAggOps {
   def retractFromAggStore(batch: DataFrame, spark: SparkSession,
                           basePath: String, keys: Seq[String],
                           measures: Seq[String],
-                          nBuckets: Int = 64): Unit =
+                          nBuckets: Int = 64,
+                          kinds: Seq[String] = Nil): Unit = {
+    // retraction = merging the negation, which is only meaningful for
+    // sum partials: a min/max partial is not invertible, and silently
+    // summing against one would corrupt the stored extreme
+    require(kinds.isEmpty || kinds.forall(_ == "sum"),
+      s"retractFromAggStore supports sum measures only, got $kinds — " +
+        "rebuild min/max stores instead of retracting from them")
     mergeIntoAggStore(
       batch.select((keys.map(col) ++
         measures.map(m => negate(col(m)).as(m))): _*),
       spark, basePath, keys, measures, nBuckets)
+  }
 
   /** The current rollup (all buckets). */
   def readAggStore(spark: SparkSession, basePath: String): DataFrame =

@@ -48,15 +48,27 @@ object VersionedStoreOps {
       .coalesce(1).write.mode(SaveMode.Append).parquet(manifestPath(base))
   }
 
-  /** Latest committed version, -1 on a fresh base. */
-  def currentVersion(spark: SparkSession, base: String): Long =
-    try readManifest(spark, base).map(_._1).max
-    catch { case _: Throwable => -1L }
+  /** Latest committed version, -1 on a fresh base. ONLY a missing
+    * manifest means fresh — a transient read failure (object-store 503,
+    * permission hiccup) must propagate, or applyChangesVersioned would
+    * treat a live store as empty and destructively re-initialize v=0. */
+  def currentVersion(spark: SparkSession, base: String): Long = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(base))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) -1L
+    else readManifest(spark, base).map(_._1).max
+  }
 
   /** Version 0: the initial rows (one per key, producing sequence in
-    * `seqCol`), bucket-partitioned under `base/v=0`. */
+    * `seqCol`), bucket-partitioned under `base/v=0`. Rejects a base that
+    * already holds a versioned store: overwriting v=0 under a surviving
+    * manifest would mix two unrelated datasets in later resolutions —
+    * re-initialization must be an explicit delete-then-write. */
   def writeVersioned(df: DataFrame, spark: SparkSession, base: String,
                      key: String, seqCol: String, nBuckets: Int = 64): Unit = {
+    require(currentVersion(spark, base) < 0,
+      s"versioned store already exists at $base (manifest present) — " +
+        "delete it first to re-initialize, or applyChangesVersioned to evolve it")
     val b = withBucket(df.withColumn(OP, lit("U")), key, nBuckets)
       .localCheckpoint(true)
     b.write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(s"$base/v=0")

@@ -22,17 +22,25 @@ case class Ch(k: Long, v: String, seq: Long, op: String)
 class DocStoreProps extends SparkTestBase {
   import spark.implicits._
 
-  /** Sequential model: fold changes one at a time. */
+  /** Sequential model: fold changes one at a time, mirroring the
+    * engine's TOTAL election order — seq desc, delete-beats-upsert on a
+    * seq tie, then greatest payload (here: the value string, the only
+    * differing orderable field) — so the model is arrival-order-free
+    * like the store itself must be. */
   private def model(init: Seq[(Long, String, Long)],
                     batches: Seq[Seq[Ch]]): Map[Long, (String, Long)] = {
     // (value, seq, deleted): a delete also carries its winning seq so a
     // later stale update cannot resurrect the row
     var st = init.map { case (k, v, s) => k -> (v, s, false) }.toMap
     batches.flatten.foreach { c =>
-      val beats = st.get(c.k).forall { case (_, s, _) =>
-        c.seq > s || (c.seq == s && c.op == "D")
+      val cd = c.op == "D"
+      val beats = st.get(c.k).forall { case (v, s, deleted) =>
+        c.seq > s ||
+          (c.seq == s && (
+            (cd && !deleted) ||            // delete outranks upsert
+            (cd == deleted && c.v > v)))   // same class: payload decides
       }
-      if (beats) st = st.updated(c.k, (c.v, c.seq, c.op == "D"))
+      if (beats) st = st.updated(c.k, (c.v, c.seq, cd))
     }
     st.collect { case (k, (v, s, false)) => k -> (v, s) }
   }
