@@ -76,40 +76,44 @@ object AsofJoinOps {
         rightPayload.map(n => right.schema(n)))
     val lpayType = StructType(left.schema.fields)
 
-    // Sort tags: at equal (key, ts) a right row matches the left row's
-    // backward frame iff it sorts BEFORE it (frame is preceding..current)
-    // and the forward frame iff it sorts AFTER it (current..following).
-    // Inclusive semantics therefore put right first for Backward, last
-    // for Forward; Nearest uses the Backward layout (an equal-ts match
-    // is distance 0 and backward wins ties anyway, so forward may
-    // harmlessly miss it).
-    val rightFirst = direction match {
-      case Backward | Nearest => allowExactMatches
-      case Forward            => !allowExactMatches
-    }
-    val (lTag, rTag) = if (rightFirst) (1, 0) else (0, 1)
+    // Per-LEG sort tags: at equal (key, ts) a right row matches the left
+    // row's backward frame iff it sorts BEFORE it (frame is
+    // preceding..current) and the forward frame iff it sorts AFTER it
+    // (current..following). Inclusive semantics therefore need OPPOSITE
+    // layouts for the two legs — one shared layout made
+    // Nearest + allowExactMatches=false leak the equal-ts row through
+    // the forward frame at distance 0 (and `first` cannot skip past it
+    // to the genuinely-later row). Two tag columns give each leg its own
+    // window order; both orders share the one hash exchange on the key.
+    val (lTagB, rTagB) = if (allowExactMatches) (1, 0) else (0, 1)
+    val (lTagF, rTagF) = if (allowExactMatches) (0, 1) else (1, 0)
 
     val lU = left.select(
       keys.map(col) ++ Seq(
         unix_micros(col(leftTs)).as("__us"),
-        lit(lTag).as("__tag"),
+        lit(lTagB).as("__tb"),
+        lit(lTagF).as("__tf"),
         struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
         lit(null).cast(rpayType).as("__r")): _*)
     val rU = right.select(
       keys.map(col) ++ Seq(
         unix_micros(col(rightTs)).as("__us"),
-        lit(rTag).as("__tag"),
+        lit(rTagB).as("__tb"),
+        lit(rTagF).as("__tf"),
         lit(null).cast(lpayType).as("__l"),
         struct(unix_micros(col(rightTs)).as("__rts") +:
           rightPayload.map(col): _*).as("__r")): _*)
 
-    val w = Window
+    val wB = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__us").asc, col("__tag").asc, col("__r").asc_nulls_first)
+      .orderBy(col("__us").asc, col("__tb").asc, col("__r").asc_nulls_first)
+    val wF = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__us").asc, col("__tf").asc, col("__r").asc_nulls_first)
     val bwd = last(col("__r"), ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val fwd = first(col("__r"), ignoreNulls = true)
-      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      .over(wF.rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
     def gated(m: Column, gapUs: Column): Column = toleranceUs match {
       case Some(tol) => when(m.isNotNull && gapUs <= tol, m)
@@ -130,7 +134,7 @@ object AsofJoinOps {
 
     lU.unionByName(rU)
       .withColumn("__m", matched)
-      .filter(col("__tag") === lTag && col("__l").isNotNull)
+      .filter(col("__l").isNotNull) // left rows alone carry a left struct
       .select(
         col("__l.*") +:
           col("__m.__rts").as(s"${rightPrefix}ts_us") +:

@@ -69,6 +69,13 @@ object LayoutOps {
       distCol: Option[String] = None,
       numTasks: Int = 0): Unit = {
     require(partCols.nonEmpty, "writePartitioned needs partition columns")
+    // the fan-out only exists through the salt: accepting filesPerDir > 1
+    // without a distCol would silently serialize each hot partition value
+    // on one task — the exact skew the parameter promises to break
+    require(filesPerDir <= 1 || distCol.nonEmpty,
+      s"filesPerDir=$filesPerDir needs distCol: the fan-out salt is " +
+        "derived from it (without one each partition value writes on a " +
+        "single task)")
     val salt = distCol
       .filter(_ => filesPerDir > 1)
       .map(c => pmod(xxhash64(col(c)), lit(filesPerDir)))
@@ -125,12 +132,17 @@ object LayoutOps {
       .getOrElse(throw new IllegalArgumentException(
         s"$table is not a bucketed table"))
     val keyCols = spec.bucketColumnNames
-    df.repartition(spec.numBuckets, keyCols.map(col): _*)
+    val writer = df.repartition(spec.numBuckets, keyCols.map(col): _*)
       .write
       .mode(SaveMode.Append)
       .bucketBy(spec.numBuckets, keyCols.head, keyCols.tail: _*)
-      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-      .saveAsTable(table)
+    // a bucketed table without sort columns is legal (bucketBy alone) —
+    // append must mirror whatever the table declares, not assume a sort
+    val sorted = spec.sortColumnNames match {
+      case h +: t => writer.sortBy(h, t: _*)
+      case _ => writer
+    }
+    sorted.saveAsTable(table)
     // the table's file listing is cached from its first read; without an
     // explicit refresh a reader that already scanned the table keeps
     // planning against the pre-append listing and silently misses the

@@ -199,9 +199,8 @@ object TextAnalysisOps {
     // BEFORE the join's exchange; false positives just ride into the
     // exact join, so the result (and the oracle) is unchanged.
     val train = bloomGateBits.fold(train0) { bits =>
-      train0.filter(RuntimeFilterOps.mightContain(
-        RuntimeFilterOps.buildBloom(test, "__h", expectedItems = bits / 8, numBits = bits),
-        col("__h")))
+      RuntimeFilterOps.bloomPrune(train0, "__h", test, "__h",
+        expectedItems = bits / 8, numBits = bits)
     }
     train.join(if (broadcastTest) broadcast(test) else test, Seq("__h"))
       .groupBy("train_doc", "test_doc")
@@ -260,7 +259,9 @@ object TextAnalysisOps {
                      textCol: String = "text"): DataFrame = {
     require(strideTokens > 0 && chunkTokens >= strideTokens,
       "need 0 < strideTokens <= chunkTokens")
-    val toksC = split(trim(col(textCol)), "\\s+")
+    // empty-safe: split("") yields [""], which would count as one phantom
+    // token and emit a 1-token chunk for empty/whitespace-only docs
+    val toksC = array_remove(split(trim(col(textCol)), "\\s+"), "")
     docs
       .select(col(idCol), toksC.as("__t"), size(toksC).as("__n"))
       .withColumn("__nc",

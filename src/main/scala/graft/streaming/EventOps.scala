@@ -16,11 +16,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventOps {
 
   /** Tumbling-window counts/sums per event type. On a stream add
-    * `.withWatermark("ts", ...)` upstream; the aggregation is identical. */
+    * `.withWatermark("ts", ...)` upstream; the aggregation is identical.
+    * Sums go through decimal(18,2) partials like [[sessionizeBatch]]'s —
+    * raw double partials are accumulation-order-dependent, so the
+    * streamed totals could differ from the batch in the last ulp. */
   def windowedAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
       .select(
         unix_micros(col("w.start")).as("win_start_us"),
         col("event_type"), col("n"), col("total_value"))
@@ -36,7 +41,17 @@ object EventOps {
                            end_us: Long, n_events: Long, total_value: Double)
   /** Open-session state: (sessionStart, lastTs, count, total). Tuple, not
     * case class — nested-case-class state trips Janino codegen. */
-  private type SessState = (Long, Long, Long, Double)
+  // (start_us, last_us, n_events, total_CENTS): values accumulate as
+  // integer cents — the exact state the batch's decimal(18,2) partials
+  // hold — so streamed totals equal the batch bit-for-bit for ANY double
+  // inputs, not just 2-decimal ones (raw double accumulation diverged
+  // from the batch's per-element HALF_UP rounding, e.g. value = 0.125)
+  private type SessState = (Long, Long, Long, Long)
+
+  /** One value as integer cents, rounded exactly like Spark's
+    * double→decimal(18,2) cast (HALF_UP over the shortest-decimal form). */
+  private def cents(v: Double): Long =
+    (BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
 
   /** Timestamp → epoch micros. `floorDiv`, not `/`: for pre-epoch
     * timestamps `getTime` is negative and `/` truncates toward zero,
@@ -114,16 +129,16 @@ object EventOps {
             val us = epochMicros(e.ts)
             cur match {
               case Some((start, last, n, total)) if us - last <= SessionGapUs =>
-                cur = Some((start, us, n + 1, total + e.value))
+                cur = Some((start, us, n + 1, total + cents(e.value)))
               case other =>
                 other.foreach(done += _)
-                cur = Some((us, us, 1L, e.value))
+                cur = Some((us, us, 1L, cents(e.value)))
             }
           }
           state.update(cur.toList)
           // emit closed sessions; session_id = start-time surrogate
           done.result().iterator.map { case (start, last, n, total) =>
-            Session(user, start, start, last, n, total)
+            Session(user, start, start, last, n, total / 100.0)
           }
       }
   }
@@ -145,7 +160,7 @@ object EventOps {
         (user: Long, it: Iterator[Event], state: GroupState[List[SessState]]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.getOrElse(Nil).map {
-              case (start, last, n, total) => Session(user, start, start, last, n, total)
+              case (start, last, n, total) => Session(user, start, start, last, n, total / 100.0)
             }
             state.remove()
             out.iterator
@@ -158,10 +173,10 @@ object EventOps {
               val us = epochMicros(e.ts)
               cur match {
                 case Some((start, last, n, total)) if us - last <= SessionGapUs =>
-                  cur = Some((start, us, n + 1, total + e.value))
+                  cur = Some((start, us, n + 1, total + cents(e.value)))
                 case other =>
                   other.foreach(done += _)
-                  cur = Some((us, us, 1L, e.value))
+                  cur = Some((us, us, 1L, cents(e.value)))
               }
             }
             state.update(cur.toList)
@@ -170,7 +185,7 @@ object EventOps {
               state.setTimeoutTimestamp(last / 1000 + SessionGapUs / 1000)
             }
             done.result().iterator.map { case (start, last, n, total) =>
-              Session(user, start, start, last, n, total)
+              Session(user, start, start, last, n, total / 100.0)
             }
           }
       }
@@ -417,10 +432,13 @@ object EventOps {
   def funnelCounts(events: DataFrame, boundMinutes: Int = 120): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bUs = boundMinutes * 60L * 1000000L
-    val w = Window.partitionBy("user_id").orderBy("us")
+    // event_id tiebreak: equal-timestamp events otherwise sort
+    // nondeterministically in the rows frame, and the streaming twin
+    // already orders by (us, event_id)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val prev = w.rowsBetween(Window.unboundedPreceding, -1)
     events
-      .select(col("user_id"), col("event_type"),
+      .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("us"))
       .withColumn("last_view",
         max(when(col("event_type") === "view", col("us"))).over(prev))
@@ -464,8 +482,11 @@ object EventOps {
         (user: Long, it: Iterator[Event],
          state: GroupState[(Long, Long, Long)]) =>
           val sorted = it.toVector.sortBy(e => (epochMicros(e.ts), e.event_id))
+          // Long.MinValue = "none yet": a 0L sentinel made events AT or
+          // BEFORE the epoch (us <= 0) unable to qualify later stages,
+          // silently breaking batch/stream parity for pre-epoch data
           var (lastView, lastQClick, stage) =
-            state.getOption.getOrElse((0L, 0L, 0L))
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0L))
           val out = Vector.newBuilder[FunnelStage]
           def reach(s: Long): Unit = if (s > stage) {
             stage = s; out += FunnelStage(user, s)
@@ -475,9 +496,9 @@ object EventOps {
             e.event_type match {
               case "view" =>
                 lastView = us; reach(1L)
-              case "click" if lastView > 0L && us - lastView <= bUs =>
+              case "click" if lastView != Long.MinValue && us - lastView <= bUs =>
                 lastQClick = us; reach(2L)
-              case "purchase" if lastQClick > 0L && us - lastQClick <= bUs =>
+              case "purchase" if lastQClick != Long.MinValue && us - lastQClick <= bUs =>
                 reach(3L)
               case _ =>
             }

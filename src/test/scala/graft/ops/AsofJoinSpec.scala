@@ -85,6 +85,24 @@ class AsofJoinSpec extends SparkTestBase {
       Map(10L -> Some(21L), 11L -> None, 12L -> None))
   }
 
+  test("nearest with allowExactMatches=false excludes the equal-ts row on BOTH legs") {
+    // right rows at t-5, t, t+10: with exact matches excluded, the
+    // nearest must be t-5 (distance 5 beats 10), never the equal-ts row
+    // — which previously leaked through the forward frame at distance 0
+    val l = leftDf((1L, 100L, 1L))
+    val r = rightDf((1L, 95L, 95L), (1L, 100L, 100L), (1L, 110L, 110L))
+    assert(run(l, r, dir = AsofJoinOps.Nearest, exact = false) ==
+      Map(1L -> Some(95L)))
+    // with ONLY the equal-ts and a later row, nearest-no-exact takes the later
+    val r2 = rightDf((1L, 100L, 100L), (1L, 110L, 110L))
+    assert(run(l, r2, dir = AsofJoinOps.Nearest, exact = false) ==
+      Map(1L -> Some(110L)))
+    // with ONLY the equal-ts row, there is no match at all
+    val r3 = rightDf((1L, 100L, 100L))
+    assert(run(l, r3, dir = AsofJoinOps.Nearest, exact = false) ==
+      Map(1L -> None))
+  }
+
   test("nearest equal-distance tie prefers backward") {
     val l = leftDf((1, 100, 10))
     val r = rightDf((1, 90, 20), (1, 110, 21))
