@@ -15,6 +15,14 @@ import org.apache.spark.sql.types._
 case class LshSign(child: Expression, planesFlat: Array[Double], dim: Int)
     extends UnaryExpression {
 
+  require(dim >= 1, s"lsh_sign: dim must be positive, got $dim")
+  require(planesFlat.length % dim == 0,
+    s"lsh_sign: planesFlat length ${planesFlat.length} is not a multiple " +
+      s"of dim $dim — a remainder plane would be silently dropped")
+  require(planesFlat.length / dim <= 64,
+    s"lsh_sign: ${planesFlat.length / dim} planes exceed the 64-bit " +
+      "signature — (1L << p) would wrap and alias sign bits")
+
   private def numPlanes: Int = planesFlat.length / dim
 
   override def dataType: DataType = LongType

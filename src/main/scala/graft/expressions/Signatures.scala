@@ -221,24 +221,33 @@ object SignatureParams {
 object SignatureFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    // strict arity: silently ignoring extra arguments would let
+    // `minhash_signature(hs, 32)` compute the 64-hash default while the
+    // user believes they parameterized it
+    def only(fn: String, children: Seq[Expression]): Expression = {
+      if (children.length != 1) throw new IllegalArgumentException(
+        s"$fn takes exactly 1 argument, got ${children.length}")
+      children.head
+    }
     val mh = FunctionIdentifier("minhash_signature")
     if (!registry.functionExists(mh)) {
       registry.registerFunction(mh,
         new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
         (children: Seq[Expression]) =>
-          MinHashSignature(children.head, SignatureParams.NumHashes))
+          MinHashSignature(only("minhash_signature", children),
+            SignatureParams.NumHashes))
     }
     val sh = FunctionIdentifier("simhash64")
     if (!registry.functionExists(sh)) {
       registry.registerFunction(sh,
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        (children: Seq[Expression]) => SimHash64(children.head))
+        (children: Seq[Expression]) => SimHash64(only("simhash64", children)))
     }
     val th = FunctionIdentifier("token_hashes")
     if (!registry.functionExists(th)) {
       registry.registerFunction(th,
         new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
-        (children: Seq[Expression]) => TokenHashes(children.head))
+        (children: Seq[Expression]) => TokenHashes(only("token_hashes", children)))
     }
     // SQL forms take foldable literals for the non-column parameters:
     //   word_gram_hashes(toks, 3[, false]), stopword_hits(toks, array('the',...))

@@ -74,6 +74,11 @@ object AggStoreRegistry {
                keys: Seq[String], measures: Seq[String],
                kinds: Seq[String] = Nil,
                countMeasure: Option[String] = None): Unit = {
+    // malformed length pairing would surface later as an
+    // IndexOutOfBounds inside the optimizer rule, failing unrelated
+    // queries at planning time — reject it at registration
+    require(kinds.isEmpty || kinds.length == measures.length,
+      s"kinds (${kinds.length}) must pair 1:1 with measures (${measures.length})")
     require(countMeasure.forall(cm =>
       measures.contains(cm) && (kinds.isEmpty ||
         kinds(measures.indexOf(cm)) == "sum")),
@@ -111,7 +116,13 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     p match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.headOption.map(_.toString -> Nil)
+          // exactly ONE root path: a multi-path scan whose first root is
+          // the registered fact would otherwise rewrite to the store and
+          // silently drop every row under the other paths
+          fs.location.rootPaths match {
+            case Seq(only) => Some(only.toString -> Nil)
+            case _ => None
+          }
         case _ => None
       }
       case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -142,11 +153,16 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         .filter { case (reg, conds) =>
           groupNames.subsetOf(reg.keys.toSet) &&
-            // a key-only filter commutes with the rollup: every fact row
-            // it removes belongs wholly to removed groups, so it replays
-            // verbatim against the store; any other column disqualifies
-            conds.forall(_.references.toSeq
-              .forall(a => reg.keys.contains(a.name)))
+            // a key-only DETERMINISTIC filter commutes with the rollup:
+            // every fact row it removes belongs wholly to removed
+            // groups, so it replays verbatim against the store. Any
+            // other column disqualifies — and so does non-determinism
+            // (rand() < 0.5 references no column at all, vacuously
+            // passing the keys-only check, yet replaying it against the
+            // store keeps/drops whole groups' full sums instead of
+            // sampling fact rows)
+            conds.forall(c => c.deterministic &&
+              c.references.toSeq.forall(a => reg.keys.contains(a.name)))
         }
         // several rollups may cover one fact table: first answerer wins
         .iterator.map { case (reg, conds) =>
@@ -161,6 +177,11 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Option[LogicalPlan] = {
     val exact = groupNames == reg.keys.toSet
+    // Deliberately NOT memoized per registration: a cached analyzed plan
+    // would pin the store's FILE LISTING, silently serving a stale
+    // snapshot after mergeIntoAggStore rewrites buckets (refreshByPath
+    // cannot reach a private memo). One listing per MATCHED aggregate is
+    // the price of always serving the current store.
     val storePlan = spark.read.parquet(reg.storePath)
       .queryExecution.analyzed
     def storeAttr(name: String): Option[AttributeReference] =

@@ -72,6 +72,51 @@ object PipelineOps {
       .select(col("doc_id"), col("sig"), col("hs"))
   }
 
+  /** The 16-way band explode over an md5 signature frame — ONE
+    * definition for the three md5-twin LSH gates (minhash_lsh_md5,
+    * minhash_inc_md5, minhash_merge_md5), so their band arithmetic can
+    * never desynchronize. */
+  private def md5Bands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until DedupOps.NumBands).map(j =>
+        concat_ws("_", (0 until DedupOps.BandRows).map(r =>
+          element_at(col("sig"), j * DedupOps.BandRows + r + 1)): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+
+  /** The shared candidate → estimator → exact set-overlap verify tail of
+    * the md5-twin LSH gates: band equi-join of `oldBands` × `newBands`,
+    * ≥ NumHashes/2 estimator filter, jaccard from the distinct-gram
+    * sets. `selfPairs` adds the `oldId < newId` half-matrix filter for
+    * the single-corpus self-join form. Output columns: (oldId, newId,
+    * n_match, n_shared, jaccard). */
+  private def md5PairPipeline(oldBands: DataFrame, newBands: DataFrame,
+                              oldSets: DataFrame, newSets: DataFrame,
+                              oldId: String, newId: String,
+                              selfPairs: Boolean = false): DataFrame = {
+    val joined = oldBands.select(col("band"), col("key"),
+        col("doc_id").as(oldId), col("sig").as("__so"))
+      .join(newBands.select(col("band"), col("key"),
+        col("doc_id").as(newId), col("sig").as("__sn")), Seq("band", "key"))
+    val half = if (selfPairs) joined.filter(col(oldId) < col(newId)) else joined
+    val cand = half
+      .select(oldId, newId, "__so", "__sn")
+      .dropDuplicates(oldId, newId)
+      .withColumn("n_match",
+        aggregate(zip_with(col("__so"), col("__sn"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      .filter(col("n_match") >= (DedupOps.NumHashes / 2))
+      .select(oldId, newId, "n_match")
+    cand
+      .join(oldSets.select(col("doc_id").as(oldId), col("hs").as("__ho")), oldId)
+      .join(newSets.select(col("doc_id").as(newId), col("hs").as("__hn")), newId)
+      .withColumn("n_shared",
+        size(array_intersect(col("__ho"), col("__hn"))).cast("long"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (size(col("__ho")) + size(col("__hn")) - col("n_shared")).cast("double"))
+      .select(oldId, newId, "n_match", "n_shared", "jaccard")
+  }
+
   /** DuckDB twin of [[md5Signatures]]: CTEs ending in
     * `sig(doc_id, k, s)` (per-permutation minima) and `h(doc_id, h)`
     * (distinct gram hashes), with the SAME SignatureParams permutation
@@ -225,34 +270,11 @@ object PipelineOps {
       // same plan shape as DedupOps.minhashPairs: narrow signature map →
       // 16-way band explode → shuffle on (band, key) → self-equi-join →
       // distinct pairs → estimator filter → set-overlap verify join
-      val bands = staged.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until DedupOps.NumBands).map(j =>
-          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
-            element_at(col("sig"), j * DedupOps.BandRows + r + 1)): _*)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      val l = bands.select(col("band"), col("key"),
-        col("doc_id").as("id_a"), col("sig").as("sa"))
-      val r = bands.select(col("band"), col("key"),
-        col("doc_id").as("id_b"), col("sig").as("sb"))
-      val cand = l.join(r, Seq("band", "key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("n_match",
-          aggregate(zip_with(col("sa"), col("sb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, x) => acc + x))
-        .filter(col("n_match") >= (DedupOps.NumHashes / 2))
-        .select("id_a", "id_b", "n_match")
+      // (md5Bands/md5PairPipeline — shared with the inc/merge gates)
+      val bands = md5Bands(staged)
       val sets = staged.select(col("doc_id"), col("hs"))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b")
-        .withColumn("n_shared",
-          size(array_intersect(col("ha"), col("hb"))).cast("long"))
-        .withColumn("jaccard", col("n_shared").cast("double") /
-          (size(col("ha")) + size(col("hb")) - col("n_shared")).cast("double"))
-        .select("id_a", "id_b", "n_match", "n_shared", "jaccard")
+      md5PairPipeline(bands, bands, sets, sets, "id_a", "id_b",
+        selfPairs = true)
     },
 
     // ---- The INCREMENTAL machinery under the oracle: same md5 band keys
@@ -300,44 +322,20 @@ object PipelineOps {
     ) { (s, dir) =>
       import graft.ops.LayoutOps
       val staged = md5Signatures(s, dir).localCheckpoint(true)
-      def bandsOf(sig: DataFrame) = sig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until DedupOps.NumBands).map(j =>
-          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
-            element_at(col("sig"), j * DedupOps.BandRows + r + 1)): _*)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       val isDelta = pmod(col("doc_id"), lit(5)) === 0
       val base = java.nio.file.Files
         .createTempDirectory("graft-fpmd5").toString
-      LayoutOps.writeBucketed(bandsOf(staged.filter(!isDelta)), s,
+      LayoutOps.writeBucketed(md5Bands(staged.filter(!isDelta)), s,
         "graft_fpmd5_bands", s"$base/bands", 32, "band", "key")
       LayoutOps.writeBucketed(
         staged.filter(!isDelta).select(col("doc_id"), col("hs")), s,
         "graft_fpmd5_sets", s"$base/sets", 32, "doc_id")
       val deltaStaged = staged.filter(isDelta)
-      val cand = s.table("graft_fpmd5_bands")
-        .select(col("band"), col("key"),
-          col("doc_id").as("id_old"), col("sig").as("so"))
-        .join(bandsOf(deltaStaged).select(col("band"), col("key"),
-          col("doc_id").as("id_new"), col("sig").as("sn")),
-          Seq("band", "key"))
-        .select("id_old", "id_new", "so", "sn")
-        .dropDuplicates("id_old", "id_new")
-        .withColumn("n_match",
-          aggregate(zip_with(col("so"), col("sn"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, x) => acc + x))
-        .filter(col("n_match") >= (DedupOps.NumHashes / 2))
-        .select("id_old", "id_new", "n_match")
-      cand
-        .join(s.table("graft_fpmd5_sets")
-          .select(col("doc_id").as("id_old"), col("hs").as("ho")), "id_old")
-        .join(deltaStaged
-          .select(col("doc_id").as("id_new"), col("hs").as("hn")), "id_new")
-        .withColumn("n_shared",
-          size(array_intersect(col("ho"), col("hn"))).cast("long"))
-        .withColumn("jaccard", col("n_shared").cast("double") /
-          (size(col("ho")) + size(col("hn")) - col("n_shared")).cast("double"))
-        .select("id_old", "id_new", "n_match", "n_shared", "jaccard")
+      md5PairPipeline(
+        s.table("graft_fpmd5_bands"), md5Bands(deltaStaged),
+        s.table("graft_fpmd5_sets"),
+        deltaStaged.select(col("doc_id"), col("hs")),
+        "id_old", "id_new")
     },
 
     // ---- The STORE-MERGE loop step under the oracle — the one
@@ -388,51 +386,27 @@ object PipelineOps {
     ) { (s, dir) =>
       import graft.ops.LayoutOps
       val staged = md5Signatures(s, dir).localCheckpoint(true)
-      def bandsOf(sig: DataFrame) = sig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until DedupOps.NumBands).map(j =>
-          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
-            element_at(col("sig"), j * DedupOps.BandRows + r + 1)): _*)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       val m5 = pmod(col("doc_id"), lit(5))
       val base = java.nio.file.Files
         .createTempDirectory("graft-fpmrg").toString
       // seed: 60% of the corpus in one bucketed write
-      LayoutOps.writeBucketed(bandsOf(staged.filter(m5 >= 2)), s,
+      LayoutOps.writeBucketed(md5Bands(staged.filter(m5 >= 2)), s,
         "graft_fpmrg_bands", s"$base/bands", 32, "band", "key")
       LayoutOps.writeBucketed(
         staged.filter(m5 >= 2).select(col("doc_id"), col("hs")), s,
         "graft_fpmrg_sets", s"$base/sets", 32, "doc_id")
       // merge: fold the accepted 20% wave into the SAME tables
-      LayoutOps.appendBucketed(bandsOf(staged.filter(m5 === 1)), s,
+      LayoutOps.appendBucketed(md5Bands(staged.filter(m5 === 1)), s,
         "graft_fpmrg_bands")
       LayoutOps.appendBucketed(
         staged.filter(m5 === 1).select(col("doc_id"), col("hs")), s,
         "graft_fpmrg_sets")
       val deltaStaged = staged.filter(m5 === 0)
-      val cand = s.table("graft_fpmrg_bands")
-        .select(col("band"), col("key"),
-          col("doc_id").as("id_old"), col("sig").as("so"))
-        .join(bandsOf(deltaStaged).select(col("band"), col("key"),
-          col("doc_id").as("id_new"), col("sig").as("sn")),
-          Seq("band", "key"))
-        .select("id_old", "id_new", "so", "sn")
-        .dropDuplicates("id_old", "id_new")
-        .withColumn("n_match",
-          aggregate(zip_with(col("so"), col("sn"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, x) => acc + x))
-        .filter(col("n_match") >= (DedupOps.NumHashes / 2))
-        .select("id_old", "id_new", "n_match")
-      cand
-        .join(s.table("graft_fpmrg_sets")
-          .select(col("doc_id").as("id_old"), col("hs").as("ho")), "id_old")
-        .join(deltaStaged
-          .select(col("doc_id").as("id_new"), col("hs").as("hn")), "id_new")
-        .withColumn("n_shared",
-          size(array_intersect(col("ho"), col("hn"))).cast("long"))
-        .withColumn("jaccard", col("n_shared").cast("double") /
-          (size(col("ho")) + size(col("hn")) - col("n_shared")).cast("double"))
-        .select("id_old", "id_new", "n_match", "n_shared", "jaccard")
+      md5PairPipeline(
+        s.table("graft_fpmrg_bands"), md5Bands(deltaStaged),
+        s.table("graft_fpmrg_sets"),
+        deltaStaged.select(col("doc_id"), col("hs")),
+        "id_old", "id_new")
     },
 
     // ---- SimHash under the oracle — the last signature family with no
