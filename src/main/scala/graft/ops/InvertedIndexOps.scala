@@ -50,11 +50,16 @@ object InvertedIndexOps {
   def searchAllTerms(spark: SparkSession, table: String,
                      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAllTerms needs at least one term")
+    // normalize like the postings themselves (DedupOps.tokens
+    // lowercases) and dedup: a verbatim "Batch" would match nothing,
+    // and a duplicated term would demand more distinct matches than
+    // can exist — both silently empty, not errors
+    val qs = terms.map(_.toLowerCase).distinct
     spark.table(table)
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(qs: _*))
       .groupBy("doc_id")
       .agg(countDistinct("term").as("__k"))
-      .filter(col("__k") === terms.size)
+      .filter(col("__k") === qs.size)
       .select("doc_id")
   }
 }

@@ -33,15 +33,23 @@ object QualityOps {
   def satisfies(name: String, pred: Column): DqRule =
     DqRule(name, sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)))
 
-  /** Duplicate rows by `c`: count − count(distinct). */
+  /** Duplicate rows by `c`: non-null count − count(distinct). Both sides
+    * of the subtraction ignore nulls (SQL UNIQUE semantics: nulls are
+    * distinct), so a nullable-but-unique column doesn't report its null
+    * count as phantom duplicates — pair with [[notNull]] when nulls
+    * themselves should fail. */
   def unique(c: String): DqRule =
-    DqRule(s"$c.unique", count(lit(1)) - countDistinct(col(c)))
+    DqRule(s"$c.unique", count(col(c)) - countDistinct(col(c)))
 
   /** Run all row-local rules in one aggregation pass over `df`. */
   def validate(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
-    val aggd = df.agg(rules.head.violations.as(rules.head.name),
-      rules.tail.map(r => r.violations.as(r.name)): _*)
+    // coalesce: sum() over ZERO rows is null — an empty table has zero
+    // violations and must gate as pass=true, not a null that a
+    // !pass filter silently drops
+    val aggd = df.agg(
+      coalesce(rules.head.violations, lit(0L)).as(rules.head.name),
+      rules.tail.map(r => coalesce(r.violations, lit(0L)).as(r.name)): _*)
     aggd
       // backtick-quoted: rule names contain dots, which col() would
       // otherwise parse as struct-field paths
@@ -51,14 +59,20 @@ object QualityOps {
   }
 
   /** Referential integrity: `fact.factCol ⊆ dim.dimCol` (null fact keys
-    * are orphans too — a null FK never matches). One summary row. */
+    * are orphans too — a null FK never matches). One summary row.
+    * `broadcastDim = false` drops the hint for big dimensions (a forced
+    * broadcast of a billion-row entity table OOMs the driver; the
+    * shuffle anti-join is the right plan there). */
   def refIntegrity(fact: DataFrame, factCol: String,
                    dim: DataFrame, dimCol: String,
-                   name: String): DataFrame =
+                   name: String,
+                   broadcastDim: Boolean = true): DataFrame = {
+    val dimKeys = dim.select(col(dimCol).as(factCol))
     fact.select(col(factCol))
-      .join(broadcast(dim.select(col(dimCol).as(factCol))), Seq(factCol),
+      .join(if (broadcastDim) broadcast(dimKeys) else dimKeys, Seq(factCol),
         "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit(name).as("rule"), col("violations"),
         (col("violations") === 0L).as("pass"))
+  }
 }

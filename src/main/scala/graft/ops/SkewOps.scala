@@ -10,16 +10,34 @@ import org.apache.spark.sql.functions._
   * combines the per-salt partials with a second, tiny aggregation — the
   * second shuffle moves only |keys|×buckets rows.
   *
-  * AQE's skew-join handling covers joins; this is the groupBy analog,
-  * applicable when the combine function is associative (sum/count/min/max).
+  * AQE's skew-join handling covers joins; this is the groupBy analog.
+  *
+  * The salt is DETERMINISTIC (content hash): a salt from
+  * `monotonically_increasing_id` changes when a lost shuffle map task is
+  * recomputed, so reducers that fetched the old output and reducers that
+  * fetch the replay see the same row under different salts — the
+  * double-count/drop correctness class of SPARK-23207, hit exactly at the
+  * executor-loss scale salting exists for. The content hash is stable
+  * across replays; its one caveat — byte-identical rows share a salt, so
+  * a hot key made of EXACT duplicates doesn't spread — is the acceptable
+  * trade (exact-duplicate volume belongs in a count column upstream).
   */
 object SkewOps {
 
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets))
+
+  /** Salted two-phase aggregation for functions that are their OWN
+    * combine (idempotent-merge monoids: sum, min, max — applying the
+    * function to partials yields the total). NOT for count: re-counting
+    * partials counts partial ROWS (≤ saltBuckets per key), not input
+    * rows — use [[saltedCount]], whose combine is the sum of partial
+    * counts. Avg and other non-monoid shapes need their own
+    * sufficient-statistics decomposition. */
   def saltedAgg(df: DataFrame, keyCols: Seq[String],
                 aggs: Seq[(String, Column => Column)], valueCol: String => Column,
                 saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("__salt", contentSalt(df, saltBuckets))
     val partials = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(aggs.head._2(valueCol(aggs.head._1)).as(s"p_${aggs.head._1}"),
@@ -33,8 +51,7 @@ object SkewOps {
   /** Salted count per key — combine = sum of partial counts. */
   def saltedCount(df: DataFrame, keyCols: Seq[String],
                   out: String = "n", saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("__salt", contentSalt(df, saltBuckets))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__pn"))

@@ -284,7 +284,7 @@ object CurationOps {
       ScalableWindow
         .prefixSumExclusive(tk, Seq("doc_id"), col("n_tokens"), "__cum")
         .select(col("doc_id"), col("n_tokens"),
-          floor(col("__cum") / lit(512)).cast("long").as("seq_id"))
+          expr("__cum div 512").as("seq_id")) // integer div: float floor drifts past 2^53 cumulative tokens
     },
 
     // The FULL curation run composed in one query: quality gate
@@ -426,7 +426,7 @@ object CurationOps {
       ScalableWindow
         .prefixSumExclusive(train, Seq("doc_id"), col("n_tokens"), "__cum")
         .select(col("doc_id"), col("n_tokens"),
-          floor(col("__cum") / lit(512)).cast("long").as("seq_id"))
+          expr("__cum div 512").as("seq_id")) // integer div: float floor drifts past 2^53 cumulative tokens
     },
 
     // Global deterministic training-order shuffle: every doc gets a

@@ -332,8 +332,7 @@ object EventQueries {
     ) { (s, dir) =>
       import graft.ops.IncrementalAggOps
       import org.apache.spark.sql.expressions.Window
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-qstore").toString
+      val base = scratchDir("graft-qstore")
       val prepped = tEvents(s, dir).select(
         col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"),
@@ -438,8 +437,7 @@ object EventQueries {
         |FROM c GROUP BY 1""".stripMargin
     ) { (s, dir) =>
       import graft.ops.{IncrementalAggOps, SketchOps}
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-hdrstore").toString
+      val base = scratchDir("graft-hdrstore")
       def sketch(part: org.apache.spark.sql.DataFrame) =
         SketchOps.hdrBucketTable(part,
           col("event_type"), round(col("value") * 100).cast("long"))
@@ -773,11 +771,17 @@ object EventQueries {
         |FROM events e""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // min over a STRICTLY-LATER range frame, not lead(1): on duplicate
+      // (user_id, ts) rows lead gives one twin the other's identical ts
+      // and the later ts to an arbitrary one — nondeterministic and
+      // divergent from the oracle's correlated strictly-greater MIN,
+      // which closes BOTH twins at the same next ts
       val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+        .rangeBetween(1, Window.unboundedFollowing)
       tEvents(s, dir)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("valid_from_us"))
-        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("valid_to_us", min(col("valid_from_us")).over(w))
         .withColumn("is_current", col("valid_to_us").isNull)
     },
 
@@ -936,8 +940,7 @@ object EventQueries {
     ) { (s, dir) =>
       val ev = tEvents(s, dir)
         .withColumn("day", expr("unix_micros(ts) div 86400000000"))
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-hllstore").toString
+      val store = scratchDir("graft-hllstore")
       graft.ops.SketchOps.writeHllStore(
         ev.filter(col("day") % 3 =!= 0), store,
         Seq("event_type", "day"), col("user_id"))

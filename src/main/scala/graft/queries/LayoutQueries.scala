@@ -20,8 +20,7 @@ object LayoutQueries {
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(oracle))
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmp(prefix: String): String = scratchDir(prefix)
 
   val all: Seq[Q] = Seq(
     // Partitioned+salted write → partition-pruned read-back. The filter

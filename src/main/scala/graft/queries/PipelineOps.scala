@@ -166,8 +166,7 @@ object PipelineOps {
     // against minhashPairs in IncrementalDedupSpec).
     qq("dedup_incremental") { (s, dir) =>
       val docs = tDocs(s, dir)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-fp").toString
+      val base = scratchDir("graft-fp")
       DedupOps.writeFingerprintStore(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
         "graft_fp_bands", "graft_fp_sets", base)
@@ -323,8 +322,7 @@ object PipelineOps {
       import graft.ops.LayoutOps
       val staged = md5Signatures(s, dir).localCheckpoint(true)
       val isDelta = pmod(col("doc_id"), lit(5)) === 0
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-fpmd5").toString
+      val base = scratchDir("graft-fpmd5")
       LayoutOps.writeBucketed(md5Bands(staged.filter(!isDelta)), s,
         "graft_fpmd5_bands", s"$base/bands", 32, "band", "key")
       LayoutOps.writeBucketed(
@@ -387,8 +385,7 @@ object PipelineOps {
       import graft.ops.LayoutOps
       val staged = md5Signatures(s, dir).localCheckpoint(true)
       val m5 = pmod(col("doc_id"), lit(5))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-fpmrg").toString
+      val base = scratchDir("graft-fpmrg")
       // seed: 60% of the corpus in one bucketed write
       LayoutOps.writeBucketed(md5Bands(staged.filter(m5 >= 2)), s,
         "graft_fpmrg_bands", s"$base/bands", 32, "band", "key")
@@ -734,8 +731,7 @@ object PipelineOps {
       val emb = tEmbeddings(s, dir)
       val store = emb.filter(col("vec_id") % 5 =!= 0)
       val delta = emb.filter(col("vec_id") % 5 === 0)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-vstore").toString
+      val base = scratchDir("graft-vstore")
       val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
       VectorStoreOps.writeVectorStore(store, s, base, cents)
       VectorStoreOps.appendToVectorStore(delta, s, base)
@@ -787,8 +783,7 @@ object PipelineOps {
       val emb = tEmbeddings(s, dir)
       val store = emb.filter(col("vec_id") % 5 =!= 0)
       val delta = emb.filter(col("vec_id") % 5 === 0)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-vstore-q").toString
+      val base = scratchDir("graft-vstore-q")
       val cents = store.orderBy("vec_id").limit(8)
         .select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("cvec"))
@@ -844,8 +839,7 @@ object PipelineOps {
       val emb = tEmbeddings(s, dir)
       val store = emb.filter(col("vec_id") % 5 =!= 0)
       val delta = emb.filter(col("vec_id") % 5 === 0)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-vstore-f").toString
+      val base = scratchDir("graft-vstore-f")
       val cents = store.orderBy("vec_id").limit(8)
         .select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("cvec"))

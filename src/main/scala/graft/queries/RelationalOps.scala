@@ -649,8 +649,7 @@ object RelationalOps {
         |FROM orders GROUP BY 1""".stripMargin
     ) { (s, dir) =>
       import graft.ops.IncrementalAggOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-aggstore").toString
+      val base = scratchDir("graft-aggstore")
       val prepped = t(s, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"),
         lit(1L).as("n_orders"),
@@ -704,10 +703,8 @@ object RelationalOps {
         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY lang""".stripMargin
     ) { (s, dir) =>
       import graft.ops.{IncrementalAggOps, VersionedStoreOps}
-      val vbase = java.nio.file.Files
-        .createTempDirectory("graft-cdcroll-v").toString
-      val abase = java.nio.file.Files
-        .createTempDirectory("graft-cdcroll-a").toString
+      val vbase = scratchDir("graft-cdcroll-v")
+      val abase = scratchDir("graft-cdcroll-a")
       val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
       VersionedStoreOps.writeVersioned(
         docs.filter(col("doc_id") % 4 =!= 3)
@@ -754,8 +751,7 @@ object RelationalOps {
         |FROM orders GROUP BY 1""".stripMargin
     ) { (s, dir) =>
       import graft.ops.IncrementalAggOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-mmstore").toString
+      val base = scratchDir("graft-mmstore")
       val cents = round(col("o_totalprice") * 100).cast("long")
       val prepped = t(s, dir, "orders").select(
         col("o_orderkey"), col("o_orderpriority"),
@@ -790,8 +786,7 @@ object RelationalOps {
     ) { (s, dir) =>
       import graft.ops.IncrementalAggOps
       import graft.plans.AggStoreRegistry
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-aggrw").toString
+      val store = scratchDir("graft-aggrw")
       val factPath = s"$dir/lineitem.parquet"
       val li = s.read.parquet(factPath)
       val keys = Seq("l_returnflag", "l_linestatus")
@@ -827,8 +822,7 @@ object RelationalOps {
     ) { (s, dir) =>
       import graft.ops.IncrementalAggOps
       import graft.plans.AggStoreRegistry
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-aggrw2").toString
+      val store = scratchDir("graft-aggrw2")
       val factPath = s"$dir/lineitem.parquet"
       val li = s.read.parquet(factPath)
       val keys = Seq("l_returnflag", "l_linestatus")
@@ -915,8 +909,7 @@ object RelationalOps {
         |GROUP BY 1""".stripMargin
     ) { (s, dir) =>
       import graft.ops.IncrementalJoinOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-jview").toString
+      val base = scratchDir("graft-jview")
       val a = t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_orderpriority"))
       val b = t(s, dir, "lineitem")
@@ -970,8 +963,7 @@ object RelationalOps {
         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY lang""".stripMargin
     ) { (s, dir) =>
       import graft.ops.DocStoreOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-docstore").toString
+      val base = scratchDir("graft-docstore")
       val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
       DocStoreOps.writeDocStore(
         docs.filter(col("doc_id") % 4 =!= 3)
@@ -1025,10 +1017,8 @@ object RelationalOps {
         |FROM ok WHERE NOT v""".stripMargin
     ) { (s, dir) =>
       import graft.ops.DocStoreOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-docstore-chk").toString
-      val quarantine = java.nio.file.Files
-        .createTempDirectory("graft-docstore-dlq").toString
+      val base = scratchDir("graft-docstore-chk")
+      val quarantine = scratchDir("graft-docstore-dlq")
       val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
       DocStoreOps.writeDocStore(
         docs.filter(col("doc_id") % 4 =!= 3)
@@ -1059,8 +1049,7 @@ object RelationalOps {
         |WHERE doc_id % 97 = 0""".stripMargin
     ) { (s, dir) =>
       import graft.ops.DocStoreOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-docstore-lk").toString
+      val base = scratchDir("graft-docstore-lk")
       val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
       DocStoreOps.writeDocStore(
         docs.withColumn("seq", col("doc_id")),
@@ -1101,8 +1090,7 @@ object RelationalOps {
         |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY lang""".stripMargin
     ) { (s, dir) =>
       import graft.ops.VersionedStoreOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-vstore-tt").toString
+      val base = scratchDir("graft-vstore-tt")
       val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
       VersionedStoreOps.writeVersioned(
         docs.filter(col("doc_id") % 4 =!= 3)
@@ -1157,8 +1145,7 @@ object RelationalOps {
         |GROUP BY 1""".stripMargin
     ) { (s, dir) =>
       import graft.ops.VersionedStoreOps
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-vstore-diff").toString
+      val base = scratchDir("graft-vstore-diff")
       val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
       VersionedStoreOps.writeVersioned(
         docs.filter(col("doc_id") % 4 =!= 3)

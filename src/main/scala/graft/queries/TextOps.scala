@@ -538,8 +538,7 @@ object TextOps {
     ) { (s, dir) =>
       import graft.ops.InvertedIndexOps
       val docs = tDocs(s, dir)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-tidx").toString
+      val base = scratchDir("graft-tidx")
       InvertedIndexOps.writeTextIndex(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
         "graft_text_idx", base)

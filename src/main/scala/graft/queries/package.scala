@@ -26,6 +26,35 @@ package object queries {
   /** Exact decimal type used for money-ish doubles in the test tables. */
   val D: DecimalType = DecimalType(18, 2)
 
+  /** A scratch directory that is RECLAIMED at JVM exit: store-backed
+    * gate queries (agg/doc/vector/fingerprint stores) materialize a
+    * complete store per invocation, and bare `createTempDirectory` dirs
+    * accumulated unbounded /tmp usage over long verify/bench campaigns.
+    * One shutdown hook sweeps everything registered here. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    ScratchDirs.register(p)
+    p.toString
+  }
+
+  private object ScratchDirs {
+    private val dirs =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
+      new Thread(() => {
+        dirs.forEach { d =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(d).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: Throwable => })
+          } catch { case _: Throwable => }
+        }
+      }, "graft-scratch-sweep"))
+    def register(p: java.nio.file.Path): Unit = { hook; dirs.add(p) }
+  }
+
   /** Order-insensitive exact sum of a double column: decimal-exact partials,
     * one final correctly-rounded cast to double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")

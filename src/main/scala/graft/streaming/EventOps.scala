@@ -432,13 +432,15 @@ object EventOps {
   def funnelCounts(events: DataFrame, boundMinutes: Int = 120): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bUs = boundMinutes * 60L * 1000000L
-    // event_id tiebreak: equal-timestamp events otherwise sort
-    // nondeterministically in the rows frame, and the streaming twin
-    // already orders by (us, event_id)
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    // RANGE frame ending at -1 µs: each step must be STRICTLY earlier
+    // than the next (the oracle's v.ts < c.ts < p.ts) — a rows frame
+    // would let a same-microsecond view qualify a click, diverging from
+    // the oracle and depending on tie order; the range frame is also
+    // deterministic under ties without any tiebreak column
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val prev = w.rangeBetween(Window.unboundedPreceding, -1)
     events
-      .select(col("user_id"), col("event_type"), col("event_id"),
+      .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("last_view",
         max(when(col("event_type") === "view", col("us"))).over(prev))
@@ -496,9 +498,11 @@ object EventOps {
             e.event_type match {
               case "view" =>
                 lastView = us; reach(1L)
-              case "click" if lastView != Long.MinValue && us - lastView <= bUs =>
+              case "click" if lastView != Long.MinValue && us > lastView &&
+                  us - lastView <= bUs =>
                 lastQClick = us; reach(2L)
-              case "purchase" if lastQClick != Long.MinValue && us - lastQClick <= bUs =>
+              case "purchase" if lastQClick != Long.MinValue && us > lastQClick &&
+                  us - lastQClick <= bUs =>
                 reach(3L)
               case _ =>
             }
