@@ -28,9 +28,20 @@ class QualitySpec extends SparkTestBase {
     assert(out("k.not_null") == ((1L, false)))
     // -3.0 violates, the NULL v violates (pred not TRUE), 10 and 5 pass
     assert(out("v.non_negative") == ((2L, false)))
-    // k values: 1, 2, 2, null → count 4, distinct non-null {1,2} = 2;
-    // countDistinct ignores null, count(*) includes it → 2 "dupes"
-    assert(out("k.unique") == ((2L, false)))
+    // k values: 1, 2, 2, null → non-null count 3, distinct {1,2} = 2:
+    // exactly ONE genuine duplicate. SQL UNIQUE semantics — the null is
+    // NOT a phantom dupe (pair with notNull when nulls should fail)
+    assert(out("k.unique") == ((1L, false)))
+    // a unique-but-nullable column passes cleanly
+    val nullsOnly = Seq(Some(1L), Some(2L), Option.empty[Long]).toDF("k")
+    val u = QualityOps.validate(nullsOnly, Seq(QualityOps.unique("k")))
+      .collect().head
+    assert(u.getLong(1) == 0L && u.getBoolean(2),
+      "nulls alone must not report duplicates")
+    // and an EMPTY table gates pass=true with zero violations, not null
+    val empty = QualityOps.validate(nullsOnly.limit(0),
+      Seq(QualityOps.notNull("k"), QualityOps.unique("k"))).collect()
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
   }
 
   test("refIntegrity counts orphans including NULL foreign keys") {
