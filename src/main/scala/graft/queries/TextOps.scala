@@ -484,10 +484,13 @@ object TextOps {
 
     // Vocabulary induction (the tokenizer-training primitive): top-V
     // tokens by corpus frequency with a deterministic tie-break, plus
-    // the OOV rate that vocab leaves (ppm, integer division). The rank
-    // window rides the AGGREGATED token-count frame (|vocab| rows, never
-    // the corpus — the a_rev_share bounded-domain pattern; a petabyte
-    // corpus still aggregates to its vocabulary first).
+    // the OOV rate that vocab leaves (ppm, integer division). No global
+    // window anywhere: the top-V frame comes from a distributed top-k
+    // (orderBy+limit → TakeOrderedAndProject, per-partition heaps), the
+    // rank is a broadcast self-join over the ≤V-row result, and oov_ppm
+    // is plain scalar-agg arithmetic (total_tf − top_tf). A crawl-scale
+    // corpus has an unbounded unique-token tail; none of it ever
+    // funnels through a single task here.
     q(
       "tok_vocab",
       """WITH t AS (
@@ -506,18 +509,27 @@ object TextOps {
         |SELECT token, tf, rank, (SELECT oov_ppm FROM ov) AS oov_ppm
         |FROM rk WHERE rank <= 10""".stripMargin
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val tc = tDocs(s, dir)
         .select(explode(graft.ops.DedupOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("tf"))
-      val rk = tc.withColumn("rank",
-        row_number().over(Window.orderBy(desc("tf"), col("token")))
-          .cast("long"))
-      val ov = rk.agg(expr(
-        "cast(sum(case when rank > 10 then tf else 0 end) * 1000000" +
-          " div sum(tf) as bigint)").as("oov_ppm"))
-      rk.filter(col("rank") <= 10)
-        .crossJoin(broadcast(ov))
+      // Distributed top-k: per-partition heaps, no global sort, no window.
+      val top = tc.orderBy(desc("tf"), col("token")).limit(10)
+      // Rank inside the bounded top frame = 1 + |rows strictly ahead|,
+      // via a broadcast self-join (≤V×V on a tiny frame).
+      val ahead = top.select(col("token").as("t2"), col("tf").as("tf2"))
+      val rk = top.join(
+          broadcast(ahead),
+          col("tf2") > col("tf") ||
+            (col("tf2") === col("tf") && col("t2") < col("token")),
+          "left")
+        .groupBy("token", "tf")
+        .agg((count(col("t2")) + 1).cast("long").as("rank"))
+      val ov = tc.agg(sum("tf").as("total_tf"))
+        .crossJoin(broadcast(top.agg(sum("tf").as("top_tf"))))
+        .select(expr(
+          "cast((total_tf - top_tf) * 1000000 div total_tf as bigint)")
+          .as("oov_ppm"))
+      rk.crossJoin(broadcast(ov))
         .select(col("token"), col("tf"), col("rank"), col("oov_ppm"))
         .orderBy("rank")
     },

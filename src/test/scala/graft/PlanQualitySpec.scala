@@ -85,11 +85,12 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("global-order queries carry no partition-less window") {
     Seq("a15_prefix_sum", "j5_lag_prev", "w1_lead_splits", "w4_rownum_range",
-      "a8_cdf", "bam_check_blocks")
+      "a8_cdf", "bam_check_blocks", "tok_vocab")
       .foreach { q =>
         val p = plan(q)
         // ScalableWindow partitions every window by the deterministic
-        // range-bucket id
+        // range-bucket id; tok_vocab is window-free by design (top-k via
+        // TakeOrderedAndProject + broadcast self-join rank)
         val bad = "windowspecdefinition\\((?!__swb)".r
         assert(bad.findFirstIn(p).isEmpty,
           s"$q has a window not partitioned by __swb:\n$p")
