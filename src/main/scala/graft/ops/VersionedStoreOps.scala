@@ -41,6 +41,21 @@ object VersionedStoreOps {
       .select("v", "bucket", "empty")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
 
+  /** None on a fresh base (no manifest), the rows otherwise. Every public
+    * entry point reads the manifest exactly ONCE through this and threads
+    * the array to the private helpers — r9's shape re-read it per helper
+    * (twice per apply, once per readVersion), and each read is a full
+    * Spark job; on the bench's store tier that was most of the fixed
+    * cost. The array is bounded by nBuckets × versions. */
+  private def readManifestOpt(spark: SparkSession, base: String): Option[Array[(Long, Int, Boolean)]] = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(base))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None else Some(readManifest(spark, base))
+  }
+
+  private def latest(manifest: Array[(Long, Int, Boolean)]): Long =
+    manifest.map(_._1).max
+
   private def appendManifest(spark: SparkSession, base: String,
                              rows: Seq[(Long, Int, Boolean)]): Unit = {
     import spark.implicits._
@@ -52,12 +67,8 @@ object VersionedStoreOps {
     * manifest means fresh — a transient read failure (object-store 503,
     * permission hiccup) must propagate, or applyChangesVersioned would
     * treat a live store as empty and destructively re-initialize v=0. */
-  def currentVersion(spark: SparkSession, base: String): Long = {
-    val mp = new org.apache.hadoop.fs.Path(manifestPath(base))
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp)) -1L
-    else readManifest(spark, base).map(_._1).max
-  }
+  def currentVersion(spark: SparkSession, base: String): Long =
+    readManifestOpt(spark, base).map(latest).getOrElse(-1L)
 
   /** Version 0: the initial rows (one per key, producing sequence in
     * `seqCol`), bucket-partitioned under `base/v=0`. Rejects a base that
@@ -77,27 +88,35 @@ object VersionedStoreOps {
   }
 
   /** Bucket → dir resolution for a snapshot: latest rewrite ≤ v per
-    * bucket, tombstones excluded. */
-  private def liveDirs(spark: SparkSession, base: String, v: Long): Seq[String] =
-    readManifest(spark, base)
+    * bucket, tombstones excluded. Pure — works on an already-read
+    * manifest array. */
+  private def liveDirs(manifest: Array[(Long, Int, Boolean)], base: String,
+                       v: Long): Seq[String] =
+    manifest
       .filter(_._1 <= v)
       .groupBy(_._2).toSeq
       .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
       .collect { case (bk, (ver, _, empty)) if !empty => s"$base/v=$ver/$BUCKET=$bk" }
 
-  /** The store AS OF version `v` (default: latest). Reads only the
-    * resolved bucket dirs — each bucket's single winning copy —
-    * filtering the delete tombstones those copies retain (see
-    * [[DocStoreOps]]: a tombstone carries the delete's sequence so
-    * later stale updates cannot resurrect the row). */
-  def readVersion(spark: SparkSession, base: String,
-                  v: Option[Long] = None): DataFrame = {
-    val ver = v.getOrElse(currentVersion(spark, base))
-    val dirs = liveDirs(spark, base, ver)
+  /** `readVersion` against an already-read manifest — no extra I/O. */
+  private def readVersionFrom(spark: SparkSession,
+                              manifest: Array[(Long, Int, Boolean)],
+                              base: String, v: Option[Long]): DataFrame = {
+    val ver = v.getOrElse(latest(manifest))
+    val dirs = liveDirs(manifest, base, ver)
     require(dirs.nonEmpty, s"version $ver has no data under $base")
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
       .filter(col(OP) =!= "D").drop(OP)
   }
+
+  /** The store AS OF version `v` (default: latest). Reads only the
+    * resolved bucket dirs — each bucket's single winning copy —
+    * filtering the delete tombstones those copies retain (see
+    * [[DocStoreOps]]: a tombstone carries the delete's sequence so
+    * later stale updates cannot resurrect the row). One manifest read. */
+  def readVersion(spark: SparkSession, base: String,
+                  v: Option[Long] = None): DataFrame =
+    readVersionFrom(spark, readManifest(spark, base), base, v)
 
   /** Apply a changes batch as a NEW version. Identical semantics to
     * [[DocStoreOps.applyChanges]]; the difference is purely physical —
@@ -106,7 +125,8 @@ object VersionedStoreOps {
   def applyChangesVersioned(changes: DataFrame, spark: SparkSession,
                             base: String, key: String, seqCol: String,
                             opCol: String, nBuckets: Int = 64): Long = {
-    val cur = currentVersion(spark, base)
+    val manifest = readManifest(spark, base) // the op's ONLY manifest read
+    val cur = latest(manifest)
     val next = cur + 1
     val winners = electWinners(
       withBucket(changes.withColumnRenamed(opCol, OP), key, nBuckets),
@@ -114,7 +134,7 @@ object VersionedStoreOps {
       .localCheckpoint(true)
     val touched = winners.select(BUCKET).distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets
-    val touchedDirs = readManifest(spark, base)
+    val touchedDirs = manifest
       .filter { case (ver, bk, _) => ver <= cur && touched.contains(bk) }
       .groupBy(_._2).toSeq
       .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
@@ -146,9 +166,10 @@ object VersionedStoreOps {
     * which the LWW election guarantees. */
   def diffVersions(spark: SparkSession, base: String, key: String,
                    seqCol: String, vFrom: Long, vTo: Long): DataFrame = {
-    val a = readVersion(spark, base, Some(vFrom))
+    val manifest = readManifest(spark, base) // shared by both snapshots
+    val a = readVersionFrom(spark, manifest, base, Some(vFrom))
       .select(col(key), col(seqCol).as("__seq_from"))
-    val b = readVersion(spark, base, Some(vTo))
+    val b = readVersionFrom(spark, manifest, base, Some(vTo))
       .select(col(key), col(seqCol).as("__seq_to"))
     a.join(b, Seq(key), "full_outer")
       .withColumn("change",
@@ -167,8 +188,9 @@ object VersionedStoreOps {
     * reads plus one key-partitioned full outer join. */
   def changeFeed(spark: SparkSession, base: String, key: String,
                  seqCol: String, vFrom: Long, vTo: Long): DataFrame = {
+    val manifest = readManifest(spark, base) // shared by both snapshots
     def packed(v: Long, as: String) = {
-      val df = readVersion(spark, base, Some(v))
+      val df = readVersionFrom(spark, manifest, base, Some(v))
       val payload = df.columns.filterNot(_ == key)
       df.select(col(key),
         struct(payload.map(col).toIndexedSeq: _*).as(as),
