@@ -78,13 +78,14 @@ object DedupOps {
     * computed once per row (multi-referenced aliases stay un-inlined),
     * and repartitioned first: signature computation is the compute-bound
     * narrow stage, so it must not be serialized into one input split. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 seam: HashSeam = productionSeam): DataFrame = {
     graft.expressions.SignatureFunctions.register(docs.sparkSession)
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(n)
       .withColumn("toks", tokens(col("text")))
-      .withColumn("hs", gramHashes(col("toks"), modPrime = true))
+      .withColumn("hs", seam.sigHashes(col("toks")))
       .withColumn("sig", call_function("minhash_signature", col("hs")))
       .select("id", "sig")
   }
@@ -134,20 +135,22 @@ object DedupOps {
     * incremental store/delta join ([[incrementalPairs]]) share the exact
     * same banding. */
   def bandFrame(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame =
-    signatures(docs, idCol, textCol).select(col("id"), col("sig"),
+                textCol: String = "text",
+                seam: HashSeam = productionSeam): DataFrame =
+    signatures(docs, idCol, textCol, seam).select(col("id"), col("sig"),
       posexplode(array((0 until NumBands).map(j =>
-        hash((0 until BandRows).map(r =>
-          element_at(col("sig"), j * BandRows + r + 1)): _*)): _*)))
+        seam.bandKey((0 until BandRows).map(r =>
+          element_at(col("sig"), j * BandRows + r + 1)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
 
   /** Per-doc distinct shingle-hash sets `(id, ss)` — the exact-verify
     * side of every MinHash pipeline (8-byte hashes, never gram strings). */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame =
+                  textCol: String = "text",
+                  seam: HashSeam = productionSeam): DataFrame =
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokens(col("text")))
-      .withColumn("ss", gramHashes(col("toks")))
+      .withColumn("ss", seam.setHashes(col("toks")))
       .select("id", "ss")
 
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
@@ -365,6 +368,31 @@ object DedupOps {
 
   // ---- Incremental dedup: new batch vs an existing fingerprint store ----
 
+  /** Oracle-twin hash seam. The production near-dup hashes (codegen'd
+    * xxhash64 grams, murmur3 `hash()` band keys) are not reproducible in
+    * the DuckDB oracle, so the `dedup_incremental_md5` gate runs the VERY
+    * SAME [[writeFingerprintStore]]/[[appendToFingerprintStore]]/
+    * [[incrementalPairs]] code with md5-derived hashes swapped in through
+    * this seam — the machinery under test is the production pipeline
+    * itself, not a parallel reimplementation.
+    *
+    *  - `sigHashes`: token array → distinct 31-bit gram hashes feeding
+    *    `minhash_signature`
+    *  - `setHashes`: token array → gram-hash set for the exact verify
+    *  - `bandKey`: the band's signature components → equi-join key
+    *    (production: one murmur3 `hash()`; twin: the decimal-string
+    *    concat both engines render identically)
+    */
+  final case class HashSeam(sigHashes: Column => Column,
+                            setHashes: Column => Column,
+                            bandKey: Seq[Column] => Column)
+
+  /** Production hashes: codegen'd xxhash64 grams, murmur3 band keys. */
+  val productionSeam: HashSeam = HashSeam(
+    toks => gramHashes(toks, modPrime = true),
+    toks => gramHashes(toks),
+    comps => hash(comps: _*))
+
   /** Persist a corpus' MinHash fingerprints as the two bucketed tables
     * [[incrementalPairs]] joins against:
     *
@@ -382,10 +410,11 @@ object DedupOps {
                             bandsTable: String, setsTable: String,
                             basePath: String, nBuckets: Int = 32,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): Unit = {
-    LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol), spark,
+                            textCol: String = "text",
+                            seam: HashSeam = productionSeam): Unit = {
+    LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol, seam), spark,
       bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
-    LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol), spark,
+    LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol, seam), spark,
       setsTable, s"$basePath/sets", nBuckets, "id")
   }
 
@@ -399,9 +428,10 @@ object DedupOps {
   def appendToFingerprintStore(batch: DataFrame, spark: SparkSession,
                                bandsTable: String, setsTable: String,
                                idCol: String = "doc_id",
-                               textCol: String = "text"): Unit = {
-    LayoutOps.appendBucketed(bandFrame(batch, idCol, textCol), spark, bandsTable)
-    LayoutOps.appendBucketed(shingleSets(batch, idCol, textCol), spark, setsTable)
+                               textCol: String = "text",
+                               seam: HashSeam = productionSeam): Unit = {
+    LayoutOps.appendBucketed(bandFrame(batch, idCol, textCol, seam), spark, bandsTable)
+    LayoutOps.appendBucketed(shingleSets(batch, idCol, textCol, seam), spark, setsTable)
   }
 
   /** Near-dup pairs `(id_old, id_new, est_jaccard, jaccard)` between a
@@ -418,8 +448,9 @@ object DedupOps {
   def incrementalPairs(delta: DataFrame, spark: SparkSession,
                        bandsTable: String, setsTable: String,
                        idCol: String = "doc_id", textCol: String = "text",
-                       threshold: Double = 0.5): DataFrame = {
-    val dBands = bandFrame(delta, idCol, textCol)
+                       threshold: Double = 0.5,
+                       seam: HashSeam = productionSeam): DataFrame = {
+    val dBands = bandFrame(delta, idCol, textCol, seam)
     val cand = spark.table(bandsTable)
       .select(col("band"), col("bandHash"),
         col("id").as("id_old"), col("sig").as("sig_old"))
@@ -432,7 +463,7 @@ object DedupOps {
       .withColumn("est_jaccard", estJaccard(col("sig_old"), col("sig_new")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_old", "id_new", "est_jaccard")
-    val dSets = shingleSets(delta, idCol, textCol)
+    val dSets = shingleSets(delta, idCol, textCol, seam)
     cand
       .join(spark.table(setsTable)
         .select(col("id").as("id_old"), col("ss").as("ss_old")), "id_old")

@@ -117,6 +117,22 @@ object PipelineOps {
       .select(oldId, newId, "n_match", "n_shared", "jaccard")
   }
 
+  /** The md5 [[DedupOps.HashSeam]]: same mod-prime md5 gram hashes as
+    * [[md5Signatures]] for BOTH the signature and the exact-verify set,
+    * and the decimal-string band key both engines render identically.
+    * Passing this seam to the PRODUCTION fingerprint-store pipeline puts
+    * writeFingerprintStore / appendToFingerprintStore / incrementalPairs
+    * themselves under the DuckDB hash compare (dedup_incremental_md5) —
+    * not a parallel reimplementation of their plan shape. */
+  private lazy val md5Seam: DedupOps.HashSeam = {
+    val P = graft.expressions.SignatureParams.Prime
+    val md5Grams: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      toks => array_distinct(transform(DedupOps.shingles(toks),
+        g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(P))))
+    DedupOps.HashSeam(md5Grams, md5Grams,
+      comps => concat_ws("_", comps: _*))
+  }
+
   /** DuckDB twin of [[md5Signatures]]: CTEs ending in
     * `sig(doc_id, k, s)` (per-permutation minima) and `h(doc_id, h)`
     * (distinct gram hashes), with the SAME SignatureParams permutation
@@ -404,6 +420,73 @@ object PipelineOps {
         s.table("graft_fpmrg_sets"),
         deltaStaged.select(col("doc_id"), col("hs")),
         "id_old", "id_new")
+    },
+
+    // ---- The FULL incremental near-dup pipeline under the oracle, run
+    // through the PRODUCTION functions themselves: writeFingerprintStore
+    // seeds the bucketed store from 60% (doc_id % 5 ∈ {2,3,4}),
+    // appendToFingerprintStore folds in an accepted 20% wave (% 5 = 1),
+    // and incrementalPairs dedups the % 5 = 0 delta against the merged
+    // store — the exact dedup_incremental lifecycle, with only the hash
+    // seam swapped to md5 so DuckDB reproduces every value. The oracle
+    // computes the same store×delta restriction declaratively; docs
+    // shorter than 3 tokens are excluded on BOTH sides (the md5 twins'
+    // LEN(t) >= 3 convention — production shingles() falls back to the
+    // whole text there, which md5Signatures' oracle never modeled).
+    // est_jaccard = n_match/64 and jaccard are single IEEE divisions of
+    // identical integers. This is the one-entry chain of the four stage
+    // twins (est/lsh/inc/merge) the r9 verdict asked for: a red hash here
+    // means the production store write, bucket routing, append, candidate
+    // join, estimator filter, or exact verify broke.
+    q(
+      "dedup_incremental_md5",
+      dMd5SigCtes +
+        """,
+          |bk AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |    STRING_AGG(CAST(s AS VARCHAR), '_' ORDER BY k) AS key
+          |  FROM sig GROUP BY 1, 2
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS id_old, y.doc_id AS id_new
+          |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+          |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+          |), est AS (
+          |  SELECT c.id_old, c.id_new,
+          |    CAST(SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          |  FROM cand c
+          |  JOIN sig sx ON sx.doc_id = c.id_old
+          |  JOIN sig sy ON sy.doc_id = c.id_new AND sy.k = sx.k
+          |  GROUP BY 1, 2
+          |  HAVING SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) >= 32
+          |), sz AS (
+          |  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1
+          |), shared AS (
+          |  SELECT e.id_old, e.id_new, e.n_match,
+          |    CAST(COUNT(hb.h) AS BIGINT) AS n_shared
+          |  FROM est e
+          |  LEFT JOIN h ha ON ha.doc_id = e.id_old
+          |  LEFT JOIN h hb ON hb.doc_id = e.id_new AND hb.h = ha.h
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT s.id_old, s.id_new,
+          |  CAST(s.n_match AS DOUBLE) / 64 AS est_jaccard,
+          |  CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) AS jaccard
+          |FROM shared s
+          |JOIN sz sa ON sa.doc_id = s.id_old
+          |JOIN sz sb ON sb.doc_id = s.id_new""".stripMargin
+    ) { (s, dir) =>
+      graft.expressions.SignatureFunctions.register(s)
+      val docs = tDocs(s, dir)
+        .filter(size(DedupOps.tokens(col("text"))) >= 3)
+      val m5 = pmod(col("doc_id"), lit(5))
+      val base = scratchDir("graft-fpe2e")
+      DedupOps.writeFingerprintStore(docs.filter(m5 >= 2), s,
+        "graft_fpe2e_bands", "graft_fpe2e_sets", base, seam = md5Seam)
+      DedupOps.appendToFingerprintStore(docs.filter(m5 === 1), s,
+        "graft_fpe2e_bands", "graft_fpe2e_sets", seam = md5Seam)
+      DedupOps.incrementalPairs(docs.filter(m5 === 0), s,
+        "graft_fpe2e_bands", "graft_fpe2e_sets", seam = md5Seam)
+        .select("id_old", "id_new", "est_jaccard", "jaccard")
     },
 
     // ---- SimHash under the oracle — the last signature family with no
