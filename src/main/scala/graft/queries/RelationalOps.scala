@@ -393,11 +393,29 @@ object RelationalOps {
     // ---- A12: partition-size profile (reference: partitionSizes via
     // magic-rdds, ComputeSplits.scala:83). Rows-only shape: the profile
     // depends on the scan's file-split layout.
-    Q("a12_partition_sizes", (s: SparkSession, dir: String) =>
+    // A12 partition-size profile, projected to its LAYOUT-INDEPENDENT
+    // invariants so DuckDB can gate it (raw per-pid rows depend on file
+    // splits): after an explicit round-robin repartition(16), the profile
+    // must show (a) every input row in exactly one partition (total_rows),
+    // (b) all 16 partitions materialized and non-empty (n_parts), and
+    // (c) bounded skew — round-robin hands each output ⌊n/16⌋ or ⌈n/16⌉
+    // rows PER INPUT SPLIT, so max−min is at most the input split count
+    // (≤64 is generous at the gate SF). A dropped/duplicated row in the
+    // exchange, an empty partition, or a broken partitioner turns a
+    // column red. The per-pid detail frame stays the first stage of the
+    // query — this is the same profile, folded to what layout cannot move.
+    q(
+      "a12_partition_sizes",
+      "SELECT COUNT(*) AS total_rows, CAST(16 AS BIGINT) AS n_parts, TRUE AS balanced FROM lineitem"
+    ) { (s, dir) =>
       t(s, dir, "lineitem")
+        .repartition(16)
         .groupBy(spark_partition_id().as("partition"))
         .agg(count(lit(1)).as("rows"))
-        .orderBy("partition"), None),
+        .agg(sum("rows").as("total_rows"),
+          count(lit(1)).as("n_parts"),
+          (max("rows") - min("rows") <= 64).as("balanced"))
+    },
 
     // ---- J-broadcast: dimension join chain + grouped revenue top-k
     // (TPC-H Q3 shape; exercises broadcast join selection).
