@@ -40,6 +40,9 @@ object Main {
       |  --split-size <n>     byte split size (default 65536)
       |  --num-partitions <n> partitions for check jobs (default 8)
       |  --range <lo:hi>      htsjdk-rewrite record-index range, 0-based exclusive/inclusive
+      |  -b                   htsjdk-rewrite: also write the output's .blocks side-car
+      |  -i                   htsjdk-rewrite: also write the output's .records side-car
+      |  --bai                htsjdk-rewrite: also build the output's standard .bai
       |  -s                   compute-splits: eager algorithm only
       |  -u                   compute-splits: relaxed algorithm only
       |  -p                   compute-splits: also print per-split record-count stats
@@ -57,6 +60,9 @@ object Main {
                                 partitionStats: Boolean = false,
                                 iterations: Int = 1,
                                 tsv: Boolean = false,
+                                idxBlocks: Boolean = false,
+                                idxRecords: Boolean = false,
+                                idxBai: Boolean = false,
                                 paths: Vector[String] = Vector.empty)
 
   @annotation.tailrec
@@ -74,6 +80,9 @@ object Main {
     case "-p" :: rest => parse(rest, o.copy(partitionStats = true))
     case "-n" :: v :: rest => parse(rest, o.copy(iterations = v.toInt))
     case "--tsv" :: rest => parse(rest, o.copy(tsv = true))
+    case "-b" :: rest => parse(rest, o.copy(idxBlocks = true))
+    case "-i" :: rest => parse(rest, o.copy(idxRecords = true))
+    case "--bai" :: rest => parse(rest, o.copy(idxBai = true))
     case flag :: _ if flag.startsWith("-") =>
       throw new IllegalArgumentException(s"unknown option $flag")
     case p :: rest => parse(rest, o.copy(paths = o.paths :+ p))
@@ -162,7 +171,8 @@ object Main {
       println(s"wrote $out")
     case "htsjdk-rewrite" =>
       require(o.paths.size == 2, "htsjdk-rewrite takes <in> <out>")
-      BamSink.rewrite(spark, o.paths(0), o.paths(1), o.range)
+      BamSink.rewrite(spark, o.paths(0), o.paths(1), o.range,
+        index = o.idxBai, indexBlocks = o.idxBlocks, indexRecords = o.idxRecords)
       println(s"wrote ${o.paths(1)}")
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")

@@ -117,9 +117,22 @@ object BamSink {
   }
 
   /** The rewrite app: read a BAM, optionally keep a record-index range
-    * [lo, hi) in file order (P9 row-number selection), write it back. */
+    * [lo, hi) in file order (P9 row-number selection), write it back.
+    *
+    * Re-index options (reference parity: HTSJDKRewrite.scala:21-93 takes
+    * `-b` indexBlocks / `-i` indexRecords to index its output):
+    *  - `indexBlocks` / `indexRecords` write the `.blocks` / `.records`
+    *    side-cars of the OUTPUT file, as the reference's flags do;
+    *  - `index` builds the standard `.bai` for the output — the rewritten
+    *    layout re-blocks records, so the input's index is useless for it
+    *    and interval queries over the output need a fresh one
+    *    (pruned-partition parity with an after-the-fact
+    *    [[BamOps.indexBai]] is pinned in PushdownSpec). */
   def rewrite(spark: SparkSession, inPath: String, outPath: String,
-              range: Option[(Long, Long)] = None): Unit = {
+              range: Option[(Long, Long)] = None,
+              index: Boolean = false,
+              indexBlocks: Boolean = false,
+              indexRecords: Boolean = false): Unit = {
     val reads = spark.read.format("bam").load(inPath)
     val selected = range match {
       case None => reads
@@ -138,5 +151,8 @@ object BamSink {
         Bam.readHeader(r)
       } finally blocks.close()
     write(selected, header, outPath)
+    if (indexBlocks) BamOps.indexBlocks(spark, outPath, outPath + ".blocks")
+    if (indexRecords) BamOps.indexRecords(spark, outPath, outPath + ".records")
+    if (index) BamOps.indexBai(spark, outPath)
   }
 }

@@ -388,6 +388,43 @@ class PushdownSpec extends SparkTestBase {
     assert(gt.isEmpty || !gt.exists(_.matches(edgeBlock)))
   }
 
+  test("rewrite(index=true) re-indexes: the rewrite-time BAI prunes " +
+    "identically to one built fresh on the output") {
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-rwidx")
+    val out = tmpDir.resolve("rw.bam").toString
+    graft.bam.ops.BamSink.rewrite(spark, fx.bamPath, out, index = true,
+      indexBlocks = true, indexRecords = true)
+    assert(new java.io.File(out + ".bai").exists(), "rewrite must emit a BAI")
+    // reference-parity -b/-i side-cars of the OUTPUT layout
+    assert(new java.io.File(out + ".blocks").exists())
+    assert(new java.io.File(out + ".records").exists())
+
+    def load() = spark.read.format("bam")
+      .option("splitSize", "16384").load(out)
+    val fullParts = load().rdd.getNumPartitions
+    def q() = load().filter(col("contig") === "chr3" && col("pos") < 50000)
+    val rewriteParts = q().rdd.getNumPartitions
+    val rewriteCount = q().count()
+    assert(rewriteParts < fullParts,
+      s"rewrite-time BAI pruned $rewriteParts vs full $fullParts")
+    val want = fx.records.count(r => r.refIdx == 2 && r.pos < 50000)
+    assert(rewriteCount == want && want > 0)
+
+    // a fresh index of the same output must be byte-identical (the
+    // builder is a pure function of the file) and prune the same plan
+    val rewriteTimeBai =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out + ".bai"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out + ".bai"))
+    graft.bam.ops.BamOps.indexBai(spark, out)
+    val freshBai =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out + ".bai"))
+    assert(java.util.Arrays.equals(rewriteTimeBai, freshBai),
+      "rewrite-time and fresh BAI must be byte-identical")
+    assert(q().rdd.getNumPartitions == rewriteParts &&
+      q().count() == rewriteCount,
+      "fresh BAI must prune the identical partition set")
+  }
+
   test("indexGenomic rebuilds an equivalent index from the source") {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-gri")
     val copy = tmpDir.resolve("copy.bam")
