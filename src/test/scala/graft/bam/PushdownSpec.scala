@@ -331,6 +331,68 @@ class PushdownSpec extends SparkTestBase {
       "interval pruning must still engage alongside the bit-test")
   }
 
+  test("flags-bit ∧ interval ∧ projection compose: pruning, decode-skip, " +
+    "and a pruned read all at once") {
+    val q = load().filter(col("contig") === "chr1" &&
+        (col("flags").bitwiseAND(16)) === 0 && col("pos") < 150000)
+      .select("readName", "pos")
+    val want = fx.records.filter(r =>
+      r.refIdx == 0 && (r.flags & 16) == 0 && r.pos < 150000)
+    assert(want.nonEmpty)
+    val (got, decoded, skipped) = countersAround {
+      q.collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    }
+    assert(got == want.map(r => (r.readName, r.pos)).sorted.toSeq,
+      "combined shape must keep the exact row multiset")
+    assert(skipped > 0, "the bit conjunct must still prefix-skip")
+    assert(decoded < fx.records.size)
+    assert(q.rdd.getNumPartitions < load().rdd.getNumPartitions,
+      "the interval conjunct must still prune partitions")
+  }
+
+  test("multiple bit-test conjuncts merge into one decode-skip spec") {
+    val want = fx.records.count(r =>
+      (r.flags & 5) == 1 && (r.flags & 16) == 16)
+    assert(want > 0)
+    val (got, decoded, _) = countersAround {
+      load().filter((col("flags").bitwiseAND(5)) === 1 &&
+        (col("flags").bitwiseAND(16)) === 16).count()
+    }
+    assert(got == want.toLong)
+    assert(decoded < fx.records.size,
+      s"merged all:1;none:4;all:16 spec must bite (decoded $decoded)")
+  }
+
+  test("OR of bit-tests is untranslatable: rule falls back, results exact, " +
+    "no record skipped") {
+    val want = fx.records.count(r =>
+      (r.flags & 4) == 4 || (r.flags & 16) == 16)
+    assert(want > 0 && want < fx.records.size)
+    val (got, decoded, skipped) = countersAround {
+      load().filter(((col("flags").bitwiseAND(4)) === 4) ||
+        ((col("flags").bitwiseAND(16)) === 16)).count()
+    }
+    assert(got == want.toLong, "fallback must keep results exact")
+    assert(skipped == 0,
+      "a disjunction must not derive a (necessarily unsound) skip spec")
+    assert(decoded >= fx.records.size.toLong)
+  }
+
+  test("And with one translatable conjunct and one OR conjunct stays " +
+    "conservative: the translatable half still skips, results exact") {
+    val want = fx.records.count(r => (r.flags & 16) == 16 &&
+      ((r.flags & 4) == 4 || r.pos < 100000))
+    assert(want > 0)
+    val (got, decoded, skipped) = countersAround {
+      load().filter(((col("flags").bitwiseAND(16)) === 16) &&
+        (((col("flags").bitwiseAND(4)) === 4) || (col("pos") < 100000)))
+        .count()
+    }
+    assert(got == want.toLong)
+    assert(skipped > 0, "the translatable conjunct must still prefix-skip")
+    assert(decoded < fx.records.size)
+  }
+
   test("Not over a partially-compilable And never yields an unsound prefix predicate") {
     import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, GreaterThan => FGt, Not => FNot}
     // !(pos > 100 && readName = 'x'): the And's readName conjunct has no
