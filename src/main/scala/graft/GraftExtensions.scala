@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    // HDR-sketch quantile aggregate (store-servable via AggStoreRewrite)
+    ext.injectFunction((FunctionIdentifier("hdr_percentile"),
+      new ExpressionInfo(classOf[graft.expressions.HdrPercentile].getName,
+        "hdr_percentile"),
+      (children: Seq[Expression]) =>
+        graft.expressions.HdrPercentile.fromArgs(children)))
   }
 }

@@ -127,4 +127,42 @@ object IncrementalAggOps {
   /** The current rollup (all buckets). */
   def readAggStore(spark: SparkSession, basePath: String): DataFrame =
     spark.read.parquet(basePath).drop("__bucket")
+
+  // ------------------------------------------------- HDR quantile stores
+
+  /** Store column names of an HDR rollup: the bucket lower bound and its
+    * count. One HDR value column per store (register another store for a
+    * second value) — shared with [[graft.plans.AggStoreRewrite]]. */
+  val HdrBucketCol = "__hdr_b"
+  val HdrCountCol = "__hdr_n"
+
+  private def hdrFrame(df: DataFrame, keys: Seq[String], valueCol: String,
+                       subBits: Int): DataFrame =
+    df.select((keys.map(col) :+
+        SketchOps.hdrBucket(col(valueCol), subBits).as(HdrBucketCol)): _*)
+      .groupBy((keys :+ HdrBucketCol).map(col): _*)
+      .agg(count(lit(1)).as(HdrCountCol))
+
+  /** Build an HDR-sketch rollup: per (keys, log2-sub-bucket) counts —
+    * a sum monoid over the (keys, bucket) grain, so the generic agg
+    * store maintains it with bucket-local merges, and
+    * `hdr_percentile(valueCol, p)` queries over the fact table are
+    * servable from it at query-rewrite level (register via
+    * [[graft.plans.AggStoreRegistry.register]] with kind `hdr`).
+    * State per key is bounded by 64·2^subBits buckets at any corpus
+    * size. `valueCol` must be integral (see SketchOps.hdrBucketTable). */
+  def writeHdrStore(df: DataFrame, spark: SparkSession, basePath: String,
+                    keys: Seq[String], valueCol: String,
+                    nBuckets: Int = 64, subBits: Int = 5): Unit =
+    writeAggStore(hdrFrame(df, keys, valueCol, subBits), spark, basePath,
+      keys :+ HdrBucketCol, Seq(HdrCountCol), nBuckets)
+
+  /** Fold a new batch into an HDR rollup (bucket-local, like every
+    * agg-store merge; counts are sums, so the fold is exact). */
+  def mergeIntoHdrStore(delta: DataFrame, spark: SparkSession,
+                        basePath: String, keys: Seq[String],
+                        valueCol: String, nBuckets: Int = 64,
+                        subBits: Int = 5): Unit =
+    mergeIntoAggStore(hdrFrame(delta, keys, valueCol, subBits), spark,
+      basePath, keys :+ HdrBucketCol, Seq(HdrCountCol), nBuckets)
 }

@@ -46,17 +46,26 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * fact path), so the optimizer's fixed-point loop is safe.
   */
 object AggStoreRegistry {
-  /** `kinds` parallels `measures` (sum|min|max); empty = all sums —
+  /** `kinds` parallels `measures` (sum|min|max|hdr); empty = all sums —
     * mirroring [[graft.ops.IncrementalAggOps]]'s measure kinds.
     * `countMeasure` names a sum-kind measure that was prepared as
     * `lit(1)` per fact row (the sum-of-ones convention): with it
-    * declared, plain `COUNT(*)` queries are store-servable too. */
+    * declared, plain `COUNT(*)` queries are store-servable too.
+    * An `hdr` registration (built by
+    * [[graft.ops.IncrementalAggOps.writeHdrStore]]) carries exactly one
+    * measure — the integral value column whose
+    * `hdr_percentile(measure, p, hdrSubBits)` aggregates are served by
+    * re-folding the store's (bucket, count) rows; `hdrSubBits` must
+    * match the store build or the rule will not serve (a different
+    * bucket width answers a different question). */
   final case class Registration(factPath: String, storePath: String,
                                 keys: Seq[String], measures: Seq[String],
                                 kinds: Seq[String] = Nil,
-                                countMeasure: Option[String] = None) {
+                                countMeasure: Option[String] = None,
+                                hdrSubBits: Int = 5) {
     def kindOf(m: String): String =
       if (kinds.isEmpty) "sum" else kinds(measures.indexOf(m))
+    def isHdr: Boolean = kinds.contains("hdr")
   }
 
   private val entries =
@@ -73,7 +82,8 @@ object AggStoreRegistry {
   def register(spark: SparkSession, factPath: String, storePath: String,
                keys: Seq[String], measures: Seq[String],
                kinds: Seq[String] = Nil,
-               countMeasure: Option[String] = None): Unit = {
+               countMeasure: Option[String] = None,
+               hdrSubBits: Int = 5): Unit = {
     // malformed length pairing would surface later as an
     // IndexOutOfBounds inside the optimizer rule, failing unrelated
     // queries at planning time — reject it at registration
@@ -83,9 +93,13 @@ object AggStoreRegistry {
       measures.contains(cm) && (kinds.isEmpty ||
         kinds(measures.indexOf(cm)) == "sum")),
       "countMeasure must be a sum-kind measure")
+    // an hdr store holds (keys, bucket) → count rows for ONE value
+    // column; a second measure would need its own grain
+    require(!kinds.contains("hdr") || measures.length == 1,
+      "an hdr registration carries exactly one measure")
     entries.add(Registration(
       qualified(spark, factPath), storePath, keys, measures, kinds,
-      countMeasure))
+      countMeasure, hdrSubBits))
   }
 
   def clear(): Unit = entries.clear()
@@ -195,6 +209,24 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if groupNames(a.name) =>
         storeAttr(a.name).filter(_.dataType == a.dataType)
           .map(sa => Alias(sa, a.name)(exprId = a.exprId))
+      // hdr_percentile over the registered value column: re-fold the
+      // store's (bucket, count) rows through the SAME aggregate — exact
+      // because the bucket function is idempotent on its lower bounds
+      // and counts are sums. subBits must match the store build.
+      case al @ Alias(AggregateExpression(
+          hp @ graft.expressions.HdrPercentile(m: AttributeReference,
+            org.apache.spark.sql.catalyst.expressions.Literal(1L,
+              org.apache.spark.sql.types.LongType), _, sb, _, _),
+          Complete, false, None, _), name)
+          if reg.isHdr && reg.measures.contains(m.name) &&
+            reg.kindOf(m.name) == "hdr" && sb == reg.hdrSubBits =>
+        for {
+          bAttr <- storeAttr(graft.ops.IncrementalAggOps.HdrBucketCol)
+          nAttr <- storeAttr(graft.ops.IncrementalAggOps.HdrCountCol)
+        } yield Alias(
+          AggregateExpression(hp.copy(value = bAttr, weight = nAttr),
+            Complete, isDistinct = false, filter = None),
+          name)(exprId = al.exprId): NamedExpression
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
         // (store column, its kind, rebuild-over-store-column) — the
         // query's aggregate must be the SAME monoid the store column
@@ -259,7 +291,11 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val source = rebased.get.foldLeft(storePlan) { (p, c) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(c, p)
       }
-      if (exact) Some(Project(outs, source))
+      // an hdr store holds one row per (key, BUCKET) — even the exact
+      // key set must re-aggregate (a projection would emit one row per
+      // bucket); sum/min/max stores hold one row per key, where the
+      // exact set is the pure projection
+      if (exact && !reg.isHdr) Some(Project(outs, source))
       else {
         val groupAttrs = agg.groupingExpressions.map {
           case a: AttributeReference => storeAttr(a.name).get

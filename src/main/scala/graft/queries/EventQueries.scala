@@ -453,6 +453,67 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // ---- HDR quantiles SERVED AT QUERY-REWRITE LEVEL: the raw
+    // `fact.groupBy(event_type).agg(hdr_percentile(cents, p))` aggregate
+    // below never names the store — AggStoreRewrite matches the native
+    // HdrPercentile aggregate against the registered hdr rollup and
+    // re-folds the store's (bucket, count) rows instead of scanning the
+    // fact (plan-asserted in AggRewriteSpec; exact because the bucket
+    // function is idempotent on its lower bounds and counts are sums).
+    // The store is built from 80% and merged with 20%, so equal hashes
+    // prove build + fold + rewrite end-to-end against DuckDB's direct
+    // walk over the whole corpus. At 100 TB this is the difference
+    // between a corpus scan and reading ≤ 64·2^subBits rows per key.
+    q(
+      "agg_hdr_serve",
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents <= 0 THEN cents
+        |         ELSE cents - (cents % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(cents)) - 1 - 5) AS INT)))
+        |    END AS b,
+        |    COUNT(*) AS n
+        |  FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, b, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM h
+        |)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN b END) AS BIGINT) AS p50_b,
+        |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN b END) AS BIGINT) AS p90_b,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN b END) AS BIGINT) AS p99_b
+        |FROM c GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.expressions.HdrPercentile.hdrPercentile
+      import graft.ops.IncrementalAggOps
+      import graft.plans.AggStoreRegistry
+      val base = scratchDir("graft-hdrserve")
+      val prep = s"$base/events_cents.parquet"
+      val store = s"$base/store"
+      tEvents(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(prep)
+      val ev = s.read.parquet(prep)
+      IncrementalAggOps.writeHdrStore(ev.filter(col("cents") % 5 =!= 0),
+        s, store, Seq("event_type"), "cents", nBuckets = 8)
+      IncrementalAggOps.mergeIntoHdrStore(ev.filter(col("cents") % 5 === 0),
+        s, store, Seq("event_type"), "cents", nBuckets = 8)
+      AggStoreRegistry.clear()
+      AggStoreRegistry.register(s, prep, store,
+        Seq("event_type"), Seq("cents"), kinds = Seq("hdr"))
+      ev.groupBy("event_type").agg(
+          hdrPercentile(col("cents"), 0.5).as("p50_b"),
+          hdrPercentile(col("cents"), 0.9).as("p90_b"),
+          hdrPercentile(col("cents"), 0.99).as("p99_b"))
+        .orderBy("event_type")
+    },
+
     // ---- Dedup-on-ingest, batch form (watermark-bounded streaming form
     // parity-tested in StreamingSpec).
     q(

@@ -157,6 +157,58 @@ class AggRewriteSpec extends SparkTestBase {
     } finally AggStoreRegistry.clear()
   }
 
+  test("hdr_percentile is served from a maintained HDR rollup") {
+    import graft.expressions.HdrPercentile.hdrPercentile
+    val dirp = Files.createTempDirectory("aggrwh")
+    val prep = s"$dirp/events_cents.parquet"
+    val store = s"$dirp/store"
+    AggStoreRegistry.clear()
+    try {
+      spark.read.parquet(s"$sfTiny/events.parquet")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.parquet(prep)
+      val ev = spark.read.parquet(prep)
+      // 80/20 build + fold: serving must reflect the MAINTAINED state
+      IncrementalAggOps.writeHdrStore(ev.filter(col("cents") % 5 =!= 0),
+        spark, store, Seq("event_type"), "cents", nBuckets = 8)
+      IncrementalAggOps.mergeIntoHdrStore(ev.filter(col("cents") % 5 === 0),
+        spark, store, Seq("event_type"), "cents", nBuckets = 8)
+      def q() = ev.groupBy("event_type").agg(
+        hdrPercentile(col("cents"), 0.5).as("p50_b"),
+        hdrPercentile(col("cents"), 0.99).as("p99_b"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = rows(q()) // registry empty: the direct fact-scan path
+
+      AggStoreRegistry.register(spark, prep, store,
+        Seq("event_type"), Seq("cents"), kinds = Seq("hdr"))
+      val served = q()
+      val paths = scanPaths(served)
+      assert(paths.exists(_.contains("store")) &&
+        !paths.exists(_.contains("events_cents.parquet")),
+        s"hdr aggregate must be store-served, scans: $paths")
+      assert(rows(served) == want,
+        "served percentiles must equal the direct computation")
+      // and both agree with the SketchOps bucket-table walk
+      val walk = graft.ops.SketchOps
+        .hdrQuantiles(ev, col("event_type"), col("cents")).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(r.fieldIndex("p50_b")), r.getLong(r.fieldIndex("p99_b"))))
+        .toMap
+      assert(walk == want)
+
+      // a different subBits answers a different bucketing: not served
+      val otherSb = ev.groupBy("event_type")
+        .agg(hdrPercentile(col("cents"), 0.5, subBits = 4).as("p"))
+      assert(scanPaths(otherSb).exists(_.contains("events_cents.parquet")),
+        s"subBits mismatch must fall back: ${scanPaths(otherSb)}")
+      // a sum over the hdr measure is the wrong monoid: not served
+      val sumQ = ev.groupBy("event_type").agg(sum("cents").as("s"))
+      assert(scanPaths(sumQ).exists(_.contains("events_cents.parquet")))
+    } finally AggStoreRegistry.clear()
+  }
+
   test("non-answerable shapes are left untouched") {
     val store = Files.createTempDirectory("aggrw2").toString
     try {
