@@ -165,4 +165,18 @@ object IncrementalAggOps {
                         subBits: Int = 5): Unit =
     mergeIntoAggStore(hdrFrame(delta, keys, valueCol, subBits), spark,
       basePath, keys :+ HdrBucketCol, Seq(HdrCountCol), nBuckets)
+
+  /** Retract a previously-merged batch from an HDR rollup — the bucket
+    * counts are sums, so deletion (compliance removals, bad-batch
+    * rollback) inherits [[retractFromAggStore]]'s bucket locality; no
+    * other quantile sketch family is subtractable at all. The batch must
+    * be exactly what was merged. Zero-count bucket rows may remain
+    * (harmless to the rank walk — they add nothing to cum or tot);
+    * rebuild to compact. */
+  def retractFromHdrStore(batch: DataFrame, spark: SparkSession,
+                          basePath: String, keys: Seq[String],
+                          valueCol: String, nBuckets: Int = 64,
+                          subBits: Int = 5): Unit =
+    retractFromAggStore(hdrFrame(batch, keys, valueCol, subBits), spark,
+      basePath, keys :+ HdrBucketCol, Seq(HdrCountCol), nBuckets)
 }

@@ -209,6 +209,52 @@ class AggRewriteSpec extends SparkTestBase {
     } finally AggStoreRegistry.clear()
   }
 
+  test("hdr_percentile SQL form matches the Column form; retraction " +
+    "restores the maintained store exactly") {
+    import graft.expressions.HdrPercentile.hdrPercentile
+    val dirp = Files.createTempDirectory("aggrwhr")
+    val prep = s"$dirp/ev.parquet"
+    val store = s"$dirp/store"
+    AggStoreRegistry.clear()
+    try {
+      spark.read.parquet(s"$sfTiny/events.parquet")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.parquet(prep)
+      val ev = spark.read.parquet(prep)
+      // SQL-registry form (GraftExtensions injectFunction) ≡ Column form
+      ev.createOrReplaceTempView("hdr_ev")
+      val viaSql = spark.sql(
+        """SELECT event_type, hdr_percentile(cents, 0.9) AS p
+          |FROM hdr_ev GROUP BY event_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viaCol = ev.groupBy("event_type")
+        .agg(hdrPercentile(col("cents"), 0.9).as("p"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaSql == viaCol && viaSql.nonEmpty)
+
+      // merge a batch, retract it: the quantile walk over the store must
+      // equal the pre-merge state (counts are sums — deletion is exact)
+      val batch = ev.filter(col("cents") % 7 === 0)
+      IncrementalAggOps.writeHdrStore(ev, spark, store,
+        Seq("event_type"), "cents", nBuckets = 8)
+      def walk() = graft.ops.SketchOps.hdrQuantilesFromTable(
+          IncrementalAggOps.readAggStore(spark, store)
+            .select(col("event_type").as("g"), col(IncrementalAggOps.HdrBucketCol).as("b"),
+              col(IncrementalAggOps.HdrCountCol).as("n")))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val before = walk()
+      IncrementalAggOps.mergeIntoHdrStore(batch, spark, store,
+        Seq("event_type"), "cents", nBuckets = 8)
+      assert(walk() != before, "the merge must be visible before retraction")
+      IncrementalAggOps.retractFromHdrStore(batch, spark, store,
+        Seq("event_type"), "cents", nBuckets = 8)
+      assert(walk() == before,
+        "retracting the merged batch must restore the sketch exactly")
+    } finally AggStoreRegistry.clear()
+  }
+
   test("non-answerable shapes are left untouched") {
     val store = Files.createTempDirectory("aggrw2").toString
     try {
