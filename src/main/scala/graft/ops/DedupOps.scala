@@ -129,6 +129,16 @@ object DedupOps {
       allBands.join(sizes, bucketCols).drop("__bc")
     }
 
+  /** The 16-way band explode over an `(id, sig, …)` signature frame —
+    * shared by [[bandFrame]] and the staged-delta path so the banding can
+    * never desynchronize between them. */
+  private def explodeBands(sigFrame: DataFrame, seam: HashSeam): DataFrame =
+    sigFrame.select(col("id"), col("sig"),
+      posexplode(array((0 until NumBands).map(j =>
+        seam.bandKey((0 until BandRows).map(r =>
+          element_at(col("sig"), j * BandRows + r + 1)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+
   /** Production band frame `(id, sig, band, bandHash)` — one row per doc
     * per band, keys from `hash()` over the band's signature components.
     * Factored out of [[minhashPairs]] so the batch self-join and the
@@ -137,11 +147,29 @@ object DedupOps {
   def bandFrame(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text",
                 seam: HashSeam = productionSeam): DataFrame =
-    signatures(docs, idCol, textCol, seam).select(col("id"), col("sig"),
-      posexplode(array((0 until NumBands).map(j =>
-        seam.bandKey((0 until BandRows).map(r =>
-          element_at(col("sig"), j * BandRows + r + 1)))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    explodeBands(signatures(docs, idCol, textCol, seam), seam)
+
+  /** `(id, sig, ss)` in ONE tokenize+hash pass over a batch — the staged
+    * input of the per-ingest operators. [[incrementalPairs]] and
+    * [[appendToFingerprintStore]] each need BOTH the band frame and the
+    * verify sets of the same batch; deriving them independently
+    * re-tokenizes and re-hashes the batch text once per use (two full
+    * passes per ingest, plus the two plan subtrees of the pair join).
+    * The caller eagerly materializes this frame (delta-sized by the
+    * ingest contract — never the corpus), so the text work happens
+    * exactly once. */
+  private def stagedFingerprints(docs: DataFrame, idCol: String,
+                                 textCol: String, seam: HashSeam): DataFrame = {
+    graft.expressions.SignatureFunctions.register(docs.sparkSession)
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(n)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("__hs", seam.sigHashes(col("toks")))
+      .withColumn("sig", call_function("minhash_signature", col("__hs")))
+      .withColumn("ss", seam.setHashes(col("toks")))
+      .select("id", "sig", "ss")
+  }
 
   /** Per-doc distinct shingle-hash sets `(id, ss)` — the exact-verify
     * side of every MinHash pipeline (8-byte hashes, never gram strings). */
@@ -412,6 +440,13 @@ object DedupOps {
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             seam: HashSeam = productionSeam): Unit = {
+    // the ONE-TIME seed build deliberately recomputes the text pass for
+    // its two writes instead of staging: `docs` here is the corpus, and
+    // an eager corpus-sized (id, sig, ss) materialization on executor
+    // storage is exactly the footprint a 100 TB build cannot afford —
+    // codegen'd tokenize+hash twice is the cheaper side of that trade.
+    // The per-ingest operators (append / incrementalPairs) stage their
+    // batch-sized inputs once instead.
     LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol, seam), spark,
       bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
     LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol, seam), spark,
@@ -430,8 +465,13 @@ object DedupOps {
                                idCol: String = "doc_id",
                                textCol: String = "text",
                                seam: HashSeam = productionSeam): Unit = {
-    LayoutOps.appendBucketed(bandFrame(batch, idCol, textCol, seam), spark, bandsTable)
-    LayoutOps.appendBucketed(shingleSets(batch, idCol, textCol, seam), spark, setsTable)
+    // one tokenize+hash pass feeds both appends (batch-sized staging;
+    // the seed build in writeFingerprintStore deliberately recomputes
+    // instead — see its note)
+    val staged = stagedFingerprints(batch, idCol, textCol, seam)
+      .localCheckpoint(true)
+    LayoutOps.appendBucketed(explodeBands(staged, seam), spark, bandsTable)
+    LayoutOps.appendBucketed(staged.select("id", "ss"), spark, setsTable)
   }
 
   /** Near-dup pairs `(id_old, id_new, est_jaccard, jaccard)` between a
@@ -450,7 +490,12 @@ object DedupOps {
                        idCol: String = "doc_id", textCol: String = "text",
                        threshold: Double = 0.5,
                        seam: HashSeam = productionSeam): DataFrame = {
-    val dBands = bandFrame(delta, idCol, textCol, seam)
+    // the delta's bands feed the candidate join and its sets feed the
+    // verify join — two subtrees of ONE plan that would each re-tokenize
+    // the batch; stage the fingerprints once (delta-sized by contract)
+    val staged = stagedFingerprints(delta, idCol, textCol, seam)
+      .localCheckpoint(true)
+    val dBands = explodeBands(staged, seam)
     val cand = spark.table(bandsTable)
       .select(col("band"), col("bandHash"),
         col("id").as("id_old"), col("sig").as("sig_old"))
@@ -463,7 +508,7 @@ object DedupOps {
       .withColumn("est_jaccard", estJaccard(col("sig_old"), col("sig_new")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_old", "id_new", "est_jaccard")
-    val dSets = shingleSets(delta, idCol, textCol, seam)
+    val dSets = staged.select("id", "ss")
     cand
       .join(spark.table(setsTable)
         .select(col("id").as("id_old"), col("ss").as("ss_old")), "id_old")
