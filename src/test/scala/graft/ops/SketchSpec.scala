@@ -185,6 +185,46 @@ class SketchSpec extends SparkTestBase {
     assert(qa == qb)
   }
 
+  test("hdr_percentile aggregate ≡ the bucket-table walk on adversarial " +
+    "values, any partitioning") {
+    import graft.expressions.HdrPercentile.hdrPercentile
+    // negatives (pass-through buckets), zero, exact small values, bucket
+    // edges, and a >2^40 tail — three groups, deterministic
+    val df = spark.range(0, 30000)
+      .select((col("id") % 3).cast("string").as("g"),
+        when(col("id") % 11 === 0, -(col("id") % 97))
+          .when(col("id") % 7 === 0, col("id") % 64)
+          .when(col("id") % 5 === 0,
+            (col("id") * 2654435761L) % 9999991L + lit(1L << 40))
+          .otherwise(pmod(col("id") * 48271L, lit(1000000L)))
+          .cast("long").as("v"))
+    def aggOf(d: org.apache.spark.sql.DataFrame) = d.groupBy("g").agg(
+        hdrPercentile(col("v"), 0.5).as("p50_b"),
+        hdrPercentile(col("v"), 0.9).as("p90_b"),
+        hdrPercentile(col("v"), 0.99).as("p99_b"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val walk = SketchOps.hdrQuantiles(df, col("g"), col("v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val one = aggOf(df.repartition(1))
+    val many = aggOf(df.repartition(13))
+    assert(one == walk, "aggregate must equal the table walk")
+    assert(many == one,
+      "partial merge + serde across partitions must not move any rank")
+    // weighted pre-bucketed folding (the store-serving path) agrees too
+    val pre = SketchOps.hdrBucketTable(df, col("g"), col("v"))
+    val folded = pre.groupBy("g").agg(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.HdrPercentile(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("b")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("n")),
+            5000, 5).toAggregateExpression()).as("p50_b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == walk.map { case (k, v) => k -> v._1 })
+  }
+
   test("hdr quantile estimates carry the 2^-subBits relative-error bound") {
     val subBits = 5
     val df = spark.range(1, 50001)
