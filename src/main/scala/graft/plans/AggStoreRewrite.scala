@@ -227,6 +227,19 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           AggregateExpression(hp.copy(value = bAttr, weight = nAttr),
             Complete, isDistinct = false, filter = None),
           name)(exprId = al.exprId): NamedExpression
+      // COUNT(*) over an hdr-registered fact: the per-key fact row count
+      // IS the sum of the sketch's bucket counts — the hdr store answers
+      // it for free (no countMeasure declaration needed)
+      case al @ Alias(AggregateExpression(
+          Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal)),
+          Complete, false, None, _), name)
+          if reg.isHdr && l.value != null =>
+        storeAttr(graft.ops.IncrementalAggOps.HdrCountCol)
+          .filter(_.dataType == al.dataType)
+          .map(na => Alias(
+            AggregateExpression(Sum(na), Complete,
+              isDistinct = false, filter = None),
+            name)(exprId = al.exprId): NamedExpression)
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
         // (store column, its kind, rebuild-over-store-column) — the
         // query's aggregate must be the SAME monoid the store column

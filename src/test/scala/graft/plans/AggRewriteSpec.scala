@@ -198,6 +198,22 @@ class AggRewriteSpec extends SparkTestBase {
         .toMap
       assert(walk == want)
 
+      // COUNT(*) rides the same store: per-key fact rows = Σ bucket counts
+      val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(scanPaths(cnt).exists(_.contains("store")) &&
+        !scanPaths(cnt).exists(_.contains("events_cents.parquet")),
+        s"count(*) must be hdr-store-served: ${scanPaths(cnt)}")
+      val gotCnt = cnt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantCnt = {
+        AggStoreRegistry.clear()
+        val m = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        AggStoreRegistry.register(spark, prep, store,
+          Seq("event_type"), Seq("cents"), kinds = Seq("hdr"))
+        m
+      }
+      assert(gotCnt == wantCnt)
+
       // a different subBits answers a different bucketing: not served
       val otherSb = ev.groupBy("event_type")
         .agg(hdrPercentile(col("cents"), 0.5, subBits = 4).as("p"))
