@@ -79,6 +79,45 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_hashes"
 }
 
+/** md5 counterpart of [[WordGramHashes]] — the ORACLE-TWIN gram hash:
+  * distinct `md5-top-60-bits mod Prime` values of the `w`-word shingles
+  * (whole-text fallback below `w` tokens), one codegen'd pass.
+  *
+  * Bit-identical to the HOF chain
+  * `array_distinct(transform(shingles(toks, w), g =>
+  *   pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), Prime)))`
+  * — the first 15 hex chars of the digest are its top 60 bits, assembled
+  * here by byte arithmetic instead of hex-encode + string-parse — and to
+  * the DuckDB side's `CAST(concat('0x', substr(md5(g),1,15)) AS UBIGINT)
+  * % Prime`. The HOF form runs interpreted (two CodegenFallback lambdas
+  * plus a hex round-trip per gram) on every md5-twin gate query;
+  * differential-tested in SignaturesSpec. */
+case class WordGramMd5Hashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_md5_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramHashesUtil.computeMd5(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = classOf[WordGramHashesUtil].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      arr => s"${ev.value} = $util.computeMd5($arr, $w);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGramMd5Hashes =
+    copy(child = c)
+  override def prettyName: String = "word_gram_md5_hashes"
+}
+
 class WordGramHashesUtil
 object WordGramHashesUtil {
   /** xxhash64's default seed (Spark's `xxhash64` function). */
@@ -113,7 +152,13 @@ object WordGramHashesUtil {
     new GenericArrayData(out)
   }
 
-  def compute(arr: ArrayData, w: Int, modPrime: Boolean): ArrayData = {
+  def compute(arr: ArrayData, w: Int, modPrime: Boolean): ArrayData =
+    computeWith(arr, w, hashOf(_, modPrime))
+
+  /** Shared shingle walk: distinct `hash(gram)` in first-occurrence
+    * order, whole-text fallback below `w` tokens. */
+  private def computeWith(arr: ArrayData, w: Int,
+                          hash: UTF8String => Long): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
@@ -125,14 +170,14 @@ object WordGramHashesUtil {
     if (n < w) {
       // degenerate short doc: one shingle = the whole space-joined text
       val g = UTF8String.concatWs(Space, toks: _*)
-      return new GenericArrayData(Array(hashOf(g, modPrime)))
+      return new GenericArrayData(Array(hash(g)))
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]((n * 2) max 8)
     val win = new Array[UTF8String](w)
     var s = 0
     while (s + w <= n) {
       System.arraycopy(toks, s, win, 0, w)
-      seen.add(hashOf(UTF8String.concatWs(Space, win: _*), modPrime))
+      seen.add(hash(UTF8String.concatWs(Space, win: _*)))
       s += 1
     }
     val out = new Array[Long](seen.size)
@@ -141,4 +186,27 @@ object WordGramHashesUtil {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+
+  private val md5s = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(gram) mod Prime — ≡ the first 15 hex chars of
+    * the digest parsed base-16 (nibble→hex is positional: 15 nibbles =
+    * bytes 0..6 plus byte 7's high nibble), the value the DuckDB twins
+    * compute; always non-negative, so `%` is pmod. */
+  private def md5Of(s: UTF8String): Long = {
+    val md = md5s.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val v = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+    v % SignatureParams.Prime
+  }
+
+  def computeMd5(arr: ArrayData, w: Int): ArrayData =
+    computeWith(arr, w, md5Of)
 }

@@ -59,15 +59,22 @@ object PipelineOps {
     * `minhash_est_md5` and `minhash_lsh_md5`. Same SignatureParams
     * constants as the production xxhash64 path; md5 is the one hash both
     * engines implement bit-for-bit. */
+  /** Codegen'd md5 gram hashes (graft.expressions.WordGramMd5Hashes) —
+    * bit-identical to the interpreted
+    * `array_distinct(transform(shingles(toks), md5-top-60-bits mod P))`
+    * HOF chain (differential-tested in SignaturesSpec) that used to be
+    * the dominant cpu of every md5-twin gate query. */
+  private def md5GramHashes(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WordGramMd5Hashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), 3))
+
   private def md5Signatures(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.SignatureFunctions.register(s)
-    val P = graft.expressions.SignatureParams.Prime
     tDocs(s, dir)
       .withColumn("toks", DedupOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh", DedupOps.shingles(col("toks")))
-      .withColumn("hs", array_distinct(transform(col("sh"),
-        g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(P)))))
+      .withColumn("hs", md5GramHashes(col("toks")))
       .withColumn("sig", call_function("minhash_signature", col("hs")))
       .select(col("doc_id"), col("sig"), col("hs"))
   }
@@ -124,14 +131,9 @@ object PipelineOps {
     * writeFingerprintStore / appendToFingerprintStore / incrementalPairs
     * themselves under the DuckDB hash compare (dedup_incremental_md5) —
     * not a parallel reimplementation of their plan shape. */
-  private lazy val md5Seam: DedupOps.HashSeam = {
-    val P = graft.expressions.SignatureParams.Prime
-    val md5Grams: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      toks => array_distinct(transform(DedupOps.shingles(toks),
-        g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(P))))
-    DedupOps.HashSeam(md5Grams, md5Grams,
+  private lazy val md5Seam: DedupOps.HashSeam =
+    DedupOps.HashSeam(md5GramHashes, md5GramHashes,
       comps => concat_ws("_", comps: _*))
-  }
 
   /** DuckDB twin of [[md5Signatures]]: CTEs ending in
     * `sig(doc_id, k, s)` (per-permutation minima) and `h(doc_id, h)`

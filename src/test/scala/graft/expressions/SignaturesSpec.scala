@@ -87,6 +87,34 @@ class SignaturesSpec extends SparkTestBase {
     }
   }
 
+  test("word_gram_md5_hashes equals the md5 HOF chain on real docs " +
+    "(incl. short-doc fallback)") {
+    def kernel(toks: org.apache.spark.sql.Column, w: Int): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.WordGramMd5Hashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(toks), w))
+    def ref(toks: org.apache.spark.sql.Column, w: Int): org.apache.spark.sql.Column =
+      array_distinct(transform(DedupOps.shingles(toks, w), g =>
+        pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+          lit(graft.expressions.SignatureParams.Prime))))
+    val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
+    Seq(2, 3).foreach { w =>
+      val diff = staged
+        .withColumn("fast", array_sort(kernel($"toks", w)))
+        .withColumn("slow", array_sort(ref($"toks", w)))
+        .filter($"fast" =!= $"slow").count()
+      assert(diff == 0, s"w=$w")
+    }
+    // degenerate shapes: whole-text fallback, empty array, repeated gram
+    val edge = Seq((1, Seq("a", "b")), (2, Seq[String]()),
+      (3, Seq("x", "x", "x", "x"))).toDF("id", "toks")
+    val diffE = edge
+      .withColumn("fast", array_sort(kernel($"toks", 3)))
+      .withColumn("slow", array_sort(ref($"toks", 3)))
+      .filter($"fast" =!= $"slow").count()
+    assert(diffE == 0)
+  }
+
   test("token_hashes equals the transform+xxhash64 HOF on real docs") {
     val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
     val diff = staged
