@@ -68,11 +68,12 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("no accidental cartesian products in the LSH dedup path") {
-    Seq("dedup_minhash", "dedup_simhash", "ann_lsh").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"),
-        s"$q must join on band keys, not cross:\n$p")
-    }
+    Seq("dedup_minhash", "dedup_simhash", "ann_lsh", "dedup_incremental_md5")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"),
+          s"$q must join on band keys, not cross:\n$p")
+      }
   }
 
   test("IVF's data-sized join is an equi-join on the cell id") {
@@ -287,7 +288,7 @@ class PlanQualitySpec extends SparkTestBase {
     // frame joined onto a result — a_corr, ev_cms, ev_join_size,
     // tok_vocab) are excluded: a 1-row BNLJ is the right plan there.
     Seq("j8_asof", "ev_funnel", "graph_pagerank", "agg_store_inc",
-      "text_search", "text_chunk", "dq_checks").foreach { q =>
+      "text_search", "text_chunk", "dq_checks", "agg_hdr_serve").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfTiny)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
