@@ -305,6 +305,36 @@ object SimilarityOps {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family (n-gram join and bloom prefilter are the
+    * lexical members, TextAnalysisOps/RuntimeFilterOps): every corpus
+    * row whose cosine against ANY test-set row reaches `threshold`,
+    * with the best-matching test row (max cosine, min test id on ties)
+    * so a curator can audit WHICH benchmark item leaked.
+    *
+    * Scale shape: the test side is a benchmark — O(1) in corpus size —
+    * so it BROADCASTS and the corpus streams through one narrow
+    * codegen'd `cosine_sim` pass per test row: embarrassingly parallel,
+    * no shuffle until the per-doc argmax (hash agg on doc id). A
+    * corpus-sized "test set" is a near-dup problem instead — use
+    * [[cosinePairsLsh]]. */
+  def semanticContamination(corpus: DataFrame, testSet: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_vec_id"), col(vecCol).as("__ec"))
+    val t = testSet.select(col(idCol).as("__tid"), col(vecCol).as("__et"))
+    c.crossJoin(org.apache.spark.sql.functions.broadcast(t))
+      .withColumn("cos",
+        round(cosineFast(corpus.sparkSession, col("__ec"), col("__et")), 4))
+      .filter(col("cos") >= threshold)
+      // argmax by (cos desc, test id asc): max over (cos, -tid) structs
+      .groupBy("doc_vec_id")
+      .agg(max(struct(col("cos"), (-col("__tid")).as("__ntid"))).as("__m"))
+      .select(col("doc_vec_id"), (-col("__m.__ntid")).as("test_vec_id"),
+        col("__m.cos").as("cos"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine above `threshold`.
     * Brute-force form (oracle-friendly); [[cosinePairsLsh]] is the
     * scale path. */

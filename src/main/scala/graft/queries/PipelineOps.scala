@@ -542,6 +542,39 @@ object PipelineOps {
       SimilarityOps.cosinePairs(tEmbeddings(s, dir), 0.4)
     },
 
+    // ---- SEMANTIC decontamination (the embedding member of the
+    // decontam family, alongside decontam_ngram / decontam_bloom): corpus
+    // embeddings whose cosine against a held-out test set (vec_id % 50 =
+    // 0, the O(1)-sized benchmark side) reaches 0.4, with the
+    // best-matching test row for audit. The test side broadcasts; the
+    // corpus streams through one codegen'd cosine pass — no shuffle
+    // before the per-doc argmax. Same rounded-cosine convention as
+    // dedup_embcos/ann_topk.
+    q(
+      "decontam_semantic",
+      """WITH t AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+        |), c AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+        |), s AS (
+        |  SELECT c.vec_id AS doc_vec_id, t.vec_id AS test_vec_id,
+        |    ROUND(list_cosine_similarity(c.embedding::DOUBLE[], t.embedding::DOUBLE[]), 4) AS cos
+        |  FROM c, t
+        |  WHERE ROUND(list_cosine_similarity(c.embedding::DOUBLE[], t.embedding::DOUBLE[]), 4) >= 0.4
+        |)
+        |SELECT doc_vec_id, test_vec_id, cos FROM (
+        |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_vec_id
+        |    ORDER BY cos DESC, test_vec_id) AS rn FROM s
+        |) WHERE rn = 1""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      SimilarityOps.semanticContamination(
+        emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+        threshold = 0.4)
+        .orderBy("doc_vec_id")
+    },
+
     // ---- LSH-bucketed embedding near-dup pairs (the scale path for
     // dedup_embcos; exact cosine re-check keeps precision 1.0, recall
     // asserted in ScalaTest). Rows-only: signature hashes have no oracle.

@@ -8,6 +8,22 @@ class SimilaritySpec extends SparkTestBase {
 
   private lazy val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
 
+  test("semanticContamination: threshold, argmax, and min-id tie-break") {
+    // corpus doc 1 ≡ test 10 and test 20 exactly (tie → min test id);
+    // doc 2 is orthogonal to every test row (below threshold, absent)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val tests = Seq(
+      (20L, Seq(1f, 0f, 0f)),
+      (10L, Seq(1f, 0f, 0f)),
+      (30L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticContamination(corpus, tests, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10L, 1.0)),
+      s"expected doc 1 flagged against test 10 only, got ${got.toSeq}")
+  }
+
   test("cosine expression matches a driver-side computation") {
     val rows = emb.orderBy("vec_id").limit(2).collect()
     val (v1, v2) = (rows(0).getSeq[Float](1), rows(1).getSeq[Float](1))
