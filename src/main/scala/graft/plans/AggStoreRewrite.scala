@@ -57,15 +57,27 @@ object AggStoreRegistry {
     * `hdr_percentile(measure, p, hdrSubBits)` aggregates are served by
     * re-folding the store's (bucket, count) rows; `hdrSubBits` must
     * match the store build or the rule will not serve (a different
-    * bucket width answers a different question). */
+    * bucket width answers a different question).
+    * An `hll` registration (built by
+    * [[graft.ops.SketchOps.writeHllStore]], store column `hll`) carries
+    * exactly one measure — the key column whose
+    * `hll_sketch_estimate(hll_sketch_agg(measure, hllLgK))`
+    * distinct-count aggregates are served by UNIONING the persisted
+    * register blobs (register merge is max-commutative, so union of the
+    * batch sketches IS the one-shot sketch — SketchSpec pins the
+    * equality); the query's lgK must match the store build. */
   final case class Registration(factPath: String, storePath: String,
                                 keys: Seq[String], measures: Seq[String],
                                 kinds: Seq[String] = Nil,
                                 countMeasure: Option[String] = None,
-                                hdrSubBits: Int = 5) {
+                                hdrSubBits: Int = 5,
+                                hllLgK: Int = 12) {
     def kindOf(m: String): String =
       if (kinds.isEmpty) "sum" else kinds(measures.indexOf(m))
     def isHdr: Boolean = kinds.contains("hdr")
+    /** Sketch stores hold >1 row per key (one per bucket / per ingest
+      * batch): even exact-key queries must re-aggregate, never project. */
+    def isSketch: Boolean = kinds.exists(k => k == "hdr" || k == "hll")
   }
 
   private val entries =
@@ -83,7 +95,8 @@ object AggStoreRegistry {
                keys: Seq[String], measures: Seq[String],
                kinds: Seq[String] = Nil,
                countMeasure: Option[String] = None,
-               hdrSubBits: Int = 5): Unit = {
+               hdrSubBits: Int = 5,
+               hllLgK: Int = 12): Unit = {
     // malformed length pairing would surface later as an
     // IndexOutOfBounds inside the optimizer rule, failing unrelated
     // queries at planning time — reject it at registration
@@ -93,13 +106,14 @@ object AggStoreRegistry {
       measures.contains(cm) && (kinds.isEmpty ||
         kinds(measures.indexOf(cm)) == "sum")),
       "countMeasure must be a sum-kind measure")
-    // an hdr store holds (keys, bucket) → count rows for ONE value
-    // column; a second measure would need its own grain
-    require(!kinds.contains("hdr") || measures.length == 1,
-      "an hdr registration carries exactly one measure")
+    // a sketch store holds one row per (keys, bucket) / (keys, batch)
+    // for ONE measure; a second measure would need its own grain
+    require(!kinds.exists(k => k == "hdr" || k == "hll") ||
+        measures.length == 1,
+      "an hdr/hll registration carries exactly one measure")
     entries.add(Registration(
       qualified(spark, factPath), storePath, keys, measures, kinds,
-      countMeasure, hdrSubBits))
+      countMeasure, hdrSubBits, hllLgK))
   }
 
   def clear(): Unit = entries.clear()
@@ -227,6 +241,32 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           AggregateExpression(hp.copy(value = bAttr, weight = nAttr),
             Complete, isDistinct = false, filter = None),
           name)(exprId = al.exprId): NamedExpression
+      // hll_sketch_estimate(hll_sketch_agg(key, lgK)) over an
+      // hll-registered fact: union the persisted register blobs instead
+      // of re-sketching the corpus — register merge is max-commutative,
+      // so the union of per-batch sketches IS the one-shot sketch
+      // (strict same-lgK union; a different query lgK falls through)
+      case al @ Alias(
+          org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+            AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .HllSketchAgg(m: AttributeReference,
+                  org.apache.spark.sql.catalyst.expressions
+                    .Literal(lgK: Int, org.apache.spark.sql.types.IntegerType),
+                  _, _),
+              Complete, false, None, _)), name)
+          if reg.measures.contains(m.name) &&
+            reg.kindOf(m.name) == "hll" && lgK == reg.hllLgK =>
+        storeAttr("hll")
+          .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+          .map(h => Alias(
+            org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+              AggregateExpression(
+                org.apache.spark.sql.catalyst.expressions.aggregate
+                  .HllUnionAgg(h,
+                    org.apache.spark.sql.catalyst.expressions.Literal(false)),
+                Complete, isDistinct = false, filter = None)),
+            name)(exprId = al.exprId): NamedExpression)
       // COUNT(*) over an hdr-registered fact: the per-key fact row count
       // IS the sum of the sketch's bucket counts — the hdr store answers
       // it for free (no countMeasure declaration needed)
@@ -304,11 +344,11 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val source = rebased.get.foldLeft(storePlan) { (p, c) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(c, p)
       }
-      // an hdr store holds one row per (key, BUCKET) — even the exact
-      // key set must re-aggregate (a projection would emit one row per
-      // bucket); sum/min/max stores hold one row per key, where the
-      // exact set is the pure projection
-      if (exact && !reg.isHdr) Some(Project(outs, source))
+      // a sketch store holds one row per (key, bucket) or (key, ingest
+      // batch) — even the exact key set must re-aggregate (a projection
+      // would emit one row per bucket/batch); sum/min/max stores hold
+      // one row per key, where the exact set is the pure projection
+      if (exact && !reg.isSketch) Some(Project(outs, source))
       else {
         val groupAttrs = agg.groupingExpressions.map {
           case a: AttributeReference => storeAttr(a.name).get
