@@ -142,7 +142,10 @@ object Bench {
     // the r9 line 10 KB, and the driver's bounded 2000-char log tail
     // truncated the head — the visible numbers were queries_cpu while the
     // wall map was lost, misreading three healthy queries as regressions.
-    def f2(d: Double): String = f"$d%.2f"
+    // Locale.ROOT: the default-locale interpolator would print "0,29"
+    // under a comma-decimal locale and break the JSON line
+    def f2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v._1) }
       .mkString("{", ",", "}")
     val qsCpu = results.map { case (k, v) => "\"" + k + "\":" + f2(v._2) }

@@ -17,14 +17,15 @@ import org.apache.spark.sql.types._
   * Semantics (deterministic, engine-replicable integer arithmetic —
   * no interpolation): bucket every value with
   * [[graft.ops.SketchOps.hdrBucket]]'s formula (keep the top
-  * `subBits + 1` significant bits; non-positives pass through), then
+  * `subBits + 1` significant bits; negatives mirror on |v|), then
   * return the smallest bucket lower bound whose cumulative count
   * reaches the requested rank: `cum * 10000 >= total * pBp` with the
   * percentile expressed in basis points. `p = 0.5/0.9/0.99` therefore
   * matches `hdrQuantilesFromTable`'s p50/p90/p99 columns exactly.
   *
   * The buffer is the sketch itself — a bucket → count map bounded by
-  * 64·2^subBits entries regardless of input size — so partial
+  * 2·64·2^subBits entries (each sign side) regardless of input size — so
+  * partial
   * aggregation, merge, and the two-level hash aggregate all carry
   * O(buckets) state, never values. The optional `weight` child folds
   * PRE-BUCKETED (bucket, count) rows — the rollup-store serving path —
@@ -60,14 +61,23 @@ case class HdrPercentile(
 
   /** Same arithmetic as SketchOps.hdrBucket's Column form: exponent from
     * the bit length (never floating log2), low bits below the top
-    * `subBits + 1` cleared. */
+    * `subBits + 1` cleared. Negatives MIRROR the positive bucketing on
+    * |v| (bucket bound toward zero) — a raw pass-through would give every
+    * distinct negative its own map entry, unbounding the per-group
+    * buffer on a negative-heavy column. `Long.MinValue` (whose |v| is
+    * unrepresentable) is its own bucket — the same value the Column
+    * form's two's-complement arithmetic lands on. */
   private def bucket(v: Long): Long =
-    if (v <= 0) v
-    else {
-      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
-      val w = 1L << math.max(0, e - subBits)
-      v - (v % w)
-    }
+    if (v == 0L) 0L
+    else if (v == Long.MinValue) Long.MinValue
+    else if (v < 0) -bucketPos(-v)
+    else bucketPos(v)
+
+  private def bucketPos(v: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val w = 1L << math.max(0, e - subBits)
+    v - (v % w)
+  }
 
   private def asLong(e: Expression, v: Any): Long = e.dataType match {
     case LongType => v.asInstanceOf[Long]
@@ -110,13 +120,27 @@ case class HdrPercentile(
       var tot = 0L
       var j = 0
       while (j < buckets.length) { tot += buf.get(buckets(j)); j += 1 }
+      // rank threshold: cum*10000 >= tot*pBp ⟺ cum >= ⌈tot·pBp/10000⌉
+      // (cum is integral). Computed ONCE, overflow-safe: tot*pBp blows
+      // past Long once a group's weight exceeds ~9.2e14 (the store-
+      // serving path folds pre-summed counts, so tot grows with corpus
+      // size at the 100 TB posture) — fall back to BigInteger there.
+      val thr: Long =
+        if (tot <= (Long.MaxValue - 9999L) / 10000L)
+          (tot * pBp + 9999L) / 10000L
+        else
+          java.math.BigInteger.valueOf(tot)
+            .multiply(java.math.BigInteger.valueOf(pBp.toLong))
+            .add(java.math.BigInteger.valueOf(9999L))
+            .divide(java.math.BigInteger.valueOf(10000L))
+            .longValueExact()
       var cum = 0L
       var k = 0
       var res = buckets(buckets.length - 1)
       var found = false
       while (k < buckets.length && !found) {
         cum += buf.get(buckets(k))
-        if (cum * 10000L >= tot * pBp) { res = buckets(k); found = true }
+        if (cum >= thr) { res = buckets(k); found = true }
         k += 1
       }
       res

@@ -281,18 +281,31 @@ object SketchOps {
     * rest, so bucket width ≤ value · 2⁻ˢᵘᵇᴮⁱᵗˢ and any quantile read off
     * the bucket table carries bounded RELATIVE error — the general-domain
     * complement to `ev_quantile_store`'s exact bounded-domain histogram.
-    * Non-positive values pass through exactly (their own buckets).
+    * Negative values MIRROR the positive bucketing on |v| (bound toward
+    * zero), zero is its own bucket — so the table stays ≤ 2·64·2^subBits
+    * rows per group even on a negative-heavy column (a raw pass-through
+    * would hand every distinct negative its own row: unbounded state in
+    * the streaming twin and the persisted store). Bucketing is
+    * idempotent on its own outputs on BOTH sign sides, which is what
+    * makes store re-folds exact.
     *
     * Every step is integer arithmetic replicable bit-for-bit by another
     * engine — floor(log2 v) comes from the UNPADDED binary-string length
     * (`length(bin(v)) - 1`), never floating log2, whose last-ulp rounding
-    * at bucket edges would diverge between libm implementations. */
+    * at bucket edges would diverge between libm implementations.
+    * (`Long.MinValue`, whose |v| is unrepresentable, falls out of the
+    * two's-complement arithmetic as its own bucket — the imperative twin
+    * in [[graft.expressions.HdrPercentile]] special-cases it to the same
+    * value.) */
   def hdrBucket(v: Column, subBits: Int): Column = {
     require(subBits >= 0 && subBits <= 20, s"subBits out of range: $subBits")
-    val e = length(bin(v)).cast("long") - 1L
-    val shift = greatest(lit(0L), e - subBits)
-    val width = call_function("shiftleft", lit(1L), shift.cast("int"))
-    when(v <= 0, v).otherwise(v - pmod(v, width))
+    def pos(x: Column): Column = {
+      val e = length(bin(x)).cast("long") - 1L
+      val shift = greatest(lit(0L), e - subBits)
+      val width = call_function("shiftleft", lit(1L), shift.cast("int"))
+      x - pmod(x, width)
+    }
+    when(v > 0, pos(v)).when(v < 0, -pos(-v)).otherwise(lit(0L))
   }
 
   /** The mergeable sketch state: (group, bucket) → count. A sum monoid —

@@ -58,26 +58,25 @@ object AggStoreRegistry {
     * re-folding the store's (bucket, count) rows; `hdrSubBits` must
     * match the store build or the rule will not serve (a different
     * bucket width answers a different question).
-    * An `hll` registration (built by
-    * [[graft.ops.SketchOps.writeHllStore]], store column `hll`) carries
-    * exactly one measure — the key column whose
-    * `hll_sketch_estimate(hll_sketch_agg(measure, hllLgK))`
-    * distinct-count aggregates are served by UNIONING the persisted
-    * register blobs (register merge is max-commutative, so union of the
-    * batch sketches IS the one-shot sketch — SketchSpec pins the
-    * equality); the query's lgK must match the store build. */
+    *
+    * There is deliberately NO `hll` kind: unioning persisted
+    * DataSketches register blobs gives a VALID estimate but not the
+    * SAME estimate as the one-shot `hll_sketch_agg` over the fact
+    * table — the library promotes coupon-list sketches to dense
+    * registers along a different path under union, and estimates drift
+    * by ~1% (AggRewriteSpec pins a concrete divergence). A rewrite must
+    * be bit-identical, so HLL store serving stays an EXPLICIT API
+    * ([[graft.ops.SketchOps.readHllStore]]), never a silent plan swap. */
   final case class Registration(factPath: String, storePath: String,
                                 keys: Seq[String], measures: Seq[String],
                                 kinds: Seq[String] = Nil,
                                 countMeasure: Option[String] = None,
-                                hdrSubBits: Int = 5,
-                                hllLgK: Int = 12) {
+                                hdrSubBits: Int = 5) {
     def kindOf(m: String): String =
       if (kinds.isEmpty) "sum" else kinds(measures.indexOf(m))
+    /** Hdr stores hold >1 row per key (one per bucket): even exact-key
+      * queries must re-aggregate, never project. */
     def isHdr: Boolean = kinds.contains("hdr")
-    /** Sketch stores hold >1 row per key (one per bucket / per ingest
-      * batch): even exact-key queries must re-aggregate, never project. */
-    def isSketch: Boolean = kinds.exists(k => k == "hdr" || k == "hll")
   }
 
   private val entries =
@@ -95,25 +94,27 @@ object AggStoreRegistry {
                keys: Seq[String], measures: Seq[String],
                kinds: Seq[String] = Nil,
                countMeasure: Option[String] = None,
-               hdrSubBits: Int = 5,
-               hllLgK: Int = 12): Unit = {
+               hdrSubBits: Int = 5): Unit = {
     // malformed length pairing would surface later as an
     // IndexOutOfBounds inside the optimizer rule, failing unrelated
     // queries at planning time — reject it at registration
     require(kinds.isEmpty || kinds.length == measures.length,
       s"kinds (${kinds.length}) must pair 1:1 with measures (${measures.length})")
+    require(kinds.forall(Set("sum", "min", "max", "hdr")),
+      s"unknown measure kind in $kinds — hll is deliberately not " +
+        "servable (union estimates ≠ one-shot estimates; use " +
+        "SketchOps.readHllStore explicitly)")
     require(countMeasure.forall(cm =>
       measures.contains(cm) && (kinds.isEmpty ||
         kinds(measures.indexOf(cm)) == "sum")),
       "countMeasure must be a sum-kind measure")
-    // a sketch store holds one row per (keys, bucket) / (keys, batch)
-    // for ONE measure; a second measure would need its own grain
-    require(!kinds.exists(k => k == "hdr" || k == "hll") ||
-        measures.length == 1,
-      "an hdr/hll registration carries exactly one measure")
+    // an hdr store holds one row per (keys, bucket) for ONE measure; a
+    // second measure would need its own grain
+    require(!kinds.contains("hdr") || measures.length == 1,
+      "an hdr registration carries exactly one measure")
     entries.add(Registration(
       qualified(spark, factPath), storePath, keys, measures, kinds,
-      countMeasure, hdrSubBits, hllLgK))
+      countMeasure, hdrSubBits))
   }
 
   def clear(): Unit = entries.clear()
@@ -241,32 +242,6 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           AggregateExpression(hp.copy(value = bAttr, weight = nAttr),
             Complete, isDistinct = false, filter = None),
           name)(exprId = al.exprId): NamedExpression
-      // hll_sketch_estimate(hll_sketch_agg(key, lgK)) over an
-      // hll-registered fact: union the persisted register blobs instead
-      // of re-sketching the corpus — register merge is max-commutative,
-      // so the union of per-batch sketches IS the one-shot sketch
-      // (strict same-lgK union; a different query lgK falls through)
-      case al @ Alias(
-          org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
-            AggregateExpression(
-              org.apache.spark.sql.catalyst.expressions.aggregate
-                .HllSketchAgg(m: AttributeReference,
-                  org.apache.spark.sql.catalyst.expressions
-                    .Literal(lgK: Int, org.apache.spark.sql.types.IntegerType),
-                  _, _),
-              Complete, false, None, _)), name)
-          if reg.measures.contains(m.name) &&
-            reg.kindOf(m.name) == "hll" && lgK == reg.hllLgK =>
-        storeAttr("hll")
-          .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
-          .map(h => Alias(
-            org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
-              AggregateExpression(
-                org.apache.spark.sql.catalyst.expressions.aggregate
-                  .HllUnionAgg(h,
-                    org.apache.spark.sql.catalyst.expressions.Literal(false)),
-                Complete, isDistinct = false, filter = None)),
-            name)(exprId = al.exprId): NamedExpression)
       // COUNT(*) over an hdr-registered fact: the per-key fact row count
       // IS the sum of the sketch's bucket counts — the hdr store answers
       // it for free (no countMeasure declaration needed)
@@ -344,11 +319,11 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val source = rebased.get.foldLeft(storePlan) { (p, c) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(c, p)
       }
-      // a sketch store holds one row per (key, bucket) or (key, ingest
-      // batch) — even the exact key set must re-aggregate (a projection
-      // would emit one row per bucket/batch); sum/min/max stores hold
-      // one row per key, where the exact set is the pure projection
-      if (exact && !reg.isSketch) Some(Project(outs, source))
+      // an hdr store holds one row per (key, bucket) — even the exact
+      // key set must re-aggregate (a projection would emit one row per
+      // bucket); sum/min/max stores hold one row per key, where the
+      // exact set is the pure projection
+      if (exact && !reg.isHdr) Some(Project(outs, source))
       else {
         val groupAttrs = agg.groupingExpressions.map {
           case a: AttributeReference => storeAttr(a.name).get

@@ -375,9 +375,11 @@ object EventQueries {
         |  FROM events
         |), h AS (
         |  SELECT event_type,
-        |    CASE WHEN cents <= 0 THEN cents
-        |         ELSE cents - (cents % (CAST(1 AS BIGINT) <<
+        |    CASE WHEN cents > 0 THEN cents - (cents % (CAST(1 AS BIGINT) <<
         |           CAST(GREATEST(0, length(bin(cents)) - 1 - 5) AS INT)))
+        |         WHEN cents < 0 THEN -((-cents) - ((-cents) % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(-cents)) - 1 - 5) AS INT))))
+        |         ELSE 0
         |    END AS b,
         |    COUNT(*) AS n
         |  FROM v GROUP BY 1, 2
@@ -417,9 +419,11 @@ object EventQueries {
         |  FROM events
         |), h AS (
         |  SELECT event_type,
-        |    CASE WHEN cents <= 0 THEN cents
-        |         ELSE cents - (cents % (CAST(1 AS BIGINT) <<
+        |    CASE WHEN cents > 0 THEN cents - (cents % (CAST(1 AS BIGINT) <<
         |           CAST(GREATEST(0, length(bin(cents)) - 1 - 5) AS INT)))
+        |         WHEN cents < 0 THEN -((-cents) - ((-cents) % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(-cents)) - 1 - 5) AS INT))))
+        |         ELSE 0
         |    END AS b,
         |    COUNT(*) AS n
         |  FROM v GROUP BY 1, 2
@@ -471,9 +475,11 @@ object EventQueries {
         |  FROM events
         |), h AS (
         |  SELECT event_type,
-        |    CASE WHEN cents <= 0 THEN cents
-        |         ELSE cents - (cents % (CAST(1 AS BIGINT) <<
+        |    CASE WHEN cents > 0 THEN cents - (cents % (CAST(1 AS BIGINT) <<
         |           CAST(GREATEST(0, length(bin(cents)) - 1 - 5) AS INT)))
+        |         WHEN cents < 0 THEN -((-cents) - ((-cents) % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(-cents)) - 1 - 5) AS INT))))
+        |         ELSE 0
         |    END AS b,
         |    COUNT(*) AS n
         |  FROM v GROUP BY 1, 2
@@ -511,6 +517,69 @@ object EventQueries {
           hdrPercentile(col("cents"), 0.5).as("p50_b"),
           hdrPercentile(col("cents"), 0.9).as("p90_b"),
           hdrPercentile(col("cents"), 0.99).as("p99_b"))
+        .orderBy("event_type")
+    },
+
+    // ---- HDR quantiles served for a COARSER key subset: the store is
+    // maintained at the finer (event_type, day) grain, the query groups
+    // by event_type only — AggStoreRewrite re-folds the store's
+    // (bucket, count) rows ACROSS the dropped key, exact because bucket
+    // lower bounds are idempotent under re-bucketing and counts are
+    // sums. Equal hashes against DuckDB's direct whole-corpus walk prove
+    // one maintained fine-grained rollup answers every coarser
+    // percentile query — at 100 TB, one store serves the whole rollup
+    // lattice below it.
+    q(
+      "agg_hdr_rollup",
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents > 0 THEN cents - (cents % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(cents)) - 1 - 5) AS INT)))
+        |         WHEN cents < 0 THEN -((-cents) - ((-cents) % (CAST(1 AS BIGINT) <<
+        |           CAST(GREATEST(0, length(bin(-cents)) - 1 - 5) AS INT))))
+        |         ELSE 0
+        |    END AS b,
+        |    COUNT(*) AS n
+        |  FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, b, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM h
+        |)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN b END) AS BIGINT) AS p50_b,
+        |  CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN b END) AS BIGINT) AS p90_b,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN b END) AS BIGINT) AS p99_b,
+        |  CAST(MIN(tot) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.expressions.HdrPercentile.hdrPercentile
+      import graft.ops.IncrementalAggOps
+      import graft.plans.AggStoreRegistry
+      val base = scratchDir("graft-hdrrollup")
+      val prep = s"$base/events_day.parquet"
+      val store = s"$base/store"
+      tEvents(s, dir)
+        .select(col("event_type"), (col("event_id") % 7).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(prep)
+      val ev = s.read.parquet(prep)
+      IncrementalAggOps.writeHdrStore(ev.filter(col("cents") % 5 =!= 0),
+        s, store, Seq("event_type", "day"), "cents", nBuckets = 8)
+      IncrementalAggOps.mergeIntoHdrStore(ev.filter(col("cents") % 5 === 0),
+        s, store, Seq("event_type", "day"), "cents", nBuckets = 8)
+      AggStoreRegistry.clear()
+      AggStoreRegistry.register(s, prep, store,
+        Seq("event_type", "day"), Seq("cents"), kinds = Seq("hdr"))
+      ev.groupBy("event_type").agg(
+          hdrPercentile(col("cents"), 0.5).as("p50_b"),
+          hdrPercentile(col("cents"), 0.9).as("p90_b"),
+          hdrPercentile(col("cents"), 0.99).as("p99_b"),
+          count(lit(1)).as("n_rows"))
         .orderBy("event_type")
     },
 

@@ -399,22 +399,27 @@ object RelationalOps {
     // must show (a) every input row in exactly one partition (total_rows),
     // (b) all 16 partitions materialized and non-empty (n_parts), and
     // (c) bounded skew — round-robin hands each output ⌊n/16⌋ or ⌈n/16⌉
-    // rows PER INPUT SPLIT, so max−min is at most the input split count
-    // (≤64 is generous at the gate SF). A dropped/duplicated row in the
-    // exchange, an empty partition, or a broken partitioner turns a
-    // column red. The per-pid detail frame stays the first stage of the
-    // query — this is the same profile, folded to what layout cannot move.
+    // rows PER INPUT SPLIT, so max−min is at most the input split count,
+    // which is read off the ACTUAL scan partitioning (a constant bound
+    // would re-introduce the layout dependence this rewrite removed: a
+    // larger SF or smaller maxPartitionBytes means more splits). A
+    // dropped/duplicated row in the exchange, an empty partition, or a
+    // broken partitioner turns a column red. The per-pid detail frame
+    // stays the first stage of the query — this is the same profile,
+    // folded to what layout cannot move.
     q(
       "a12_partition_sizes",
       "SELECT COUNT(*) AS total_rows, CAST(16 AS BIGINT) AS n_parts, TRUE AS balanced FROM lineitem"
     ) { (s, dir) =>
-      t(s, dir, "lineitem")
+      val src = t(s, dir, "lineitem")
+      val nSplits = src.rdd.getNumPartitions.toLong
+      src
         .repartition(16)
         .groupBy(spark_partition_id().as("partition"))
         .agg(count(lit(1)).as("rows"))
         .agg(sum("rows").as("total_rows"),
           count(lit(1)).as("n_parts"),
-          (max("rows") - min("rows") <= 64).as("balanced"))
+          (max("rows") - min("rows") <= nSplits).as("balanced"))
     },
 
     // ---- J-broadcast: dimension join chain + grouped revenue top-k

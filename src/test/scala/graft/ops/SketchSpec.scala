@@ -148,22 +148,24 @@ class SketchSpec extends SparkTestBase {
 
   test("hdrBucket: exact small values, top-bits-kept large values, integer edges") {
     val vals = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 65L, 255L, 256L, 257L,
-      1000L, 12345L, (1L << 40) + 12345L, -7L)
+      1000L, 12345L, (1L << 40) + 12345L, -7L, -65L, -12345L)
     val got = vals.toDF("v")
       .select(SketchOps.hdrBucket(col("v"), subBits = 5).as("b"))
       .collect().map(_.getLong(0)).toSeq
+    def refPos(v: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val shift = math.max(0, e - 5)
+      v - (v % (1L << shift))
+    }
     def ref(v: Long): Long =
-      if (v <= 0) v
-      else {
-        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
-        val shift = math.max(0, e - 5)
-        v - (v % (1L << shift))
-      }
+      if (v == 0) 0L else if (v > 0) refPos(v) else -refPos(-v)
     assert(got == vals.map(ref))
-    // values below 2^(subBits+1) are EXACT (shift 0)
-    assert(ref(63) == 63 && ref(33) == 33)
-    // 65 = 0b1000001 keeps top 6 bits → 64
-    assert(ref(65) == 64 && ref(12345) == 12288)
+    // values below 2^(subBits+1) are EXACT (shift 0) — on both sign sides
+    assert(ref(63) == 63 && ref(33) == 33 && ref(-7) == -7)
+    // 65 = 0b1000001 keeps top 6 bits → 64; negatives mirror on |v|
+    assert(ref(65) == 64 && ref(12345) == 12288 && ref(-12345) == -12288)
+    // mirrored bucketing is idempotent on its own outputs (store re-folds)
+    vals.foreach(v => assert(ref(ref(v)) == ref(v)))
   }
 
   test("hdr sketch merge: sketch(parts) summed == sketch(whole), any split") {
@@ -188,7 +190,7 @@ class SketchSpec extends SparkTestBase {
   test("hdr_percentile aggregate ≡ the bucket-table walk on adversarial " +
     "values, any partitioning") {
     import graft.expressions.HdrPercentile.hdrPercentile
-    // negatives (pass-through buckets), zero, exact small values, bucket
+    // negatives (mirrored buckets), zero, exact small values, bucket
     // edges, and a >2^40 tail — three groups, deterministic
     val df = spark.range(0, 30000)
       .select((col("id") % 3).cast("string").as("g"),

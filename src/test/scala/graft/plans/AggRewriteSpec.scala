@@ -225,6 +225,91 @@ class AggRewriteSpec extends SparkTestBase {
     } finally AggStoreRegistry.clear()
   }
 
+  test("hdr rollup serves COARSER key subsets: (bucket, count) rows fold " +
+    "across keys losslessly") {
+    import graft.expressions.HdrPercentile.hdrPercentile
+    val dirp = Files.createTempDirectory("aggrwhc")
+    val prep = s"$dirp/ev2.parquet"
+    val store = s"$dirp/store"
+    AggStoreRegistry.clear()
+    try {
+      spark.read.parquet(s"$sfTiny/events.parquet")
+        .select(col("event_type"),
+          (col("event_id") % 7).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.parquet(prep)
+      val ev = spark.read.parquet(prep)
+      // the store is maintained at the FINER (event_type, day) grain
+      IncrementalAggOps.writeHdrStore(ev.filter(col("cents") % 5 =!= 0),
+        spark, store, Seq("event_type", "day"), "cents", nBuckets = 8)
+      IncrementalAggOps.mergeIntoHdrStore(ev.filter(col("cents") % 5 === 0),
+        spark, store, Seq("event_type", "day"), "cents", nBuckets = 8)
+      AggStoreRegistry.register(spark, prep, store,
+        Seq("event_type", "day"), Seq("cents"), kinds = Seq("hdr"))
+
+      // coarser grouping (event_type only): served by re-folding the
+      // store's (bucket, count) rows across days — exact, because the
+      // bucket function is idempotent on its lower bounds and counts sum
+      def q() = ev.groupBy("event_type").agg(
+        hdrPercentile(col("cents"), 0.5).as("p50_b"),
+        hdrPercentile(col("cents"), 0.99).as("p99_b"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val served = q()
+      assert(scanPaths(served).exists(_.contains("store")) &&
+        !scanPaths(served).exists(_.contains("ev2.parquet")),
+        s"coarser hdr rollup must be store-served: ${scanPaths(served)}")
+      val want = {
+        AggStoreRegistry.clear()
+        val m = rows(q())
+        AggStoreRegistry.register(spark, prep, store,
+          Seq("event_type", "day"), Seq("cents"), kinds = Seq("hdr"))
+        m
+      }
+      assert(rows(served) == want,
+        "coarser-served percentiles must equal the direct computation")
+
+      // the exact 2-key grain serves too (one more re-agg, same rows)
+      def q2() = ev.groupBy("event_type", "day")
+        .agg(hdrPercentile(col("cents"), 0.9).as("p90_b"))
+      val served2 = q2()
+      assert(scanPaths(served2).exists(_.contains("store")) &&
+        !scanPaths(served2).exists(_.contains("ev2.parquet")))
+      val got2 = served2.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want2 = {
+        AggStoreRegistry.clear()
+        val m = q2().collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        AggStoreRegistry.register(spark, prep, store,
+          Seq("event_type", "day"), Seq("cents"), kinds = Seq("hdr"))
+        m
+      }
+      assert(got2 == want2)
+
+      // COUNT(*) at the coarser grain rides the same store
+      val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(scanPaths(cnt).exists(_.contains("store")) &&
+        !scanPaths(cnt).exists(_.contains("ev2.parquet")),
+        s"coarser count(*) must be hdr-store-served: ${scanPaths(cnt)}")
+      val gotCnt = cnt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantCnt = {
+        AggStoreRegistry.clear()
+        val m = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        AggStoreRegistry.register(spark, prep, store,
+          Seq("event_type", "day"), Seq("cents"), kinds = Seq("hdr"))
+        m
+      }
+      assert(gotCnt == wantCnt)
+
+      // a grouping OUTSIDE the key set must fall back to the fact scan
+      val outside = ev.groupBy("cents")
+        .agg(hdrPercentile(col("cents"), 0.5).as("p"))
+      assert(scanPaths(outside).exists(_.contains("ev2.parquet")))
+    } finally AggStoreRegistry.clear()
+  }
+
   test("hdr_percentile SQL form matches the Column form; retraction " +
     "restores the maintained store exactly") {
     import graft.expressions.HdrPercentile.hdrPercentile
@@ -268,6 +353,59 @@ class AggRewriteSpec extends SparkTestBase {
         Seq("event_type"), "cents", nBuckets = 8)
       assert(walk() == before,
         "retracting the merged batch must restore the sketch exactly")
+    } finally AggStoreRegistry.clear()
+  }
+
+  test("hll is NOT a servable kind: union≠one-shot divergence pinned, " +
+    "registration rejected") {
+    val dirp = Files.createTempDirectory("aggrwhll")
+    val prep = s"$dirp/li_keys.parquet"
+    val store = s"$dirp/store"
+    AggStoreRegistry.clear()
+    try {
+      li.select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
+        .write.parquet(prep)
+      val ev = spark.read.parquet(prep)
+      // Why the rule has no hll branch: union of per-batch register
+      // blobs yields a VALID estimate but not the SAME estimate as the
+      // one-shot sketch over the fact (DataSketches promotes coupon→
+      // dense along a different path under union). Pin a concrete
+      // divergence at this cardinality (~700/cell, lgK=12) — if the
+      // library ever makes these equal, this assert flags that a
+      // serving branch would become possible again.
+      graft.ops.SketchOps.writeHllStore(
+        ev.filter(col("l_orderkey") % 5 =!= 0), store,
+        Seq("l_returnflag", "l_linestatus"), col("l_orderkey"), lgK = 12)
+      graft.ops.SketchOps.writeHllStore(
+        ev.filter(col("l_orderkey") % 5 === 0), store,
+        Seq("l_returnflag", "l_linestatus"), col("l_orderkey"), lgK = 12,
+        append = true)
+      val unioned = graft.ops.SketchOps
+        .readHllStore(spark, store, Seq("l_returnflag", "l_linestatus"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val oneShot = ev.groupBy("l_returnflag", "l_linestatus")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(12)))
+          .as("nd"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(unioned.keySet == oneShot.keySet && unioned.nonEmpty)
+      // both are sound estimates (within HLL error of each other)…
+      unioned.foreach { case (k, u) =>
+        assert(math.abs(u - oneShot(k)) <= 0.05 * oneShot(k), s"$k: $u vs ${oneShot(k)}")
+      }
+      // …but NOT identical — which is exactly why serving is refused
+      assert(unioned != oneShot,
+        "union and one-shot estimates now agree exactly — an hll " +
+          "serving branch may be safe to (re)introduce; see AggStoreRegistry doc")
+
+      // and the registry refuses the kind outright
+      val err = intercept[IllegalArgumentException] {
+        AggStoreRegistry.register(spark, prep, store,
+          Seq("l_returnflag", "l_linestatus"), Seq("l_orderkey"),
+          kinds = Seq("hll"))
+      }
+      assert(err.getMessage.contains("hll"))
     } finally AggStoreRegistry.clear()
   }
 
