@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,20 +11,101 @@ import org.apache.spark.sql.functions._
   * serving corpus that only ever GROWS. This operator persists the
   * assignment: the corpus is written once as a parquet table
   * PARTITIONED BY the cell id, new batches are assigned against the
-  * frozen centroid table and appended into the same cell directories,
-  * and a search reads the store back with the probed cells pushed into
-  * the scan as a dynamic partition-pruning filter — at nlist=1024 /
-  * nprobe=32 a query batch physically reads ~3% of a 100 TB store, and
-  * an ingest touches only the delta (the store is never re-assigned,
-  * never re-shuffled; each append adds files under its cells'
-  * directories).
+  * frozen centroid table and appended as new commit directories under
+  * the same cells, and a search reads the store back with the probed
+  * cells pushed into the scan as a dynamic partition-pruning filter —
+  * at nlist=1024 / nprobe=32 a query batch physically reads ~nprobe/nlist
+  * of a 100 TB store, and an ingest touches only the delta (the store is
+  * never re-assigned, never re-shuffled).
   *
   * Layout choice: DIRECTORY partitioning (not bucketing) because the
   * probe predicate is a small IN-list over cell ids — exactly what
   * partition pruning eliminates at file-listing time; bucketing would
   * only co-locate a shuffle that the broadcast probe join doesn't need.
+  *
+  * Durability: every mutation is MANIFEST-COMMITTED. Data lives under
+  * `items/c=<commit>/cid=<cell>/` and a tiny `_manifest` parquet of
+  * `(c, cid)` rows names the live directories; reads resolve the
+  * manifest and never list `items/` itself, so a torn ingest (task or
+  * job death after some cell files landed but before the manifest row)
+  * is INVISIBLE — the next search returns exactly the last committed
+  * state, and a retried append overwrites the torn commit directory
+  * before publishing it. Delete and compaction write their rewritten
+  * cells as a NEW commit, swap the manifest, and only then garbage-
+  * collect the superseded directories — the same write-ahead shape as
+  * [[VersionedStoreOps]]'s `_manifest` (single writer at a time, as
+  * there). The manifest is bounded by live (commit, cell) pairs —
+  * commits × nlist driver-side rows, the same order as the versioned
+  * store's nBuckets × versions.
   */
 object VectorStoreOps {
+
+  private def itemsPath(base: String) = s"$base/items"
+  private def manifestPath(base: String) = s"$base/_manifest"
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live (commit, cell) pairs. ONLY a missing manifest means fresh — a
+    * transient read failure must propagate, or an append would treat a
+    * live store as empty (see [[VersionedStoreOps.currentVersion]]). */
+  private def readManifest(spark: SparkSession, base: String): Array[(Long, Long)] = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(base))
+    if (!hadoopFs(spark, base).exists(mp)) Array.empty
+    else spark.read.parquet(manifestPath(base))
+      .select("c", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  private def writeManifest(spark: SparkSession, base: String,
+                            rows: Seq[(Long, Long)], append: Boolean): Unit = {
+    import spark.implicits._
+    rows.toDF("c", "cid").coalesce(1)
+      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .parquet(manifestPath(base))
+    // prefix-invalidate the session's file-listing cache for the whole
+    // store (manifest AND item dirs) — the sibling stores do the same
+    spark.catalog.refreshByPath(base)
+  }
+
+  /** Cell ids a just-written commit directory actually materialized —
+    * one driver-side listing of what Spark wrote, instead of a second
+    * pass over the assignment to collect distinct cids. Bounded by
+    * nlist. */
+  private def writtenCells(spark: SparkSession, commitDir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, commitDir)
+    val p = new org.apache.hadoop.fs.Path(commitDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .map(_.getPath.getName.stripPrefix("cid=").toLong)
+  }
+
+  private def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val fs = hadoopFs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** The COMMITTED store contents: `(item_id, cv, cid)`. Resolves the
+    * manifest and reads exactly the directories it names — files from a
+    * torn (uncommitted) ingest are never included. This is the ONLY way
+    * the store's data is read, internally and by callers. */
+  def readStore(spark: SparkSession, basePath: String): DataFrame = {
+    val manifest = readManifest(spark, basePath)
+    require(manifest.nonEmpty, s"no committed vector store at $basePath")
+    readStoreFrom(spark, basePath, manifest)
+  }
+
+  private def readStoreFrom(spark: SparkSession, base: String,
+                            manifest: Array[(Long, Long)]): DataFrame = {
+    val dirs = manifest.map { case (c, cid) => s"${itemsPath(base)}/c=$c/cid=$cid" }
+    spark.read.option("basePath", itemsPath(base))
+      .parquet(dirs.toIndexedSeq: _*)
+      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+  }
 
   /** Per-row best cell of `df`'s vectors against the (broadcast)
     * centroid table, ties to the lowest cid. `probeRound` optionally
@@ -67,99 +148,125 @@ object VectorStoreOps {
   }
 
   /** Create the store at `basePath`: the frozen centroid table (tiny,
-    * one file) plus the corpus assigned to cells, partitioned by cid. */
+    * one file) plus the corpus assigned to cells under commit 0.
+    * Overwrite semantics — any prior store at the path (its manifest
+    * included) is removed first, so a re-build is self-contained. */
   def writeVectorStore(corpus: DataFrame, spark: SparkSession,
                        basePath: String, cents: DataFrame,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        assignRound: Option[Int] = None): Unit = {
+    val fs = hadoopFs(spark, basePath)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestPath(basePath)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(itemsPath(basePath)), true)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$basePath/centroids")
+    val commitDir = s"${itemsPath(basePath)}/c=0"
     assigned(spark, corpus, cents, idCol, vecCol, assignRound)
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$basePath/items")
+      .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
+    writeManifest(spark, basePath,
+      writtenCells(spark, commitDir).map(cid => (0L, cid)), append = false)
   }
 
-  /** Ingest a batch: assign against the FROZEN centroids, append under
-    * the matching cell directories. The store itself is untouched —
-    * ingest cost is one pass over the delta. The refresh drops Spark's
-    * cached file listing for the path, so a reader in this session sees
-    * the appended cells immediately. */
+  /** Ingest a batch: assign against the FROZEN centroids, write the
+    * delta as the next commit directory, then publish it with one
+    * manifest append — the commit point. The prior store is untouched;
+    * ingest cost is one pass over the delta. A RETRY of a torn append
+    * lands on the same commit id (max committed + 1) and overwrites the
+    * partial directory before publishing, so the failure leaves no
+    * trace. */
   def appendToVectorStore(delta: DataFrame, spark: SparkSession,
                           basePath: String,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           assignRound: Option[Int] = None): Unit = {
+    val manifest = readManifest(spark, basePath)
+    require(manifest.nonEmpty,
+      s"no committed vector store at $basePath — writeVectorStore first")
     val cents = spark.read.parquet(s"$basePath/centroids")
+    val next = manifest.map(_._1).max + 1
+    val commitDir = s"${itemsPath(basePath)}/c=$next"
     assigned(spark, delta, cents, idCol, vecCol, assignRound)
-      .write.mode("append").partitionBy("cid")
-      .parquet(s"$basePath/items")
-    spark.catalog.refreshByPath(s"$basePath/items")
+      .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
+    writeManifest(spark, basePath,
+      writtenCells(spark, commitDir).map(cid => (next, cid)), append = true)
   }
 
-  /** Compact cells whose file count exceeded `maxFilesPerCell` —
-    * repeated appends leave one file per (append, cell), and at some
-    * point the scan's open-file overhead beats the append savings. Only
-    * oversized cells are rewritten (the usual locality contract); data
-    * is unchanged (spec-pinned). */
+  /** Compact cells whose LIVE file count (across their commit
+    * directories) exceeds `maxFilesPerCell` — repeated appends leave one
+    * file per (append, cell), and at some point the scan's open-file
+    * overhead beats the append savings. Oversized cells are rewritten
+    * into a new commit (reading old dirs, writing a new one — no
+    * read-own-write fence needed), the manifest swaps them over
+    * atomically-enough (single writer), and only then are the
+    * superseded directories deleted. Data is unchanged (spec-pinned). */
   def compactVectorStore(spark: SparkSession, basePath: String,
                          maxFilesPerCell: Int = 4): Unit = {
-    val itemsPath = s"$basePath/items"
-    val root = new org.apache.hadoop.fs.Path(itemsPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oversized = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
-      .filter(st => fs.listStatus(st.getPath)
-        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cid=").toLong)
+    val manifest = readManifest(spark, basePath)
+    require(manifest.nonEmpty, s"no committed vector store at $basePath")
+    val filesPerCell = manifest.groupBy(_._2).map { case (cid, dirs) =>
+      cid -> dirs.map { case (c, _) =>
+        parquetFileCount(spark, s"${itemsPath(basePath)}/c=$c/cid=$cid")
+      }.sum
+    }
+    val oversized = filesPerCell.filter(_._2 > maxFilesPerCell).keySet
     if (oversized.nonEmpty) {
-      val items = spark.read.parquet(itemsPath)
-        .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
-      val rewritten = items
-        .filter(col("cid").isin(oversized.toIndexedSeq: _*))
-        .repartition(col("cid"))
-        .localCheckpoint(true) // freeze before overwriting what it reads
-      rewritten.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid").parquet(itemsPath)
-      spark.catalog.refreshByPath(itemsPath)
+      rewriteCells(spark, basePath, manifest, oversized)
     }
   }
 
   /** Delete vectors by id — the right-to-be-forgotten path, with the
     * same locality contract as every other store mutation: only the
-    * cells that actually hold a deleted id are rewritten (dynamic
-    * partition overwrite); untouched cells stay byte-for-byte. A cell
-    * whose every vector is deleted needs special care: dynamic
-    * overwrite only replaces partitions it WRITES, so an
-    * emptied-to-zero cell would silently keep its stale files — those
-    * directories are removed explicitly. */
+    * cells that actually hold a deleted id are rewritten (into a new
+    * commit directory); untouched cells stay byte-for-byte in their old
+    * commits. A cell whose every vector is deleted simply writes no
+    * directory in the new commit and drops out of the manifest — no
+    * tombstone needed, absence IS emptiness. */
   def deleteFromVectorStore(ids: DataFrame, spark: SparkSession,
                             basePath: String,
                             idCol: String = "vec_id"): Unit = {
-    val itemsPath = s"$basePath/items"
+    val manifest = readManifest(spark, basePath)
+    require(manifest.nonEmpty, s"no committed vector store at $basePath")
     val del = ids.select(col(idCol).cast("long").as("item_id"))
       .distinct().localCheckpoint(true)
-    val items = spark.read.parquet(itemsPath)
-      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+    val items = readStoreFrom(spark, basePath, manifest)
     val touched = items.join(del, "item_id")
-      .select("cid").distinct().collect().map(_.getLong(0))
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet // ≤ nlist
     if (touched.nonEmpty) {
-      val remaining = items
-        .filter(col("cid").isin(touched.toIndexedSeq: _*))
-        .join(del, Seq("item_id"), "left_anti")
-        .localCheckpoint(true) // freeze before overwriting what it reads
-      remaining.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid").parquet(itemsPath)
-      // cells deleted down to zero rows never got re-written — drop them
-      val stillThere = remaining.select("cid").distinct()
-        .collect().map(_.getLong(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(itemsPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (touched.toSet -- stillThere).foreach { cid =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$itemsPath/cid=$cid"), true)
-      }
-      spark.catalog.refreshByPath(itemsPath)
+      rewriteCells(spark, basePath, manifest, touched,
+        _.join(del, Seq("item_id"), "left_anti"))
+    }
+  }
+
+  /** Shared rewrite-cells-into-a-new-commit step for delete/compaction:
+    * read the touched cells from their live dirs, transform, write as
+    * commit `max+1` (one file per cell via the cid repartition), swap
+    * the manifest, then GC the superseded directories. */
+  private def rewriteCells(spark: SparkSession, basePath: String,
+                           manifest: Array[(Long, Long)],
+                           cells: Set[Long],
+                           transform: DataFrame => DataFrame = identity): Unit = {
+    val next = manifest.map(_._1).max + 1
+    val commitDir = s"${itemsPath(basePath)}/c=$next"
+    val items = readStoreFrom(spark, basePath, manifest)
+    transform(items.filter(col("cid").isin(cells.toIndexedSeq: _*)))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
+    val surviving = writtenCells(spark, commitDir)
+    val kept = manifest.toIndexedSeq.filterNot { case (_, cid) => cells(cid) }
+    // the commit point: touched cells now resolve ONLY to the new commit
+    writeManifest(spark, basePath,
+      kept ++ surviving.map(cid => (next, cid)), append = false)
+    // post-commit GC of superseded dirs — a crash here leaves orphans
+    // that readers (manifest-resolved) never see
+    val fs = hadoopFs(spark, basePath)
+    manifest.filter { case (_, cid) => cells(cid) }.foreach { case (c, cid) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${itemsPath(basePath)}/c=$c/cid=$cid"), true)
+      // drop a commit dir emptied of its last cell (cosmetic)
+      val cdir = new org.apache.hadoop.fs.Path(s"${itemsPath(basePath)}/c=$c")
+      if (fs.exists(cdir) && !fs.listStatus(cdir).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("cid=")))
+        fs.delete(cdir, true)
     }
   }
 
@@ -169,14 +276,14 @@ object VectorStoreOps {
     * [[SimilarityOps.ivfTopKWithCentroids]], but the corpus side is the
     * persisted table: the broadcast probe join carries the probed cell
     * ids into the scan as a dynamic partition-pruning filter, so only
-    * those cell directories are read. */
+    * those cell directories are read — and only COMMITTED ones (the
+    * scan's file list comes from the manifest via [[readStore]]). */
   def searchStore(queries: DataFrame, spark: SparkSession, basePath: String,
                   k: Int, nprobe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   probeRound: Option[Int] = None): DataFrame = {
     val cents = spark.read.parquet(s"$basePath/centroids")
-    val items = spark.read.parquet(s"$basePath/items")
-      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+    val items = readStore(spark, basePath)
     val probes = bestCells(spark,
       queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
       cents, top = nprobe, probeRound)
@@ -208,8 +315,7 @@ object VectorStoreOps {
                           vecCol: String = "embedding",
                           probeRound: Option[Int] = None): DataFrame = {
     val cents = spark.read.parquet(s"$basePath/centroids")
-    val items = spark.read.parquet(s"$basePath/items")
-      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+    val items = readStore(spark, basePath)
     val eligible = meta.filter(pred)
       .select(col(idCol).as("item_id")).distinct()
     val probes = bestCells(spark,

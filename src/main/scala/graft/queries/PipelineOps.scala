@@ -973,6 +973,66 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- The vector store's FULL mutation lifecycle under the oracle:
+    // write → append → DELETE (vec_id % 10 = 3, the right-to-be-
+    // forgotten path — only the holding cells rewritten, into a new
+    // manifest commit) → COMPACT (maxFilesPerCell=1 forces every
+    // fragmented cell through the rewrite) → search. DuckDB rebuilds the
+    // same assignment declaratively and just excludes the deleted ids
+    // from the candidate set; equal hashes prove delete removes exactly
+    // the requested ids, compaction changes nothing, and the manifest
+    // swaps lose no surviving row. Same seeds/probes machinery as
+    // ann_inc_q.
+    q(
+      "ann_del_q",
+      """WITH seeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id AND a.item_id % 10 <> 3
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN embeddings i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = scratchDir("graft-vstore-d")
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6))
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      VectorStoreOps.deleteFromVectorStore(
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"), s, base)
+      VectorStoreOps.compactVectorStore(s, base, maxFilesPerCell = 1)
+      VectorStoreOps.searchStore(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10, nprobe = 4,
+        probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Per-label mean embedding (class prototypes / the IVF build
     // block) with a FULL oracle: cross-row float means are order-
     // dependent in double, so each element is quantized to

@@ -10,11 +10,38 @@ import graft.SparkTestBase
   * through a real store; this spec pins what the oracle can't see:
   * exact search-equivalence with the batch IVF operator, the dynamic
   * partition pruning that makes the store the scale path (a probe reads
-  * only its cells' directories), and same-session append visibility. */
+  * only its cells' directories), same-session append visibility, and
+  * the manifest-commit durability contract (a torn append is invisible;
+  * a retry overwrites it). */
 class VectorStoreSpec extends SparkTestBase {
   import spark.implicits._
 
   private lazy val emb = graft.queries.t(spark, sfSmall, "embeddings")
+
+  /** A cell's live parquet files across ALL commit directories, keyed
+    * `c=N/part-...` so cross-commit moves are visible. */
+  private def cellFiles(base: String, cid: Long): Map[String, Long] = {
+    val items = new java.io.File(s"$base/items")
+    if (!items.exists()) Map.empty
+    else items.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("c="))
+      .flatMap { c =>
+        val d = new java.io.File(c, s"cid=$cid")
+        if (!d.exists()) Seq.empty
+        else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${c.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+  }
+
+  private def allCells(base: String): Set[Long] = {
+    val items = new java.io.File(s"$base/items")
+    if (!items.exists()) Set.empty
+    else items.listFiles().toSet
+      .filter(d => d.isDirectory && d.getName.startsWith("c="))
+      .flatMap((c: java.io.File) => c.listFiles().toSet
+        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+        .map(_.getName.stripPrefix("cid=").toLong))
+  }
 
   test("store+append search equals the batch IVF operator row-for-row") {
     val store = emb.filter(col("vec_id") % 5 =!= 0)
@@ -50,13 +77,55 @@ class VectorStoreSpec extends SparkTestBase {
       s"store scan must carry a dynamic partition-pruning filter:\n$plan")
   }
 
+  test("a torn append (data files written, manifest not) is invisible; " +
+    "the retry overwrites it") {
+    val base = Files.createTempDirectory("vstore-torn").toString
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(store, spark, base, cents)
+    val committedCount = VectorStoreOps.readStore(spark, base).count()
+    def search() = VectorStoreOps
+      .searchStore(queries, spark, base, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val committedSearch = search()
+
+    // simulate the torn append: the delta's data files land under the
+    // NEXT commit directory (with deliberately WRONG content — every row
+    // in one cell — so inclusion would be visible), but the job dies
+    // before the manifest row is written
+    val someCell = allCells(base).min
+    delta.select(col("vec_id").as("item_id"),
+        col("embedding").as("cv"), lit(someCell).as("cid"))
+      .write.partitionBy("cid").parquet(s"$base/items/c=1")
+    assert(VectorStoreOps.readStore(spark, base).count() == committedCount,
+      "uncommitted files must be invisible to reads")
+    assert(search() == committedSearch,
+      "uncommitted files must be invisible to search")
+
+    // the RETRY lands on the same commit id, overwrites the torn
+    // directory (correctly assigned this time), and publishes it
+    VectorStoreOps.appendToVectorStore(delta, spark, base)
+    val after = VectorStoreOps.readStore(spark, base)
+    assert(after.count() == emb.count(),
+      "the retried append must land exactly once")
+    assert(after.groupBy("item_id").count().filter(col("count") > 1).count() == 0,
+      "no item may appear twice after the retry")
+    // and the store now answers like the batch operator on the full corpus
+    val batch = SimilarityOps
+      .ivfTopKWithCentroids(queries, emb, cents, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(search() == batch)
+  }
+
   test("delete rewrites only affected cells; emptied cells disappear") {
     val base = Files.createTempDirectory("vstore-del").toString
     val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
     VectorStoreOps.writeVectorStore(emb, spark, base, cents)
-    val items = spark.read.parquet(s"$base/items")
-      .select(col("item_id"), col("cid").cast("long").as("cid"))
-    val byCell = items.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCell = VectorStoreOps.readStore(spark, base)
+      .select("item_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     // delete one whole cell plus two vectors from another
     val (wholeCell, partialCell) = {
@@ -64,21 +133,15 @@ class VectorStoreSpec extends SparkTestBase {
     }
     val delIds = byCell(wholeCell) ++ byCell(partialCell).take(2)
     val untouchedCells = byCell.keys.toSet - wholeCell - partialCell
-    def cellFiles(cid: Long) = {
-      val d = new java.io.File(s"$base/items/cid=$cid")
-      if (!d.exists()) Map.empty[String, Long]
-      else d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toMap
-    }
-    val before = untouchedCells.map(c => c -> cellFiles(c)).toMap
+    val before = untouchedCells.map(c => c -> cellFiles(base, c)).toMap
     VectorStoreOps.deleteFromVectorStore(
       delIds.toSeq.toDF("vec_id"), spark, base)
     untouchedCells.foreach { c =>
-      assert(cellFiles(c) == before(c), s"cell $c files must be untouched")
+      assert(cellFiles(base, c) == before(c), s"cell $c files must be untouched")
     }
-    assert(!new java.io.File(s"$base/items/cid=$wholeCell").exists(),
-      "a fully-deleted cell's directory must be removed")
-    val after = spark.read.parquet(s"$base/items")
+    assert(!allCells(base).contains(wholeCell),
+      "a fully-deleted cell's directories must be removed")
+    val after = VectorStoreOps.readStore(spark, base)
       .select("item_id").collect().map(_.getLong(0)).toSet
     assert(after == byCell.values.flatten.toSet -- delIds,
       "exactly the deleted ids must be gone")
@@ -105,21 +168,17 @@ class VectorStoreSpec extends SparkTestBase {
       VectorStoreOps.appendToVectorStore(
         emb.filter(col("vec_id") % 6 === m), spark, base)
     }
-    def files(cid: Long) = {
-      val d = new java.io.File(s"$base/items/cid=$cid")
-      if (!d.exists()) Array.empty[java.io.File]
-      else d.listFiles().filter(_.getName.endsWith(".parquet"))
-    }
-    val cells = new java.io.File(s"$base/items").listFiles()
-      .filter(_.getName.startsWith("cid=")).map(_.getName.stripPrefix("cid=").toLong)
-    assert(cells.exists(files(_).length > 4), "appends must fragment cells")
-    val before = spark.read.parquet(s"$base/items")
+    val cells = allCells(base)
+    assert(cells.exists(cellFiles(base, _).size > 4),
+      "appends must fragment cells")
+    val before = VectorStoreOps.readStore(spark, base)
       .select("item_id").collect().map(_.getLong(0)).toSet
     VectorStoreOps.compactVectorStore(spark, base, maxFilesPerCell = 4)
     cells.foreach { c =>
-      assert(files(c).length <= 4, s"cell $c still has ${files(c).length} files")
+      assert(cellFiles(base, c).size <= 4,
+        s"cell $c still has ${cellFiles(base, c).size} files")
     }
-    val after = spark.read.parquet(s"$base/items")
+    val after = VectorStoreOps.readStore(spark, base)
       .select("item_id").collect().map(_.getLong(0)).toSet
     assert(after == before, "compaction must not change the data")
   }
@@ -131,12 +190,12 @@ class VectorStoreSpec extends SparkTestBase {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
     VectorStoreOps.writeVectorStore(store, spark, base, cents)
-    // force a file-listing cache entry for the items path BEFORE the
-    // append — the refreshByPath in appendToVectorStore must invalidate
-    // it or the delta silently never joins
-    val before = spark.read.parquet(s"$base/items").count()
+    // force file-listing + manifest cache entries BEFORE the append —
+    // the refresh in the manifest commit must invalidate them or the
+    // delta silently never joins
+    val before = VectorStoreOps.readStore(spark, base).count()
     VectorStoreOps.appendToVectorStore(delta, spark, base)
-    val after = spark.read.parquet(s"$base/items").count()
+    val after = VectorStoreOps.readStore(spark, base).count()
     assert(before == store.count() && after == emb.count(),
       s"append must land and be visible: $before -> $after")
     // and the delta ids must be searchable
