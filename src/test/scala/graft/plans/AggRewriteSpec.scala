@@ -461,4 +461,141 @@ class AggRewriteSpec extends SparkTestBase {
         .exists(_.contains("orders.parquet")))
     } finally AggStoreRegistry.clear()
   }
+
+  test("fuzz: with rollups registered, EVERY generated query shape returns " +
+    "results bit-identical to the unregistered plan") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // The rule is load-bearing for four measure kinds; a false match is
+    // a silent-wrong-answer bug class. The contract under fuzz is
+    // result-IDENTITY, which needs no servability oracle: whatever the
+    // rule decides for a shape (serve or fall back), collected rows must
+    // equal the unregistered plan's bit-for-bit. qty columns are
+    // integral-valued (sums exact in double), so equality is exact even
+    // for float measures.
+    val dirp = Files.createTempDirectory("aggrwfuzz")
+    val prep = s"$dirp/fact.parquet"
+    val sumStore = s"$dirp/sumstore"
+    val mmStore = s"$dirp/mmstore"
+    val hdrStore = s"$dirp/hdrstore"
+    AggStoreRegistry.clear()
+    try {
+      li.select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty_l"),
+          col("l_quantity").cast("long").cast("double").as("qty_d"),
+          lit(1L).as("ones"), col("l_orderkey").as("pk"))
+        .write.parquet(prep)
+      val fact = spark.read.parquet(prep)
+      fact.createOrReplaceTempView("fuzz_fact")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      IncrementalAggOps.writeAggStore(fact, spark, sumStore, keys,
+        Seq("qty_l", "qty_d", "ones"), 8)
+      IncrementalAggOps.writeAggStore(fact, spark, mmStore, keys,
+        Seq("qty_l", "qty_d"), 8, kinds = Seq("min", "max"))
+      IncrementalAggOps.writeHdrStore(fact, spark, hdrStore, keys,
+        "qty_l", nBuckets = 8)
+      def registerAll(): Unit = {
+        AggStoreRegistry.register(spark, prep, sumStore, keys,
+          Seq("qty_l", "qty_d", "ones"), countMeasure = Some("ones"))
+        AggStoreRegistry.register(spark, prep, mmStore, keys,
+          Seq("qty_l", "qty_d"), kinds = Seq("min", "max"))
+        AggStoreRegistry.register(spark, prep, hdrStore, keys,
+          Seq("qty_l"), kinds = Seq("hdr"))
+      }
+
+      // (select-list fragment, group-by fragment) — includes non-key
+      // groupings and a non-attribute grouping expression
+      val groupGen: Gen[(Seq[String], Seq[String])] = Gen.oneOf(
+        (Seq("l_returnflag"), Seq("l_returnflag")),
+        (Seq("l_linestatus"), Seq("l_linestatus")),
+        (Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag", "l_linestatus")),
+        (Seq("l_returnflag", "qty_l"), Seq("l_returnflag", "qty_l")),
+        (Seq("qty_l"), Seq("qty_l")),
+        (Seq("upper(l_returnflag) AS gx"), Seq("upper(l_returnflag)")))
+      // servable shapes, near-miss traps (COUNT(col), DISTINCT, FILTER,
+      // expressions, wrong kind, wrong subBits, unregistered measure)
+      val aggGen: Gen[String] = Gen.oneOf(Seq(
+        "SUM(qty_l)", "SUM(qty_d)", "MIN(qty_l)", "MAX(qty_d)",
+        "MAX(qty_l)", "MIN(qty_d)", "COUNT(*)", "COUNT(qty_l)",
+        "SUM(DISTINCT qty_l)", "SUM(qty_l) FILTER (WHERE pk % 2 = 0)",
+        "SUM(qty_l + 1)", "hdr_percentile(qty_l, 0.9)",
+        "hdr_percentile(qty_l, 0.9, 4)", "SUM(pk)"))
+      val whereGen: Gen[String] = Gen.oneOf("",
+        "WHERE l_returnflag = 'A'", "WHERE l_linestatus IN ('F', 'O')",
+        "WHERE qty_l > 25", "WHERE pk % 3 = 0",
+        "WHERE l_returnflag = 'A' AND qty_l > 10")
+      val joinGen: Gen[Boolean] = Gen.frequency(3 -> false, 1 -> true)
+      val freeForAll = for {
+        (sel, grp) <- groupGen
+        n <- Gen.choose(1, 3)
+        as <- Gen.listOfN(n, aggGen)
+        w <- whereGen
+        j <- joinGen
+      } yield (sel, grp, as, w, j)
+      // a trap-free branch: one registration's family, key-only
+      // groupings and filters, no join — without it nearly every random
+      // draw carries SOME disqualifier and the serving path goes
+      // unexercised (a vacuous property)
+      val keyGroupGen = Gen.oneOf(
+        Seq("l_returnflag"), Seq("l_linestatus"),
+        Seq("l_returnflag", "l_linestatus"))
+      val familyGen: Gen[Seq[String]] = Gen.oneOf(
+        Seq("SUM(qty_l)", "SUM(qty_d)", "COUNT(*)"),
+        Seq("MIN(qty_l)", "MAX(qty_d)"),
+        Seq("hdr_percentile(qty_l, 0.9)", "COUNT(*)"))
+      val likelyServable = for {
+        g <- keyGroupGen
+        fam <- familyGen
+        n <- Gen.choose(1, 2)
+        as <- Gen.listOfN(n, Gen.oneOf(fam))
+        w <- Gen.oneOf("", "WHERE l_returnflag = 'A'",
+          "WHERE l_linestatus IN ('F', 'O')")
+      } yield (g, g, as, w, false)
+      val shapeGen = Gen.frequency(2 -> freeForAll, 1 -> likelyServable)
+
+      var served = 0
+      var fellBack = 0
+      (0 until 60).foreach { i =>
+        val (sel, grp, as, w, j) =
+          shapeGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        val aggSql = as.zipWithIndex.map { case (a, k) => s"$a AS a$k" }
+        val from =
+          if (j) "fuzz_fact f JOIN (SELECT DISTINCT l_returnflag AS r " +
+            "FROM fuzz_fact) d ON f.l_returnflag = d.r"
+          else "fuzz_fact"
+        val sql = s"SELECT ${(sel ++ aggSql).mkString(", ")} FROM $from " +
+          s"$w GROUP BY ${grp.mkString(", ")}"
+        AggStoreRegistry.clear()
+        registerAll()
+        val withStores = spark.sql(sql)
+        val paths = scanPaths(withStores)
+        if (paths.exists(p => p.contains("sumstore") || p.contains("mmstore")
+            || p.contains("hdrstore"))) served += 1
+        else fellBack += 1
+        val got = withStores.collect().map(_.toString).sorted.toSeq
+        AggStoreRegistry.clear()
+        val want = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+        assert(got == want,
+          s"shape #$i changed results under the rewrite:\n$sql\nscans: $paths")
+      }
+      // the fuzz must actually exercise BOTH paths, or the property is
+      // vacuous — thresholds well under the observed split
+      assert(served >= 6, s"too few shapes store-served: $served")
+      assert(fellBack >= 6, s"too few shapes fell back: $fellBack")
+
+      // non-deterministic predicates: results can't be compared across
+      // runs, but the plan must provably NOT be rewritten (rand()
+      // references no column, vacuously passing a keys-only check).
+      // The probability must be non-vacuous — `rand() < 2` is folded to
+      // TRUE by the main optimizer before this rule ever sees it, and
+      // serving the then-filterless aggregate is correct.
+      AggStoreRegistry.clear()
+      registerAll()
+      val nd = spark.sql(
+        "SELECT l_returnflag, SUM(qty_l) AS s FROM fuzz_fact " +
+          "WHERE rand(7) < 0.5 GROUP BY l_returnflag")
+      assert(scanPaths(nd).exists(_.contains("fact.parquet")),
+        s"non-deterministic filter must not be served: ${scanPaths(nd)}")
+    } finally AggStoreRegistry.clear()
+  }
 }
