@@ -838,6 +838,50 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- The int8 quantize/dequantize cycle UNDER THE ORACLE: pure
+    // per-element arithmetic, replicated step-for-step in DuckDB —
+    // scale = float(max(|x|)∨1e-30 / 127) (float max of floats is
+    // exact; the divide runs in double and rounds once to float in both
+    // engines), q = tinyint(round(x/scale)) (double divide, round half
+    // away from zero in both), deq = float(q·scale) (a single float
+    // multiply — the exact product fits in double, so double-then-cast
+    // equals the direct float multiply). The re-ranked top-k over the
+    // dequantized corpus then reuses ann_topk's rounded-cosine
+    // convention; equal hashes pin every quantization artifact.
+    q(
+      "ann_quant_q",
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(GREATEST(list_max(list_transform(embedding, x -> abs(x))),
+        |                  CAST(1e-30 AS REAL)) / 127.0 AS REAL) AS scale
+        |  FROM embeddings
+        |), deq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(CAST(CAST(ROUND(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)) AS TINYINT)
+        |             AS REAL) * scale AS REAL)) AS emb
+        |  FROM s
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |    ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) DESC, c.vec_id) AS rank
+        |  FROM deq q, deq c
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col => c}
+      val q = SimilarityOps.quantizeInt8(tEmbeddings(s, dir))
+      val deq = q.select(c("vec_id"),
+        SimilarityOps.dequantize(c("embedding_q"), c("embedding_scale"))
+          .as("embedding"))
+      SimilarityOps.bruteForceTopK(
+        deq.filter(c("vec_id") % 50 === 0), deq, k = 10)
+        .withColumn("rank", c("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Incremental vector-store ingest (rows-only: same machinery
     // oracle-gated by ann_inc_q below; exact search-equivalence to the
     // batch IVF operator pinned in VectorStoreSpec): centroids built on

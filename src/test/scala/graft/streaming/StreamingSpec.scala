@@ -415,6 +415,139 @@ class StreamingSpec extends SparkTestBase {
       .contains("PartitionFilters:"), "partition filter not pushed")
   }
 
+  test("sessionization state survives a checkpoint restart: sessions " +
+    "spanning the stop still close correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    // The failure mode a 100 TB streaming ingest actually hits: the job
+    // dies (or is redeployed) mid-stream and resumes from the
+    // checkpoint. flatMapGroupsWithState's per-user open sessions live
+    // in the state store — after the restart they must continue, not
+    // reset, or every in-flight session at the stop emits wrong counts.
+    val base = java.nio.file.Files.createTempDirectory("sess-restart")
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[EventOps.Event]
+    def start() = EventOps.sessionizeStream(input.toDS()).toDF()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val all = toEvents.collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val batch = EventOps.sessionizeBatch(eventsDF)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // stream emits only CLOSED sessions (no timeout): batch minus each
+    // user's final session — identical to the no-restart expectation
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val expectedClosed = batch.filterNot(s => lastPerUser(s._1) == s).toSet
+    // cut INSIDE a known multi-event closed session, so that session is
+    // open in the state store at the stop and must resume after restart
+    val spanning = expectedClosed.filter(s => s._3 > s._2)
+    assert(spanning.nonEmpty, "fixture has no multi-event closed session")
+    val target = spanning.minBy(s => (s._2, s._1))
+    val cutUs = target._2 + 1
+    val (a, b) = all.partition(_.ts.getTime * 1000L <= cutUs)
+    assert(a.nonEmpty && b.nonEmpty)
+    val q1 = start()
+    try { input.addData(a.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData(b.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expectedClosed,
+      "restart must not lose, duplicate, or mis-count any session")
+    // the bisected session closed with its FULL event count — its state
+    // (start time, running count) crossed the restart intact
+    assert(got.contains(target),
+      s"session $target bisected by the restart did not close correctly")
+  }
+
+  test("dedup-on-ingest state survives a checkpoint restart: duplicates " +
+    "arriving after the restart stay suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("dedup-restart")
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[EventOps.Event]
+    def start() = EventOps.dedupStream(input.toDF(),
+        Seq("event_type", "value"), watermark = "365 days")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val all = toEvents.collect().sortBy(_.event_id)
+    val (a, b) = all.splitAt(all.length / 2)
+    val q1 = start()
+    try { input.addData(a.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData(b.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = EventOps.dedupBatch(eventsDF, Seq("event_type", "value"))
+      .select("first_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      "restart must keep exactly the batch form's first arrivals")
+    // the restart must have mattered: chunk b re-sends keys first seen
+    // in chunk a, and every such resend was suppressed by RESTORED state
+    val keysA = a.map(e => (e.event_type, e.value)).toSet
+    val resentInB = b.filter(e => keysA((e.event_type, e.value)))
+    assert(resentInB.nonEmpty,
+      "the split did not exercise cross-restart dedup state")
+    assert(resentInB.forall(e => !got(e.event_id)),
+      "a duplicate key re-sent after the restart slipped through")
+  }
+
+  test("HDR sketch streaming aggregation state survives a checkpoint " +
+    "restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("hdr-restart").toString
+    val input = MemoryStream[EventOps.Event]
+    def start(name: String) = EventOps.hdrSketchStream(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val all = toEvents.collect().sortBy(_.ts.getTime)
+    val (a, b) = all.splitAt(all.length / 2)
+    val q1 = start("hdr_r1")
+    try {
+      input.addData(a.toIndexedSeq); q1.processAllAvailable()
+      val mid = spark.table("hdr_r1").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val midWant = EventOps.hdrSketchBatch(
+          eventsDF.filter(col("event_id").isin(a.map(_.event_id).toIndexedSeq: _*)))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(mid == midWant, "pre-restart state must equal the chunk-a sketch")
+    } finally q1.stop()
+    // restart under a NEW sink table, same checkpoint: complete mode
+    // re-emits the FULL aggregate, so the table after chunk b equals the
+    // whole-corpus sketch only if chunk a's counts were restored
+    val q2 = start("hdr_r2")
+    try { input.addData(b.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.table("hdr_r2").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = EventOps.hdrSketchBatch(eventsDF).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      "post-restart sketch must equal the whole-corpus batch sketch")
+    // the quantile walk reads identically off the recovered state
+    val qGot = graft.ops.SketchOps
+      .hdrQuantilesFromTable(spark.table("hdr_r2")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val qWant = graft.ops.SketchOps
+      .hdrQuantilesFromTable(EventOps.hdrSketchBatch(eventsDF)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(qGot == qWant)
+  }
+
   test("batch sessionization respects the 30-minute gap rule") {
     val rows = EventOps.sessionizeBatch(eventsDF).collect()
     // session bounds are consistent
