@@ -47,21 +47,41 @@ object VectorStoreOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Live (commit, cell) pairs. ONLY a missing manifest means fresh — a
-    * transient read failure must propagate, or an append would treat a
-    * live store as empty (see [[VersionedStoreOps.currentVersion]]). */
-  private def readManifest(spark: SparkSession, base: String): Array[(Long, Long)] = {
+  /** One manifest row: a live (commit, cell) directory, plus the
+    * OPTIONAL ingest tag that committed it — the idempotence key for
+    * streamed batches (see [[ingestStream]]): a replayed batch finds its
+    * tag already present and skips, so the manifest append is
+    * simultaneously the data commit AND the processed-marker, with no
+    * second file whose write could tear away from the first. */
+  private final case class ManifestRow(c: Long, cid: Long, tag: Option[Long])
+
+  /** ONLY a missing manifest means fresh — a transient read failure
+    * must propagate, or an append would treat a live store as empty
+    * (see [[VersionedStoreOps.currentVersion]]). */
+  private def readManifestRows(spark: SparkSession, base: String): Array[ManifestRow] = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath(base))
     if (!hadoopFs(spark, base).exists(mp)) Array.empty
     else spark.read.parquet(manifestPath(base))
-      .select("c", "cid")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .select("c", "cid", "tag")
+      .collect().map(r => ManifestRow(r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
   }
 
+  /** Live (commit, cell) DIRECTORIES: manifest rows minus the pure tag
+    * markers (cid = -1) that [[rewriteCells]] retains when a tagged
+    * commit's directories are compacted or deleted away — the replay
+    * guard must outlive the data it guarded, or a late replay of an
+    * already-ingested batch would re-ingest it after a compaction. */
+  private def liveDirRows(rows: Array[ManifestRow]): Array[ManifestRow] =
+    rows.filter(_.cid >= 0)
+
+  private def readManifest(spark: SparkSession, base: String): Array[(Long, Long)] =
+    liveDirRows(readManifestRows(spark, base)).map(r => (r.c, r.cid))
+
   private def writeManifest(spark: SparkSession, base: String,
-                            rows: Seq[(Long, Long)], append: Boolean): Unit = {
+                            rows: Seq[ManifestRow], append: Boolean): Unit = {
     import spark.implicits._
-    rows.toDF("c", "cid").coalesce(1)
+    rows.map(r => (r.c, r.cid, r.tag)).toDF("c", "cid", "tag").coalesce(1)
       .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .parquet(manifestPath(base))
     // prefix-invalidate the session's file-listing cache for the whole
@@ -164,7 +184,8 @@ object VectorStoreOps {
     assigned(spark, corpus, cents, idCol, vecCol, assignRound)
       .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
     writeManifest(spark, basePath,
-      writtenCells(spark, commitDir).map(cid => (0L, cid)), append = false)
+      writtenCells(spark, commitDir).map(cid => ManifestRow(0L, cid, None)),
+      append = false)
   }
 
   /** Ingest a batch: assign against the FROZEN centroids, write the
@@ -179,17 +200,58 @@ object VectorStoreOps {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           assignRound: Option[Int] = None): Unit = {
-    val manifest = readManifest(spark, basePath)
+    appendTagged(delta, spark, basePath, tag = None, idCol, vecCol,
+      assignRound): Unit
+  }
+
+  /** Append `delta` as the next commit, stamping `tag` (when given) on
+    * its manifest rows; a tag already present means the batch committed
+    * in a previous incarnation and the call is a no-op (returns false).
+    * The replay contract this buys: data dir first, ONE manifest append
+    * carrying both the commit and the tag last — there is no state in
+    * which the batch is half-remembered. */
+  private[ops] def appendTagged(delta: DataFrame, spark: SparkSession,
+                           basePath: String, tag: Option[Long],
+                           idCol: String, vecCol: String,
+                           assignRound: Option[Int]): Boolean = {
+    val manifest = readManifestRows(spark, basePath)
     require(manifest.nonEmpty,
       s"no committed vector store at $basePath — writeVectorStore first")
-    val cents = spark.read.parquet(s"$basePath/centroids")
-    val next = manifest.map(_._1).max + 1
-    val commitDir = s"${itemsPath(basePath)}/c=$next"
-    assigned(spark, delta, cents, idCol, vecCol, assignRound)
-      .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
-    writeManifest(spark, basePath,
-      writtenCells(spark, commitDir).map(cid => (next, cid)), append = true)
+    if (tag.isDefined && manifest.exists(_.tag == tag)) false
+    else {
+      val cents = spark.read.parquet(s"$basePath/centroids")
+      val next = manifest.map(_.c).max + 1
+      val commitDir = s"${itemsPath(basePath)}/c=$next"
+      assigned(spark, delta, cents, idCol, vecCol, assignRound)
+        .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
+      writeManifest(spark, basePath,
+        writtenCells(spark, commitDir).map(cid => ManifestRow(next, cid, tag)),
+        append = true)
+      true
+    }
   }
+
+  /** Continuous embedding ingest: a Structured-Streaming sink over the
+    * store, exactly-once by construction. Each micro-batch runs one
+    * [[appendTagged]] with the batch id as the tag — after a crash or
+    * restart the checkpoint replays the last uncommitted batch, the torn
+    * commit directory (if any) is overwritten at the same commit id, and
+    * a batch whose tag already sits in the manifest is skipped — so
+    * however many times the engine re-delivers a batch, its vectors land
+    * exactly once. The store must exist ([[writeVectorStore]]) — the
+    * centroids are the frozen index streamed batches assign against. */
+  def ingestStream(delta: DataFrame, spark: SparkSession, basePath: String,
+                   checkpointLocation: String,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   assignRound: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendTagged(batch, spark, basePath, Some(batchId), idCol, vecCol,
+          assignRound): Unit
+      }
+      .start()
 
   /** Compact cells whose LIVE file count (across their commit
     * directories) exceeds `maxFilesPerCell` — repeated appends leave one
@@ -201,12 +263,14 @@ object VectorStoreOps {
     * superseded directories deleted. Data is unchanged (spec-pinned). */
   def compactVectorStore(spark: SparkSession, basePath: String,
                          maxFilesPerCell: Int = 4): Unit = {
-    val manifest = readManifest(spark, basePath)
-    require(manifest.nonEmpty, s"no committed vector store at $basePath")
-    val filesPerCell = manifest.groupBy(_._2).map { case (cid, dirs) =>
-      cid -> dirs.map { case (c, _) =>
-        parquetFileCount(spark, s"${itemsPath(basePath)}/c=$c/cid=$cid")
-      }.sum
+    val manifest = readManifestRows(spark, basePath)
+    require(liveDirRows(manifest).nonEmpty,
+      s"no committed vector store at $basePath")
+    val filesPerCell = liveDirRows(manifest).groupBy(_.cid).map {
+      case (cid, dirs) =>
+        cid -> dirs.map { r =>
+          parquetFileCount(spark, s"${itemsPath(basePath)}/c=${r.c}/cid=$cid")
+        }.sum
     }
     val oversized = filesPerCell.filter(_._2 > maxFilesPerCell).keySet
     if (oversized.nonEmpty) {
@@ -224,11 +288,13 @@ object VectorStoreOps {
   def deleteFromVectorStore(ids: DataFrame, spark: SparkSession,
                             basePath: String,
                             idCol: String = "vec_id"): Unit = {
-    val manifest = readManifest(spark, basePath)
-    require(manifest.nonEmpty, s"no committed vector store at $basePath")
+    val manifest = readManifestRows(spark, basePath)
+    require(liveDirRows(manifest).nonEmpty,
+      s"no committed vector store at $basePath")
     val del = ids.select(col(idCol).cast("long").as("item_id"))
       .distinct().localCheckpoint(true)
-    val items = readStoreFrom(spark, basePath, manifest)
+    val items = readStoreFrom(spark, basePath,
+      liveDirRows(manifest).map(r => (r.c, r.cid)))
     val touched = items.join(del, "item_id")
       .select("cid").distinct().collect().map(_.getLong(0)).toSet // ≤ nlist
     if (touched.nonEmpty) {
@@ -242,28 +308,36 @@ object VectorStoreOps {
     * commit `max+1` (one file per cell via the cid repartition), swap
     * the manifest, then GC the superseded directories. */
   private def rewriteCells(spark: SparkSession, basePath: String,
-                           manifest: Array[(Long, Long)],
+                           manifest: Array[ManifestRow],
                            cells: Set[Long],
                            transform: DataFrame => DataFrame = identity): Unit = {
-    val next = manifest.map(_._1).max + 1
+    val live = liveDirRows(manifest)
+    val next = manifest.map(_.c).max + 1
     val commitDir = s"${itemsPath(basePath)}/c=$next"
-    val items = readStoreFrom(spark, basePath, manifest)
+    val items = readStoreFrom(spark, basePath, live.map(r => (r.c, r.cid)))
     transform(items.filter(col("cid").isin(cells.toIndexedSeq: _*)))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
     val surviving = writtenCells(spark, commitDir)
-    val kept = manifest.toIndexedSeq.filterNot { case (_, cid) => cells(cid) }
+    val (dropped, kept) = manifest.toIndexedSeq
+      .partition(r => r.cid >= 0 && cells(r.cid))
+    // ingest tags on rewritten-away rows survive as pure markers
+    // (cid = -1) so a late stream replay still finds its guard
+    val markers = dropped.flatMap(_.tag).distinct
+      .filterNot(t => kept.exists(_.tag.contains(t)))
+      .map(t => ManifestRow(next, -1L, Some(t)))
     // the commit point: touched cells now resolve ONLY to the new commit
     writeManifest(spark, basePath,
-      kept ++ surviving.map(cid => (next, cid)), append = false)
+      kept ++ markers ++ surviving.map(cid => ManifestRow(next, cid, None)),
+      append = false)
     // post-commit GC of superseded dirs — a crash here leaves orphans
     // that readers (manifest-resolved) never see
     val fs = hadoopFs(spark, basePath)
-    manifest.filter { case (_, cid) => cells(cid) }.foreach { case (c, cid) =>
+    dropped.foreach { r =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"${itemsPath(basePath)}/c=$c/cid=$cid"), true)
+        s"${itemsPath(basePath)}/c=${r.c}/cid=${r.cid}"), true)
       // drop a commit dir emptied of its last cell (cosmetic)
-      val cdir = new org.apache.hadoop.fs.Path(s"${itemsPath(basePath)}/c=$c")
+      val cdir = new org.apache.hadoop.fs.Path(s"${itemsPath(basePath)}/c=${r.c}")
       if (fs.exists(cdir) && !fs.listStatus(cdir).exists(st =>
           st.isDirectory && st.getPath.getName.startsWith("cid=")))
         fs.delete(cdir, true)

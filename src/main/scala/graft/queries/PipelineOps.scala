@@ -1077,6 +1077,73 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- STREAMED ingest under the oracle: the 20% delta arrives
+    // through Structured Streaming (a MemoryStream fed in two
+    // micro-batches into VectorStoreOps.ingestStream — each batch one
+    // manifest-committed, batchId-tagged append), and the resulting
+    // store must hash-equal the same declarative assignment DuckDB
+    // rebuilds — i.e. the ann_inc_q oracle verbatim. Equal hashes prove
+    // streamed ingest ≡ batch append: exactly-once, no loss, no
+    // reorder sensitivity.
+    q(
+      "ann_stream_q",
+      """WITH seeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN embeddings i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val emb = tEmbeddings(s, dir)
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = scratchDir("graft-vstore-s")
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6))
+      val rows = delta.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val (ca, cb) = rows.partition(_._1 % 2 == 0)
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = VectorStoreOps.ingestStream(
+        input.toDS().toDF("vec_id", "embedding"), s, base, s"$base/ckpt",
+        assignRound = Some(6))
+      try {
+        input.addData(ca.toIndexedSeq); q.processAllAvailable()
+        input.addData(cb.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      VectorStoreOps.searchStore(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10, nprobe = 4,
+        probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Per-label mean embedding (class prototypes / the IVF build
     // block) with a FULL oracle: cross-row float means are order-
     // dependent in double, so each element is quantized to

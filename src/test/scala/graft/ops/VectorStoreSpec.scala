@@ -119,6 +119,82 @@ class VectorStoreSpec extends SparkTestBase {
     assert(search() == batch)
   }
 
+  test("tagged appends are idempotent, and the replay guard survives " +
+    "compaction of the batch it guards") {
+    val base = Files.createTempDirectory("vstore-tag").toString
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(store, spark, base, cents)
+    val n0 = VectorStoreOps.readStore(spark, base).count()
+
+    assert(VectorStoreOps.appendTagged(delta, spark, base, Some(7L),
+      "vec_id", "embedding", None), "first delivery must commit")
+    val n1 = VectorStoreOps.readStore(spark, base).count()
+    assert(n1 == n0 + delta.count())
+    assert(!VectorStoreOps.appendTagged(delta, spark, base, Some(7L),
+      "vec_id", "embedding", None), "replay of a committed tag must skip")
+    assert(VectorStoreOps.readStore(spark, base).count() == n1,
+      "a replayed batch must not land twice")
+
+    // compaction rewrites the batch's directories away — the tag must
+    // survive as a marker, or a late replay would re-ingest
+    VectorStoreOps.compactVectorStore(spark, base, maxFilesPerCell = 1)
+    assert(VectorStoreOps.readStore(spark, base).count() == n1)
+    assert(!VectorStoreOps.appendTagged(delta, spark, base, Some(7L),
+      "vec_id", "embedding", None),
+      "the replay guard must survive compaction")
+    assert(VectorStoreOps.readStore(spark, base).count() == n1)
+    // a genuinely new tag still commits
+    val delta2 = emb.filter(col("vec_id") % 50 === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    assert(VectorStoreOps.appendTagged(delta2, spark, base, Some(8L),
+      "vec_id", "embedding", None))
+    assert(VectorStoreOps.readStore(spark, base).count() ==
+      n1 + delta2.count())
+  }
+
+  test("streaming ingest lands every vector exactly once across a " +
+    "checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("vstore-stream").toString
+    val ckpt = s"$base/ckpt"
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(store, spark, base, cents)
+
+    val rows = delta.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    def start() = VectorStoreOps.ingestStream(
+      input.toDS().toDF("vec_id", "embedding"), spark, base, ckpt)
+    val q1 = start()
+    try { input.addData(a.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData(b.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val after = VectorStoreOps.readStore(spark, base)
+    assert(after.count() == emb.count(),
+      "every streamed vector must land exactly once")
+    assert(after.groupBy("item_id").count()
+      .filter(col("count") > 1).count() == 0, "no duplicates")
+    // and the streamed store answers exactly like the batch operator
+    val fromStore = VectorStoreOps
+      .searchStore(queries, spark, base, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SimilarityOps
+      .ivfTopKWithCentroids(queries, emb, cents, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .toSet
+    assert(fromStore == batch)
+  }
+
   test("delete rewrites only affected cells; emptied cells disappear") {
     val base = Files.createTempDirectory("vstore-del").toString
     val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
