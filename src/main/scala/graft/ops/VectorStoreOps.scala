@@ -121,11 +121,46 @@ object VectorStoreOps {
 
   private def readStoreFrom(spark: SparkSession, base: String,
                             manifest: Array[(Long, Long)]): DataFrame = {
+    val raw = readStoreRawFrom(spark, base, manifest)
+    if (raw.columns.contains("cv_q"))
+      // int8 tier: restore floats at the scan (the same arithmetic as
+      // SimilarityOps.dequantize — one float multiply per element)
+      raw.select(col("item_id"),
+        transform(col("cv_q"),
+          x => (x.cast("float") * col("cv_scale")).cast("float")).as("cv"),
+        col("cid"))
+    else raw.select(col("item_id"), col("cv"), col("cid"))
+  }
+
+  /** The store's PHYSICAL rows (quantized columns kept as stored) — the
+    * maintenance path must read this, never the dequantizing view, or a
+    * delete/compaction rewrite would silently de-quantize the store. */
+  private def readStoreRawFrom(spark: SparkSession, base: String,
+                               manifest: Array[(Long, Long)]): DataFrame = {
     val dirs = manifest.map { case (c, cid) => s"${itemsPath(base)}/c=$c/cid=$cid" }
     spark.read.option("basePath", itemsPath(base))
       .parquet(dirs.toIndexedSeq: _*)
-      .select(col("item_id"), col("cv"), col("cid").cast("long").as("cid"))
+      .drop("c")
+      .withColumn("cid", col("cid").cast("long"))
   }
+
+  /** Optional int8 storage tier: per-vector symmetric quantization of
+    * the assigned frame — same arithmetic as
+    * [[SimilarityOps.quantizeInt8]] (scale = float(max|x| ∨ 1e-30 /
+    * 127), values = round-half-away int8) applied to the store's `cv`
+    * column. A quantized store is 4x smaller on disk and in the probe
+    * scan; [[readStoreFrom]] restores floats for the re-rank, so the
+    * search contract is unchanged (recall vs the float store is
+    * spec-pinned). */
+  private def maybeQuantize(df: DataFrame, quantize: Boolean): DataFrame =
+    if (!quantize) df
+    else df
+      .withColumn("cv_scale",
+        (greatest(array_max(transform(col("cv"), x => abs(x))), lit(1e-30f)) /
+          lit(127.0f)).cast("float"))
+      .withColumn("cv_q",
+        transform(col("cv"), x => round(x / col("cv_scale")).cast("byte")))
+      .drop("cv")
 
   /** Per-row best cell of `df`'s vectors against the (broadcast)
     * centroid table, ties to the lowest cid. `probeRound` optionally
@@ -175,13 +210,15 @@ object VectorStoreOps {
                        basePath: String, cents: DataFrame,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       assignRound: Option[Int] = None): Unit = {
+                       assignRound: Option[Int] = None,
+                       quantize: Boolean = false): Unit = {
     val fs = hadoopFs(spark, basePath)
     fs.delete(new org.apache.hadoop.fs.Path(manifestPath(basePath)), true)
     fs.delete(new org.apache.hadoop.fs.Path(itemsPath(basePath)), true)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$basePath/centroids")
     val commitDir = s"${itemsPath(basePath)}/c=0"
-    assigned(spark, corpus, cents, idCol, vecCol, assignRound)
+    maybeQuantize(
+        assigned(spark, corpus, cents, idCol, vecCol, assignRound), quantize)
       .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
     writeManifest(spark, basePath,
       writtenCells(spark, commitDir).map(cid => ManifestRow(0L, cid, None)),
@@ -222,7 +259,12 @@ object VectorStoreOps {
       val cents = spark.read.parquet(s"$basePath/centroids")
       val next = manifest.map(_.c).max + 1
       val commitDir = s"${itemsPath(basePath)}/c=$next"
-      assigned(spark, delta, cents, idCol, vecCol, assignRound)
+      // appends inherit the store's storage tier (one footer-read probe)
+      val quantized = readStoreRawFrom(spark, basePath,
+        liveDirRows(manifest).take(1).map(r => (r.c, r.cid)))
+        .columns.contains("cv_q")
+      maybeQuantize(
+          assigned(spark, delta, cents, idCol, vecCol, assignRound), quantized)
         .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
       writeManifest(spark, basePath,
         writtenCells(spark, commitDir).map(cid => ManifestRow(next, cid, tag)),
@@ -314,7 +356,7 @@ object VectorStoreOps {
     val live = liveDirRows(manifest)
     val next = manifest.map(_.c).max + 1
     val commitDir = s"${itemsPath(basePath)}/c=$next"
-    val items = readStoreFrom(spark, basePath, live.map(r => (r.c, r.cid)))
+    val items = readStoreRawFrom(spark, basePath, live.map(r => (r.c, r.cid)))
     transform(items.filter(col("cid").isin(cells.toIndexedSeq: _*)))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(commitDir)

@@ -1144,6 +1144,75 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- QUANTIZED store tier under the oracle: the store persists
+    // int8 vectors + per-vector float scales (4x smaller corpus at
+    // 100 TB — the probe scan reads a quarter of the bytes), the
+    // reader restores floats for the re-rank. Assignment runs on the
+    // ORIGINAL floats at write time (ann_inc_q's machinery), the
+    // re-rank on dequantized items vs original queries — DuckDB
+    // composes the two already-proven pieces: the declarative
+    // assignment (ann_inc_q) and the float-exact quantize/dequantize
+    // arithmetic (ann_quant_q). Equal hashes pin that the int8 tier
+    // changes STORAGE, not results beyond the quantization rounding it
+    // declares.
+    q(
+      "ann_qstore_q",
+      """WITH seeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id
+        |), sc AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(GREATEST(list_max(list_transform(embedding, x -> abs(x))),
+        |                  CAST(1e-30 AS REAL)) / 127.0 AS REAL) AS scale
+        |  FROM embeddings
+        |), deq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(CAST(CAST(ROUND(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)) AS TINYINT)
+        |             AS REAL) * scale AS REAL)) AS emb
+        |  FROM sc
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.emb::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN deq i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = scratchDir("graft-vstore-q8")
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6), quantize = true)
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      VectorStoreOps.searchStore(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10, nprobe = 4,
+        probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Per-label mean embedding (class prototypes / the IVF build
     // block) with a FULL oracle: cross-row float means are order-
     // dependent in double, so each element is quantized to

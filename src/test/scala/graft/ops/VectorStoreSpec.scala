@@ -259,6 +259,63 @@ class VectorStoreSpec extends SparkTestBase {
     assert(after == before, "compaction must not change the data")
   }
 
+  test("int8 storage tier: physically quantized, appends and rewrites " +
+    "inherit it, search contract preserved") {
+    val base = Files.createTempDirectory("vstore-q8").toString
+    val baseF = Files.createTempDirectory("vstore-f32").toString
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(store, spark, base, cents,
+      quantize = true)
+    VectorStoreOps.writeVectorStore(store, spark, baseF, cents)
+
+    def physicalSchema(b: String) = {
+      val c0 = new java.io.File(s"$b/items").listFiles()
+        .filter(_.getName.startsWith("c=")).head
+      val cell = c0.listFiles().filter(_.getName.startsWith("cid=")).head
+      spark.read.parquet(cell.toString).schema.fieldNames.toSet
+    }
+    assert(physicalSchema(base) == Set("item_id", "cv_q", "cv_scale"),
+      s"quantized store must persist int8+scale: ${physicalSchema(base)}")
+    // 4x smaller on disk (vector payload dominates)
+    def bytes(b: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(s"$b/items"))
+    }
+    assert(bytes(base) < bytes(baseF) / 2,
+      s"int8 store not smaller: ${bytes(base)} vs ${bytes(baseF)}")
+
+    // appends inherit the tier without being told
+    VectorStoreOps.appendToVectorStore(delta, spark, base)
+    VectorStoreOps.appendToVectorStore(delta, spark, baseF)
+    assert(VectorStoreOps.readStore(spark, base).count() == emb.count())
+
+    // the reader view restores floats; top-10 search overlaps ≥ 0.9
+    // with the float store (ann_quant's quality bar holds through the
+    // store path)
+    def topk(b: String) = VectorStoreOps
+      .searchStore(queries, spark, b, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qk = topk(base); val fk = topk(baseF)
+    assert(qk.keySet == fk.keySet && qk.nonEmpty)
+    val overlap = qk.keys.toSeq.map(k =>
+      (qk(k) & fk(k)).size.toDouble / fk(k).size).sum / qk.size
+    assert(overlap >= 0.9, s"quantized search overlap too low: $overlap")
+
+    // delete + compaction keep the physical tier (no silent de-quantize)
+    VectorStoreOps.deleteFromVectorStore(
+      queries.select("vec_id").limit(3), spark, base)
+    VectorStoreOps.compactVectorStore(spark, base, maxFilesPerCell = 1)
+    assert(physicalSchema(base) == Set("item_id", "cv_q", "cv_scale"),
+      "maintenance rewrites must preserve the int8 tier")
+    assert(VectorStoreOps.readStore(spark, base).count() == emb.count() - 3)
+  }
+
   test("append is visible to a reader opened in the same session") {
     val base = Files.createTempDirectory("vstore-vis").toString
     val store = emb.filter(col("vec_id") % 5 =!= 0)
