@@ -47,4 +47,41 @@ object RangeJoinOps {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** INTERVAL-interval overlap join — the genomic reads ⋈ annotations
+    * shape ([s1,e1) ∩ [s2,e2) ≠ ∅), same discretization idea with one
+    * extra wrinkle: BOTH sides replicate into every bin they touch, so
+    * an overlapping pair meets in every bin their intersection spans.
+    * Emitting it once per shared bin and `distinct`-ing after would add
+    * a full output-sized shuffle; instead each pair is emitted exactly
+    * once by the FIRST-SHARED-BIN rule — keep a joined row only in the
+    * bin containing `max(s1, s2)`, the intersection's lower end, which
+    * both sides provably replicated into. The join stays a plain
+    * shuffled equi join on the bin id (hash-partitionable, AQE-skew-
+    * splittable, codegen'd); the overlap test and the first-bin rule
+    * are residual filters.
+    *
+    * Same domain requirement as above; column names must be disjoint
+    * across the two inputs (genomic callers join per contig — add the
+    * contig to the bin key by prefixing it into the coordinates or
+    * pre-partitioning, as [[graft.bam.ds.GenomicIndex]] does). */
+  def binnedIntervalJoin(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin",
+        explode(sequence(
+          expr(s"$lo div $binWidth"),
+          expr(s"($hi - 1) div $binWidth"))))
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), "__bin")
+      // overlap of half-open intervals
+      .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
+      // first-shared-bin: exactly one of the pair's common bins keeps it
+      .filter(col("__bin") ===
+        expr(s"greatest($lLoCol, $rLoCol) div $binWidth"))
+      .drop("__bin")
+  }
 }

@@ -586,6 +586,39 @@ object RelationalOps {
           (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
     },
 
+    // ---- J9 (beyond-reference): INTERVAL-interval overlap join — the
+    // genomic reads ⋈ annotations shape, binned so both sides replicate
+    // into the bins they touch and meet in a plain shuffled EQUI join;
+    // each overlapping pair is kept exactly once by the first-shared-bin
+    // rule (the bin of max(s1,s2)) — no output-sized distinct. Price
+    // intervals overlap ~2 bands each, so this is a true many-to-many
+    // overlap, and DuckDB runs the plain theta join declaratively.
+    q(
+      "j9_interval_join",
+      """WITH l AS (
+        |  SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS s1,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) + 500 AS e1 FROM orders
+        |), r AS (
+        |  SELECT i AS band_id, i * 1000 AS s2, i * 1000 + 3000 AS e2
+        |  FROM GENERATE_SERIES(0, 599) AS t(i)
+        |)
+        |SELECT band_id, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM l JOIN r ON s1 < e2 AND s2 < e1
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val l = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("s1"))
+        .withColumn("e1", col("s1") + 500)
+      val r = s.range(0, 600)
+        .select(col("id").as("band_id"),
+          (col("id") * 1000).as("s2"), (col("id") * 1000 + 3000).as("e2"))
+      graft.ops.RangeJoinOps
+        .binnedIntervalJoin(l, "s1", "e1", r, "s2", "e2", binWidth = 2000L)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    },
+
     // ---- W5: NTILE quartiles within each priority group — both
     // engines' NATIVE ntile over a deterministic (price, key) order;
     // the window is keyed by o_orderpriority, so it scales like any

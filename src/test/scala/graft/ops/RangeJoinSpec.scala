@@ -49,6 +49,81 @@ class RangeJoinSpec extends SparkTestBase {
       19L -> 2L, 19L -> 5L))
   }
 
+  test("interval-interval overlap join: pair-for-pair equal to the naive " +
+    "theta join, exactly once, for ANY bin width") {
+    val left = spark.range(0, 2000)
+      .select(col("id").as("lid"),
+        (col("id") * 37 % 9973).as("s1"))
+      .withColumn("e1", col("s1") + col("lid") % 13 * 100 + 1)
+    val right = spark.range(0, 400)
+      .select(col("id").as("rid"),
+        (col("id") * 31 % 7000).as("s2"))
+      .withColumn("e2", col("s2") + col("rid") % 7 * 300 + 1)
+    val naive = left.join(right,
+        col("s1") < col("e2") && col("s2") < col("e1"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(naive.nonEmpty && naive.size > 2000,
+      s"fixture must be genuinely many-to-many: ${naive.size}")
+    // the result is bin-width INDEPENDENT — the first-shared-bin rule
+    // emits each pair exactly once whatever the discretization
+    Seq(64L, 256L, 4096L).foreach { w =>
+      val binned = RangeJoinOps
+        .binnedIntervalJoin(left, "s1", "e1", right, "s2", "e2", w)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(binned.sorted == naive, s"binWidth=$w diverged from naive")
+      assert(binned.size == binned.distinct.size,
+        s"binWidth=$w emitted a pair twice")
+    }
+  }
+
+  test("interval-interval boundary cases: touching endpoints do not " +
+    "overlap (half-open), shared-edge bins count once") {
+    val w = 10L
+    val left = Seq((1L, 0L, 10L), (2L, 5L, 25L), (3L, 20L, 21L))
+      .toDF("lid", "s1", "e1")
+    val right = Seq(
+      (10L, 10L, 20L), // touches lid=1 at 10 AND lid=3 at 20 → NO overlap
+      (11L, 0L, 30L),  // spans everything
+      (12L, 24L, 40L)  // overlaps only lid=2's tail
+    ).toDF("rid", "s2", "e2")
+    val got = RangeJoinOps
+      .binnedIntervalJoin(left, "s1", "e1", right, "s2", "e2", w)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      1L -> 11L, 2L -> 10L, 2L -> 11L, 2L -> 12L, 3L -> 11L))
+  }
+
+  test("interval-interval plan is an equi join on the bin with both " +
+    "sides data-sized") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val old = spark.conf.getOption(key)
+    val oldAqe = spark.conf.getOption(aqeKey)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set(aqeKey, "-1")
+      val left = spark.range(0, 3000)
+        .select(col("id").as("lid"), (col("id") * 7).as("s1"))
+        .withColumn("e1", col("s1") + 20)
+      val right = spark.range(0, 3000)
+        .select(col("id").as("rid"), (col("id") * 5).as("s2"))
+        .withColumn("e2", col("s2") + 15)
+      val df = RangeJoinOps
+        .binnedIntervalJoin(left, "s1", "e1", right, "s2", "e2", 32L)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"interval join must not nest-loop:\n$p")
+      assert(p.contains("SortMergeJoin [__bin") || p.contains("HashJoin [__bin"), p)
+    } finally {
+      old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      oldAqe.fold(spark.conf.unset(aqeKey))(spark.conf.set(aqeKey, _))
+    }
+  }
+
   test("plan is an equi join on the bin, never a nested loop") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
