@@ -68,7 +68,20 @@ object RangeJoinOps {
   def binnedIntervalJoin(
       left: DataFrame, lLoCol: String, lHiCol: String,
       right: DataFrame, rLoCol: String, rHiCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long): DataFrame =
+    binnedIntervalJoinKeyed(left, lLoCol, lHiCol, right, rLoCol, rHiCol,
+      binWidth, keys = Nil)
+
+  /** [[binnedIntervalJoin]] with equality PARTITION keys joined
+    * alongside the bin — the per-contig genomic form (reads overlap
+    * annotations only within the same chromosome): the shuffle key
+    * becomes (keys..., bin), so coordinates never need contig-prefixing
+    * and a hot contig still splits across its bins. `keys` name columns
+    * present on BOTH sides. */
+  def binnedIntervalJoinKeyed(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      binWidth: Long, keys: Seq[String]): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     def binned(df: DataFrame, lo: String, hi: String) =
       df.withColumn("__bin",
@@ -76,7 +89,7 @@ object RangeJoinOps {
           expr(s"$lo div $binWidth"),
           expr(s"($hi - 1) div $binWidth"))))
     binned(left, lLoCol, lHiCol)
-      .join(binned(right, rLoCol, rHiCol), "__bin")
+      .join(binned(right, rLoCol, rHiCol), ("__bin" +: keys).toIndexedSeq)
       // overlap of half-open intervals
       .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
       // first-shared-bin: exactly one of the pair's common bins keeps it

@@ -96,6 +96,44 @@ class RangeJoinSpec extends SparkTestBase {
       1L -> 11L, 2L -> 10L, 2L -> 11L, 2L -> 12L, 3L -> 11L))
   }
 
+  test("keyed interval join restricts overlap to matching partition " +
+    "keys (the per-contig form)") {
+    val left = Seq(
+      ("chr1", 1L, 0L, 100L), ("chr2", 2L, 0L, 100L), ("chr1", 3L, 90L, 150L))
+      .toDF("contig", "lid", "s1", "e1")
+    val right = Seq(
+      ("chr1", 10L, 50L, 120L), ("chr2", 11L, 50L, 120L),
+      ("chr3", 12L, 0L, 1000L))
+      .toDF("contig", "rid", "s2", "e2")
+    val got = RangeJoinOps.binnedIntervalJoinKeyed(
+        left, "s1", "e1", right, "s2", "e2", 64L, keys = Seq("contig"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross-contig overlaps must NOT pair; chr3's giant interval
+    // matches nothing on the left
+    assert(got == Set(1L -> 10L, 3L -> 10L, 2L -> 11L))
+    // and the keyed result equals the naive keyed theta join on a
+    // larger random fixture
+    val l2 = spark.range(0, 800)
+      .select((col("id") % 3).cast("string").as("k"), col("id").as("lid"),
+        (col("id") * 37 % 5000).as("s1"))
+      .withColumn("e1", col("s1") + col("lid") % 9 * 120 + 1)
+    val r2 = spark.range(0, 300)
+      .select((col("id") % 3).cast("string").as("k"), col("id").as("rid"),
+        (col("id") * 53 % 5000).as("s2"))
+      .withColumn("e2", col("s2") + col("rid") % 5 * 250 + 1)
+    val naive = l2.join(r2.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") &&
+          col("s1") < col("e2") && col("s2") < col("e1"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val binnedK = RangeJoinOps.binnedIntervalJoinKeyed(
+        l2, "s1", "e1", r2, "s2", "e2", 256L, keys = Seq("k"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(naive.nonEmpty && binnedK == naive)
+  }
+
   test("interval-interval plan is an equi join on the bin with both " +
     "sides data-sized") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
