@@ -406,7 +406,13 @@ object EventOps {
     * pins the equality). This is the streaming path every sketch-rollup
     * table wants: sink cost ∝ batch size, store growth ∝ cells × batches
     * (bounded by a later compaction, same as any append store), query
-    * cost ∝ cells. */
+    * cost ∝ cells.
+    *
+    * Replay semantics: a foreachBatch crash-redelivery appends the same
+    * blobs twice — and the ESTIMATES don't move, because HLL union is a
+    * register-wise max (idempotent: x ∪ x = x). The duplicate blobs are
+    * pure store bloat, reclaimed by the next compactHllStore; no tag
+    * ledger needed (StreamingSpec pins the replay invariance). */
   def hllStoreSink(events: DataFrame, path: String, groupCols: Seq[String],
                    keyCol: String, lgK: Int = 12)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

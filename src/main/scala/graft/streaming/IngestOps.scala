@@ -73,8 +73,22 @@ object IngestOps {
           .as("match_id"))
       .localCheckpoint(true)
 
+    // replay guard: foreachBatch redelivers a whole batch after a crash
+    // between the append and the checkpoint commit. The judging above is
+    // replay-STABLE in verdict and match target (the store gate skips
+    // identity matches, so a previously-kept doc is kept again; a
+    // within-batch dup re-reports as dup_store of the same survivor,
+    // whose fingerprints landed on the first attempt) — but the append
+    // must not land its fingerprints twice. Ids already in the store
+    // are filtered with one anti-join against the sets table's id
+    // column (columnar, bucketed — no corpus re-signature), making the
+    // whole batch step idempotent: a replay appends nothing
+    // (IngestSpec pins all of this).
+    val alreadyIngested = spark.table(setsTable)
+      .select(col("id").as(idCol)).distinct()
     DedupOps.appendToFingerprintStore(
-      annotated.filter(col("status") === "kept").select(idCol, textCol),
+      annotated.filter(col("status") === "kept").select(idCol, textCol)
+        .join(alreadyIngested, Seq(idCol), "left_anti"),
       spark, bandsTable, setsTable, idCol, textCol)
     annotated
   }

@@ -726,6 +726,19 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(fromStore == oneShot,
         "micro-batched ingest must union to the one-shot sketch exactly")
+      // replay invariance: re-appending a whole batch's blobs (what a
+      // foreachBatch crash-redelivery does) must not move any estimate —
+      // HLL union is a register-wise max, so x ∪ x = x. Only the store's
+      // file count grows (reclaimed by compaction).
+      val replayed = all.take(math.max(1, all.length / 3 + 1))
+      SketchOps.writeHllStore(
+        eventsDF.filter(col("event_id")
+          .isin(replayed.map(_.event_id).toIndexedSeq: _*)),
+        store, Seq("event_type"), $"user_id", lgK = 12, append = true)
+      val afterReplay = SketchOps.readHllStore(spark, store, Seq("event_type"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterReplay == fromStore,
+        "a replayed batch's duplicate blobs must not change any estimate")
     } finally q.stop()
   }
 }
