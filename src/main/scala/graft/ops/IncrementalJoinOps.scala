@@ -88,21 +88,59 @@ object IncrementalJoinOps {
   def readJoinView(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(s"$base/j").drop(BUCKET)
 
+  private def tagsPath(base: String) = s"$base/_stream_tags"
+
+  private def appliedTags(spark: SparkSession, base: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tagsPath(base))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(tagsPath(base))
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  private def recordTag(spark: SparkSession, base: String, tag: Long): Unit = {
+    import spark.implicits._
+    Seq(tag).toDF("tag").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(tagsPath(base))
+    spark.catalog.refreshByPath(tagsPath(base))
+  }
+
+  /** [[appendToJoinView]] for side A guarded by a batch tag: a tag
+    * already recorded skips the apply (returns false). The view's
+    * appends are multiset — a replayed delta would DOUBLE its join rows
+    * (unlike the LWW doc store, where replays re-elect to the same
+    * winners) — so the streaming sink below dedups redelivered batches
+    * through this ledger. The tag lands AFTER the apply: the residual
+    * at-least-once window is a crash exactly between the two, the
+    * standard foreachBatch-with-batchId contract. */
+  def appendSideATagged(batch: DataFrame, spark: SparkSession, base: String,
+                        key: String, nBuckets: Int, tag: Long): Boolean = {
+    if (appliedTags(spark, base).contains(tag)) false
+    else {
+      val emptyB = spark.read.parquet(s"$base/b")
+        .drop(BUCKET).filter(lit(false))
+      appendToJoinView(batch, emptyB, spark, base, key, nBuckets)
+      recordTag(spark, base, tag)
+      true
+    }
+  }
+
   /** Continuous maintenance: fold a STREAMING delta of side A into the
     * view per micro-batch (side-B deltas keep arriving through the
     * batch API — the common fact-stream / dimension-batch shape). Each
-    * trigger inherits [[appendToJoinView]]'s bucket locality. */
+    * trigger inherits [[appendToJoinView]]'s bucket locality; redelivered
+    * batches are skipped via the batch-id ledger
+    * ([[appendSideATagged]]) — without it a replay would double the
+    * replayed delta's join rows. */
   def joinViewSinkA(deltaA: DataFrame, base: String, key: String,
                     nBuckets: Int = 64,
                     checkpoint: Option[String] = None) = {
     val w = deltaA.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val emptyB = s.read.parquet(s"$base/b")
-            .drop(BUCKET).filter(lit(false))
-          appendToJoinView(batch, emptyB, s, base, key, nBuckets)
+          appendSideATagged(batch, batch.sparkSession, base, key,
+            nBuckets, batchId): Unit
         }
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()

@@ -100,6 +100,32 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(got == Set((1L, "a1", "b1"), (2L, "a2", "b2"), (3L, "a3", "b3")))
   }
 
+  test("a redelivered micro-batch is skipped by the tag ledger — the " +
+    "view's multiset appends must not double") {
+    val base = Files.createTempDirectory("jview-rp").toString
+    val a0 = Seq((1L, "a1")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    IncrementalJoinOps.writeJoinView(a0, b0, spark, base, "k", 8)
+    val delta = Seq((2L, "a2")).toDF("k", "av")
+    assert(IncrementalJoinOps.appendSideATagged(
+      delta, spark, base, "k", 8, tag = 0L), "first delivery applies")
+    def rows() = IncrementalJoinOps.readJoinView(spark, base)
+      .select("k", "av", "bv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sorted
+    val afterFirst = rows()
+    assert(afterFirst == Seq((1L, "a1", "b1"), (2L, "a2", "b2")))
+    // the crash-redelivery: same batch, same batchId
+    assert(!IncrementalJoinOps.appendSideATagged(
+      delta, spark, base, "k", 8, tag = 0L), "replay must be skipped")
+    assert(rows() == afterFirst,
+      "a replayed delta must not double its join rows")
+    // a NEW batch id still applies
+    assert(IncrementalJoinOps.appendSideATagged(
+      Seq((1L, "a1x")).toDF("k", "av"), spark, base, "k", 8, tag = 1L))
+    assert(rows().size == 3)
+  }
+
   test("compaction collapses fragmented buckets only, data unchanged") {
     val base = Files.createTempDirectory("jview-cmp").toString
     val a0 = Seq((1L, "a1")).toDF("k", "av")
