@@ -55,12 +55,17 @@ object VectorStoreOps {
     * second file whose write could tear away from the first. */
   private final case class ManifestRow(c: Long, cid: Long, tag: Option[Long])
 
-  /** ONLY a missing manifest means fresh — a transient read failure
-    * must propagate, or an append would treat a live store as empty
-    * (see [[VersionedStoreOps.currentVersion]]). */
+  /** The store is INITIALIZED iff its manifest directory exists — a
+    * store deleted down to zero rows keeps an (empty) manifest and
+    * stays appendable. ONLY a missing manifest means fresh — a
+    * transient read failure must propagate, or an append would treat a
+    * live store as empty (see [[VersionedStoreOps.currentVersion]]). */
+  private def manifestExists(spark: SparkSession, base: String): Boolean =
+    hadoopFs(spark, base)
+      .exists(new org.apache.hadoop.fs.Path(manifestPath(base)))
+
   private def readManifestRows(spark: SparkSession, base: String): Array[ManifestRow] = {
-    val mp = new org.apache.hadoop.fs.Path(manifestPath(base))
-    if (!hadoopFs(spark, base).exists(mp)) Array.empty
+    if (!manifestExists(spark, base)) Array.empty
     else spark.read.parquet(manifestPath(base))
       .select("c", "cid", "tag")
       .collect().map(r => ManifestRow(r.getLong(0), r.getLong(1),
@@ -114,8 +119,11 @@ object VectorStoreOps {
     * torn (uncommitted) ingest are never included. This is the ONLY way
     * the store's data is read, internally and by callers. */
   def readStore(spark: SparkSession, basePath: String): DataFrame = {
+    require(manifestExists(spark, basePath),
+      s"no committed vector store at $basePath")
     val manifest = readManifest(spark, basePath)
-    require(manifest.nonEmpty, s"no committed vector store at $basePath")
+    require(manifest.nonEmpty,
+      s"vector store at $basePath holds no live data (all rows deleted)")
     readStoreFrom(spark, basePath, manifest)
   }
 
@@ -251,17 +259,21 @@ object VectorStoreOps {
                            basePath: String, tag: Option[Long],
                            idCol: String, vecCol: String,
                            assignRound: Option[Int]): Boolean = {
-    val manifest = readManifestRows(spark, basePath)
-    require(manifest.nonEmpty,
+    require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath — writeVectorStore first")
+    val manifest = readManifestRows(spark, basePath)
     if (tag.isDefined && manifest.exists(_.tag == tag)) false
     else {
       val cents = spark.read.parquet(s"$basePath/centroids")
-      val next = manifest.map(_.c).max + 1
+      val next = (manifest.map(_.c) :+ -1L).max + 1
       val commitDir = s"${itemsPath(basePath)}/c=$next"
-      // appends inherit the store's storage tier (one footer-read probe)
-      val quantized = readStoreRawFrom(spark, basePath,
-        liveDirRows(manifest).take(1).map(r => (r.c, r.cid)))
+      // appends inherit the store's storage tier (one footer-read
+      // probe); a store deleted down to zero live dirs has no tier to
+      // inherit — new commits re-establish it as float (either tier is
+      // consistent when no prior data rows exist)
+      val live = liveDirRows(manifest)
+      val quantized = live.nonEmpty && readStoreRawFrom(spark, basePath,
+        live.take(1).map(r => (r.c, r.cid)))
         .columns.contains("cv_q")
       maybeQuantize(
           assigned(spark, delta, cents, idCol, vecCol, assignRound), quantized)
@@ -305,9 +317,9 @@ object VectorStoreOps {
     * superseded directories deleted. Data is unchanged (spec-pinned). */
   def compactVectorStore(spark: SparkSession, basePath: String,
                          maxFilesPerCell: Int = 4): Unit = {
-    val manifest = readManifestRows(spark, basePath)
-    require(liveDirRows(manifest).nonEmpty,
+    require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
+    val manifest = readManifestRows(spark, basePath)
     val filesPerCell = liveDirRows(manifest).groupBy(_.cid).map {
       case (cid, dirs) =>
         cid -> dirs.map { r =>
@@ -330,9 +342,10 @@ object VectorStoreOps {
   def deleteFromVectorStore(ids: DataFrame, spark: SparkSession,
                             basePath: String,
                             idCol: String = "vec_id"): Unit = {
-    val manifest = readManifestRows(spark, basePath)
-    require(liveDirRows(manifest).nonEmpty,
+    require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
+    val manifest = readManifestRows(spark, basePath)
+    if (liveDirRows(manifest).isEmpty) return // nothing to delete from
     val del = ids.select(col(idCol).cast("long").as("item_id"))
       .distinct().localCheckpoint(true)
     val items = readStoreFrom(spark, basePath,

@@ -316,6 +316,21 @@ class VectorStoreSpec extends SparkTestBase {
     assert(VectorStoreOps.readStore(spark, base).count() == emb.count() - 3)
   }
 
+  test("a store deleted down to zero vectors still accepts appends " +
+    "(tier probe has no live dir to read)") {
+    val base = Files.createTempDirectory("vstore-empty").toString
+    val some = emb.filter(col("vec_id") % 100 === 0)
+    val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(some, spark, base, cents)
+    VectorStoreOps.deleteFromVectorStore(
+      some.select("vec_id"), spark, base)
+    // the store is empty but alive: a fresh append must land
+    VectorStoreOps.appendToVectorStore(
+      emb.filter(col("vec_id") % 100 === 1), spark, base)
+    assert(VectorStoreOps.readStore(spark, base).count() ==
+      emb.filter(col("vec_id") % 100 === 1).count())
+  }
+
   test("append is visible to a reader opened in the same session") {
     val base = Files.createTempDirectory("vstore-vis").toString
     val store = emb.filter(col("vec_id") % 5 =!= 0)
