@@ -90,37 +90,55 @@ object IncrementalJoinOps {
 
   private def tagsPath(base: String) = s"$base/_stream_tags"
 
-  private def appliedTags(spark: SparkSession, base: String): Set[Long] = {
+  /** The ledger is a single HIGH-WATER MARK, not a tag set: Structured
+    * Streaming batch ids are strictly monotonic per checkpoint and only
+    * the last uncommitted batch is ever redelivered, so `tag <= max
+    * applied` decides a replay — O(1) state and one tiny parquet read
+    * per batch forever, instead of a file-per-batch directory whose
+    * listing grows with stream age. Consequence: the ledger is tied to
+    * the CHECKPOINT's lifetime — resetting the checkpoint (batch ids
+    * restart at 0) requires deleting `_stream_tags` too, exactly like
+    * every batchId-keyed foreachBatch dedupe. */
+  private def appliedHighWater(spark: SparkSession, base: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(tagsPath(base))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(tagsPath(base))
-      .collect().map(_.getLong(0)).toSet
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(tagsPath(base))
+      .agg(max("tag")).head().getLong(0))
   }
 
-  private def recordTag(spark: SparkSession, base: String, tag: Long): Unit = {
+  private def recordHighWater(spark: SparkSession, base: String, tag: Long): Unit = {
     import spark.implicits._
     Seq(tag).toDF("tag").coalesce(1)
-      .write.mode(SaveMode.Append).parquet(tagsPath(base))
+      .write.mode(SaveMode.Overwrite).parquet(tagsPath(base))
     spark.catalog.refreshByPath(tagsPath(base))
   }
 
-  /** [[appendToJoinView]] for side A guarded by a batch tag: a tag
-    * already recorded skips the apply (returns false). The view's
-    * appends are multiset — a replayed delta would DOUBLE its join rows
-    * (unlike the LWW doc store, where replays re-elect to the same
-    * winners) — so the streaming sink below dedups redelivered batches
-    * through this ledger. The tag lands AFTER the apply: the residual
-    * at-least-once window is a crash exactly between the two, the
-    * standard foreachBatch-with-batchId contract. */
+  /** [[appendToJoinView]] for side A guarded by a batch tag: a tag at
+    * or below the recorded high-water mark skips the apply (returns
+    * false). The view's appends are multiset — a replayed delta would
+    * DOUBLE its join rows (unlike the LWW doc store, where replays
+    * re-elect to the same winners) — so the streaming sink below dedups
+    * redelivered batches through this ledger.
+    *
+    * Residual window, stated honestly: the apply itself is THREE
+    * appends (j/, a/, b/) and the mark lands after all of them, so a
+    * crash anywhere inside or just after the apply leaves some appends
+    * committed with no mark, and the redelivery re-appends them —
+    * at-least-once across that whole span, not just "between apply and
+    * ledger". Closing it needs the vector store's manifest treatment
+    * (data invisible until one commit record) applied to all three
+    * tables; until then this is the standard foreachBatch-with-batchId
+    * contract, which removes the COMMON replay (crash after the
+    * checkpoint-visible batch completed) but not the torn-apply one. */
   def appendSideATagged(batch: DataFrame, spark: SparkSession, base: String,
                         key: String, nBuckets: Int, tag: Long): Boolean = {
-    if (appliedTags(spark, base).contains(tag)) false
+    if (appliedHighWater(spark, base).exists(tag <= _)) false
     else {
       val emptyB = spark.read.parquet(s"$base/b")
         .drop(BUCKET).filter(lit(false))
       appendToJoinView(batch, emptyB, spark, base, key, nBuckets)
-      recordTag(spark, base, tag)
+      recordHighWater(spark, base, tag)
       true
     }
   }

@@ -107,13 +107,6 @@ object VectorStoreOps {
       .map(_.getPath.getName.stripPrefix("cid=").toLong)
   }
 
-  private def parquetFileCount(spark: SparkSession, dir: String): Int = {
-    val fs = hadoopFs(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-  }
-
   /** The COMMITTED store contents: `(item_id, cv, cid)`. Resolves the
     * manifest and reads exactly the directories it names — files from a
     * torn (uncommitted) ingest are never included. This is the ONLY way
@@ -122,20 +115,31 @@ object VectorStoreOps {
     require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
     val manifest = readManifest(spark, basePath)
-    require(manifest.nonEmpty,
-      s"vector store at $basePath holds no live data (all rows deleted)")
-    readStoreFrom(spark, basePath, manifest)
+    if (manifest.isEmpty)
+      // emptied-but-alive store (delete-to-zero): an empty result, not
+      // an error — a serving endpoint over a compliance-emptied tenant
+      // store must answer queries with zero rows until the next append
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("item_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType))))
+    else readStoreFrom(spark, basePath, manifest)
   }
 
   private def readStoreFrom(spark: SparkSession, base: String,
                             manifest: Array[(Long, Long)]): DataFrame = {
     val raw = readStoreRawFrom(spark, base, manifest)
     if (raw.columns.contains("cv_q"))
-      // int8 tier: restore floats at the scan (the same arithmetic as
-      // SimilarityOps.dequantize — one float multiply per element)
+      // int8 tier: restore floats at the scan (one float multiply per
+      // element — THE oracle-pinned arithmetic, not a copy of it)
       raw.select(col("item_id"),
-        transform(col("cv_q"),
-          x => (x.cast("float") * col("cv_scale")).cast("float")).as("cv"),
+        SimilarityOps.dequantize(col("cv_q"), col("cv_scale")).as("cv"),
         col("cid"))
     else raw.select(col("item_id"), col("cv"), col("cid"))
   }
@@ -162,13 +166,7 @@ object VectorStoreOps {
     * spec-pinned). */
   private def maybeQuantize(df: DataFrame, quantize: Boolean): DataFrame =
     if (!quantize) df
-    else df
-      .withColumn("cv_scale",
-        (greatest(array_max(transform(col("cv"), x => abs(x))), lit(1e-30f)) /
-          lit(127.0f)).cast("float"))
-      .withColumn("cv_q",
-        transform(col("cv"), x => round(x / col("cv_scale")).cast("byte")))
-      .drop("cv")
+    else SimilarityOps.quantizeInt8(df, vecCol = "cv").drop("cv")
 
   /** Per-row best cell of `df`'s vectors against the (broadcast)
     * centroid table, ties to the lowest cid. `probeRound` optionally
@@ -302,8 +300,12 @@ object VectorStoreOps {
     delta.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendTagged(batch, spark, basePath, Some(batchId), idCol, vecCol,
-          assignRound): Unit
+        // empty triggers (idle source) skip the whole manifest/centroid
+        // round trip; appending nothing needs no replay guard either
+        if (!batch.isEmpty) {
+          appendTagged(batch, spark, basePath, Some(batchId), idCol, vecCol,
+            assignRound): Unit
+        }
       }
       .start()
 
@@ -320,13 +322,32 @@ object VectorStoreOps {
     require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
     val manifest = readManifestRows(spark, basePath)
-    val filesPerCell = liveDirRows(manifest).groupBy(_.cid).map {
-      case (cid, dirs) =>
-        cid -> dirs.map { r =>
-          parquetFileCount(spark, s"${itemsPath(basePath)}/c=${r.c}/cid=$cid")
-        }.sum
+    // ONE recursive listing of items/ (a batched RemoteIterator — O(1)
+    // filesystem round trips, not commits x nlist sequential
+    // listStatus calls on an object store), restricted to LIVE
+    // (commit, cell) dirs so torn-append orphans don't count
+    val live = liveDirRows(manifest).map(r => (r.c, r.cid)).toSet
+    val counts = scala.collection.mutable.Map.empty[Long, Int]
+    val itemsRoot = new org.apache.hadoop.fs.Path(itemsPath(basePath))
+    val fsRoot = hadoopFs(spark, basePath)
+    if (fsRoot.exists(itemsRoot)) {
+      val it = fsRoot.listFiles(itemsRoot, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val cellDir = f.getParent   // cid=M
+          val commitDir = cellDir.getParent // c=N
+          if (cellDir.getName.startsWith("cid=") &&
+              commitDir.getName.startsWith("c=")) {
+            val cid = cellDir.getName.stripPrefix("cid=").toLong
+            val c = commitDir.getName.stripPrefix("c=").toLong
+            if (live((c, cid)))
+              counts.update(cid, counts.getOrElse(cid, 0) + 1)
+          }
+        }
+      }
     }
-    val oversized = filesPerCell.filter(_._2 > maxFilesPerCell).keySet
+    val oversized = counts.filter(_._2 > maxFilesPerCell).keySet.toSet
     if (oversized.nonEmpty) {
       rewriteCells(spark, basePath, manifest, oversized)
     }

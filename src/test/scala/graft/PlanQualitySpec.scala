@@ -78,23 +78,24 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("hdr store-serving gate queries read the store, not the fact") {
-    Seq("agg_hdr_serve" -> "graft-hdrserve",
-      "agg_hdr_rollup" -> "graft-hdrrollup").foreach { case (q, dir) =>
-      val df = SparkEntry.queries(q)(spark, sfTiny)
-      val scans = df.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toString)
-            case _ => Seq.empty[String]
-          }
-      }.flatten
-      assert(scans.exists(p => p.contains(dir) && p.contains("store")),
-        s"$q must scan its rollup store: $scans")
-      assert(!scans.exists(_.contains("events_")),
-        s"$q must not scan the prepared fact: $scans")
-    }
-    graft.plans.AggStoreRegistry.clear()
+    try {
+      Seq("agg_hdr_serve" -> "graft-hdrserve",
+        "agg_hdr_rollup" -> "graft-hdrrollup").foreach { case (q, dir) =>
+        val df = SparkEntry.queries(q)(spark, sfTiny)
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        assert(scans.exists(p => p.contains(dir) && p.contains("store")),
+          s"$q must scan its rollup store: $scans")
+        assert(!scans.exists(_.contains("events_")),
+          s"$q must not scan the prepared fact: $scans")
+      }
+    } finally graft.plans.AggStoreRegistry.clear()
   }
 
   test("IVF's data-sized join is an equi-join on the cell id") {

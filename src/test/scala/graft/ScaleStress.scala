@@ -30,6 +30,12 @@ object ScaleStress {
 
   private val MaxRatio = 25.0
 
+  /** Locale-stable decimal for the emitted JSON (the default-locale f""
+    * interpolator prints "0,29" under comma-decimal locales — the same
+    * defect Bench.f2 guards against). */
+  private def fmt(d: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + places + "f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -136,7 +142,7 @@ object ScaleStress {
     }
 
     val json = results.map { case (name, t1, n1, t10, n10, ratio) =>
-      f"""{"op":"$name","t1_sec":$t1%.3f,"rows1":$n1,"t10_sec":$t10%.3f,"rows10":$n10,"ratio":$ratio%.2f}"""
+      s"""{"op":"$name","t1_sec":${fmt(t1, 3)},"rows1":$n1,"t10_sec":${fmt(t10, 3)},"rows10":$n10,"ratio":${fmt(ratio, 2)}}"""
     }.mkString("[", ",", "]")
     val out = java.nio.file.Paths.get("dev", "out")
     java.nio.file.Files.createDirectories(out)
@@ -159,7 +165,7 @@ object ScaleStress {
       f"k=10: $ti10%6.2fs ($ni10 rows)  ratio $incRatio%5.2f  " +
       f"full-rededup k=10: $tf10%6.2fs ($nf10 rows)")
     val incJson =
-      f"""{"op":"incrementalPairs","t1_sec":$ti1%.3f,"rows1":$ni1,"t10_sec":$ti10%.3f,"rows10":$ni10,"ratio":$incRatio%.2f,"full10_sec":$tf10%.3f}"""
+      s"""{"op":"incrementalPairs","t1_sec":${fmt(ti1, 3)},"rows1":$ni1,"t10_sec":${fmt(ti10, 3)},"rows10":$ni10,"ratio":${fmt(incRatio, 2)},"full10_sec":${fmt(tf10, 3)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_inc.json"),
       (incJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the fixed batch finds the same pairs no matter how big the store is
@@ -220,7 +226,7 @@ object ScaleStress {
       f"k=10: $tvs10%6.2fs  ratio $vSearchRatio%5.2f  " +
       f"batch-op k=10: $tvb10%6.2fs")
     val vsJson =
-      f"""{"op":"vectorStore","ingest1_sec":$tvi1%.3f,"ingest10_sec":$tvi10%.3f,"ingest_ratio":$vIngestRatio%.2f,"search1_sec":$tvs1%.3f,"search10_sec":$tvs10%.3f,"search_ratio":$vSearchRatio%.2f,"batch10_sec":$tvb10%.3f}"""
+      s"""{"op":"vectorStore","ingest1_sec":${fmt(tvi1, 3)},"ingest10_sec":${fmt(tvi10, 3)},"ingest_ratio":${fmt(vIngestRatio, 2)},"search1_sec":${fmt(tvs1, 3)},"search10_sec":${fmt(tvs10, 3)},"search_ratio":${fmt(vSearchRatio, 2)},"batch10_sec":${fmt(tvb10, 3)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_vstore.json"),
       (vsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // append work is delta-sized: x10 store may not x-up the ingest
@@ -259,7 +265,7 @@ object ScaleStress {
     println(f"[scale-stress] vstore delete       k=1: $tvd1%6.2fs ($nvd1 left)  " +
       f"k=10: $tvd10%6.2fs ($nvd10 left)  ratio $vDelRatio%5.2f")
     val vsMaintJson =
-      f"""{"op":"vectorStoreMaint","compact1_sec":$tvc1%.3f,"compact10_sec":$tvc10%.3f,"compact_ratio":$vCompactRatio%.2f,"delete1_sec":$tvd1%.3f,"delete10_sec":$tvd10%.3f,"delete_ratio":$vDelRatio%.2f}"""
+      s"""{"op":"vectorStoreMaint","compact1_sec":${fmt(tvc1, 3)},"compact10_sec":${fmt(tvc10, 3)},"compact_ratio":${fmt(vCompactRatio, 2)},"delete1_sec":${fmt(tvd1, 3)},"delete10_sec":${fmt(tvd10, 3)},"delete_ratio":${fmt(vDelRatio, 2)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_vstore_maint.json"),
       (vsMaintJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the delete actually landed: exactly the delta rows are gone
@@ -307,7 +313,7 @@ object ScaleStress {
     require(idxSearchRatio < MaxRatio,
       s"index search super-linearithmic: ratio $idxSearchRatio")
     val idxJson =
-      f"""{"op":"textIndex","ingest1_sec":$tii1%.3f,"ingest10_sec":$tii10%.3f,"ingest_ratio":$idxIngestRatio%.2f,"search1_sec":$tis1%.3f,"search10_sec":$tis10%.3f,"search_ratio":$idxSearchRatio%.2f}"""
+      s"""{"op":"textIndex","ingest1_sec":${fmt(tii1, 3)},"ingest10_sec":${fmt(tii10, 3)},"ingest_ratio":${fmt(idxIngestRatio, 2)},"search1_sec":${fmt(tis1, 3)},"search10_sec":${fmt(tis10, 3)},"search_ratio":${fmt(idxSearchRatio, 2)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_tindex.json"),
       (idxJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -360,7 +366,7 @@ object ScaleStress {
     require(thr10 < thx10 * 1.5,
       s"store read ($thr10 s) lost to raw exact re-aggregation ($thx10 s)")
     val hllJson =
-      f"""{"op":"hllStore","ingest1_sec":$thi1%.3f,"ingest10_sec":$thi10%.3f,"ingest_ratio":$hllIngestRatio%.2f,"read1_sec":$thr1%.3f,"read10_sec":$thr10%.3f,"read_ratio":$hllReadRatio%.2f,"raw_exact10_sec":$thx10%.3f}"""
+      s"""{"op":"hllStore","ingest1_sec":${fmt(thi1, 3)},"ingest10_sec":${fmt(thi10, 3)},"ingest_ratio":${fmt(hllIngestRatio, 2)},"read1_sec":${fmt(thr1, 3)},"read10_sec":${fmt(thr10, 3)},"read_ratio":${fmt(hllReadRatio, 2)},"raw_exact10_sec":${fmt(thx10, 3)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_hll.json"),
       (hllJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -412,7 +418,7 @@ object ScaleStress {
     require(dsLookupRatio < MaxRatio,
       s"doc-store lookup super-linearithmic: ratio $dsLookupRatio")
     val dsJson =
-      f"""{"op":"docStore","apply1_sec":$tda1%.3f,"apply10_sec":$tda10%.3f,"apply_ratio":$dsApplyRatio%.2f,"lookup1_sec":$tdl1%.3f,"lookup10_sec":$tdl10%.3f,"lookup_ratio":$dsLookupRatio%.2f,"full_rewrite10_sec":$tdr10%.3f}"""
+      s"""{"op":"docStore","apply1_sec":${fmt(tda1, 3)},"apply10_sec":${fmt(tda10, 3)},"apply_ratio":${fmt(dsApplyRatio, 2)},"lookup1_sec":${fmt(tdl1, 3)},"lookup10_sec":${fmt(tdl10, 3)},"lookup_ratio":${fmt(dsLookupRatio, 2)},"full_rewrite10_sec":${fmt(tdr10, 3)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_docstore.json"),
       (dsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
