@@ -15,130 +15,207 @@ import org.apache.spark.sql.functions._
   *
   * All three tables live bucket-partitioned by the join key's hash, so
   * a refresh joins each delta against ONLY the buckets its keys hash
-  * into (partition-pruned at listing) and APPENDS — nothing is ever
-  * rewritten, and the delta⋈delta term is delta-sized. Cost per
-  * refresh ∝ deltas + matching buckets; the rest of A, B and J is
-  * never read or written (spec-asserted byte-for-byte).
+  * into and APPENDS — nothing is ever rewritten, and the delta⋈delta
+  * term is delta-sized. Cost per refresh ∝ deltas + matching buckets;
+  * the rest of A, B and J is never read or written (spec-asserted
+  * byte-for-byte).
+  *
+  * Durability: every refresh is MANIFEST-COMMITTED, the same
+  * write-ahead shape as [[VectorStoreOps]]. Data lives under
+  * `side/c=<commit>/__bucket=<b>/` (side ∈ a, b, j) and one `_manifest`
+  * parquet of `(c, side, bucket, tag)` rows names the live
+  * directories; reads resolve the manifest and never list the side
+  * trees. A refresh writes ΔA, ΔB and ΔJ as commit `N` of their sides
+  * FIRST and publishes all three with ONE manifest append — so a crash
+  * anywhere inside the multi-table apply leaves nothing visible, and a
+  * retry overwrites the torn commit directories at the same id before
+  * publishing. The optional `tag` (a Structured Streaming batch id)
+  * rides the same manifest rows, making streamed refreshes exactly-once
+  * ([[joinViewSinkA]]): the one append is simultaneously the data
+  * commit and the replay marker. Compaction rewrites fragmented buckets
+  * into a new commit per side, swaps the manifest (tags preserved as
+  * `bucket = -1` markers when their data rows are superseded), then
+  * GCs.
   *
   * Inner equi-join, append-only sides (retraction of join rows needs
   * multiplicity bookkeeping — out of scope here; use the
   * [[DocStoreOps]] LWW store when rows change in place). Column names
-  * besides the key must be disjoint across A and B. Appends accumulate
-  * one file per touched bucket per refresh — compact with
-  * [[LayoutOps.compact]] on the usual small-files cadence.
+  * besides the key must be disjoint across A and B; A-side and ΔA
+  * schemas match (same for B). Single writer at a time, as in the
+  * sibling stores.
   */
 object IncrementalJoinOps {
 
   private val BUCKET = "__bucket"
+  private val Sides = Seq("a", "b", "j")
+
+  private def manifestPath(base: String) = s"$base/_manifest"
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (commit, side, bucket, tag); `bucket = -1` rows are pure tag
+    * markers kept when a tagged commit's data dirs are compacted away
+    * (the replay guard must outlive the data it guarded). */
+  private final case class ManifestRow(c: Long, side: String, bucket: Int,
+                                       tag: Option[Long])
+
+  private def manifestExists(spark: SparkSession, base: String): Boolean =
+    hadoopFs(spark, base)
+      .exists(new org.apache.hadoop.fs.Path(manifestPath(base)))
+
+  private def readManifest(spark: SparkSession, base: String): Array[ManifestRow] = {
+    if (!manifestExists(spark, base)) Array.empty
+    else spark.read.parquet(manifestPath(base))
+      .select("c", "side", "bucket", "tag")
+      .collect().map(r => ManifestRow(r.getLong(0), r.getString(1),
+        r.getInt(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+  }
+
+  private def writeManifest(spark: SparkSession, base: String,
+                            rows: Seq[ManifestRow], append: Boolean): Unit = {
+    import spark.implicits._
+    rows.map(r => (r.c, r.side, r.bucket, r.tag))
+      .toDF("c", "side", "bucket", "tag").coalesce(1)
+      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .parquet(manifestPath(base))
+    // only the manifest's own listing can go stale: data commits land in
+    // NEW directories (never cached before they're in the manifest), and
+    // dirs dropped from the manifest are never resolved again — a
+    // whole-base refresh would just re-list every live dir per refresh
+    spark.catalog.refreshByPath(manifestPath(base))
+  }
 
   private def withBucket(df: DataFrame, key: String, nBuckets: Int): DataFrame =
     df.withColumn(BUCKET, pmod(hash(col(key)), lit(nBuckets)))
 
-  private def writeSide(df: DataFrame, path: String, key: String,
-                        nBuckets: Int, mode: SaveMode): Unit =
-    withBucket(df, key, nBuckets)
-      .write.mode(mode).partitionBy(BUCKET).parquet(path)
+  /** Buckets a just-written commit directory materialized — one
+    * driver-side listing, bounded by nBuckets. */
+  private def writtenBuckets(spark: SparkSession, commitDir: String): Seq[Int] = {
+    val fs = hadoopFs(spark, commitDir)
+    val p = new org.apache.hadoop.fs.Path(commitDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET="))
+      .map(_.getPath.getName.stripPrefix(s"$BUCKET=").toInt)
+  }
 
-  /** Initial build: persists `a`, `b` and their join under `base`. */
+  /** A side's live rows, optionally restricted to `buckets` — the
+    * restriction prunes at DIR-RESOLUTION time (only the touched
+    * buckets' directories are even listed). `like` supplies the schema
+    * when no live dir matches (sides and their deltas share schemas by
+    * contract). */
+  private def readSideLive(spark: SparkSession, base: String, side: String,
+                           manifest: Array[ManifestRow],
+                           buckets: Option[Set[Int]],
+                           like: => DataFrame): DataFrame = {
+    val dirs = manifest
+      .filter(r => r.side == side && r.bucket >= 0 &&
+        buckets.forall(_.contains(r.bucket)))
+      .map(r => s"$base/$side/c=${r.c}/$BUCKET=${r.bucket}")
+    if (dirs.isEmpty) like.filter(lit(false))
+    else spark.read.option("basePath", s"$base/$side")
+      .parquet(dirs.toIndexedSeq: _*)
+      .drop("c", BUCKET)
+  }
+
+  /** Initial build: persists `a`, `b` and their join under `base` as
+    * commit 0 of each side, published by one manifest write. Overwrite
+    * semantics — any prior view at the path is removed first. */
   def writeJoinView(a: DataFrame, b: DataFrame, spark: SparkSession,
                     base: String, key: String, nBuckets: Int = 64): Unit = {
     val shared = a.columns.toSet.intersect(b.columns.toSet)
     require(shared == Set(key),
       s"sides must share only the join key, got $shared")
-    writeSide(a, s"$base/a", key, nBuckets, SaveMode.Overwrite)
-    writeSide(b, s"$base/b", key, nBuckets, SaveMode.Overwrite)
-    writeSide(a.join(b, key), s"$base/j", key, nBuckets, SaveMode.Overwrite)
-    spark.catalog.refreshByPath(s"$base/j")
+    val fs = hadoopFs(spark, base)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestPath(base)), true)
+    Sides.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$s"), true))
+    val rows = Seq(("a", a), ("b", b), ("j", a.join(b, key))).flatMap {
+      case (side, df) =>
+        val dir = s"$base/$side/c=0"
+        withBucket(df, key, nBuckets)
+          .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(dir)
+        writtenBuckets(spark, dir).map(bk => ManifestRow(0L, side, bk, None))
+    }
+    writeManifest(spark, base, rows, append = false)
   }
 
   /** Fold new rows into both sides and the view. Either delta may be
-    * empty. Only buckets the deltas' keys hash into are read; every
-    * write is an append. */
+    * empty. Only buckets the deltas' keys hash into are read; the three
+    * commit directories land first, ONE manifest append publishes them
+    * (with `tag` when the refresh is a streamed batch). */
   def appendToJoinView(dA: DataFrame, dB: DataFrame, spark: SparkSession,
-                       base: String, key: String, nBuckets: Int = 64): Unit = {
-    // freeze the deltas: the view append below must not race a source
-    // that could re-evaluate differently (and the bucket sets are read
-    // twice)
+                       base: String, key: String, nBuckets: Int = 64,
+                       tag: Option[Long] = None): Unit = {
+    require(manifestExists(spark, base),
+      s"no join view at $base — writeJoinView first")
+    val manifest = readManifest(spark, base) // the op's ONLY manifest read
+    val next = (manifest.map(_.c) :+ -1L).max + 1
+    // freeze the deltas: the bucket sets are read twice and the ΔJ
+    // write must not race a source that could re-evaluate differently
     val dAw = withBucket(dA, key, nBuckets).localCheckpoint(true)
     val dBw = withBucket(dB, key, nBuckets).localCheckpoint(true)
     def buckets(d: DataFrame): Set[Int] =
       d.select(BUCKET).distinct().collect().map(_.getInt(0)).toSet
     val tA = buckets(dAw) // bounded by nBuckets
     val tB = buckets(dBw)
-    def readSide(path: String, touched: Set[Int]): DataFrame =
-      spark.read.parquet(path)
-        .filter(col(BUCKET).isin(touched.toSeq: _*)).drop(BUCKET)
-    // pre-append states, pruned to the buckets that can match a delta
-    val aAff = readSide(s"$base/a", tB)
-    val bAff = readSide(s"$base/b", tA)
+    // pre-append states by construction: the manifest was read before
+    // any new directory lands, so the commit dirs written below are
+    // invisible to these resolutions
+    val aAff = readSideLive(spark, base, "a", manifest, Some(tB),
+      dAw.drop(BUCKET))
+    val bAff = readSideLive(spark, base, "b", manifest, Some(tA),
+      dBw.drop(BUCKET))
     val deltaJ = dAw.drop(BUCKET).join(bAff, key)
       .unionByName(aAff.join(dBw.drop(BUCKET), key))
       .unionByName(dAw.drop(BUCKET).join(dBw.drop(BUCKET), key))
-    // ΔJ must materialize BEFORE the side appends land: it reads the
-    // pre-append a/ and b/ listings
-    writeSide(deltaJ, s"$base/j", key, nBuckets, SaveMode.Append)
-    dAw.write.mode(SaveMode.Append).partitionBy(BUCKET).parquet(s"$base/a")
-    dBw.write.mode(SaveMode.Append).partitionBy(BUCKET).parquet(s"$base/b")
-    Seq("a", "b", "j").foreach(p =>
-      spark.catalog.refreshByPath(s"$base/$p"))
+    val rows = Seq(("a", dAw), ("b", dBw),
+      ("j", withBucket(deltaJ, key, nBuckets))).flatMap { case (side, df) =>
+      val dir = s"$base/$side/c=$next"
+      // overwrite: a torn previous attempt at this commit id is replaced
+      df.write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(dir)
+      writtenBuckets(spark, dir).map(bk => ManifestRow(next, side, bk, tag))
+    }
+    // an all-empty tagged refresh still records its replay marker
+    val withMarker =
+      if (rows.nonEmpty || tag.isEmpty) rows
+      else Seq(ManifestRow(next, "j", -1, tag))
+    // the commit point for all three tables at once
+    if (withMarker.nonEmpty)
+      writeManifest(spark, base, withMarker, append = true)
     dAw.unpersist(); dBw.unpersist()
   }
 
   /** The maintained join (all buckets). */
-  def readJoinView(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/j").drop(BUCKET)
-
-  private def tagsPath(base: String) = s"$base/_stream_tags"
-
-  /** The ledger is a single HIGH-WATER MARK, not a tag set: Structured
-    * Streaming batch ids are strictly monotonic per checkpoint and only
-    * the last uncommitted batch is ever redelivered, so `tag <= max
-    * applied` decides a replay — O(1) state and one tiny parquet read
-    * per batch forever, instead of a file-per-batch directory whose
-    * listing grows with stream age. Consequence: the ledger is tied to
-    * the CHECKPOINT's lifetime — resetting the checkpoint (batch ids
-    * restart at 0) requires deleting `_stream_tags` too, exactly like
-    * every batchId-keyed foreachBatch dedupe. */
-  private def appliedHighWater(spark: SparkSession, base: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(tagsPath(base))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(tagsPath(base))
-      .agg(max("tag")).head().getLong(0))
+  def readJoinView(spark: SparkSession, base: String): DataFrame = {
+    require(manifestExists(spark, base), s"no join view at $base")
+    val manifest = readManifest(spark, base)
+    readSideLive(spark, base, "j", manifest, None,
+      sys.error(s"join view at $base holds no live data"))
   }
 
-  private def recordHighWater(spark: SparkSession, base: String, tag: Long): Unit = {
-    import spark.implicits._
-    Seq(tag).toDF("tag").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tagsPath(base))
-    spark.catalog.refreshByPath(tagsPath(base))
-  }
-
-  /** [[appendToJoinView]] for side A guarded by a batch tag: a tag at
-    * or below the recorded high-water mark skips the apply (returns
-    * false). The view's appends are multiset — a replayed delta would
-    * DOUBLE its join rows (unlike the LWW doc store, where replays
-    * re-elect to the same winners) — so the streaming sink below dedups
-    * redelivered batches through this ledger.
-    *
-    * Residual window, stated honestly: the apply itself is THREE
-    * appends (j/, a/, b/) and the mark lands after all of them, so a
-    * crash anywhere inside or just after the apply leaves some appends
-    * committed with no mark, and the redelivery re-appends them —
-    * at-least-once across that whole span, not just "between apply and
-    * ledger". Closing it needs the vector store's manifest treatment
-    * (data invisible until one commit record) applied to all three
-    * tables; until then this is the standard foreachBatch-with-batchId
-    * contract, which removes the COMMON replay (crash after the
-    * checkpoint-visible batch completed) but not the torn-apply one. */
+  /** [[appendToJoinView]] for side A guarded by a batch tag: a tag
+    * already in the manifest means the batch committed in a previous
+    * incarnation and the call is a no-op (returns false). Because the
+    * tag rides the SAME manifest append that publishes the three commit
+    * directories, there is no state in which the batch is
+    * half-remembered — the torn-apply at-least-once window of a
+    * side-car ledger does not exist here. */
   def appendSideATagged(batch: DataFrame, spark: SparkSession, base: String,
                         key: String, nBuckets: Int, tag: Long): Boolean = {
-    if (appliedHighWater(spark, base).exists(tag <= _)) false
+    require(manifestExists(spark, base),
+      s"no join view at $base — writeJoinView first")
+    val manifest = readManifest(spark, base)
+    if (manifest.exists(_.tag.contains(tag))) false
     else {
-      val emptyB = spark.read.parquet(s"$base/b")
-        .drop(BUCKET).filter(lit(false))
-      appendToJoinView(batch, emptyB, spark, base, key, nBuckets)
-      recordHighWater(spark, base, tag)
+      // an empty frame with the TRUE b-side schema: ΔJ's column set must
+      // match the existing view even when the B delta is empty
+      val emptyB = readSideLive(spark, base, "b", manifest, None,
+        sys.error(s"join view at $base has no b-side data"))
+        .filter(lit(false))
+      appendToJoinView(batch, emptyB, spark, base, key, nBuckets, Some(tag))
       true
     }
   }
@@ -146,10 +223,9 @@ object IncrementalJoinOps {
   /** Continuous maintenance: fold a STREAMING delta of side A into the
     * view per micro-batch (side-B deltas keep arriving through the
     * batch API — the common fact-stream / dimension-batch shape). Each
-    * trigger inherits [[appendToJoinView]]'s bucket locality; redelivered
-    * batches are skipped via the batch-id ledger
-    * ([[appendSideATagged]]) — without it a replay would double the
-    * replayed delta's join rows. */
+    * trigger inherits [[appendToJoinView]]'s bucket locality;
+    * redelivered batches are exactly-once via the manifest-borne batch
+    * tag ([[appendSideATagged]]). */
   def joinViewSinkA(deltaA: DataFrame, base: String, key: String,
                     nBuckets: Int = 64,
                     checkpoint: Option[String] = None) = {
@@ -165,35 +241,75 @@ object IncrementalJoinOps {
   }
 
   /** Small-files maintenance: every refresh appends one file per
-    * touched bucket, so long-lived views accumulate files linearly in
-    * refresh count. Rewrite each bucket of the three tables that holds
-    * more than `maxFilesPerBucket` files back to one file — bucket
-    * layout (and therefore refresh locality) preserved, data unchanged
-    * (spec-asserted). Buckets under the threshold keep their files
-    * byte-untouched, so compaction cost ∝ fragmented buckets only. */
+    * touched bucket per side, so long-lived views accumulate files
+    * linearly in refresh count. Rewrite each bucket of the three tables
+    * that holds more than `maxFilesPerBucket` LIVE files into a new
+    * commit of its side — bucket layout (and therefore refresh
+    * locality) preserved, data unchanged (spec-asserted); the manifest
+    * swap retains ingest tags whose data rows are superseded as
+    * `bucket = -1` markers. Buckets under the threshold keep their
+    * files byte-untouched. File counting is ONE recursive listing per
+    * side, never a per-directory listStatus loop. */
   def compactJoinView(spark: SparkSession, base: String,
                       maxFilesPerBucket: Int = 4): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("a", "b", "j").foreach { side =>
+    require(manifestExists(spark, base), s"no join view at $base")
+    Sides.foreach { side =>
+      val manifest = readManifest(spark, base) // fresh per side rewrite
+      val live = manifest
+        .filter(r => r.side == side && r.bucket >= 0)
+        .map(r => (r.c, r.bucket)).toSet
+      val counts = scala.collection.mutable.Map.empty[Int, Int]
       val root = new org.apache.hadoop.fs.Path(s"$base/$side")
-      val frag = fs.listStatus(root)
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(s"$BUCKET="))
-        .filter { d =>
-          fs.listStatus(d.getPath)
-            .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+      val fs = hadoopFs(spark, base)
+      if (fs.exists(root)) {
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) {
+            val bDir = f.getParent
+            val cDir = bDir.getParent
+            if (bDir.getName.startsWith(s"$BUCKET=") &&
+                cDir.getName.startsWith("c=")) {
+              val bk = bDir.getName.stripPrefix(s"$BUCKET=").toInt
+              val c = cDir.getName.stripPrefix("c=").toLong
+              if (live((c, bk)))
+                counts.update(bk, counts.getOrElse(bk, 0) + 1)
+            }
+          }
         }
-        .map(_.getPath.getName.stripPrefix(s"$BUCKET=").toInt)
+      }
+      val frag = counts.filter(_._2 > maxFilesPerBucket).keySet.toSet
       if (frag.nonEmpty) {
-        val rewritten = spark.read.parquet(s"$base/$side")
-          .filter(col(BUCKET).isin(frag.toIndexedSeq: _*))
-          .repartition(frag.length, col(BUCKET))
-          .localCheckpoint(true) // freeze before overwriting what it reads
-        rewritten.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(BUCKET).parquet(s"$base/$side")
-        spark.catalog.refreshByPath(s"$base/$side")
+        val next = manifest.map(_.c).max + 1
+        val dirs = manifest
+          .filter(r => r.side == side && frag(r.bucket))
+          .map(r => s"$base/$side/c=${r.c}/$BUCKET=${r.bucket}")
+        val commitDir = s"$base/$side/c=$next"
+        spark.read.option("basePath", s"$base/$side")
+          .parquet(dirs.toIndexedSeq: _*)
+          .drop("c")
+          .withColumn(BUCKET, col(BUCKET).cast("int"))
+          .repartition(frag.size, col(BUCKET))
+          .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(commitDir)
+        val surviving = writtenBuckets(spark, commitDir)
+        val (dropped, kept) = manifest.toIndexedSeq
+          .partition(r => r.side == side && r.bucket >= 0 && frag(r.bucket))
+        val markers = dropped.flatMap(_.tag).distinct
+          .filterNot(t => kept.exists(_.tag.contains(t)))
+          .map(t => ManifestRow(next, side, -1, Some(t)))
+        writeManifest(spark, base,
+          kept ++ markers ++
+            surviving.map(bk => ManifestRow(next, side, bk, None)),
+          append = false)
+        // post-commit GC; orphans from a crash here are invisible
+        dropped.foreach { r =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$base/$side/c=${r.c}/$BUCKET=${r.bucket}"), true)
+          val cdir = new org.apache.hadoop.fs.Path(s"$base/$side/c=${r.c}")
+          if (fs.exists(cdir) && !fs.listStatus(cdir).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET=")))
+            fs.delete(cdir, true)
+        }
       }
     }
   }

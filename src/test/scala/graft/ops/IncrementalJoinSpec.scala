@@ -126,6 +126,35 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(rows().size == 3)
   }
 
+  test("a torn apply (commit dirs written, manifest not) is invisible; " +
+    "the retry overwrites it") {
+    val base = Files.createTempDirectory("jview-torn").toString
+    val a0 = Seq((1L, "a1")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    IncrementalJoinOps.writeJoinView(a0, b0, spark, base, "k", 4)
+    def view() = IncrementalJoinOps.readJoinView(spark, base)
+      .select("k", "av", "bv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val committed = view()
+    // simulate the crash mid-apply: the NEXT commit's j/ and a/ dirs
+    // land (with deliberately wrong content) but the manifest append
+    // never happens
+    Seq((9L, "aX", "bX")).toDF("k", "av", "bv")
+      .withColumn("__bucket", lit(0))
+      .write.partitionBy("__bucket").parquet(s"$base/j/c=1")
+    Seq((9L, "aX")).toDF("k", "av")
+      .withColumn("__bucket", lit(0))
+      .write.partitionBy("__bucket").parquet(s"$base/a/c=1")
+    assert(view() == committed,
+      "uncommitted commit directories must be invisible")
+    // the retry lands on the same commit id, overwriting the torn dirs
+    IncrementalJoinOps.appendToJoinView(
+      Seq((2L, "a2")).toDF("k", "av"), b0.filter(lit(false)),
+      spark, base, "k", 4)
+    assert(view() == committed + ((2L, "a2", "b2")),
+      "the retried apply must publish exactly its own rows")
+  }
+
   test("compaction collapses fragmented buckets only, data unchanged") {
     val base = Files.createTempDirectory("jview-cmp").toString
     val a0 = Seq((1L, "a1")).toDF("k", "av")
@@ -139,10 +168,14 @@ class IncrementalJoinSpec extends SparkTestBase {
     }
     def bucketFiles(side: String): Map[String, Set[String]] =
       new File(s"$base/$side").listFiles()
-        .filter(_.getName.startsWith("__bucket="))
-        .map(d => d.getName -> d.listFiles()
-          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
-        .toMap
+        .filter(c => c.isDirectory && c.getName.startsWith("c="))
+        .flatMap { c =>
+          c.listFiles().filter(_.getName.startsWith("__bucket="))
+            .map(d => d.getName -> d.listFiles()
+              .filter(_.getName.endsWith(".parquet"))
+              .map(f => s"${c.getName}/${f.getName}").toSet)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ++ _)).toMap
     val hot = "__bucket=" + spark.range(1)
       .select(pmod(hash(lit(1L)), lit(4))).head().getInt(0)
     val beforeData = IncrementalJoinOps.readJoinView(spark, base)
