@@ -50,6 +50,12 @@ object IncrementalJoinOps {
   private val Sides = Seq("a", "b", "j")
 
   private def manifestPath(base: String) = s"$base/_manifest"
+  private def schemaPath(base: String, side: String) = s"$base/$side/_schema"
+
+  /** A side's schema as an empty frame, from its side-car — no data-dir
+    * listing, valid even when the side holds zero live rows. */
+  private def emptySide(spark: SparkSession, base: String, side: String): DataFrame =
+    spark.read.parquet(schemaPath(base, side)).filter(lit(false))
 
   private def hadoopFs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -128,12 +134,24 @@ object IncrementalJoinOps {
     val shared = a.columns.toSet.intersect(b.columns.toSet)
     require(shared == Set(key),
       s"sides must share only the join key, got $shared")
+    // "c" and "__bucket" are the layout's partition columns: a data
+    // column with either name would be shadowed by the directory value
+    // on read and then dropped — reject loudly instead
+    val reserved = (a.columns ++ b.columns).toSet.intersect(Set("c", BUCKET))
+    require(reserved.isEmpty,
+      s"column name(s) $reserved are reserved by the view's layout")
     val fs = hadoopFs(spark, base)
     fs.delete(new org.apache.hadoop.fs.Path(manifestPath(base)), true)
     Sides.foreach(s =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$s"), true))
     val rows = Seq(("a", a), ("b", b), ("j", a.join(b, key))).flatMap {
       case (side, df) =>
+        // schema side-car: one empty parquet footer per side, so empty
+        // live-dir resolutions (empty initial join, all-empty refreshes,
+        // the streamed path's ΔB) get the TRUE schema without listing a
+        // single data directory
+        df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(schemaPath(base, side))
         val dir = s"$base/$side/c=0"
         withBucket(df, key, nBuckets)
           .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(dir)
@@ -151,7 +169,17 @@ object IncrementalJoinOps {
                        tag: Option[Long] = None): Unit = {
     require(manifestExists(spark, base),
       s"no join view at $base — writeJoinView first")
-    val manifest = readManifest(spark, base) // the op's ONLY manifest read
+    applyManifest(dA, dB, spark, base, key, nBuckets, tag,
+      readManifest(spark, base))
+  }
+
+  /** The refresh against an already-read manifest — each public entry
+    * reads the manifest exactly once and threads it here (the tagged
+    * streaming path would otherwise pay two collects per batch). */
+  private def applyManifest(dA: DataFrame, dB: DataFrame, spark: SparkSession,
+                            base: String, key: String, nBuckets: Int,
+                            tag: Option[Long],
+                            manifest: Array[ManifestRow]): Unit = {
     val next = (manifest.map(_.c) :+ -1L).max + 1
     // freeze the deltas: the bucket sets are read twice and the ΔJ
     // write must not race a source that could re-evaluate differently
@@ -188,12 +216,13 @@ object IncrementalJoinOps {
     dAw.unpersist(); dBw.unpersist()
   }
 
-  /** The maintained join (all buckets). */
+  /** The maintained join (all buckets); a live-but-empty view (no key
+    * overlap yet) is an empty frame, not an error. */
   def readJoinView(spark: SparkSession, base: String): DataFrame = {
     require(manifestExists(spark, base), s"no join view at $base")
     val manifest = readManifest(spark, base)
     readSideLive(spark, base, "j", manifest, None,
-      sys.error(s"join view at $base holds no live data"))
+      emptySide(spark, base, "j"))
   }
 
   /** [[appendToJoinView]] for side A guarded by a batch tag: a tag
@@ -210,12 +239,11 @@ object IncrementalJoinOps {
     val manifest = readManifest(spark, base)
     if (manifest.exists(_.tag.contains(tag))) false
     else {
-      // an empty frame with the TRUE b-side schema: ΔJ's column set must
-      // match the existing view even when the B delta is empty
-      val emptyB = readSideLive(spark, base, "b", manifest, None,
-        sys.error(s"join view at $base has no b-side data"))
-        .filter(lit(false))
-      appendToJoinView(batch, emptyB, spark, base, key, nBuckets, Some(tag))
+      // an empty frame with the TRUE b-side schema from the side-car —
+      // no listing, valid even before any B data exists (the
+      // fact-stream / dimension-loads-later pattern)
+      applyManifest(batch, emptySide(spark, base, "b"), spark, base, key,
+        nBuckets, Some(tag), manifest)
       true
     }
   }
@@ -249,7 +277,10 @@ object IncrementalJoinOps {
     * swap retains ingest tags whose data rows are superseded as
     * `bucket = -1` markers. Buckets under the threshold keep their
     * files byte-untouched. File counting is ONE recursive listing per
-    * side, never a per-directory listStatus loop. */
+    * side, never a per-directory listStatus loop. (Keep the
+    * manifest-swap/marker/GC shape in sync with
+    * [[VectorStoreOps]].rewriteCells, the other manifest-committed
+    * store.) */
   def compactJoinView(spark: SparkSession, base: String,
                       maxFilesPerBucket: Int = 4): Unit = {
     require(manifestExists(spark, base), s"no join view at $base")

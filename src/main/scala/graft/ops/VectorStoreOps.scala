@@ -115,21 +115,13 @@ object VectorStoreOps {
     require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
     val manifest = readManifest(spark, basePath)
-    if (manifest.isEmpty)
+    if (manifest.isEmpty) {
       // emptied-but-alive store (delete-to-zero): an empty result, not
       // an error — a serving endpoint over a compliance-emptied tenant
       // store must answer queries with zero rows until the next append
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("item_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cv",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.LongType))))
-    else readStoreFrom(spark, basePath, manifest)
+      import spark.implicits._
+      Seq.empty[(Long, Array[Float], Long)].toDF("item_id", "cv", "cid")
+    } else readStoreFrom(spark, basePath, manifest)
   }
 
   private def readStoreFrom(spark: SparkSession, base: String,
@@ -379,7 +371,11 @@ object VectorStoreOps {
     }
   }
 
-  /** Shared rewrite-cells-into-a-new-commit step for delete/compaction:
+  /** Shared rewrite-cells-into-a-new-commit step for delete/compaction
+    * (keep the manifest-swap/marker/GC shape in sync with
+    * [[IncrementalJoinOps.compactJoinView]], the other manifest-committed
+    * store — a divergence in the marker rule breaks one side's
+    * exactly-once guarantee silently):
     * read the touched cells from their live dirs, transform, write as
     * commit `max+1` (one file per cell via the cid repartition), swap
     * the manifest, then GC the superseded directories. */

@@ -126,6 +126,36 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(rows().size == 3)
   }
 
+  test("an empty join view reads as zero rows, and the fact-stream-" +
+    "before-dimension pattern works (B loads later)") {
+    val base = Files.createTempDirectory("jview-empty").toString
+    val a0 = Seq((1L, "a1")).toDF("k", "av")
+    val bEmpty = Seq.empty[(Long, String)].toDF("k", "bv")
+    // initial join is empty (no B data yet): readable, not an error
+    IncrementalJoinOps.writeJoinView(a0, bEmpty, spark, base, "k", 4)
+    assert(IncrementalJoinOps.readJoinView(spark, base).count() == 0)
+    // fact batches stream in FIRST (tagged path must get B's schema
+    // from the side-car, not from listing nonexistent live dirs)...
+    assert(IncrementalJoinOps.appendSideATagged(
+      Seq((2L, "a2")).toDF("k", "av"), spark, base, "k", 4, tag = 0L))
+    assert(IncrementalJoinOps.readJoinView(spark, base).count() == 0)
+    // ...and the dimension arrives later through the batch API
+    IncrementalJoinOps.appendToJoinView(
+      a0.filter(lit(false)), Seq((2L, "b2")).toDF("k", "bv"),
+      spark, base, "k", 4)
+    val got = IncrementalJoinOps.readJoinView(spark, base)
+      .select("k", "av", "bv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "a2", "b2")))
+    // a data column named after a layout partition column is rejected
+    val err = intercept[IllegalArgumentException] {
+      IncrementalJoinOps.writeJoinView(
+        Seq((1L, "x")).toDF("k", "c"), bEmpty, spark,
+        Files.createTempDirectory("jview-resv").toString, "k", 4)
+    }
+    assert(err.getMessage.contains("reserved"))
+  }
+
   test("a torn apply (commit dirs written, manifest not) is invisible; " +
     "the retry overwrites it") {
     val base = Files.createTempDirectory("jview-torn").toString
