@@ -40,6 +40,21 @@ import org.apache.spark.sql.functions._
   *
   * Point/batch lookup prunes to the requested keys' buckets — a
   * key-hash store read is O(batch + matching buckets), not a scan.
+  *
+  * Durability stance, stated plainly: this is the IN-PLACE half of the
+  * store pair. Dynamic partition overwrite rewrites touched buckets
+  * where they stand, so a crash mid-apply can leave some buckets on
+  * the new state and others on the old — recoverable (the LWW
+  * election makes re-applying the same batch a value-level no-op; run
+  * the apply again) but BRIEFLY INCONSISTENT to a concurrent reader,
+  * and exposed to the committer's delete-then-rename window inside a
+  * single bucket. Workloads that need crash-ATOMIC visibility or
+  * readers isolated from in-flight applies use [[VersionedStoreOps]],
+  * the copy-on-write sibling with the same election semantics: applies
+  * only ADD `v=N` directories and one manifest row, so nothing a
+  * reader resolves is ever rewritten. The price is version storage
+  * until `vacuum`. Pick per table: hot high-churn state in-place,
+  * anything serving concurrent readers versioned.
   */
 object DocStoreOps {
 
