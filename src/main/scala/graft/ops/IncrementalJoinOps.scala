@@ -282,7 +282,8 @@ object IncrementalJoinOps {
     * [[VectorStoreOps]].rewriteCells, the other manifest-committed
     * store.) */
   def compactJoinView(spark: SparkSession, base: String,
-                      maxFilesPerBucket: Int = 4): Unit = {
+                      maxFilesPerBucket: Int = 4,
+                      gc: Boolean = true): Unit = {
     require(manifestExists(spark, base), s"no join view at $base")
     Sides.foreach { side =>
       val manifest = readManifest(spark, base) // fresh per side rewrite
@@ -332,8 +333,10 @@ object IncrementalJoinOps {
           kept ++ markers ++
             surviving.map(bk => ManifestRow(next, side, bk, None)),
           append = false)
-        // post-commit GC; orphans from a crash here are invisible
-        dropped.foreach { r =>
+        // post-commit GC; orphans from a crash here are invisible.
+        // `gc = false` defers deletion so in-flight readers resolved
+        // against the old manifest keep their files (sweep later)
+        if (gc) dropped.foreach { r =>
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$base/$side/c=${r.c}/$BUCKET=${r.bucket}"), true)
           val cdir = new org.apache.hadoop.fs.Path(s"$base/$side/c=${r.c}")

@@ -310,7 +310,8 @@ object VectorStoreOps {
     * atomically-enough (single writer), and only then are the
     * superseded directories deleted. Data is unchanged (spec-pinned). */
   def compactVectorStore(spark: SparkSession, basePath: String,
-                         maxFilesPerCell: Int = 4): Unit = {
+                         maxFilesPerCell: Int = 4,
+                         gc: Boolean = true): Unit = {
     require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
     val manifest = readManifestRows(spark, basePath)
@@ -341,7 +342,7 @@ object VectorStoreOps {
     }
     val oversized = counts.filter(_._2 > maxFilesPerCell).keySet.toSet
     if (oversized.nonEmpty) {
-      rewriteCells(spark, basePath, manifest, oversized)
+      rewriteCells(spark, basePath, manifest, oversized, gc = gc)
     }
   }
 
@@ -354,7 +355,8 @@ object VectorStoreOps {
     * tombstone needed, absence IS emptiness. */
   def deleteFromVectorStore(ids: DataFrame, spark: SparkSession,
                             basePath: String,
-                            idCol: String = "vec_id"): Unit = {
+                            idCol: String = "vec_id",
+                            gc: Boolean = true): Unit = {
     require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
     val manifest = readManifestRows(spark, basePath)
@@ -367,7 +369,7 @@ object VectorStoreOps {
       .select("cid").distinct().collect().map(_.getLong(0)).toSet // ≤ nlist
     if (touched.nonEmpty) {
       rewriteCells(spark, basePath, manifest, touched,
-        _.join(del, Seq("item_id"), "left_anti"))
+        _.join(del, Seq("item_id"), "left_anti"), gc = gc)
     }
   }
 
@@ -382,7 +384,8 @@ object VectorStoreOps {
   private def rewriteCells(spark: SparkSession, basePath: String,
                            manifest: Array[ManifestRow],
                            cells: Set[Long],
-                           transform: DataFrame => DataFrame = identity): Unit = {
+                           transform: DataFrame => DataFrame = identity,
+                           gc: Boolean = true): Unit = {
     val live = liveDirRows(manifest)
     val next = manifest.map(_.c).max + 1
     val commitDir = s"${itemsPath(basePath)}/c=$next"
@@ -403,16 +406,22 @@ object VectorStoreOps {
       kept ++ markers ++ surviving.map(cid => ManifestRow(next, cid, None)),
       append = false)
     // post-commit GC of superseded dirs — a crash here leaves orphans
-    // that readers (manifest-resolved) never see
-    val fs = hadoopFs(spark, basePath)
-    dropped.foreach { r =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${itemsPath(basePath)}/c=${r.c}/cid=${r.cid}"), true)
-      // drop a commit dir emptied of its last cell (cosmetic)
-      val cdir = new org.apache.hadoop.fs.Path(s"${itemsPath(basePath)}/c=${r.c}")
-      if (fs.exists(cdir) && !fs.listStatus(cdir).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("cid=")))
-        fs.delete(cdir, true)
+    // that readers (manifest-resolved) never see. `gc = false` defers
+    // the deletion entirely: a DataFrame resolved against the OLD
+    // manifest (an in-flight reader) keeps its files until the caller
+    // sweeps in a quiet window — the poor man's snapshot isolation
+    // (readers needing real version pinning use VersionedStoreOps).
+    if (gc) {
+      val fs = hadoopFs(spark, basePath)
+      dropped.foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${itemsPath(basePath)}/c=${r.c}/cid=${r.cid}"), true)
+        // drop a commit dir emptied of its last cell (cosmetic)
+        val cdir = new org.apache.hadoop.fs.Path(s"${itemsPath(basePath)}/c=${r.c}")
+        if (fs.exists(cdir) && !fs.listStatus(cdir).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("cid=")))
+          fs.delete(cdir, true)
+      }
     }
   }
 

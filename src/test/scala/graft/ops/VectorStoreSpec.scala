@@ -316,6 +316,25 @@ class VectorStoreSpec extends SparkTestBase {
     assert(VectorStoreOps.readStore(spark, base).count() == emb.count() - 3)
   }
 
+  test("deferred GC (gc=false): an in-flight reader resolved before the " +
+    "delete keeps answering from its snapshot") {
+    val base = Files.createTempDirectory("vstore-gc").toString
+    val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(emb, spark, base, cents)
+    // resolve a reader BEFORE the delete: its dir list is fixed
+    val reader = VectorStoreOps.readStore(spark, base)
+    val fullCount = emb.count()
+    val delIds = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    VectorStoreOps.deleteFromVectorStore(delIds, spark, base, gc = false)
+    // new resolutions see the post-delete state...
+    assert(VectorStoreOps.readStore(spark, base).count() ==
+      fullCount - delIds.count())
+    // ...while the in-flight frame still reads its full snapshot (the
+    // superseded dirs were not deleted)
+    assert(reader.count() == fullCount,
+      "deferred GC must keep the old snapshot's files readable")
+  }
+
   test("a store deleted down to zero vectors still accepts appends " +
     "(tier probe has no live dir to read)") {
     val base = Files.createTempDirectory("vstore-empty").toString
