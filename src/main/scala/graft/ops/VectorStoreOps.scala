@@ -453,6 +453,40 @@ object VectorStoreOps {
       .select("query_id", "item_id", "rank", "cos")
   }
 
+  /** Store-served SEMANTIC DECONTAMINATION: every committed item whose
+    * cosine to ANY query (test-set) vector reaches `minCos`, with the
+    * evidence — match count, best (rounded) cosine, and the smallest
+    * matching test id. The test side probes its `nprobe` nearest cells
+    * and only those directories are read, so screening a growing
+    * serving corpus against a benchmark suite costs ~nprobe/nlist of
+    * the store per test batch instead of a corpus scan (the one-shot
+    * operator in [[SimilarityOps]] re-embeds and scans the corpus every
+    * time). IVF probing is approximate: a contaminated item assigned to
+    * a cell none of its test neighbors probe is missed — raise `nprobe`
+    * toward nlist for recall-critical screens (the probe/recall trade
+    * is the same one every search on this store makes, spec-pinned). */
+  def flagSimilarInStore(queries: DataFrame, spark: SparkSession,
+                         basePath: String, minCos: Double,
+                         nprobe: Int = 4,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         probeRound: Option[Int] = None): DataFrame = {
+    val cents = spark.read.parquet(s"$basePath/centroids")
+    val items = readStore(spark, basePath)
+    val probes = bestCells(spark,
+      queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      cents, top = nprobe, probeRound)
+      .select(col("__id").as("query_id"), col("__v").as("qv"), col("cid"))
+    items.join(broadcast(probes), "cid")
+      .withColumn("cos",
+        round(SimilarityOps.cosineFast(spark, col("qv"), col("cv")), 4))
+      .filter(col("cos") >= minCos)
+      .groupBy("item_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max("cos").as("max_cos"),
+        min("query_id").as("first_test_id"))
+  }
+
   /** FILTERED vector search — top-k among only the items whose metadata
     * satisfies `pred` (PRE-FILTER semantics: ranks are assigned after
     * filtering, so every query still gets k eligible results when k

@@ -1213,6 +1213,61 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- Store-served semantic decontamination: the benchmark/test
+    // vectors (vec_id % 50 = 0) probe their nprobe cells of the
+    // PERSISTED corpus store and every corpus vector with cosine ≥ 0.3
+    // to any test vector is flagged with evidence (match count, best
+    // cosine, first matching test id). At 100 TB this screens a serving
+    // corpus against a benchmark suite by reading ~nprobe/nlist of the
+    // store — decontam_semantic's one-shot scan, turned into a store
+    // read. Same seeds/probes machinery as ann_inc_q; corpus and test
+    // sets are disjoint so no self-match special-casing.
+    q(
+      "decontam_store_q",
+      """WITH seeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 50 <> 0 AND vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored
+        |  WHERE vec_id % 50 <> 0 AND rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |)
+        |SELECT a.item_id, COUNT(*) AS n_matches,
+        |  MAX(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4)) AS max_cos,
+        |  MIN(p.query_id) AS first_test_id
+        |FROM probes p
+        |JOIN asg a ON a.cid = p.cid
+        |JOIN embeddings q ON q.vec_id = p.query_id
+        |JOIN embeddings i ON i.vec_id = a.item_id
+        |WHERE ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) >= 0.3
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val store = corpus.filter(col("vec_id") % 5 =!= 0)
+      val delta = corpus.filter(col("vec_id") % 5 === 0)
+      val test = emb.filter(col("vec_id") % 50 === 0)
+      val base = scratchDir("graft-vstore-dc")
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6))
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      VectorStoreOps.flagSimilarInStore(test, s, base, minCos = 0.3,
+        nprobe = 4, probeRound = Some(6))
+        .orderBy("item_id")
+    },
+
     // ---- Per-label mean embedding (class prototypes / the IVF build
     // block) with a FULL oracle: cross-row float means are order-
     // dependent in double, so each element is quantized to

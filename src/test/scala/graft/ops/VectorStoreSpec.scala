@@ -316,6 +316,48 @@ class VectorStoreSpec extends SparkTestBase {
     assert(VectorStoreOps.readStore(spark, base).count() == emb.count() - 3)
   }
 
+  test("store-served decontamination: exact vs brute force at " +
+    "nprobe=nlist, a subset (never an invention) at lower nprobe") {
+    val base = Files.createTempDirectory("vstore-dc").toString
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val test = emb.filter(col("vec_id") % 10 === 0)
+    val cents = SimilarityOps.ivfCentroids(corpus, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(corpus, spark, base, cents)
+    def flags(nprobe: Int) = VectorStoreOps
+      .flagSimilarInStore(test, spark, base, minCos = 0.3, nprobe = nprobe)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // nprobe = nlist probes every cell: candidates are ALL pairs, so the
+    // flags equal the brute-force screen exactly (count, best cos,
+    // first test id included)
+    val exact = flags(8)
+    val brute = corpus.select(col("vec_id").as("item_id"),
+        col("embedding").as("cv"))
+      .crossJoin(test.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")))
+      .withColumn("cos",
+        round(SimilarityOps.cosineFast(spark, col("qv"), col("cv")), 4))
+      .filter(col("cos") >= 0.3)
+      .groupBy("item_id")
+      .agg(count(lit(1)).as("n"), max("cos").as("m"), min("query_id").as("f"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(exact == brute && exact.nonEmpty,
+      s"full-probe flags must equal brute force (${exact.size} vs ${brute.size})")
+    // fewer probes can only MISS (approximate recall), never invent a
+    // flag or inflate its evidence
+    val approx = flags(2)
+    assert(approx.keySet.subsetOf(exact.keySet))
+    approx.foreach { case (id, (n, m, f)) =>
+      val (en, em, ef) = exact(id)
+      assert(n <= en && m <= em, s"item $id evidence inflated")
+      // the min test id over a SUBSET of the matches can only rise
+      assert(f >= ef, s"item $id first_test_id fell below the exact one")
+    }
+  }
+
   test("deferred GC (gc=false): an in-flight reader resolved before the " +
     "delete keeps answering from its snapshot") {
     val base = Files.createTempDirectory("vstore-gc").toString
