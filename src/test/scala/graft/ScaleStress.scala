@@ -421,6 +421,46 @@ object ScaleStress {
       s"""{"op":"docStore","apply1_sec":${fmt(tda1, 3)},"apply10_sec":${fmt(tda10, 3)},"apply_ratio":${fmt(dsApplyRatio, 2)},"lookup1_sec":${fmt(tdl1, 3)},"lookup10_sec":${fmt(tdl10, 3)},"lookup_ratio":${fmt(dsLookupRatio, 2)},"full_rewrite10_sec":${fmt(tdr10, 3)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_docstore.json"),
       (dsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // --- manifest-committed join view: a FIXED A-side delta against a
+    // k-times-bigger maintained view. The r11 manifest layer adds a
+    // CONSTANT per-refresh cost (one manifest read + one append) on top
+    // of the delta-proportional work — the growth curve must stay
+    // flat-ish, or the durability layer broke the incremental contract.
+    import graft.ops.IncrementalJoinOps
+    val jvBase = java.nio.file.Files
+      .createTempDirectory("scale-jv").toString
+    def jvDocs(k: Int) = scaled(k)
+      .select(col("doc_id").as("k"), length(col("text")).as("alen"))
+    val jvDim = spark.range(0, 64)
+      .select(col("id").as("dimk"), (col("id") % 7).as("bclass"))
+      .localCheckpoint(true)
+    def buildJv(k: Int): Unit =
+      IncrementalJoinOps.writeJoinView(
+        jvDocs(k), jvDim.select((col("dimk") * 97).as("k"), col("bclass")),
+        spark, s"$jvBase/k$k", "k", 32)
+    def jvDelta = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 900000000L).as("k"),
+        length(col("text")).as("alen"))
+    val jvEmptyB = spark.range(0)
+      .select(col("id").as("k"), col("id").as("bclass"))
+    def jvRefresh(k: Int): Long = {
+      IncrementalJoinOps.appendToJoinView(jvDelta, jvEmptyB,
+        spark, s"$jvBase/k$k", "k", 32)
+      jvDelta.count()
+    }
+    buildJv(1); buildJv(10)
+    val (tjv1, njv1) = time(jvRefresh(1))
+    val (tjv10, njv10) = time(jvRefresh(10))
+    val jvRatio = tjv10 / math.max(tjv1, 1e-9)
+    println(f"[scale-stress] joinView refresh    k=1: $tjv1%6.2fs ($njv1 rows)  " +
+      f"k=10: $tjv10%6.2fs ($njv10 rows)  ratio $jvRatio%5.2f")
+    val jvJson =
+      s"""{"op":"joinViewRefresh","t1_sec":${fmt(tjv1, 3)},"rows1":$njv1,"t10_sec":${fmt(tjv10, 3)},"rows10":$njv10,"ratio":${fmt(jvRatio, 2)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_joinview.json"),
+      (jvJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(jvRatio < 5.0,
+      s"join-view refresh grew with the corpus: ratio $jvRatio")
     spark.stop()
   }
 }
