@@ -21,10 +21,21 @@ import org.apache.spark.sql.functions._
   * unique and a point owns exactly one bin, so no pair is produced twice
   * (no post-join dedup needed).
   *
-  * Domain requirement: `p`, `lo`, `hi` non-negative integers with
-  * `lo < hi` (half-open [lo, hi)); `div` is floor division there.
+  * Coordinates are integers with `lo < hi` (half-open [lo, hi)) —
+  * negatives included: binning uses true FLOOR division (Spark's `div`
+  * truncates toward zero, which would silently mis-bin negative
+  * coordinates and drop overlap pairs — the worst failure class, wrong
+  * instead of slow).
   */
 object RangeJoinOps {
+
+  /** True floor division of integral SQL expression `e` by `w` as a
+    * codegen'd Column: Spark's `div` truncates toward zero, so adjust
+    * down by one when the remainder is negative (w > 0 here). */
+  private def floorDiv(e: String, w: Long): org.apache.spark.sql.Column = {
+    val q = expr(s"($e) div $w")
+    when(expr(s"($e) % $w") < 0, q - 1).otherwise(q)
+  }
 
   /** Join `points` (column `pCol`) to `intervals` ([`loCol`, `hiCol`))
     * on containment, as a bin-equi join. Output: all columns of both
@@ -39,10 +50,10 @@ object RangeJoinOps {
     require(binWidth > 0, "binWidth must be positive")
     val binned = intervals.withColumn("__bin",
       explode(sequence(
-        expr(s"$loCol div $binWidth"),
-        expr(s"($hiCol - 1) div $binWidth"))))
+        floorDiv(loCol, binWidth),
+        floorDiv(s"$hiCol - 1", binWidth))))
     points
-      .withColumn("__bin", expr(s"$pCol div $binWidth"))
+      .withColumn("__bin", floorDiv(pCol, binWidth))
       .join(binned, "__bin")
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bin")
@@ -86,15 +97,15 @@ object RangeJoinOps {
     def binned(df: DataFrame, lo: String, hi: String) =
       df.withColumn("__bin",
         explode(sequence(
-          expr(s"$lo div $binWidth"),
-          expr(s"($hi - 1) div $binWidth"))))
+          floorDiv(lo, binWidth),
+          floorDiv(s"$hi - 1", binWidth))))
     binned(left, lLoCol, lHiCol)
       .join(binned(right, rLoCol, rHiCol), ("__bin" +: keys).toIndexedSeq)
       // overlap of half-open intervals
       .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
       // first-shared-bin: exactly one of the pair's common bins keeps it
       .filter(col("__bin") ===
-        expr(s"greatest($lLoCol, $rLoCol) div $binWidth"))
+        floorDiv(s"greatest($lLoCol, $rLoCol)", binWidth))
       .drop("__bin")
   }
 }

@@ -96,6 +96,45 @@ class RangeJoinSpec extends SparkTestBase {
       1L -> 11L, 2L -> 10L, 2L -> 11L, 2L -> 12L, 3L -> 11L))
   }
 
+  test("NEGATIVE coordinates bin correctly (true floor division): both " +
+    "join forms equal their naive joins on a signed domain") {
+    // signed domain straddling zero — truncating div would collapse the
+    // (-w, w) range into one bin and silently drop cross-bin pairs
+    val points = spark.range(0, 2000)
+      .select((col("id") * 37 % 7001 - 3500).as("p"))
+    val intervals = spark.range(0, 300)
+      .select(col("id").as("iid"),
+        (col("id") * 31 % 6000 - 3000).as("lo"))
+      .withColumn("hi", col("lo") + col("iid") % 11 * 90 + 1)
+    val gotP = RangeJoinOps
+      .binnedPointIntervalJoin(points, "p", intervals, "lo", "hi", 128L)
+      .select("p", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val naiveP = points.join(intervals,
+        col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(gotP == naiveP && gotP.nonEmpty)
+    assert(gotP.size == gotP.distinct.size)
+
+    val left = spark.range(0, 500)
+      .select(col("id").as("lid"), (col("id") * 53 % 4000 - 2000).as("s1"))
+      .withColumn("e1", col("s1") + col("lid") % 9 * 120 + 1)
+    val right = spark.range(0, 200)
+      .select(col("id").as("rid"), (col("id") * 41 % 4000 - 2000).as("s2"))
+      .withColumn("e2", col("s2") + col("rid") % 5 * 250 + 1)
+    val gotI = RangeJoinOps
+      .binnedIntervalJoin(left, "s1", "e1", right, "s2", "e2", 256L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val naiveI = left.join(right,
+        col("s1") < col("e2") && col("s2") < col("e1"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(gotI == naiveI && gotI.nonEmpty)
+    assert(gotI.size == gotI.distinct.size)
+  }
+
   test("keyed interval join restricts overlap to matching partition " +
     "keys (the per-contig form)") {
     val left = Seq(
