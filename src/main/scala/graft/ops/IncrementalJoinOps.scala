@@ -68,29 +68,32 @@ object IncrementalJoinOps {
                                        tag: Option[Long])
 
   private def manifestExists(spark: SparkSession, base: String): Boolean =
-    hadoopFs(spark, base)
-      .exists(new org.apache.hadoop.fs.Path(manifestPath(base)))
+    graft.util.ManifestIO.exists(spark, manifestPath(base))
 
   private def readManifest(spark: SparkSession, base: String): Array[ManifestRow] = {
     if (!manifestExists(spark, base)) Array.empty
-    else spark.read.parquet(manifestPath(base))
+    else graft.util.ManifestIO.read(spark, manifestPath(base))
       .select("c", "side", "bucket", "tag")
       .collect().map(r => ManifestRow(r.getLong(0), r.getString(1),
         r.getInt(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
   }
 
+  /** Publish manifest rows through [[graft.util.ManifestIO]] (shared
+    * with [[VectorStoreOps]] so the swap semantics can't drift):
+    * appends land inside the live manifest version, full rewrites swap
+    * in a NEW version beside it — a crash mid-swap leaves the prior
+    * committed manifest live instead of bricking the view. */
   private def writeManifest(spark: SparkSession, base: String,
                             rows: Seq[ManifestRow], append: Boolean): Unit = {
     import spark.implicits._
-    rows.map(r => (r.c, r.side, r.bucket, r.tag))
-      .toDF("c", "side", "bucket", "tag").coalesce(1)
-      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
-      .parquet(manifestPath(base))
+    val df = rows.map(r => (r.c, r.side, r.bucket, r.tag))
+      .toDF("c", "side", "bucket", "tag")
     // only the manifest's own listing can go stale: data commits land in
     // NEW directories (never cached before they're in the manifest), and
     // dirs dropped from the manifest are never resolved again — a
     // whole-base refresh would just re-list every live dir per refresh
-    spark.catalog.refreshByPath(manifestPath(base))
+    if (append) graft.util.ManifestIO.append(spark, manifestPath(base), df)
+    else graft.util.ManifestIO.swap(spark, manifestPath(base), df)
   }
 
   private def withBucket(df: DataFrame, key: String, nBuckets: Int): DataFrame =
@@ -253,27 +256,38 @@ object IncrementalJoinOps {
     * batch API — the common fact-stream / dimension-batch shape). Each
     * trigger inherits [[appendToJoinView]]'s bucket locality;
     * redelivered batches are exactly-once via the manifest-borne batch
-    * tag ([[appendSideATagged]]). */
+    * tag ([[appendSideATagged]]).
+    *
+    * `checkpoint` is MANDATORY: batch ids are only monotone across
+    * restarts when the engine replays them from a checkpoint. Without
+    * one, a restarted query re-numbers from 0, every new batch's tag
+    * collides with an old one already in the manifest, and
+    * [[appendSideATagged]] silently drops genuinely new data — a
+    * checkpoint-less tagged sink is not at-least-once, it is lossy. */
   def joinViewSinkA(deltaA: DataFrame, base: String, key: String,
                     nBuckets: Int = 64,
-                    checkpoint: Option[String] = None) = {
-    val w = deltaA.writeStream
+                    checkpoint: String) =
+    deltaA.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           appendSideATagged(batch, batch.sparkSession, base, key,
             nBuckets, batchId): Unit
         }
       }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-  }
+      .start()
 
   /** Sweep every data directory the manifest no longer names —
     * deferred compaction GC (`gc = false`) and torn-apply orphans
-    * alike; see [[VectorStoreOps.vacuumStore]] for the contract. */
+    * alike; see [[VectorStoreOps.vacuumStore]] for the contract
+    * (including the skip of commit dirs numbered past the manifest's
+    * max — the slot a concurrent refresh or compaction is writing
+    * into before its publish). */
   def vacuumJoinView(spark: SparkSession, base: String): Unit = {
     require(manifestExists(spark, base), s"no join view at $base")
     val manifest = readManifest(spark, base)
+    val maxCommitted = (manifest.map(_.c) :+ -1L).max
     val fs = hadoopFs(spark, base)
     Sides.foreach { side =>
       val live = manifest
@@ -283,6 +297,7 @@ object IncrementalJoinOps {
       if (fs.exists(root)) {
         fs.listStatus(root)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("c="))
+          .filter(_.getPath.getName.stripPrefix("c=").toLong <= maxCommitted)
           .foreach { cDir =>
             val c = cDir.getPath.getName.stripPrefix("c=").toLong
             fs.listStatus(cDir.getPath)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,18 +55,18 @@ object VectorStoreOps {
     * second file whose write could tear away from the first. */
   private final case class ManifestRow(c: Long, cid: Long, tag: Option[Long])
 
-  /** The store is INITIALIZED iff its manifest directory exists — a
-    * store deleted down to zero rows keeps an (empty) manifest and
-    * stays appendable. ONLY a missing manifest means fresh — a
-    * transient read failure must propagate, or an append would treat a
-    * live store as empty (see [[VersionedStoreOps.currentVersion]]). */
+  /** The store is INITIALIZED iff a committed manifest version exists
+    * ([[graft.util.ManifestIO.exists]]) — a store deleted down to zero
+    * rows keeps an (empty) manifest and stays appendable. ONLY a
+    * missing manifest means fresh — a transient read failure must
+    * propagate, or an append would treat a live store as empty (see
+    * [[VersionedStoreOps.currentVersion]]). */
   private def manifestExists(spark: SparkSession, base: String): Boolean =
-    hadoopFs(spark, base)
-      .exists(new org.apache.hadoop.fs.Path(manifestPath(base)))
+    graft.util.ManifestIO.exists(spark, manifestPath(base))
 
   private def readManifestRows(spark: SparkSession, base: String): Array[ManifestRow] = {
     if (!manifestExists(spark, base)) Array.empty
-    else spark.read.parquet(manifestPath(base))
+    else graft.util.ManifestIO.read(spark, manifestPath(base))
       .select("c", "cid", "tag")
       .collect().map(r => ManifestRow(r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
@@ -83,12 +83,17 @@ object VectorStoreOps {
   private def readManifest(spark: SparkSession, base: String): Array[(Long, Long)] =
     liveDirRows(readManifestRows(spark, base)).map(r => (r.c, r.cid))
 
+  /** Publish manifest rows through [[graft.util.ManifestIO]]: appends
+    * land inside the live version, full rewrites swap in a NEW version
+    * beside it — at no point is the store without a committed manifest
+    * (a crash mid-swap leaves the prior version live; the old flat
+    * `SaveMode.Overwrite` rewrite bricked the store in that window). */
   private def writeManifest(spark: SparkSession, base: String,
                             rows: Seq[ManifestRow], append: Boolean): Unit = {
     import spark.implicits._
-    rows.map(r => (r.c, r.cid, r.tag)).toDF("c", "cid", "tag").coalesce(1)
-      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
-      .parquet(manifestPath(base))
+    val df = rows.map(r => (r.c, r.cid, r.tag)).toDF("c", "cid", "tag")
+    if (append) graft.util.ManifestIO.append(spark, manifestPath(base), df)
+    else graft.util.ManifestIO.swap(spark, manifestPath(base), df)
     // prefix-invalidate the session's file-listing cache for the whole
     // store (manifest AND item dirs) — the sibling stores do the same
     spark.catalog.refreshByPath(base)
@@ -427,19 +432,31 @@ object VectorStoreOps {
 
   /** Sweep every data directory the manifest no longer names: deferred
     * delete/compaction GC (`gc = false`) and torn-append orphans alike.
-    * Safe at any time — readers resolve only manifest-named dirs, so
-    * nothing swept is reachable by a NEW resolution; run it in a quiet
-    * window once in-flight readers from before the deferring mutation
-    * have drained (the reason GC was deferred in the first place). */
+    * Safe with respect to READERS at any time — they resolve only
+    * manifest-named dirs, so nothing swept is reachable by a NEW
+    * resolution (run it in a quiet window once in-flight readers from
+    * before the deferring mutation have drained — the reason GC was
+    * deferred in the first place). Safe alongside a concurrent WRITER
+    * too, because commit directories NUMBERED PAST the manifest's max
+    * are skipped: every mutation writes its data under commit
+    * `max + 1` before publishing, so an in-flight append's or
+    * rewrite's directory is exactly there — deleting it mid-write
+    * would let the subsequent manifest row publish dangling paths. A
+    * torn attempt left in that slot is overwritten by the next
+    * mutation at the same id, so skipping it loses nothing. */
   def vacuumStore(spark: SparkSession, basePath: String): Unit = {
     require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
-    val live = readManifest(spark, basePath).toSet
+    val rows = readManifestRows(spark, basePath)
+    val live = liveDirRows(rows).map(r => (r.c, r.cid)).toSet
+    // markers (cid = -1) count toward the committed-commit horizon too
+    val maxCommitted = (rows.map(_.c) :+ -1L).max
     val fs = hadoopFs(spark, basePath)
     val root = new org.apache.hadoop.fs.Path(itemsPath(basePath))
     if (fs.exists(root)) {
       fs.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("c="))
+        .filter(_.getPath.getName.stripPrefix("c=").toLong <= maxCommitted)
         .foreach { cDir =>
           val c = cDir.getPath.getName.stripPrefix("c=").toLong
           fs.listStatus(cDir.getPath)

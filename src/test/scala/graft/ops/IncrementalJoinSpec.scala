@@ -89,7 +89,8 @@ class IncrementalJoinSpec extends SparkTestBase {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val q = IncrementalJoinOps.joinViewSinkA(
-      input.toDF().toDF("k", "av"), base, "k", 8)
+      input.toDF().toDF("k", "av"), base, "k", 8,
+      checkpoint = Files.createTempDirectory("jview-st-ckpt").toString)
     try {
       input.addData((2L, "a2")); q.processAllAvailable()
       input.addData((3L, "a3"), (4L, "a4")); q.processAllAvailable()
@@ -257,5 +258,48 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(IncrementalJoinOps.readJoinView(spark, base)
       .collect().map(_.toSeq).toSet == beforeData)
     assert(bucketFiles("j")(hot).size == 1)
+  }
+
+  test("a manifest swap torn mid-write leaves the prior committed view " +
+    "live; refreshes and the next compaction still work") {
+    val base = Files.createTempDirectory("jview-torn-swap").toString
+    val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    IncrementalJoinOps.writeJoinView(a0, b0, spark, base, "k", 4)
+    // fragment a bucket, then compact: a real swap has happened
+    (3 to 8).foreach { i =>
+      IncrementalJoinOps.appendToJoinView(
+        Seq((1L, s"x$i")).toDF("k", "av"), b0.filter(lit(false)),
+        spark, base, "k", 4)
+    }
+    IncrementalJoinOps.compactJoinView(spark, base, maxFilesPerBucket = 1)
+    val committed = IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet
+    // crash mid-NEXT-swap: a torn manifest version (data, no _SUCCESS)
+    // with poison rows naming dirs that don't exist
+    val mdir = s"$base/_manifest"
+    val tornV = new File(mdir).listFiles()
+      .filter(_.getName.startsWith("v=")) 
+      .map(_.getName.stripPrefix("v=").toLong).max + 1
+    Seq((999L, "j", 999, Option.empty[Long])).toDF("c", "side", "bucket", "tag")
+      .coalesce(1).write.parquet(s"$mdir/v=$tornV")
+    val marker = new File(s"$mdir/v=$tornV/_SUCCESS")
+    assert(marker.exists() && marker.delete(), "fixture: tear the marker")
+    assert(IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet == committed,
+      "torn swap must not change the resolved view")
+    // a refresh (manifest APPEND) still lands against the live version
+    IncrementalJoinOps.appendToJoinView(
+      Seq((2L, "a9")).toDF("k", "av"), b0.filter(lit(false)),
+      spark, base, "k", 4)
+    val after = IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet
+    assert(after.size == committed.size + 1)
+    // the next compaction (real swap) commits past the torn id, sweeps it
+    IncrementalJoinOps.compactJoinView(spark, base, maxFilesPerBucket = 1)
+    assert(IncrementalJoinOps.readJoinView(spark, base)
+      .collect().map(_.toSeq).toSet == after)
+    assert(!new File(s"$mdir/v=$tornV").exists(),
+      "completed swap must retire the torn version dir")
   }
 }

@@ -435,4 +435,44 @@ class VectorStoreSpec extends SparkTestBase {
       .filter(col("item_id") % 5 === 0).count()
     assert(hits > 0, "appended vectors must be reachable by search")
   }
+
+  test("a swap torn mid-write leaves the prior committed manifest live " +
+    "(delete's commit survives; reads, appends and the next swap work)") {
+    val base = Files.createTempDirectory("vstore-torn-swap").toString
+    val cents = SimilarityOps.ivfCentroids(emb, nlist = 8, iters = 1)
+    VectorStoreOps.writeVectorStore(
+      emb.filter(col("vec_id") % 5 =!= 0), spark, base, cents)
+    // a real swap (delete rewrites touched cells + swaps the manifest)
+    VectorStoreOps.deleteFromVectorStore(
+      emb.filter(col("vec_id") % 10 === 0).select("vec_id"), spark, base)
+    val committed = VectorStoreOps.readStore(spark, base)
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    // crash mid-NEXT-swap: a manifest version with data files but no
+    // _SUCCESS — poison rows naming nonexistent dirs prove resolution
+    // never touches it (the old flat-overwrite scheme is exactly this
+    // state with the previous manifest ALSO gone: a bricked store)
+    val mdir = s"$base/_manifest"
+    val tornV = new java.io.File(mdir).listFiles()
+      .filter(_.getName.startsWith("v=")) 
+      .map(_.getName.stripPrefix("v=").toLong).max + 1
+    Seq((999L, 999L, Option.empty[Long])).toDF("c", "cid", "tag")
+      .coalesce(1).write.parquet(s"$mdir/v=$tornV")
+    val marker = new java.io.File(s"$mdir/v=$tornV/_SUCCESS")
+    assert(marker.exists() && marker.delete(), "fixture: tear the marker")
+    // reads resolve the prior committed state, not the torn version
+    assert(VectorStoreOps.readStore(spark, base)
+      .select("item_id").collect().map(_.getLong(0)).toSet == committed)
+    // appends still land (into the live version)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    VectorStoreOps.appendToVectorStore(delta, spark, base)
+    assert(VectorStoreOps.readStore(spark, base).count() ==
+      committed.size + delta.count())
+    // and the next real swap commits past the torn id and sweeps it
+    VectorStoreOps.deleteFromVectorStore(
+      delta.select("vec_id"), spark, base)
+    assert(VectorStoreOps.readStore(spark, base)
+      .select("item_id").collect().map(_.getLong(0)).toSet == committed)
+    assert(!new java.io.File(s"$mdir/v=$tornV").exists(),
+      "completed swap must retire the torn version dir")
+  }
 }
