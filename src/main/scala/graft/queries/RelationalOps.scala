@@ -619,6 +619,51 @@ object RelationalOps {
         .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
     },
 
+    // ---- J10: the KEYED interval-interval overlap join — the
+    // per-contig genomic form: overlap pairs only count within the same
+    // partition key (here o_orderpriority), so the shuffle key is
+    // (priority, bin) and the first-shared-bin rule runs under the key.
+    // Each priority gets its OWN band grid (offset by the priority
+    // digit ×137) so a cross-key pair that leaked in would change the
+    // hash — the oracle joins on the key declaratively.
+    q(
+      "j10_interval_keyed",
+      """WITH l AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS s1,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) + 500 AS e1 FROM orders
+        |), p AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS d FROM orders
+        |), r AS (
+        |  SELECT o_orderpriority, i AS band_id,
+        |    i * 1000 + d * 137 AS s2, i * 1000 + d * 137 + 3000 AS e2
+        |  FROM p CROSS JOIN GENERATE_SERIES(0, 599) AS t(i)
+        |)
+        |SELECT band_id, l.o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM l JOIN r ON l.o_orderpriority = r.o_orderpriority
+        |  AND s1 < e2 AND s2 < e1
+        |GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val l = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("s1"))
+        .withColumn("e1", col("s1") + 500)
+      val r = t(s, dir, "orders").select("o_orderpriority").distinct()
+        .crossJoin(s.range(0, 600).select(col("id").as("band_id")))
+        .withColumn("__d",
+          substring(col("o_orderpriority"), 1, 1).cast("long"))
+        .select(col("o_orderpriority"), col("band_id"),
+          (col("band_id") * 1000 + col("__d") * 137).as("s2"),
+          (col("band_id") * 1000 + col("__d") * 137 + 3000).as("e2"))
+      graft.ops.RangeJoinOps
+        .binnedIntervalJoinKeyed(l, "s1", "e1", r, "s2", "e2",
+          binWidth = 2000L, keys = Seq("o_orderpriority"))
+        .groupBy("band_id", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+    },
+
     // ---- W5: NTILE quartiles within each priority group — both
     // engines' NATIVE ntile over a deterministic (price, key) order;
     // the window is keyed by o_orderpriority, so it scales like any
@@ -985,6 +1030,59 @@ object RelationalOps {
           sum(col("l_extendedprice").cast(D)
             * (lit(1) - col("l_discount").cast(D)))
             .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- The join view's FULL maintenance lifecycle under the oracle
+    // (the sibling of the vector store's ann_del_q): seed build, two
+    // delta refreshes on overlapping keys (so buckets fragment), a
+    // deferred-GC compaction (every fragmented bucket of all three
+    // tables rewritten into a new commit, manifest swapped), then the
+    // vacuum sweep of the superseded dirs — and only then the read.
+    // DuckDB computes the same join declaratively from the full tables;
+    // a red hash means compaction or vacuum changed live data.
+    q(
+      "join_view_maint",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalJoinOps
+      val base = scratchDir("graft-jvmaint")
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      // seed 80%ish, then two waves per side on independent splits —
+      // repeated hits on the same buckets are the fragmentation
+      // compaction exists for
+      IncrementalJoinOps.writeJoinView(
+        a.filter(col("k") % 5 =!= 0), b.filter(col("k") % 7 =!= 0),
+        s, base, "k", nBuckets = 8)
+      IncrementalJoinOps.appendToJoinView(
+        a.filter(col("k") % 10 === 0), b.filter(col("k") % 14 === 0),
+        s, base, "k", nBuckets = 8)
+      IncrementalJoinOps.appendToJoinView(
+        a.filter(col("k") % 10 === 5), b.filter(col("k") % 14 === 7),
+        s, base, "k", nBuckets = 8)
+      // rewrite every bucket holding more than one live file, deferring
+      // GC; the vacuum is the quiet-window sweep that must not touch
+      // committed data
+      IncrementalJoinOps.compactJoinView(s, base,
+        maxFilesPerBucket = 1, gc = false)
+      IncrementalJoinOps.vacuumJoinView(s, base)
+      IncrementalJoinOps.readJoinView(s, base)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(D)
+            * (lit(1) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"),
+          countDistinct(col("k")).as("n_orders"))
         .orderBy("o_orderpriority")
     },
 

@@ -201,6 +201,37 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("keyed interval-interval plan equi-joins on (bin, key); no nested loop") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val old = spark.conf.getOption(key)
+    val oldAqe = spark.conf.getOption(aqeKey)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set(aqeKey, "-1")
+      val left = spark.range(0, 3000)
+        .select((col("id") % 4).cast("string").as("k"),
+          col("id").as("lid"), (col("id") * 7).as("s1"))
+        .withColumn("e1", col("s1") + 20)
+      val right = spark.range(0, 3000)
+        .select((col("id") % 4).cast("string").as("k"),
+          col("id").as("rid"), (col("id") * 5).as("s2"))
+        .withColumn("e2", col("s2") + 15)
+      val df = RangeJoinOps.binnedIntervalJoinKeyed(
+        left, "s1", "e1", right, "s2", "e2", 32L, keys = Seq("k"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"keyed interval join must not nest-loop:\n$p")
+      // the shuffle key is (bin, key) — both columns in the equi-join keys
+      assert("""(SortMergeJoin|HashJoin) \[__bin#\d+L?, k#""".r.findFirstIn(p).isDefined,
+        s"join keys must be (__bin, k):\n$p")
+    } finally {
+      old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      oldAqe.fold(spark.conf.unset(aqeKey))(spark.conf.set(aqeKey, _))
+    }
+  }
+
   test("plan is an equi join on the bin, never a nested loop") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
