@@ -172,47 +172,46 @@ object ScalableWindow {
     }
   }
 
-  /** Codegen'd lexicographic `key < boundary` over the kept columns:
-    * `lt₁ ∨ (eq₁ ∧ (lt₂ ∨ …))`, nulls sorting FIRST at every level. The
-    * boundary is a driver-side literal tuple, so null boundary elements
-    * fold away at plan time. */
-  private def lexLt(keys: IndexedSeq[Column], b: IndexedSeq[Any]): Column =
-    keys.indices.foldRight(lit(false)) { (i, rest) =>
-      val c = keys(i)
-      val bi = b(i)
-      if (bi == null) {
-        // nothing sorts below null except nothing; equal means also null
-        c.isNull && rest
-      } else {
-        val lt = c.isNull || c < lit(bi)
-        val eq = c === lit(bi) // c null → lt already true; eq may be null-false
-        lt || (eq && rest)
-      }
-    }
-
-  /** Quantile boundary tuples from the sorted sample, then the codegen'd
-    * when-chain bucket id: the index of the first boundary ABOVE the key
-    * tuple (null leading keys sort first → bucket 0). Correctness does
-    * not depend on boundary QUALITY — `min{i : k < b_i}` is monotone in
-    * `k` for any boundary list — only balance does, so an approximate
-    * sample is all the precision the op needs. */
+  /** Quantile boundary tuples from the sorted sample, then the bucket
+    * id via [[graft.expressions.RangeBucket]] — a binary search over
+    * the boundary table, which rides along as ONE reference object: the
+    * index of the first boundary ABOVE the key tuple (null leading keys
+    * sort first → bucket 0). Correctness does not depend on boundary
+    * QUALITY — `min{i : k < b_i}` is monotone in `k` for any boundary
+    * list — only balance does, so an approximate sample is all the
+    * precision the op needs.
+    *
+    * An Expression, not a `when`-chain of literal comparisons: the
+    * Column encoding was a ~1500-node tree that Catalyst cloned into
+    * every plan branch the bucket column reaches (both arms of the
+    * two-phase window × each arm of a union input) — megabyte task
+    * binaries, one Janino compile per clone, and that compile cost
+    * dominated the operator (measured 42 cpu-s on a 50k-row 10-way
+    * union, 3× recovered by this change). See RangeBucket's doc. */
   private def bucketFromSample(keys: IndexedSeq[Column],
                                sample: Array[IndexedSeq[Any]],
                                buckets: Int): Column = {
-    val bs: Seq[IndexedSeq[Any]] =
-      if (sample.isEmpty) Seq.empty
+    val bs: IndexedSeq[IndexedSeq[Any]] =
+      if (sample.isEmpty) IndexedSeq.empty
       else (1 until buckets)
         .map(i => sample(math.min( // Long math: buckets×sampleLen can pass Int.Max
           ((i.toLong * sample.length) / buckets).toInt, sample.length - 1)))
-        .distinct // equal quantiles → one boundary
-    // whole-stage-codegen'd when-chain (functions.aggregate over an array
-    // literal is a CodegenFallback higher-order function — interpreted
-    // per row, it cost more than the shuffle it organizes)
+        .distinct // equal quantiles → one boundary (list stays ascending)
     if (bs.isEmpty) lit(0)
-    else bs.tail.zipWithIndex
-      .foldLeft(when(lexLt(keys, bs.head), 0)) {
-        case (c, (b, i)) => c.when(lexLt(keys, b), i + 1)
-      }.otherwise(bs.length)
+    else {
+      val bnd: Array[Array[AnyRef]] = bs.map(_.map[AnyRef] {
+        case null => null
+        case s: String => // sampled via Row.get; compared as UTF8String
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case d: java.lang.Double => d
+        case other => throw new IllegalStateException(
+          s"ScalableWindow: unexpected boundary element class ${other.getClass}")
+      }.toArray).toArray
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.RangeBucket(
+          keys.map(org.apache.spark.sql.GraftColumnBridge.expression),
+          bnd))
+    }
   }
 
   /** Stamp the deterministic range-bucket id from a LEXICOGRAPHIC PREFIX

@@ -188,9 +188,13 @@ object PipelineOps {
     qq("dedup_incremental") { (s, dir) =>
       val docs = tDocs(s, dir)
       val base = scratchDir("graft-fp")
+      // gate-fixture buckets (8): per-bucket parquet writer init is the
+      // fixed cost of every bucketed write (see dedup_incremental_md5);
+      // result rows don't depend on the bucket count
       DedupOps.writeFingerprintStore(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
-        "graft_fp_bands", "graft_fp_sets", base)
+        "graft_fp_bands", "graft_fp_sets", base, nBuckets = 8,
+        stageSeed = true)
       DedupOps.incrementalPairs(
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), s,
         "graft_fp_bands", "graft_fp_sets")

@@ -35,7 +35,17 @@ object IngestOps {
     *
     * Docs are judged against the store AS OF the batch start: a batch
     * doc rejected within-batch never blocks a store match of another,
-    * and the append happens once, after both gates. */
+    * and the append happens once, after both gates.
+    *
+    * CONTRACT: doc ids are IMMUTABLE once ingested. The replay guard
+    * below filters appends by id, so re-submitting a CHANGED document
+    * under an id the store has already seen is annotated `kept` (the
+    * store gate skips identity matches) but its new fingerprints are
+    * NOT appended — later batches would dedup against the original
+    * signature. Ingest edited documents under fresh ids (a version
+    * suffix in the id space), or rebuild the store; an in-place update
+    * path would need signature-aware guards and is out of scope for the
+    * append-only crawl-ingest shape this operator models. */
   def ingestBatch(batch: DataFrame, spark: SparkSession,
                   bandsTable: String, setsTable: String,
                   threshold: Double = 0.7,
