@@ -294,6 +294,83 @@ object ScalableWindow {
       .drop(Pid, "__off")
   }
 
+  /** Global rank() (ties share a rank, gaps after) without a
+    * single-partition sort. Sound on the same argument as [[rowNumber]]:
+    * the bucket id is a function of a lexicographic PREFIX of the order
+    * key, so rows with equal full key tuples always co-bucket — the
+    * within-bucket rank() sees every peer of a row, and the carry (total
+    * rows in preceding buckets) counts exactly the rows strictly below
+    * the bucket's whole key range. */
+  def rank(df: DataFrame, orderCols: Seq[String], out: String): DataFrame = {
+    val r = bucketed(df, orderCols)
+    val agg = r.groupBy(Pid).agg(count(lit(1)).as("__c"))
+    val b = agg.select(col(Pid).as("__bp"), col("__c").as("__bc"))
+    val carry = agg.join(b, col("__bp") < col(Pid), "left")
+      .groupBy(Pid).agg(coalesce(sum("__bc"), lit(0L)).as("__off"))
+    r.join(broadcast(carry), Seq(Pid), "left")
+      .withColumn(out,
+        org.apache.spark.sql.functions.rank().over(pidWindow(orderCols))
+          .cast("long") + coalesce(col("__off"), lit(0L)))
+      .drop(Pid, "__off")
+  }
+
+  /** Global dense_rank(): ties share a rank, NO gaps. The carry is the
+    * count of DISTINCT key tuples in preceding buckets — well-defined
+    * because a key tuple never spans buckets (same prefix → same bucket),
+    * so per-bucket distinct counts add. */
+  def denseRank(df: DataFrame, orderCols: Seq[String],
+                out: String): DataFrame = {
+    val r = bucketed(df, orderCols)
+    val key = struct(orderCols.map(col): _*)
+    val agg = r.groupBy(Pid).agg(countDistinct(key).as("__d"))
+    val b = agg.select(col(Pid).as("__bp"), col("__d").as("__bd"))
+    val carry = agg.join(b, col("__bp") < col(Pid), "left")
+      .groupBy(Pid).agg(coalesce(sum("__bd"), lit(0L)).as("__off"))
+    r.join(broadcast(carry), Seq(Pid), "left")
+      .withColumn(out,
+        dense_rank().over(pidWindow(orderCols)).cast("long") +
+          coalesce(col("__off"), lit(0L)))
+      .drop(Pid, "__off")
+  }
+
+  /** Global percent_rank() = (rank − 1)/(N − 1), 0.0 for a single row —
+    * derived from [[rank]] plus one broadcast total, so the plan is the
+    * two-phase rank with one more tiny join. The division is a single
+    * IEEE double op on exact integer operands: bit-stable across engines
+    * and partitionings, no rounding needed. */
+  def percentRank(df: DataFrame, orderCols: Seq[String],
+                  out: String): DataFrame = {
+    val r = rank(df, orderCols, out)
+    val n = df.groupBy().agg(count(lit(1)).as("__n"))
+    r.crossJoin(broadcast(n))
+      .withColumn(out,
+        when(col("__n") > 1,
+          (col(out) - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__n")
+  }
+
+  /** Global cume_dist() = (# rows with key ≤ current)/N, peers included —
+    * the within-bucket count uses the ordered window's DEFAULT frame
+    * (RANGE UNBOUNDED PRECEDING..CURRENT ROW, which spans all peers of
+    * the current key), plus the preceding-buckets row carry. */
+  def cumeDist(df: DataFrame, orderCols: Seq[String],
+               out: String): DataFrame = {
+    val r = bucketed(df, orderCols)
+    val agg = r.groupBy(Pid).agg(count(lit(1)).as("__c"))
+    val b = agg.select(col(Pid).as("__bp"), col("__c").as("__bc"))
+    val carry = agg.join(b, col("__bp") < col(Pid), "left")
+      .groupBy(Pid).agg(coalesce(sum("__bc"), lit(0L)).as("__off"))
+    val n = df.groupBy().agg(count(lit(1)).as("__n"))
+    val le = count(lit(1)).over(pidWindow(orderCols)) // default RANGE frame
+    r.join(broadcast(carry), Seq(Pid), "left")
+      .crossJoin(broadcast(n))
+      .withColumn(out,
+        (le + coalesce(col("__off"), lit(0L))).cast("double") /
+          col("__n").cast("double"))
+      .drop(Pid, "__off", "__n")
+  }
+
   /** lag(value, 1) over the global order. Bucket-first rows take the
     * last value of the nearest NON-EMPTY preceding bucket (max_by over
     * the bucket theta-join); the carry applies ONLY to the first row of

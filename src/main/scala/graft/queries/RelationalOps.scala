@@ -682,6 +682,40 @@ object RelationalOps {
           .orderBy("o_totalprice", "o_orderkey")).cast("long").as("quartile"))
     },
 
+    // ---- W6: the GLOBAL rank family — rank / dense_rank /
+    // percent_rank / cume_dist over a tie-heavy total order
+    // (priority × date: ~thousands of peers per key), all on the
+    // two-phase ScalableWindow (range-bucket + per-bucket window +
+    // broadcast carry; never a single-partition sort). The ratio
+    // columns are single IEEE double divisions on exact integer
+    // operands — bit-stable across engines, no rounding. The chained
+    // calls share one input; each adds its column through its own
+    // two-phase pass.
+    q(
+      "w6_rank_family",
+      """SELECT o_orderkey,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_orderpriority, o_orderdate)""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.ScalableWindow
+      val ord = Seq("o_orderpriority", "o_orderdate")
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      val withAll =
+        ScalableWindow.cumeDist(
+          ScalableWindow.percentRank(
+            ScalableWindow.denseRank(
+              ScalableWindow.rank(base, ord, "rnk"),
+              ord, "drnk"),
+            ord, "prnk"),
+          ord, "cdist")
+      withAll.select("o_orderkey", "rnk", "drnk", "prnk", "cdist")
+    },
+
     // ---- Fixed-point-integer PageRank (beyond-reference) on the
     // bipartite part↔supplier co-occurrence graph (both directions, so
     // no dangling mass): 3 power-iteration rounds entirely in scaled

@@ -75,6 +75,51 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(scal == naive)
   }
 
+  test("rank family equals the single-partition forms on tie-heavy keys") {
+    // full-key ties abound: 7 categories × ~coarse price buckets, so
+    // rank gaps, dense runs, and peer-group cume_dist all exercise for
+    // real, including key groups that straddle range-bucket boundaries
+    val df = orders.select(col("o_orderkey"),
+      (col("o_orderkey") % 7).cast("string").as("cat"),
+      floor(col("o_totalprice") / 10000).as("pb"))
+    val w = Window.orderBy("cat", "pb")
+    val naive = df.select(col("o_orderkey"),
+      org.apache.spark.sql.functions.rank().over(w).cast("long").as("r"),
+      dense_rank().over(w).cast("long").as("d"),
+      percent_rank().over(w).as("p"),
+      cume_dist().over(w).as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val ord = Seq("cat", "pb")
+    val scal = ScalableWindow.cumeDist(
+      ScalableWindow.percentRank(
+        ScalableWindow.denseRank(
+          ScalableWindow.rank(df, ord, "r"), ord, "d"), ord, "p"),
+      ord, "c")
+      .select("o_orderkey", "r", "d", "p", "c")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(scal == naive)
+  }
+
+  test("rank family degenerate shapes: single row and all-equal keys") {
+    val one = orders.limit(1).select(col("o_orderkey"), lit("x").as("k"))
+    val r1 = ScalableWindow.percentRank(one, Seq("k"), "p")
+      .select("p").head().getDouble(0)
+    assert(r1 == 0.0) // N == 1: (rank-1)/(N-1) is 0, not NaN
+    val eq = orders.limit(100).select(col("o_orderkey"), lit("x").as("k"))
+    val rows = ScalableWindow.cumeDist(
+      ScalableWindow.denseRank(
+        ScalableWindow.rank(eq, Seq("k"), "r"), Seq("k"), "d"),
+      Seq("k"), "c")
+      .select("r", "d", "c").distinct().collect()
+    assert(rows.length == 1) // every row is a peer of every other
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 1L &&
+      rows.head.getDouble(2) == 1.0)
+  }
+
   test("one full-data shuffle; deterministic buckets, no sampled exchange") {
     // snapshot, not isEmpty: OTHER suites sharing this SparkContext pin
     // RDDs by design (CC final-round checkpoints, the cached-centroid
