@@ -561,6 +561,60 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // BM25 ranked retrieval through a REAL scored index store (tf+dlen
+    // postings bucketed by term, append-only corpus-stats rows) built
+    // from 80% of the corpus + a 20% append. df comes off the pruned
+    // postings scan, N/avgdl off the summed stats rows — so the hash
+    // pins the index's tf/dlen payload, the stats-append arithmetic and
+    // the scoring formula at once, while DuckDB recomputes everything
+    // from the raw corpus. Contributions round(6), scores round(4):
+    // wide enough for last-ulp libm LN divergence, tight for everything
+    // else. Identical expression TREES on both sides — the constants
+    // are written (1.2 + 1) not 2.2 because they differ in the last
+    // double bit.
+    q(
+      "text_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('batch', 'scan', 'hash') GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((tf.tf * (1.2 + 1)) /
+        |       (tf.tf + 1.2 * (0.25 + (0.75 * dl.dlen) /
+        |         (CAST(st.sd AS DOUBLE) / CAST(st.n AS DOUBLE))))), 6) AS c
+        |  FROM tf
+        |  JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |)
+        |SELECT doc_id, ROUND(SUM(c), 4) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS matched
+        |FROM sc GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-bm25")
+      InvertedIndexOps.writeScoredIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
+        "graft_bm25_idx", base)
+      InvertedIndexOps.appendToScoredIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s, "graft_bm25_idx")
+      InvertedIndexOps.searchBm25(
+        s, "graft_bm25_idx", Seq("batch", "scan", "hash"), topK = 50)
+    },
+
     // RAG-style chunking: 30-token windows, stride 20 (10-token overlap),
     // map-only (TextAnalysisOps.chunkDocuments — bounded explode, no
     // shuffle). DuckDB rebuilds every chunk string via list slicing; the

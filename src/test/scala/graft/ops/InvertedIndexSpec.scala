@@ -38,6 +38,53 @@ class InvertedIndexSpec extends SparkTestBase {
       "fixture must add matching docs in the delta")
   }
 
+  test("bm25 search: pruned scan, append-exact stats, naive-score parity") {
+    val base = Files.createTempDirectory("tidx-bm25").toString
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    InvertedIndexOps.writeScoredIndex(store, spark, "tidx_bm25", base,
+      nBuckets = 16)
+    InvertedIndexOps.appendToScoredIndex(delta, spark, "tidx_bm25")
+
+    // stats rows sum to the WHOLE corpus exactly (2 commit rows)
+    val st = spark.table("tidx_bm25_stats")
+      .agg(sum("n_docs"), sum("sum_dlen")).head()
+    val expN = docs.count()
+    val expSd = docs.agg(
+      sum(size(DedupOps.tokens(col("text"))).cast("long"))).head().getLong(0)
+    assert(st.getLong(0) == expN && st.getLong(1) == expSd)
+
+    // the ranked result equals a from-scratch naive BM25 over the corpus
+    val terms = Seq("batch", "scan", "hash")
+    val got = InvertedIndexOps.searchBm25(spark, "tidx_bm25", terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val naivePosts = InvertedIndexOps.scoredPostings(docs)
+      .filter(col("term").isin(terms: _*))
+    val ndf = naivePosts.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = expSd.toDouble / expN.toDouble
+    val want = naivePosts.join(ndf, "term")
+      .withColumn("__c", round(
+        log(lit(1.0) + (lit(expN) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          ((col("tf") * lit(1.2 + 1)) / (col("tf") + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * col("dlen")) / lit(avgdl)))), 6))
+      .groupBy("doc_id")
+      .agg(round(sum("__c"), 4).as("score"), count(lit(1)).as("matched"))
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+
+    // and the scoring scan is bucket-pruned like the conjunctive path
+    val df2 = InvertedIndexOps.searchBm25(spark, "tidx_bm25", terms, topK = 5)
+    df2.collect()
+    val plan = df2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt <= 3,
+      s"bm25 scan must be bucket-pruned:\n$plan")
+  }
+
   test("a k-term query scans only the terms' buckets") {
     val base = Files.createTempDirectory("tidx-prune").toString
     InvertedIndexOps.writeTextIndex(docs, spark, "tidx_prune", base,
