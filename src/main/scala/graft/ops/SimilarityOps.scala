@@ -335,6 +335,147 @@ object SimilarityOps {
         col("__m.cos").as("cos"))
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** PQ codebook table (`sub`, `code`, `cvec array<float>`): the
+    * `ksub` lowest-id corpus vectors sliced into `m` sub-spaces —
+    * code c of sub-space s is vector c's elements [s·dsub, (s+1)·dsub).
+    * Deterministic raw-vector seeds, the `ann_inc_q` convention: no
+    * cross-row float averaging, so the codeword VALUES are corpus
+    * floats any engine can reproduce bit-for-bit, which puts the whole
+    * encode→decode cycle under the driver's hash gate (`ann_pq_q`).
+    * A production refinement would run per-sub-space Lloyd rounds over
+    * these seeds (the [[ivfCentroids]] machinery applied per slice);
+    * encode/decode/ADC below are codebook-agnostic. */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim must divide into $m sub-spaces")
+    val dsub = dim / m
+    val seeds = corpus.orderBy(idCol).limit(ksub)
+      .select(col(idCol).as("__sid"), col(vecCol).as("__v"))
+    val ranked = seeds.withColumn("code",
+      (row_number().over(Window.orderBy("__sid")) - 1)) // ksub rows: fine
+    val subs = corpus.sparkSession.range(0, m)
+      .select(col("id").cast("int").as("sub"))
+    ranked.crossJoin(broadcast(subs))
+      .select(col("sub"), col("code"),
+        slice(col("__v"), col("sub") * dsub + 1, lit(dsub))
+          .cast("array<float>").as("cvec"))
+  }
+
+  /** Train the codebooks: per-sub-space Lloyd rounds over the
+    * [[pqCodebooks]] seeds. Assignment reuses the codegen'd exact-integer
+    * encoder (one [[pqEncode]] pass assigns ALL sub-spaces at once);
+    * re-centering is the [[ivfCentroids]] convention — per-(sub, code)
+    * coordinate averages ROUNDED so the trained table is reproducible
+    * across partitionings. Codes that attract no vectors keep their
+    * previous codeword (k stays fixed; a vanished cell would shrink the
+    * code space and break stored codes). Train once per corpus and
+    * persist the m·ksub-row table beside the encoded vectors — encode /
+    * decode / ADC are codebook-agnostic. */
+  def pqCodebooksTrained(corpus: DataFrame, dim: Int, m: Int = 8,
+                         ksub: Int = 16, iters: Int = 2,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / m
+    var cb = pqCodebooks(corpus, dim, m, ksub, idCol, vecCol)
+    (0 until iters).foreach { _ =>
+      val asg = pqEncode(corpus, cb, idCol, vecCol)
+        .select(col(idCol), posexplode(col("codes")))
+        .select(col(idCol), col("pos").cast("int").as("sub"),
+          col("col").as("code"))
+      val sl = corpus.select(col(idCol), posexplode(col(vecCol)))
+        .select(col(idCol), (col("pos") / lit(dsub)).cast("int").as("sub"),
+          (col("pos") % lit(dsub)).as("d"), col("col").cast("double").as("v"))
+      val trained = asg.join(sl, Seq(idCol, "sub"))
+        .groupBy("sub", "code", "d").agg(round(avg("v"), 6).as("cv"))
+        .groupBy("sub", "code")
+        .agg(transform( // bounded: dsub entries per (sub, code)
+          array_sort(collect_list(struct(col("d"), col("cv")))),
+          x => x.getField("cv")).cast("array<float>").as("tvec"))
+      cb = cb.join(trained, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("tvec"), col("cvec")).as("cvec"))
+    }
+    cb
+  }
+
+  /** Collect a codebook table into the m × ksub × dsub driver array the
+    * PQ expressions carry (bounded: m·ksub rows — the same class of
+    * driver-side smallness as the IVF centroid table). */
+  def collectCodebook(cb: DataFrame): Array[Array[Array[Float]]] =
+    cb.select("sub", "code", "cvec").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Encode a corpus to (`idCol`, `codes array<int>`): 32× smaller than
+    * 64 floats (m bytes of code space per vector; stored as ints for
+    * parquet simplicity, dictionary-encoded to ~m bytes on disk). Code
+    * assignment is exact-integer argmin (see [[graft.expressions.PqCodes]]). */
+  def pqEncode(df: DataFrame, cb: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val qcb = graft.expressions.Pq.quantizeCodebook(collectCodebook(cb))
+    df.select(col(idCol),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.PqCodes(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)),
+          qcb)).as("codes"))
+  }
+
+  /** Lossy decode: (`idCol`, `embedding array<float>`) reconstructed
+    * from codes — each element a verbatim codeword float. */
+  def pqDecode(codes: DataFrame, cb: DataFrame,
+               idCol: String = "vec_id"): DataFrame = {
+    val cbArr = collectCodebook(cb)
+    codes.select(col(idCol),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.PqReconstruct(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("codes")),
+          cbArr)).as("embedding"))
+  }
+
+  /** PQ top-k by asymmetric distance computation: raw queries against
+    * the ENCODED corpus — the corpus pass reads only the codes column
+    * and scores each candidate in m table adds (never reconstructing a
+    * vector), so at 100 TB the scan is 32× lighter than the float
+    * corpus and the per-candidate cost is independent of `dim`. Each
+    * query precomputes its m·ksub dot-product LUT once
+    * ([[graft.expressions.PqLut]]); the codeword-norm table rides the
+    * scoring expression as one broadcast-with-the-task object. Output
+    * contract matches [[bruteForceTopK]]; cosines are the PQ
+    * approximation (recall vs exact is spec-asserted, and equality to
+    * reconstruct-then-cosine is pinned to float tolerance). */
+  def pqTopKAdc(queries: DataFrame, codes: DataFrame, cb: DataFrame, k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cbArr = collectCodebook(cb)
+    val n2 = cbArr.map(_.map { cw =>
+      var s = 0.0; var i = 0
+      while (i < cw.length) { s += cw(i).toDouble * cw(i).toDouble; i += 1 }
+      s
+    })
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val q = queries.select(col(idCol).as("query_id"),
+      bridge.column(graft.expressions.PqLut(
+        bridge.expression(col(vecCol)), cbArr)).as("__lut"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__qn"))
+    val c = codes.select(col(idCol).as("item_id"), col("codes"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos", round(bridge.column(graft.expressions.PqAdcCosine(
+        bridge.expression(col("codes")), bridge.expression(col("__lut")),
+        bridge.expression(col("__qn")), n2)), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine above `threshold`.
     * Brute-force form (oracle-friendly); [[cosinePairsLsh]] is the
     * scale path. */

@@ -911,6 +911,85 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- Product quantization UNDER THE ORACLE: seed codebooks (the
+    // 16 lowest-id vectors sliced into 8 sub-spaces — raw corpus
+    // floats, no averaging, the ann_inc_q convention), code assignment
+    // by EXACT INTEGER L2 over round(x·10⁶) fixed-point coordinates
+    // (associativity-free, so argmin is bit-replicable; ties to the
+    // lowest code on both sides), reconstruction = verbatim codeword
+    // floats, then the proven rounded-cosine top-k of raw queries
+    // against the reconstructed corpus (asymmetric, the ADC shape).
+    // Equal hashes pin the whole encode→decode cycle: every code of
+    // every vector, every reconstructed float, every rank.
+    q(
+      "ann_pq_q",
+      """WITH qe AS (
+        |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+        |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |    FROM embeddings)
+        |), seeds AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+        |), cw AS (
+        |  SELECT (q.i - 1) // 8 AS sub, s.code, (q.i - 1) % 8 AS d, q.qv AS qc
+        |  FROM seeds s JOIN qe q ON q.vec_id = s.vec_id
+        |), dist AS (
+        |  SELECT e.vec_id, c.sub, c.code,
+        |    SUM((e.qv - c.qc) * (e.qv - c.qc)) AS d2
+        |  FROM qe e JOIN cw c ON c.sub = (e.i - 1) // 8 AND c.d = (e.i - 1) % 8
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+        |    FROM dist) WHERE rk = 1
+        |), rec AS (
+        |  SELECT c.vec_id,
+        |    LIST(se.embedding[CAST(c.sub * 8 + g.d + 1 AS INT)]
+        |         ORDER BY c.sub, g.d) AS emb
+        |  FROM codes c
+        |  JOIN seeds s2 ON s2.code = c.code
+        |  JOIN embeddings se ON se.vec_id = s2.vec_id
+        |  CROSS JOIN GENERATE_SERIES(0, 7) AS g(d)
+        |  GROUP BY c.vec_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], r.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], r.emb::DOUBLE[]), 4) DESC, r.vec_id) AS rank
+        |  FROM embeddings q JOIN rec r ON r.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col => c}
+      val emb = tEmbeddings(s, dir)
+      val cb = SimilarityOps.pqCodebooks(emb, dim = 64)
+      val dec = SimilarityOps.pqDecode(SimilarityOps.pqEncode(emb, cb), cb)
+      SimilarityOps.bruteForceTopK(
+        emb.filter(c("vec_id") % 50 === 0), dec, k = 10)
+        .withColumn("rank", c("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- The production PQ searcher (rows-only: Lloyd-trained
+    // codebooks are float-average artifacts, like ann_ivf's centroids;
+    // the machinery is oracle-gated by ann_pq_q and the ADC ≡
+    // reconstruct equivalence is spec-pinned): train per-sub-space
+    // codebooks, encode the corpus 32× smaller, search by asymmetric
+    // distance — each candidate scored from the query's LUT in m table
+    // adds, no vector ever reconstructed.
+    qq("ann_pq_adc") { (s, dir) =>
+      import org.apache.spark.sql.functions.{col => c}
+      val emb = tEmbeddings(s, dir)
+      val cb = SimilarityOps.pqCodebooksTrained(emb, dim = 64, iters = 1)
+      val codes = SimilarityOps.pqEncode(emb, cb)
+      SimilarityOps.pqTopKAdc(
+        emb.filter(c("vec_id") % 50 === 0), codes, cb, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Incremental vector-store ingest (rows-only: same machinery
     // oracle-gated by ann_inc_q below; exact search-equivalence to the
     // batch IVF operator pinned in VectorStoreSpec): centroids built on

@@ -183,6 +183,64 @@ class SimilaritySpec extends SparkTestBase {
     info(f"int8 worst self-cosine $worst%.5f, top-10 overlap $overlap%.2f")
   }
 
+  test("product quantization: idempotent codes, ADC ≡ reconstruct, usable recall") {
+    val cb = SimilarityOps.pqCodebooks(emb, dim = 64)
+    val codes = SimilarityOps.pqEncode(emb, cb)
+    // shape: m codes per vector, every code < ksub
+    val shape = codes.select(size($"codes").as("m"),
+      array_max($"codes").as("mx"), array_min($"codes").as("mn"))
+      .agg(min("m"), max("m"), max("mx"), min("mn")).head()
+    assert(shape.getInt(0) == 8 && shape.getInt(1) == 8)
+    assert(shape.getInt(2) < 16 && shape.getInt(3) >= 0)
+
+    // decode→re-encode is a fixed point: every codeword is its own
+    // nearest codeword, so the lossy cycle stabilizes after one step
+    val dec = SimilarityOps.pqDecode(codes, cb)
+    val re = SimilarityOps.pqEncode(dec, cb)
+    val diff = codes.withColumnRenamed("codes", "c1")
+      .join(re.withColumnRenamed("codes", "c2"), "vec_id")
+      .filter($"c1" =!= $"c2").count()
+    assert(diff == 0, s"$diff vectors changed codes on re-encode")
+
+    // ADC scoring equals reconstruct-then-cosine (same math, different
+    // association): pair sets overlap and cosines agree to the 4-decimal
+    // rounding both paths apply
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val adc = SimilarityOps.pqTopKAdc(queries, codes, cb, k = 10)
+    val rec = SimilarityOps.bruteForceTopK(queries, dec, k = 10)
+    val aPairs = adc.select("query_id", "item_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rPairs = rec.select("query_id", "item_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inter = aPairs.keySet & rPairs.keySet
+    assert(inter.size.toDouble / rPairs.size >= 0.9,
+      s"ADC vs reconstruct pair overlap ${inter.size}/${rPairs.size}")
+    val worstGap = inter.map(k => math.abs(aPairs(k) - rPairs(k))).max
+    assert(worstGap <= 1.01e-4, s"ADC vs reconstruct cos gap $worstGap")
+
+    // recall vs the exact search: coarse 16-codeword seed codebooks
+    // give a floor; Lloyd-trained codebooks must clearly beat them
+    val base = SimilarityOps.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = adc.select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (base & got).size.toDouble / base.size
+    assert(recall >= 0.15, s"seed-codebook PQ top-10 recall: $recall")
+
+    val cbT = SimilarityOps.pqCodebooksTrained(emb, dim = 64, iters = 2)
+    val codesT = SimilarityOps.pqEncode(emb, cbT)
+    val gotT = SimilarityOps.pqTopKAdc(queries, codesT, cbT, k = 10)
+      .select("query_id", "item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallT = (base & gotT).size.toDouble / base.size
+    assert(recallT >= 0.3, s"trained-codebook PQ top-10 recall: $recallT")
+    assert(recallT > recall, s"training must help: $recall -> $recallT")
+    info(f"PQ recall seed $recall%.2f -> trained $recallT%.2f, " +
+      f"ADC/reconstruct overlap ${inter.size.toDouble / rPairs.size}%.2f, " +
+      f"worst cos gap $worstGap%.1e")
+  }
+
   test("quantized oracle twins (ann_lsh_q / ann_ivf_q): exact re-rank, usable recall") {
     // the oracle twins must stay faithful ANN shapes, not just pass the
     // hash gate: every returned cosine equals the brute-force value for
