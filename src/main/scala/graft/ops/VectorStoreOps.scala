@@ -138,7 +138,44 @@ object VectorStoreOps {
       raw.select(col("item_id"),
         SimilarityOps.dequantize(col("cv_q"), col("cv_scale")).as("cv"),
         col("cid"))
+    else if (raw.columns.contains("codes"))
+      // pq tier: reconstruct at the scan — verbatim codeword floats
+      // (graft.expressions.PqReconstruct), ~32x fewer stored bytes.
+      // Only the probed cells ever decode; the codebook (m·ksub rows)
+      // rides the expression as one task-broadcast object.
+      decodePq(raw, loadPqCodebook(spark, base))
     else raw.select(col("item_id"), col("cv"), col("cid"))
+  }
+
+  // ---------------------------------------------------------- PQ tier
+
+  private def pqCodebookPath(base: String) = s"$base/pq_codebook"
+
+  private def loadPqCodebook(spark: SparkSession,
+                             base: String): Array[Array[Array[Float]]] =
+    SimilarityOps.collectCodebook(
+      spark.read.parquet(pqCodebookPath(base)))
+
+  /** (item_id, cv, cid) → (item_id, codes, cid): the PQ-tier physical
+    * row. Exact-integer code assignment ([[graft.expressions.PqCodes]]),
+    * so the stored codes are bit-replicable from the floats. */
+  private def encodePq(df: DataFrame,
+                       cbArr: Array[Array[Array[Float]]]): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    df.select(col("item_id"),
+      bridge.column(graft.expressions.PqCodes(
+        bridge.expression(col("cv")),
+        graft.expressions.Pq.quantizeCodebook(cbArr))).as("codes"),
+      col("cid"))
+  }
+
+  private def decodePq(df: DataFrame,
+                       cbArr: Array[Array[Array[Float]]]): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    df.select(col("item_id"),
+      bridge.column(graft.expressions.PqReconstruct(
+        bridge.expression(col("codes")), cbArr)).as("cv"),
+      col("cid"))
   }
 
   /** The store's PHYSICAL rows (quantized columns kept as stored) — the
@@ -208,21 +245,38 @@ object VectorStoreOps {
   /** Create the store at `basePath`: the frozen centroid table (tiny,
     * one file) plus the corpus assigned to cells under commit 0.
     * Overwrite semantics — any prior store at the path (its manifest
-    * included) is removed first, so a re-build is self-contained. */
+    * included) is removed first, so a re-build is self-contained.
+    *
+    * Storage tiers (mutually exclusive): `quantize = true` persists
+    * int8 vectors + scales (4× smaller); `pqCodebook = Some(cb)` is the
+    * IVF+PQ layout — cells carry m-code rows (~32× smaller), the
+    * codebook is frozen beside the centroids, and appends inherit the
+    * tier. Both decode at the (probe-pruned) scan, so the search
+    * contract is unchanged up to each tier's declared lossiness. */
   def writeVectorStore(corpus: DataFrame, spark: SparkSession,
                        basePath: String, cents: DataFrame,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        assignRound: Option[Int] = None,
-                       quantize: Boolean = false): Unit = {
+                       quantize: Boolean = false,
+                       pqCodebook: Option[DataFrame] = None): Unit = {
+    require(!(quantize && pqCodebook.isDefined),
+      "vector store: pick ONE storage tier (int8 or pq), not both")
     val fs = hadoopFs(spark, basePath)
     fs.delete(new org.apache.hadoop.fs.Path(manifestPath(basePath)), true)
     fs.delete(new org.apache.hadoop.fs.Path(itemsPath(basePath)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(pqCodebookPath(basePath)), true)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$basePath/centroids")
+    val asg = assigned(spark, corpus, cents, idCol, vecCol, assignRound)
+    val physical = pqCodebook match {
+      case Some(cb) =>
+        cb.coalesce(1).write.mode("overwrite")
+          .parquet(pqCodebookPath(basePath))
+        encodePq(asg, loadPqCodebook(spark, basePath))
+      case None => maybeQuantize(asg, quantize)
+    }
     val commitDir = s"${itemsPath(basePath)}/c=0"
-    maybeQuantize(
-        assigned(spark, corpus, cents, idCol, vecCol, assignRound), quantize)
-      .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
+    physical.write.mode("overwrite").partitionBy("cid").parquet(commitDir)
     writeManifest(spark, basePath,
       writtenCells(spark, commitDir).map(cid => ManifestRow(0L, cid, None)),
       append = false)
@@ -267,12 +321,16 @@ object VectorStoreOps {
       // inherit — new commits re-establish it as float (either tier is
       // consistent when no prior data rows exist)
       val live = liveDirRows(manifest)
-      val quantized = live.nonEmpty && readStoreRawFrom(spark, basePath,
-        live.take(1).map(r => (r.c, r.cid)))
-        .columns.contains("cv_q")
-      maybeQuantize(
-          assigned(spark, delta, cents, idCol, vecCol, assignRound), quantized)
-        .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
+      val tierCols =
+        if (live.isEmpty) Array.empty[String]
+        else readStoreRawFrom(spark, basePath,
+          live.take(1).map(r => (r.c, r.cid))).columns
+      val asg = assigned(spark, delta, cents, idCol, vecCol, assignRound)
+      val physical =
+        if (tierCols.contains("codes"))
+          encodePq(asg, loadPqCodebook(spark, basePath))
+        else maybeQuantize(asg, tierCols.contains("cv_q"))
+      physical.write.mode("overwrite").partitionBy("cid").parquet(commitDir)
       writeManifest(spark, basePath,
         writtenCells(spark, commitDir).map(cid => ManifestRow(next, cid, tag)),
         append = true)

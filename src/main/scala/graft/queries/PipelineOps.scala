@@ -1321,6 +1321,95 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF+PQ store tier under the oracle — the billion-scale
+    // layout: cells carry m-code rows (~32× smaller than floats), the
+    // frozen codebook sits beside the centroids, appends inherit the
+    // tier, and the probe-pruned scan reconstructs only the probed
+    // cells. DuckDB composes three proven pieces: the declarative cell
+    // assignment (ann_inc_q), the exact-integer PQ encode + verbatim
+    // decode (ann_pq_q), and the rounded-cosine re-rank. Equal hashes
+    // pin that the PQ tier changes STORAGE, not results beyond the
+    // quantization it declares — through a REAL write→append→search
+    // store lifecycle.
+    q(
+      "ann_pqstore_q",
+      """WITH cseeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN cseeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id
+        |), qe AS (
+        |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+        |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |    FROM embeddings)
+        |), pqseeds AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 0
+        |        ORDER BY vec_id LIMIT 16)
+        |), cw AS (
+        |  SELECT (q.i - 1) // 8 AS sub, s.code, (q.i - 1) % 8 AS d, q.qv AS qc
+        |  FROM pqseeds s JOIN qe q ON q.vec_id = s.vec_id
+        |), dist AS (
+        |  SELECT e.vec_id, c.sub, c.code,
+        |    SUM((e.qv - c.qc) * (e.qv - c.qc)) AS d2
+        |  FROM qe e JOIN cw c ON c.sub = (e.i - 1) // 8 AND c.d = (e.i - 1) % 8
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+        |    FROM dist) WHERE rk = 1
+        |), rec AS (
+        |  SELECT c.vec_id,
+        |    LIST(se.embedding[CAST(c.sub * 8 + g.d + 1 AS INT)]
+        |         ORDER BY c.sub, g.d) AS emb
+        |  FROM codes c
+        |  JOIN pqseeds s2 ON s2.code = c.code
+        |  JOIN embeddings se ON se.vec_id = s2.vec_id
+        |  CROSS JOIN GENERATE_SERIES(0, 7) AS g(d)
+        |  GROUP BY c.vec_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.emb::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN rec i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = scratchDir("graft-vstore-pq")
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val cb = SimilarityOps.pqCodebooks(store, dim = 64)
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6), pqCodebook = Some(cb))
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      VectorStoreOps.searchStore(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10, nprobe = 4,
+        probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Store-served semantic decontamination: the benchmark/test
     // vectors (vec_id % 50 = 0) probe their nprobe cells of the
     // PERSISTED corpus store and every corpus vector with cosine ≥ 0.3

@@ -316,6 +316,66 @@ class VectorStoreSpec extends SparkTestBase {
     assert(VectorStoreOps.readStore(spark, base).count() == emb.count() - 3)
   }
 
+  test("pq storage tier: m-code rows, appends and rewrites inherit it, " +
+    "search tracks the decoded-corpus twin") {
+    val base = Files.createTempDirectory("vstore-pq").toString
+    val baseF = Files.createTempDirectory("vstore-pq-f32").toString
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+    val cb = SimilarityOps.pqCodebooksTrained(store, dim = 64, iters = 1)
+    VectorStoreOps.writeVectorStore(store, spark, base, cents,
+      pqCodebook = Some(cb))
+    VectorStoreOps.writeVectorStore(store, spark, baseF, cents)
+
+    def physicalSchema(b: String) = {
+      val c0 = new java.io.File(s"$b/items").listFiles()
+        .filter(_.getName.startsWith("c=")).head
+      val cell = c0.listFiles().filter(_.getName.startsWith("cid=")).head
+      spark.read.parquet(cell.toString).schema.fieldNames.toSet
+    }
+    assert(physicalSchema(base) == Set("item_id", "codes"),
+      s"pq store must persist codes only: ${physicalSchema(base)}")
+    def bytes(b: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(s"$b/items"))
+    }
+    assert(bytes(base) < bytes(baseF) / 4,
+      s"pq store not clearly smaller: ${bytes(base)} vs ${bytes(baseF)}")
+
+    // appends inherit the tier (encode against the frozen codebook)
+    VectorStoreOps.appendToVectorStore(delta, spark, base)
+    VectorStoreOps.appendToVectorStore(delta, spark, baseF)
+    assert(VectorStoreOps.readStore(spark, base).count() == emb.count())
+
+    // search still answers every query through the decoded corpus, and
+    // lands mostly where the float store does (PQ's declared lossiness
+    // bounds the drift; the exact decoded-value contract is oracle-
+    // pinned end-to-end by ann_pqstore_q)
+    val got = VectorStoreOps
+      .searchStore(queries, spark, base, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val gotF = VectorStoreOps
+      .searchStore(queries, spark, baseF, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (got.map(t => (t._1, t._2)) & gotF).size.toDouble / gotF.size
+    assert(overlap >= 0.25, s"pq search overlap vs float store: $overlap")
+    assert(got.map(_._1) == gotF.map(_._1), "every query answered")
+
+    // delete + compaction keep the tier (no silent decode-to-float)
+    VectorStoreOps.deleteFromVectorStore(
+      queries.select("vec_id").limit(3), spark, base)
+    VectorStoreOps.compactVectorStore(spark, base, maxFilesPerCell = 1)
+    assert(physicalSchema(base) == Set("item_id", "codes"),
+      "maintenance rewrites must preserve the pq tier")
+    assert(VectorStoreOps.readStore(spark, base).count() == emb.count() - 3)
+    info(f"pq bytes ${bytes(base)} vs float ${bytes(baseF)}, " +
+      f"top-10 overlap vs float store $overlap%.2f")
+  }
+
   test("store-served decontamination: exact vs brute force at " +
     "nprobe=nlist, a subset (never an invention) at lower nprobe") {
     val base = Files.createTempDirectory("vstore-dc").toString
