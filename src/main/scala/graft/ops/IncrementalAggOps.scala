@@ -166,6 +166,80 @@ object IncrementalAggOps {
     mergeIntoAggStore(hdrFrame(delta, keys, valueCol, subBits), spark,
       basePath, keys :+ HdrBucketCol, Seq(HdrCountCol), nBuckets)
 
+  // ------------------------------------------- CMS point-frequency stores
+
+  /** Store column names of a CMS rollup: the flattened counter position
+    * (`hash_row · w + bucket`) and its count. */
+  val CmsPosCol = "__cms_p"
+  val CmsCountCol = "__cms_n"
+
+  /** The relational form of a CMS: per (keys, counter-position) counts.
+    * Positions come from [[SketchOps.cmsPositions]] (the shared
+    * `pmod(xxhash64(i, key), w)` definition), so the stored rows ARE the
+    * sketch's counters — and because counters are plain sums, the
+    * incrementally-folded store equals the one-shot sketch EXACTLY
+    * (integer equality, spec-pinned), which is precisely what
+    * [[graft.plans.AggStoreRewrite]]'s `hll` rejection note says no
+    * union-of-registers sketch can claim. */
+  private def cmsFrame(df: DataFrame, keys: Seq[String], keyCol: String,
+                       d: Int, w: Int): DataFrame =
+    df.select((keys.map(col) :+
+        posexplode(SketchOps.cmsPositions(col(keyCol).cast("string"), d, w))): _*)
+      .select((keys.map(col) :+
+        (col("pos") * w + col("col")).cast("int").as(CmsPosCol)): _*)
+      .groupBy((keys :+ CmsPosCol).map(col): _*)
+      .agg(count(lit(1)).as(CmsCountCol))
+
+  /** Build a CMS frequency rollup: point-frequency estimates for ANY
+    * key become servable from ≤ d stored rows per probe, over a store
+    * bounded by |groups|·d·w rows at any corpus size. */
+  def writeCmsStore(df: DataFrame, spark: SparkSession, basePath: String,
+                    keys: Seq[String], keyCol: String,
+                    d: Int = 4, w: Int = 16384,
+                    nBuckets: Int = 64): Unit =
+    writeAggStore(cmsFrame(df, keys, keyCol, d, w), spark, basePath,
+      keys :+ CmsPosCol, Seq(CmsCountCol), nBuckets)
+
+  /** Fold a batch in (counter sums — exact, any order). */
+  def mergeIntoCmsStore(delta: DataFrame, spark: SparkSession,
+                        basePath: String, keys: Seq[String], keyCol: String,
+                        d: Int = 4, w: Int = 16384,
+                        nBuckets: Int = 64): Unit =
+    mergeIntoAggStore(cmsFrame(delta, keys, keyCol, d, w), spark, basePath,
+      keys :+ CmsPosCol, Seq(CmsCountCol), nBuckets)
+
+  /** Retract a previously-merged batch — counters subtract exactly, so
+    * CMS inherits the sum-store's compliance-deletion path (HLL can't:
+    * register max has no inverse). */
+  def retractFromCmsStore(batch: DataFrame, spark: SparkSession,
+                          basePath: String, keys: Seq[String],
+                          keyCol: String, d: Int = 4, w: Int = 16384,
+                          nBuckets: Int = 64): Unit =
+    retractFromAggStore(cmsFrame(batch, keys, keyCol, d, w), spark, basePath,
+      keys :+ CmsPosCol, Seq(CmsCountCol), nBuckets)
+
+  /** Point-frequency estimates served FROM the store: each candidate
+    * key probes its d counter rows (left join — an absent row is a zero
+    * counter) and takes the min. `candidates` must carry the group-key
+    * columns (if any) plus `keyCol`; output is one row per distinct
+    * (group, key) with `est_n`. Estimates from an incrementally-built
+    * store equal the one-shot sketch's — counters are sums. */
+  def cmsEstimateFromStore(candidates: DataFrame, spark: SparkSession,
+                           basePath: String, keys: Seq[String],
+                           keyCol: String, d: Int = 4,
+                           w: Int = 16384): DataFrame = {
+    val store = readAggStore(spark, basePath)
+    val probes = candidates
+      .select((keys.map(col) :+ col(keyCol)): _*).distinct()
+      .select((keys.map(col) :+ col(keyCol) :+
+        posexplode(SketchOps.cmsPositions(col(keyCol).cast("string"), d, w))): _*)
+      .select((keys.map(col) :+ col(keyCol) :+
+        (col("pos") * w + col("col")).cast("int").as(CmsPosCol)): _*)
+    probes.join(store, (keys :+ CmsPosCol).toIndexedSeq, "left")
+      .groupBy((keys :+ keyCol).map(col): _*)
+      .agg(min(coalesce(col(CmsCountCol), lit(0L))).as("est_n"))
+  }
+
   /** Retract a previously-merged batch from an HDR rollup — the bucket
     * counts are sums, so deletion (compliance removals, bad-batch
     * rollback) inherits [[retractFromAggStore]]'s bucket locality; no

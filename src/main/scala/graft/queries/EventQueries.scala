@@ -989,6 +989,50 @@ object EventQueries {
         tEvents(s, dir), col("user_id"), d = 4, w = 16384)
     },
 
+    // ---- CMS as a PERSISTED, INCREMENTALLY-FOLDED store: counter rows
+    // are plain sums, so (unlike HLL, whose register-union rewrite was
+    // removed as unsound) the incrementally-built sketch equals the
+    // one-shot sketch EXACTLY — asserted here as a claim column through
+    // the real store lifecycle (80% build → 20% merge → serve), against
+    // a one-shot store built through the same API. Point estimates for
+    // any key read ≤ d stored rows; the store is bounded by d·w rows
+    // no matter the corpus. Exact counts are the hash-compared part;
+    // ge_exact / within_eps are the paper guarantees.
+    q(
+      "ev_cms_store",
+      """SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS exact_n,
+        |  TRUE AS ge_exact, TRUE AS within_eps, TRUE AS store_eq_oneshot
+        |FROM events GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      val ev = tEvents(s, dir)
+      val (d, w) = (4, 16384)
+      val baseInc = scratchDir("graft-cms-inc")
+      val baseOne = scratchDir("graft-cms-one")
+      IncrementalAggOps.writeCmsStore(
+        ev.filter(pmod(col("event_id"), lit(5)) =!= 0), s, baseInc,
+        Nil, "user_id", d, w)
+      IncrementalAggOps.mergeIntoCmsStore(
+        ev.filter(pmod(col("event_id"), lit(5)) === 0), s, baseInc,
+        Nil, "user_id", d, w)
+      IncrementalAggOps.writeCmsStore(ev, s, baseOne, Nil, "user_id", d, w)
+      val cand = ev.select("user_id")
+      val est = IncrementalAggOps.cmsEstimateFromStore(
+        cand, s, baseInc, Nil, "user_id", d, w)
+      val one = IncrementalAggOps.cmsEstimateFromStore(
+        cand, s, baseOne, Nil, "user_id", d, w)
+        .withColumnRenamed("est_n", "one_n")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      val n = ev.count()
+      val eps = math.ceil(n * math.E / w).toLong
+      est.join(one, "user_id").join(exact, "user_id")
+        .select(col("user_id").cast("string").as("key"),
+          col("exact_n"),
+          (col("est_n") >= col("exact_n")).as("ge_exact"),
+          (col("est_n") <= col("exact_n") + lit(eps)).as("within_eps"),
+          (col("est_n") === col("one_n")).as("store_eq_oneshot"))
+    },
+
     // ---- Heavy hitters PER GROUP: one MG summary per event type (the
     // sketch rides the partial-agg tree per group — state is k·|groups|
     // counters). Same hot-key derivation as ev_heavy_hitters so true

@@ -49,6 +49,47 @@ class IncrementalAggSpec extends SparkTestBase {
       s"retraction must invert the merge: $back vs $orig")
   }
 
+  test("cms store: incremental equals one-shot exactly; retract inverts; " +
+    "grouped estimates stay group-local") {
+    val df = spark.range(0, 3000)
+      .select((col("id") % 7).cast("string").as("g"),
+        (col("id") % 41).as("k")) // 41 keys, skewed across 7 groups
+    val b1 = df.filter(col("k") % 3 =!= 0)
+    val b2 = df.filter(col("k") % 3 === 0)
+    val (d, w) = (4, 512)
+    val inc = Files.createTempDirectory("cms-inc").toString
+    val one = Files.createTempDirectory("cms-one").toString
+    IncrementalAggOps.writeCmsStore(b1, spark, inc, Seq("g"), "k", d, w, 8)
+    IncrementalAggOps.mergeIntoCmsStore(b2, spark, inc, Seq("g"), "k", d, w, 8)
+    IncrementalAggOps.writeCmsStore(df, spark, one, Seq("g"), "k", d, w, 8)
+    def estAll(base: String) = IncrementalAggOps
+      .cmsEstimateFromStore(df, spark, base, Seq("g"), "k", d, w)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ei = estAll(inc)
+    val eo = estAll(one)
+    assert(ei == eo, "incremental CMS must equal the one-shot sketch exactly")
+    // the estimates obey the CMS contract vs per-group exact counts
+    val exact = df.groupBy("g", "k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exact.forall { case (key, n) => ei(key) >= n },
+      "CMS never undercounts")
+    // retraction inverts the merge: back to the b1-only estimates
+    val ref = Files.createTempDirectory("cms-ref").toString
+    IncrementalAggOps.writeCmsStore(b1, spark, ref, Seq("g"), "k", d, w, 8)
+    IncrementalAggOps.retractFromCmsStore(b2, spark, inc, Seq("g"), "k", d, w, 8)
+    assert(estAll(inc) == estAll(ref),
+      "retract must return the sketch to its pre-merge state")
+    // an unseen key in an existing group estimates near zero (bounded by
+    // collision mass), never borrows another group's counters
+    val probe = Seq(("0", 999L)).toDF("g", "k")
+    val unseen = IncrementalAggOps
+      .cmsEstimateFromStore(probe, spark, one, Seq("g"), "k", d, w)
+      .head().getLong(2)
+    val g0 = df.filter(col("g") === "0").count()
+    assert(unseen <= math.ceil(g0 * math.E / w).toLong,
+      s"unseen-key estimate $unseen exceeds the collision bound")
+  }
+
   test("a merge rewrites only the delta's buckets") {
     val base = Files.createTempDirectory("aggstore-loc").toString
     val orders = graft.queries.t(spark, sfTiny, "orders")
