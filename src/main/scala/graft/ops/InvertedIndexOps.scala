@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * into the SAME bucket layout ([[LayoutOps.appendBucketed]] re-states
   * the catalog's bucket spec, so the pruning property survives any
   * number of appends); the existing index is never rewritten.
+  *
+  * Durability contract (vs the manifest-committed vector/join stores):
+  * appends ride Spark's file-commit protocol, so a FAILED append leaves
+  * nothing visible — but there is no replay tag, so a SUCCEEDED batch
+  * re-submitted by an at-least-once orchestrator lands twice
+  * (duplicate postings, double tf). Idempotence is the caller's:
+  * dedupe batches upstream, or route document ingest through
+  * [[graft.streaming.IngestOps]] whose fingerprint-store guard is
+  * replay-safe.
   */
 object InvertedIndexOps {
 

@@ -371,6 +371,70 @@ object ScalableWindow {
       .drop(Pid, "__off", "__n")
   }
 
+  /** All four rank forms in ONE two-phase pass: one bucket stamp, one
+    * per-bucket aggregate carrying (row count, distinct-key count), and
+    * one WindowExec serving rank/dense_rank/peer-count (identical
+    * window spec → Spark fuses them) — versus 4 samples and 8 shuffles
+    * for the chained single-op calls (measured ~2.5× the wall on the
+    * gate shape). Semantics identical to [[rank]]/[[denseRank]]/
+    * [[percentRank]]/[[cumeDist]] (spec-pinned equal). */
+  def rankFamily(df: DataFrame, orderCols: Seq[String],
+                 rnk: String, drnk: String, prnk: String,
+                 cdist: String): DataFrame = {
+    val r = bucketed(df, orderCols)
+    val key = struct(orderCols.map(col): _*)
+    val agg = r.groupBy(Pid)
+      .agg(count(lit(1)).as("__c"), countDistinct(key).as("__d"))
+    val b = agg.select(col(Pid).as("__bp"), col("__c").as("__bc"),
+      col("__d").as("__bd"))
+    val carry = agg.join(b, col("__bp") < col(Pid), "left")
+      .groupBy(Pid).agg(coalesce(sum("__bc"), lit(0L)).as("__offr"),
+        coalesce(sum("__bd"), lit(0L)).as("__offd"))
+    val n = df.groupBy().agg(count(lit(1)).as("__n"))
+    val w = pidWindow(orderCols)
+    r.join(broadcast(carry), Seq(Pid), "left")
+      .crossJoin(broadcast(n))
+      .withColumn(rnk,
+        org.apache.spark.sql.functions.rank().over(w).cast("long") +
+          coalesce(col("__offr"), lit(0L)))
+      .withColumn(drnk, dense_rank().over(w).cast("long") +
+        coalesce(col("__offd"), lit(0L)))
+      .withColumn(prnk,
+        when(col("__n") > 1,
+          (col(rnk) - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn(cdist,
+        (count(lit(1)).over(w) + coalesce(col("__offr"), lit(0L)))
+          .cast("double") / col("__n").cast("double"))
+      .drop(Pid, "__offr", "__offd", "__n")
+  }
+
+  /** Global ntile(t) — SQL's remainder rule (the first `N mod t` tiles
+    * take one extra row), derived arithmetically from the two-phase
+    * [[rowNumber]] plus one broadcast total: tile boundaries are a pure
+    * function of (rn, N, t), so no second window pass is needed. */
+  def ntile(df: DataFrame, orderCols: Seq[String], t: Int,
+            out: String): DataFrame = {
+    require(t >= 1, s"ntile needs t >= 1, got $t")
+    val rn = rowNumber(df, orderCols, "__rn")
+    val n = df.groupBy().agg(count(lit(1)).as("__N"))
+    rn.crossJoin(broadcast(n))
+      .withColumn("__q", floor(col("__N") / t).cast("long"))
+      .withColumn("__r", col("__N") % t)
+      // floor-of-double division is exact below 2^53 rows — comfortably
+      // past any real N; the small tiles are counted back from the END
+      // (each exactly __q rows), which never divides by the zero __q of
+      // the N < t case (that case always takes the first branch: every
+      // rn ≤ __r = N)
+      .withColumn(out,
+        when(col("__rn") <= col("__r") * (col("__q") + 1),
+          floor((col("__rn") - 1) / (col("__q") + 1)) + 1)
+          .otherwise(lit(t.toLong) -
+            floor((col("__N") - col("__rn")) / greatest(col("__q"), lit(1L))))
+          .cast("long"))
+      .drop("__rn", "__N", "__q", "__r")
+  }
+
   /** lag(value, 1) over the global order. Bucket-first rows take the
     * last value of the nearest NON-EMPTY preceding bucket (max_by over
     * the bucket theta-join); the carry applies ONLY to the first row of

@@ -702,18 +702,29 @@ object RelationalOps {
         |WINDOW w AS (ORDER BY o_orderpriority, o_orderdate)""".stripMargin
     ) { (s, dir) =>
       import graft.ops.ScalableWindow
-      val ord = Seq("o_orderpriority", "o_orderdate")
       val base = t(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority", "o_orderdate")
-      val withAll =
-        ScalableWindow.cumeDist(
-          ScalableWindow.percentRank(
-            ScalableWindow.denseRank(
-              ScalableWindow.rank(base, ord, "rnk"),
-              ord, "drnk"),
-            ord, "prnk"),
-          ord, "cdist")
-      withAll.select("o_orderkey", "rnk", "drnk", "prnk", "cdist")
+      ScalableWindow.rankFamily(base,
+        Seq("o_orderpriority", "o_orderdate"),
+        "rnk", "drnk", "prnk", "cdist")
+        .select("o_orderkey", "rnk", "drnk", "prnk", "cdist")
+    },
+
+    // ---- W7: GLOBAL ntile on the two-phase machinery — tile ids
+    // derived arithmetically from the scalable row_number + one
+    // broadcast total (never a second window). The order includes the
+    // unique key: ntile splits PEERS across tiles by row order, so only
+    // a total order makes it deterministic — in any engine.
+    q(
+      "w7_global_ntile",
+      """SELECT o_orderkey,
+        |  CAST(NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+        |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.ScalableWindow.ntile(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_totalprice", "o_orderkey"), 7, "tile")
+        .select("o_orderkey", "tile")
     },
 
     // ---- Fixed-point-integer PageRank (beyond-reference) on the

@@ -102,6 +102,32 @@ class ScalableWindowSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))).toMap
     assert(scal == naive)
+    // the fused one-pass form computes the identical four columns
+    val fused = ScalableWindow.rankFamily(df, ord, "r", "d", "p", "c")
+      .select("o_orderkey", "r", "d", "p", "c")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(fused == naive)
+  }
+
+  test("ntile equals the native global form; N < t degenerates to rn") {
+    val w = Window.orderBy("o_totalprice", "o_orderkey")
+    val naive = orders
+      .select(col("o_orderkey"),
+        org.apache.spark.sql.functions.ntile(7).over(w).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scal = ScalableWindow.ntile(orders,
+      Seq("o_totalprice", "o_orderkey"), 7, "t")
+      .select("o_orderkey", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scal == naive)
+    // N < t: every row is its own tile, in order
+    val five = orders.orderBy("o_orderkey").limit(5)
+    val tiny = ScalableWindow.ntile(five, Seq("o_orderkey"), 13, "t")
+      .orderBy("o_orderkey").select("t")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tiny == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("rank family degenerate shapes: single row and all-equal keys") {
