@@ -64,6 +64,7 @@ object Bench {
           // loop (scratch stores, pinned checkpoint blocks) — shed the
           // cheap parts here so the timed phase starts from a clean JVM
           try {
+            graft.plans.AggStoreRegistry.clear() // see cleanup() below
             graft.queries.sweepScratch()
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(blocking = false))
@@ -128,6 +129,15 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // the MV registry must go BEFORE the scratch sweep: agg_rewrite's
+      // registration outlives its query, so (a) the sweep deletes the
+      // store files a still-registered rewrite would resolve (BENCH_r12
+      // dry run: q1_agg / agg_rewrite_rollup died PATH_NOT_FOUND), and
+      // (b) a leaked registration silently changes LATER queries' plans
+      // (q1_agg measured store-served or not depending on run order) —
+      // both instrument defects, not product ones. Verify is unaffected:
+      // it sweeps only at JVM exit.
+      graft.plans.AggStoreRegistry.clear()
       graft.queries.sweepScratch()
       System.gc()
     } catch { case _: Throwable => }

@@ -246,6 +246,74 @@ object DocStoreOps {
       .drop(OP, BUCKET)
   }
 
+  // ---------------------------------------- secondary attribute index
+
+  /** Build a secondary index over one payload attribute: postings
+    * `(attr, key)` bucket-partitioned by the ATTRIBUTE's hash, so an
+    * attribute lookup prunes to the requested values' buckets the same
+    * way a key lookup prunes the primary.
+    *
+    * The index OVER-APPROXIMATES by design: [[appendToAttrIndex]] only
+    * ever appends (an upsert adds its new posting; nothing removes the
+    * old-attribute posting or a deleted key's), and [[lookupByAttr]]
+    * READ-REPAIRS — candidate keys are fetched from the primary
+    * (bucket-pruned) and only rows whose CURRENT attribute matches
+    * survive. So correctness never depends on index freshness: the
+    * primary is truth, the index is pure pruning, and maintenance needs
+    * no pre-image lookups or cross-bucket tombstones (the costs that
+    * make synchronously-exact secondary indexes hard). Rebuild when
+    * stale mass accumulates; answers stay exact before that — lookups
+    * just touch more candidate keys. */
+  def buildAttrIndex(spark: SparkSession, storeBase: String,
+                     indexBase: String, key: String, attr: String,
+                     nBuckets: Int = 64): Unit = {
+    withBucket(readDocStore(spark, storeBase).select(col(attr), col(key)),
+      attr, nBuckets)
+      .write.mode("overwrite").partitionBy(BUCKET).parquet(indexBase)
+    spark.catalog.refreshByPath(indexBase)
+  }
+
+  /** Append a change batch's postings: upserts only (a delete leaves
+    * its stale posting for read-repair to skip — absence of the key in
+    * the primary IS the repair). */
+  def appendToAttrIndex(changes: DataFrame, spark: SparkSession,
+                        indexBase: String, key: String, attr: String,
+                        opCol: String, nBuckets: Int = 64): Unit = {
+    withBucket(changes.filter(col(opCol) === "U").select(col(attr), col(key)),
+      attr, nBuckets)
+      .write.mode("append").partitionBy(BUCKET).parquet(indexBase)
+    spark.catalog.refreshByPath(indexBase)
+  }
+
+  /** [[applyChanges]] + index posting append, the maintained pair. */
+  def applyChangesIndexed(changes: DataFrame, spark: SparkSession,
+                          storeBase: String, indexBase: String, key: String,
+                          seqCol: String, opCol: String, attr: String,
+                          nBuckets: Int = 64): Unit = {
+    applyChanges(changes, spark, storeBase, key, seqCol, opCol, nBuckets)
+    appendToAttrIndex(changes, spark, indexBase, key, attr, opCol, nBuckets)
+  }
+
+  /** Current rows whose `attr` is in `values` (a one-column DataFrame),
+    * reading only (a) the index buckets those values hash into and
+    * (b) the primary buckets the candidate keys hash into — never a
+    * store scan. The final semi join is the read-repair: a stale
+    * posting's key either no longer matches the attribute or is gone
+    * from the primary, and drops out either way. */
+  def lookupByAttr(spark: SparkSession, storeBase: String, indexBase: String,
+                   key: String, attr: String, values: DataFrame,
+                   nBuckets: Int = 64): DataFrame = {
+    val v = values.toDF(attr)
+    val buckets = withBucket(v, attr, nBuckets)
+      .select(BUCKET).distinct().collect().map(_.getInt(0))
+    val cand = spark.read.parquet(indexBase)
+      .filter(col(BUCKET).isin(buckets.toIndexedSeq: _*))
+      .join(broadcast(v), Seq(attr), "left_semi")
+      .select(key).distinct()
+    lookupKeys(spark, storeBase, cand, key, nBuckets)
+      .join(broadcast(v), Seq(attr), "left_semi")
+  }
+
   /** Single-key convenience over [[lookupKeys]]. */
   def lookup(spark: SparkSession, basePath: String, key: String,
              value: Long, nBuckets: Int = 64): DataFrame = {

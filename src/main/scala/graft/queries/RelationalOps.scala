@@ -1260,6 +1260,52 @@ object RelationalOps {
         .orderBy("doc_id")
     },
 
+    // ---- Attribute lookup through a MAINTAINED SECONDARY INDEX:
+    // postings (lang, doc_id) bucketed by lang, appended on every CDC
+    // apply, never cleaned in-line — the lookup read-repairs against
+    // the primary, so stale postings (docs whose lang changed to 'xx',
+    // deleted docs) prune away instead of corrupting results. The
+    // CDC wave guarantees stale postings EXIST at query time; the
+    // oracle recomputes the LWW current state and filters — equal
+    // hashes prove the index+repair path returns exactly the current
+    // matches, nothing resurrected, nothing lost.
+    q(
+      "store_attr_lookup",
+      """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |rows_all AS (
+        |  SELECT doc_id, lang, source, n_chars, doc_id*10 AS seq, 'U' AS op
+        |  FROM d WHERE doc_id % 4 <> 3
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+5, 'U'
+        |  FROM d WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id, 'xx', source, n_chars+1000, doc_id*10+7, 'U'
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang, source, n_chars, doc_id*10+9, 'D'
+        |  FROM d WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, 'stale', source, n_chars, doc_id*10-5, 'U'
+        |  FROM d WHERE doc_id % 13 = 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY seq DESC, (op = 'D') DESC) AS rn FROM rows_all)
+        |SELECT doc_id, lang, source, n_chars FROM w
+        |WHERE rn = 1 AND op <> 'D' AND lang IN ('xx', 'de')""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.DocStoreOps
+      val base = scratchDir("graft-docstore-ai")
+      val idx = scratchDir("graft-docstore-ai-idx")
+      val docs = tDocs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      DocStoreOps.writeDocStore(
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .withColumn("seq", col("doc_id") * 10),
+        s, base, "doc_id", "seq", nBuckets = 16)
+      DocStoreOps.buildAttrIndex(s, base, idx, "doc_id", "lang", 16)
+      DocStoreOps.applyChangesIndexed(cdcBatch1(docs), s, base, idx,
+        "doc_id", "seq", "op", "lang", 16)
+      import s.implicits._
+      DocStoreOps.lookupByAttr(s, base, idx, "doc_id", "lang",
+          Seq("xx", "de").toDF("lang"), 16)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ---- Time travel (beyond-reference): copy-on-write snapshots over
     // the CDC store (VersionedStoreOps) — each apply writes ONLY its
     // touched buckets under a new v=N dir; prior versions share every

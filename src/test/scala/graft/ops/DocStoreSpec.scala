@@ -117,6 +117,39 @@ class DocStoreSpec extends SparkTestBase {
       s"expected only $touched's $dirFiles file(s) scanned, got $scanned")
   }
 
+  test("attr index: stale postings read-repair away; lookups prune both " +
+    "the index and the primary") {
+    val base = Files.createTempDirectory("docstore-ai").toString
+    val idx = Files.createTempDirectory("docstore-ai-idx").toString
+    val store = Seq(
+      (1L, "red", 10L), (2L, "red", 10L), (3L, "blue", 10L), (4L, "blue", 10L)
+    ).toDF("k", "v", "seq")
+    DocStoreOps.writeDocStore(store, spark, base, "k", "seq", 8)
+    DocStoreOps.buildAttrIndex(spark, base, idx, "k", "v", 8)
+    // wave: key 1 red→blue (stale 'red' posting), key 2 deleted (stale
+    // posting), key 5 inserted blue
+    val wave = Seq(
+      CdcChange(1L, "blue", 20L, "U"),
+      CdcChange(2L, "red", 20L, "D"),
+      CdcChange(5L, "blue", 20L, "U")).toDF("k", "v", "seq", "op")
+    DocStoreOps.applyChangesIndexed(wave, spark, base, idx,
+      "k", "seq", "op", "v", 8)
+    def byAttr(vs: String*): Set[Long] =
+      DocStoreOps.lookupByAttr(spark, base, idx, "k", "v",
+        vs.toDF("v"), 8).select("k").collect().map(_.getLong(0)).toSet
+    assert(byAttr("blue") == Set(1L, 3L, 4L, 5L),
+      "new postings found; moved key under its new attr")
+    assert(byAttr("red") == Set.empty[Long],
+      "stale postings (moved key, deleted key) must repair away")
+    // the index side carries a bucket partition filter
+    val df = DocStoreOps.lookupByAttr(spark, base, idx, "k", "v",
+      Seq("blue").toDF("v"), 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"),
+      s"attr lookup must prune index buckets:\n${plan.take(1200)}")
+  }
+
   test("a batch may widen the schema; pre-evolution rows read as null") {
     val base = Files.createTempDirectory("docstore-evolve").toString
     DocStoreOps.writeDocStore(
