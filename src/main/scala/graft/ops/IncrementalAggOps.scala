@@ -200,7 +200,10 @@ object IncrementalAggOps {
     writeAggStore(cmsFrame(df, keys, keyCol, d, w), spark, basePath,
       keys :+ CmsPosCol, Seq(CmsCountCol), nBuckets)
 
-  /** Fold a batch in (counter sums — exact, any order). */
+  /** Fold a batch in (counter sums — exact, any order). Like every
+    * agg-store merge this is a FOLD, not an upsert: a replayed batch
+    * double-counts, so at-least-once streams need upstream idempotence
+    * (the manifest-tagged stores' replay guard has no analog here). */
   def mergeIntoCmsStore(delta: DataFrame, spark: SparkSession,
                         basePath: String, keys: Seq[String], keyCol: String,
                         d: Int = 4, w: Int = 16384,

@@ -1009,13 +1009,17 @@ object EventQueries {
       val (d, w) = (4, 16384)
       val baseInc = scratchDir("graft-cms-inc")
       val baseOne = scratchDir("graft-cms-one")
+      // gate-fixture buckets (8): per-bucket writer init dominates a
+      // 3-store-write query at sf scale (the dedup_incremental lesson);
+      // results are bucket-count-independent
       IncrementalAggOps.writeCmsStore(
         ev.filter(pmod(col("event_id"), lit(5)) =!= 0), s, baseInc,
-        Nil, "user_id", d, w)
+        Nil, "user_id", d, w, nBuckets = 8)
       IncrementalAggOps.mergeIntoCmsStore(
         ev.filter(pmod(col("event_id"), lit(5)) === 0), s, baseInc,
-        Nil, "user_id", d, w)
-      IncrementalAggOps.writeCmsStore(ev, s, baseOne, Nil, "user_id", d, w)
+        Nil, "user_id", d, w, nBuckets = 8)
+      IncrementalAggOps.writeCmsStore(ev, s, baseOne, Nil, "user_id", d, w,
+        nBuckets = 8)
       val cand = ev.select("user_id")
       val est = IncrementalAggOps.cmsEstimateFromStore(
         cand, s, baseInc, Nil, "user_id", d, w)
