@@ -305,6 +305,49 @@ object ScaleStress {
     require(vDelRatio < MaxRatio,
       s"vector-store delete super-linearithmic: ratio $vDelRatio")
 
+    // --- PQ-tier store: the 32x-compressed layout must keep the float
+    // tier's growth shape — append delta-bounded, probe-pruned search
+    // tracking the probed-cell volume — with decode riding only the
+    // pruned scan. Same frozen centroids as the float stores; the
+    // codebook is frozen too (appends encode against it).
+    val pqCb = SimilarityOps.pqCodebooks(emb, dim = 64)
+      .localCheckpoint(true)
+    def buildPq(k: Int): Unit =
+      VectorStoreOps.writeVectorStore(scaledEmb(k), spark, s"$vsBase/pq$k",
+        vCents, pqCodebook = Some(pqCb))
+    def pqIngest(k: Int): Long = {
+      VectorStoreOps.appendToVectorStore(vDelta, spark, s"$vsBase/pq$k")
+      vDelta.count()
+    }
+    def pqSearch(k: Int): Long =
+      VectorStoreOps.searchStore(vQueries, spark, s"$vsBase/pq$k",
+        k = 10, nprobe = 4).count()
+    buildPq(1); buildPq(10)
+    pqSearch(1) // warmup: PqCodes/PqReconstruct codegen outside the clock
+    val (tpi1, _) = time(pqIngest(1))
+    val (tpi10, _) = time(pqIngest(10))
+    val (tps1, _) = time(pqSearch(1))
+    val (tps10, _) = time(pqSearch(10))
+    val pqIngestRatio = tpi10 / math.max(tpi1, 1e-9)
+    val pqSearchRatio = tps10 / math.max(tps1, 1e-9)
+    println(f"[scale-stress] pqstore ingest      k=1: $tpi1%6.2fs  " +
+      f"k=10: $tpi10%6.2fs  ratio $pqIngestRatio%5.2f")
+    println(f"[scale-stress] pqstore search      k=1: $tps1%6.2fs  " +
+      f"k=10: $tps10%6.2fs  ratio $pqSearchRatio%5.2f  " +
+      f"(float k=10: $tvs10%6.2fs)")
+    val pqJson =
+      s"""{"op":"vectorStorePq","ingest1_sec":${fmt(tpi1, 3)},"ingest10_sec":${fmt(tpi10, 3)},"ingest_ratio":${fmt(pqIngestRatio, 2)},"search1_sec":${fmt(tps1, 3)},"search10_sec":${fmt(tps10, 3)},"search_ratio":${fmt(pqSearchRatio, 2)},"float_search10_sec":${fmt(tvs10, 3)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_pqstore.json"),
+      (pqJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(pqIngestRatio < 3.0,
+      s"pq-store ingest grew with the corpus: ratio $pqIngestRatio")
+    require(pqSearchRatio < MaxRatio,
+      s"pq-store search super-linearithmic: ratio $pqSearchRatio")
+    // decode-at-scan must not forfeit the byte savings: stay within 2x
+    // of the float tier's same-k search (measured pre-delete)
+    require(tps10 < tvs10 * 2.0,
+      s"pq search ($tps10 s) lost badly to float search ($tvs10 s)")
+
     // --- inverted index: same contract as the other stores — ingest is
     // postings-of-the-delta only, search is bucket-pruned so a fixed
     // query's cost grows with matching postings (~linear), never with
@@ -345,6 +388,33 @@ object ScaleStress {
       s"""{"op":"textIndex","ingest1_sec":${fmt(tii1, 3)},"ingest10_sec":${fmt(tii10, 3)},"ingest_ratio":${fmt(idxIngestRatio, 2)},"search1_sec":${fmt(tis1, 3)},"search10_sec":${fmt(tis10, 3)},"search_ratio":${fmt(idxSearchRatio, 2)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_tindex.json"),
       (idxJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // --- BM25 scored index: ranked retrieval keeps the conjunctive
+    // search's growth shape — the query terms' posting mass is FIXED
+    // (copy-0 vocabulary), df comes off the same pruned scan, corpus
+    // stats off the summed one-row-per-commit table, so only the
+    // pruned buckets' dictionary-filtered scan grows with the corpus.
+    def buildBm(k: Int): Unit =
+      InvertedIndexOps.writeScoredIndex(scaled(k), spark, s"ss_bm25_$k",
+        s"$fpBase/bm25$k")
+    def bmSearch(k: Int): Long =
+      InvertedIndexOps.searchBm25(spark, s"ss_bm25_$k",
+        Seq("c0batch", "c0scan", "c0hash"), topK = 50).count()
+    buildBm(1); buildBm(10)
+    bmSearch(1) // warmup
+    val (tbs1, nbs1) = time(bmSearch(1))
+    val (tbs10, nbs10) = time(bmSearch(10))
+    val bmRatio = tbs10 / math.max(tbs1, 1e-9)
+    println(f"[scale-stress] bm25 search         k=1: $tbs1%6.2fs ($nbs1 docs)  " +
+      f"k=10: $tbs10%6.2fs ($nbs10 docs)  ratio $bmRatio%5.2f")
+    require(nbs1 == nbs10,
+      s"fixed bm25 query must rank the same docs: $nbs1 vs $nbs10")
+    require(bmRatio < MaxRatio,
+      s"bm25 search super-linearithmic: ratio $bmRatio")
+    val bmJson =
+      s"""{"op":"bm25Search","t1_sec":${fmt(tbs1, 3)},"rows1":$nbs1,"t10_sec":${fmt(tbs10, 3)},"rows10":$nbs10,"ratio":${fmt(bmRatio, 2)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_bm25.json"),
+      (bmJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // --- HLL rollup store: ingest appends only the BATCH's cells (never
     // reads the store — flat by construction, measured anyway), and a
