@@ -199,6 +199,54 @@ object MultimodalOps {
     }(enc)
   }
 
+  private val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** Difference-hash (dHash) perceptual fingerprint: decode, per-pixel
+    * brightness as the CHANNEL SUM (division-free — strictly
+    * order-equivalent to the mean, so any engine replicates it in exact
+    * integers), one bit per horizontally-adjacent strict increase,
+    * packed row-major ((w−1)·h bits; requires (w−1)·h ≤ 64). The hash
+    * is invariant to global brightness shifts — adding a constant to
+    * every channel preserves every comparison — which is what makes
+    * re-encoded or exposure-nudged copies of an image COLLIDE to one
+    * fingerprint while distinct images scatter: grouping by `dhash` is
+    * image-level near-dedup the way MinHash banding is text-level.
+    * Near-misses (1–2 bit flips) extend via the SimHash machinery
+    * (hamming-ball probing) — same fingerprint column, different
+    * grouping. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        JvmMediaCodec.decodeAnyImage(r.getAs[Array[Byte]](1)).map { img =>
+          require((img.width - 1) * img.height <= 64,
+            s"dhash needs (w-1)*h <= 64 bits, got ${img.width}x${img.height}" +
+              " — resize first (resizeNearest)")
+          def gray(x: Int, y: Int): Int = {
+            val base = (y * img.width + x) * img.channels
+            var s = 0; var c = 0
+            while (c < img.channels) { s += img.raster(base + c) & 0xff; c += 1 }
+            s
+          }
+          var h = 0L
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width - 1) {
+              if (gray(x + 1, y) > gray(x, y))
+                h |= 1L << (y * (img.width - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), h)
+        }
+      }
+    }(enc)
+  }
+
   private val pngStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", LongType, nullable = false),

@@ -755,6 +755,61 @@ object EventQueries {
         resizeTo = Some((4, 4)))
     },
 
+    // ---- Perceptual image dedup (dHash) under the oracle: docs sharing
+    // doc_id % 100 get the SAME md5-derived base raster, each copy
+    // brightness-shifted by doc_id % 3 (+0..2 on every byte — hex-char
+    // bytes 48..102 never saturate). Spark decodes the PERTURBED P6
+    // through the real parser and dHashes it; DuckDB dHashes the BASE
+    // raster arithmetically — equal group hashes prove the fingerprint's
+    // brightness invariance held through the real decode on every image,
+    // and that grouping by it recovers exactly the planted dup groups.
+    q(
+      "mm_dhash_dedup",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id % 100 AS VARCHAR) || '-0') || md5(CAST(doc_id % 100 AS VARCHAR) || '-1') ||
+        |    md5(CAST(doc_id % 100 AS VARCHAR) || '-2') || md5(CAST(doc_id % 100 AS VARCHAR) || '-3') ||
+        |    md5(CAST(doc_id % 100 AS VARCHAR) || '-4') || md5(CAST(doc_id % 100 AS VARCHAR) || '-5') AS ras
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, (p // 8) AS y, (p % 8) AS x,
+        |    ord(substr(ras, CAST((p * 3) + 1 AS INT), 1)) +
+        |    ord(substr(ras, CAST((p * 3) + 2 AS INT), 1)) +
+        |    ord(substr(ras, CAST((p * 3) + 3 AS INT), 1)) AS g
+        |  FROM m, UNNEST(GENERATE_SERIES(0, 63)) AS t(p)
+        |), bits AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN b.g > a.g
+        |      THEN (CAST(1 AS BIGINT) << (a.y * 7 + a.x)) ELSE 0 END) AS BIGINT) AS dh
+        |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |  GROUP BY 1
+        |)
+        |SELECT dh AS dhash, COUNT(*) AS n_dups, MIN(doc_id) AS first_id,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM bits GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
+    ) { (s, dir) =>
+      val docs = tDocs(s, dir)
+      val header = lit("P6\n8 8\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val seedS = (col("doc_id") % 100).cast("string")
+      val base = concat((0 to 5).map(k =>
+        md5(concat(seedS, lit(s"-$k")))): _*)
+      val shift = (col("doc_id") % 3).cast("int")
+      val pert = array_join(transform(
+        filter(split(base, ""), c => c =!= ""),
+        c => call_function("chr", ascii(c) + shift)), "")
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        concat(header, pert.cast("binary")).as("payload"))
+      MultimodalOps.imageDHash(media)
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_dups"),
+          min("media_id").as("first_id"),
+          sum("media_id").as("id_sum"))
+        .filter(col("n_dups") >= 2)
+        .orderBy("dhash")
+    },
+
     // ---- PNG encode→decode round-trip under the oracle: the md5-derived
     // 8×8 raster goes PPM-parse → REAL JDK PNG writer → REAL JDK PNG
     // reader; the decoded raster's channel sums and position-weighted

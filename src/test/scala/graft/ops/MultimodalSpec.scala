@@ -114,6 +114,30 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("dHash: brightness-shift invariant, content-sensitive, resize-gated") {
+    def ppm(bytes: Array[Int]): Array[Byte] =
+      ("P6\n8 8\n255\n".getBytes("US-ASCII") ++ bytes.map(_.toByte))
+    val base = Array.tabulate(192)(i => 40 + (i * 37) % 150)
+    val brighter = base.map(_ + 20) // +20 on every channel, no saturation
+    val edited = base.clone(); edited(5) = 255; edited(20) = 0 // real change
+    val df = Seq(
+      (1L, ppm(base)), (2L, ppm(brighter)), (3L, ppm(edited))
+    ).toDF("media_id", "payload")
+    val h = MultimodalOps.imageDHash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "global brightness shift must not change dHash")
+    assert(h(1L) != h(3L), "edited pixels must change dHash")
+    // oversized rasters refuse loudly instead of truncating the hash
+    val big = ("P6\n16 16\n255\n".getBytes("US-ASCII") ++
+      Array.fill(16 * 16 * 3)(7.toByte))
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.imageDHash(
+        Seq((9L, big)).toDF("media_id", "payload")).collect()
+    }
+    assert(err.getMessage.contains("dhash") ||
+      Option(err.getCause).exists(_.getMessage.contains("dhash")))
+  }
+
   test("resize caps dimensions without touching payloads") {
     val out = MultimodalOps.resize(media, 320, 240)
     assert(out.filter($"meta.width" > 320 || $"meta.height" > 240).count() == 0)
