@@ -810,6 +810,44 @@ object EventQueries {
         .orderBy("dhash")
     },
 
+    // ---- Perceptual AUDIO dedup (envelope hash) under the oracle — the
+    // WAV sibling of mm_dhash_dedup: docs sharing doc_id % 100 get the
+    // same integer-recurrence clip at a volume scaled by doc_id % 3.
+    // Spark routes the SCALED samples through the real RIFF encoder and
+    // parser and hashes adjacent-frame loudness comparisons; DuckDB
+    // hashes the UNSCALED recurrence arithmetically — equal group
+    // hashes prove volume invariance through the real codec and exact
+    // recovery of the planted groups.
+    q(
+      "mm_ahash_dedup",
+      """WITH g AS (
+        |  SELECT doc_id, (k // 8) AS f,
+        |    ABS(((doc_id % 100) * 31 + k) * ((doc_id % 100) * 7 + k + 1)
+        |        % 16001 - 8000) AS a
+        |  FROM documents, UNNEST(GENERATE_SERIES(0, 255)) AS t(k)
+        |), e AS (
+        |  SELECT doc_id, f, CAST(SUM(a) AS BIGINT) AS en FROM g GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN b.en > a.en
+        |      THEN (CAST(1 AS BIGINT) << a.f) ELSE 0 END) AS BIGINT) AS ah
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  GROUP BY 1
+        |)
+        |SELECT ah AS ahash, COUNT(*) AS n_dups, MIN(doc_id) AS first_id,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM bits GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
+    ) { (s, dir) =>
+      val media = MultimodalOps.wavNearDupTable(tDocs(s, dir), seedMod = 100)
+      MultimodalOps.audioEnvelopeHash(media)
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_dups"),
+          min("media_id").as("first_id"),
+          sum("media_id").as("id_sum"))
+        .filter(col("n_dups") >= 2)
+        .orderBy("ahash")
+    },
+
     // ---- PNG encode→decode round-trip under the oracle: the md5-derived
     // 8×8 raster goes PPM-parse → REAL JDK PNG writer → REAL JDK PNG
     // reader; the decoded raster's channel sums and position-weighted

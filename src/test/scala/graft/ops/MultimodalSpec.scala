@@ -138,6 +138,33 @@ class MultimodalSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("dhash")))
   }
 
+  test("ahash: volume-invariant, content-sensitive, short clips refuse") {
+    def wav(samples: Array[Short]): Array[Byte] =
+      JvmMediaCodec.encodeWav(JvmMediaCodec.Pcm(16000, 1, samples))
+    val base = Array.tabulate[Short](256)(k =>
+      (((7 * 31 + k) * (7 * 7 + k + 1)) % 16001 - 8000).toShort)
+    val louder = base.map(s => (s * 3).toShort)
+    val edited = base.clone()
+    // reshape the middle of the envelope: frames 5..20 silenced except a
+    // loud frame 10 — forces a strict peak where base had ramp structure
+    (40 until 168).foreach(i => edited(i) = 0)
+    (80 until 88).foreach(i => edited(i) = 30000)
+    val df = Seq(
+      (1L, wav(base)), (2L, wav(louder)), (3L, wav(edited))
+    ).toDF("media_id", "payload")
+    val h = MultimodalOps.audioEnvelopeHash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "volume scaling must not change the envelope hash")
+    assert(h(1L) != h(3L), "an edited frame must change the envelope hash")
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioEnvelopeHash(
+        Seq((9L, wav(Array.fill[Short](8)(5)))).toDF("media_id", "payload"))
+        .collect()
+    }
+    assert(err.getMessage.contains("ahash") ||
+      Option(err.getCause).exists(_.getMessage.contains("ahash")))
+  }
+
   test("resize caps dimensions without touching payloads") {
     val out = MultimodalOps.resize(media, 320, 240)
     assert(out.filter($"meta.width" > 320 || $"meta.height" > 240).count() == 0)
