@@ -216,35 +216,91 @@ object MultimodalOps {
     * Near-misses (1–2 bit flips) extend via the SimHash machinery
     * (hamming-ball probing) — same fingerprint column, different
     * grouping. */
+  private def dHashOf(img: JvmMediaCodec.Image): Long = {
+    require((img.width - 1) * img.height <= 64,
+      s"dhash needs (w-1)*h <= 64 bits, got ${img.width}x${img.height}" +
+        " — resize first (resizeNearest)")
+    def gray(x: Int, y: Int): Int = {
+      val base = (y * img.width + x) * img.channels
+      var s = 0; var c = 0
+      while (c < img.channels) { s += img.raster(base + c) & 0xff; c += 1 }
+      s
+    }
+    var h = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width - 1) {
+        if (gray(x + 1, y) > gray(x, y))
+          h |= 1L << (y * (img.width - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   def imageDHash(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(dhashSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
-        JvmMediaCodec.decodeAnyImage(r.getAs[Array[Byte]](1)).map { img =>
-          require((img.width - 1) * img.height <= 64,
-            s"dhash needs (w-1)*h <= 64 bits, got ${img.width}x${img.height}" +
-              " — resize first (resizeNearest)")
-          def gray(x: Int, y: Int): Int = {
-            val base = (y * img.width + x) * img.channels
-            var s = 0; var c = 0
-            while (c < img.channels) { s += img.raster(base + c) & 0xff; c += 1 }
-            s
-          }
-          var h = 0L
-          var y = 0
-          while (y < img.height) {
-            var x = 0
-            while (x < img.width - 1) {
-              if (gray(x + 1, y) > gray(x, y))
-                h |= 1L << (y * (img.width - 1) + x)
-              x += 1
-            }
-            y += 1
-          }
-          Row(r.getLong(0), h)
-        }
+        JvmMediaCodec.decodeAnyImage(r.getAs[Array[Byte]](1))
+          .map(img => Row(r.getLong(0), dHashOf(img)))
       }
     }(enc)
+  }
+
+  private val clipHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** Per-frame dHash of a concatenated-P6 clip: walk the frame stream
+    * with the real parser, one (media_id, frame_idx, dhash) row per
+    * frame — the clip's bag-of-frame-fingerprints. */
+  def clipFrameHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(clipHashSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var off = 0
+        var idx = 0L
+        var more = true
+        while (more) {
+          JvmMediaCodec.decodeImageAt(payload, off) match {
+            case Some((img, next)) =>
+              out += Row(r.getLong(0), idx, dHashOf(img))
+              off = next; idx += 1
+            case None => more = false
+          }
+        }
+        out
+      }
+    }(enc)
+  }
+
+  /** Clip-level near-dup from frame fingerprints: pairs of clips
+    * sharing ≥ `minShared` DISTINCT frame hashes — robust to trimming
+    * and re-ordering the way whole-payload hashing isn't, because the
+    * clip is matched as a BAG of frames. The join is an equi-join on
+    * the fingerprint; `maxDf` drops boilerplate frames first (intro
+    * cards, black frames — the stop-gram guard of the video world: a
+    * frame in everything would otherwise quadratically pair everything),
+    * mirroring jaccardPairs' `maxDf`. */
+  def clipNearDups(frameHashes: DataFrame, minShared: Int,
+                   maxDf: Int = 64): DataFrame = {
+    val fh = frameHashes.select("media_id", "dhash").distinct()
+    val keep = fh.groupBy("dhash").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("dhash")
+    val kept = fh.join(keep, "dhash")
+    val a = kept.select(col("dhash"), col("media_id").as("id_a"))
+    val b = kept.select(col("dhash"), col("media_id").as("id_b"))
+    a.join(b, "dhash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   private val pngStatsSchema: StructType = StructType(Seq(

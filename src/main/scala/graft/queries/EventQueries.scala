@@ -848,6 +848,67 @@ object EventQueries {
         .orderBy("ahash")
     },
 
+    // ---- CLIP near-dup from frame fingerprints under the oracle — the
+    // video modality's dedup: every doc is an 8-frame concatenated-P6
+    // clip whose content frames slide over a shared pool (start =
+    // doc_id % 50, so nearby starts overlap 6-7 frames) behind a
+    // common intro-card frame in EVERY clip. Spark walks the stream
+    // with the real parser, dHashes each frame, drops boilerplate by
+    // document frequency (the intro card — without maxDf it would pair
+    // all 500 clips quadratically), and pairs clips sharing ≥ 6
+    // fingerprints; DuckDB re-derives every frame hash arithmetically
+    // and runs the same bag-of-frames join. Equal hashes pin the frame
+    // walker, the per-frame fingerprints, the boilerplate guard and
+    // the containment threshold at once.
+    q(
+      "mm_vdup_pairs",
+      """WITH fr AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN j = 0 THEN 9999 ELSE doc_id % 50 + j END AS p
+        |  FROM documents, UNNEST(GENERATE_SERIES(0, 7)) AS t(j)
+        |), m AS (
+        |  SELECT doc_id, j,
+        |    md5(CAST(p AS VARCHAR) || '-0') || md5(CAST(p AS VARCHAR) || '-1') ||
+        |    md5(CAST(p AS VARCHAR) || '-2') || md5(CAST(p AS VARCHAR) || '-3') ||
+        |    md5(CAST(p AS VARCHAR) || '-4') || md5(CAST(p AS VARCHAR) || '-5') AS ras
+        |  FROM fr
+        |), gr AS (
+        |  SELECT doc_id, j, (q // 8) AS y, (q % 8) AS x,
+        |    ord(substr(ras, CAST((q * 3) + 1 AS INT), 1)) +
+        |    ord(substr(ras, CAST((q * 3) + 2 AS INT), 1)) +
+        |    ord(substr(ras, CAST((q * 3) + 3 AS INT), 1)) AS g
+        |  FROM m, UNNEST(GENERATE_SERIES(0, 63)) AS t(q)
+        |), bits AS (
+        |  SELECT a.doc_id, a.j,
+        |    CAST(SUM(CASE WHEN b.g > a.g
+        |      THEN (CAST(1 AS BIGINT) << (a.y * 7 + a.x)) ELSE 0 END) AS BIGINT) AS dh
+        |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.j = a.j
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7 GROUP BY 1, 2
+        |), fh AS (SELECT DISTINCT doc_id, dh FROM bits
+        |), keep AS (SELECT dh FROM fh GROUP BY 1 HAVING COUNT(*) <= 100
+        |), kk AS (SELECT fh.doc_id, fh.dh FROM fh JOIN keep USING (dh))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM kk a JOIN kk b ON a.dh = b.dh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 6""".stripMargin
+    ) { (s, dir) =>
+      val header = lit("P6\n8 8\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      def ras(p: org.apache.spark.sql.Column) = concat((0 to 5).map(k =>
+        md5(concat(p.cast("string"), lit(s"-$k")))): _*).cast("binary")
+      val frames = (0 to 7).map { j =>
+        val p: org.apache.spark.sql.Column =
+          if (j == 0) lit(9999) else pmod(col("doc_id"), lit(50)) + lit(j)
+        concat(header, ras(p))
+      }
+      val media = tDocs(s, dir)
+        .select(col("doc_id").cast("long").as("media_id"),
+          concat(frames: _*).as("payload"))
+      MultimodalOps.clipNearDups(
+        MultimodalOps.clipFrameHashes(media), minShared = 6, maxDf = 100)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- PNG encode→decode round-trip under the oracle: the md5-derived
     // 8×8 raster goes PPM-parse → REAL JDK PNG writer → REAL JDK PNG
     // reader; the decoded raster's channel sums and position-weighted

@@ -165,6 +165,33 @@ class MultimodalSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("ahash")))
   }
 
+  test("clip near-dup: trim-robust, boilerplate-guarded, order-insensitive") {
+    def frame(seed: Int): Array[Byte] = {
+      val ras = Array.tabulate(192)(i => (40 + (i * 31 + seed * 97) % 160).toByte)
+      "P6\n8 8\n255\n".getBytes("US-ASCII") ++ ras
+    }
+    def clip(seeds: Seq[Int]): Array[Byte] =
+      seeds.flatMap(frame).toArray
+    val intro = 999
+    val df = Seq(
+      (1L, clip(intro +: (0 to 6))),          // full clip
+      (2L, clip(intro +: (2 to 6))),          // clip 1 trimmed by 2 frames
+      (3L, clip((6 to 0 by -1).map(identity) :+ intro)), // re-ordered copy of 1
+      (4L, clip(intro +: (20 to 26)))         // unrelated content
+    ).toDF("media_id", "payload")
+    val fh = MultimodalOps.clipFrameHashes(df)
+    assert(fh.filter(col("media_id") === 1L).count() == 8,
+      "the walker must emit one row per concatenated frame")
+    val pairs = MultimodalOps.clipNearDups(fh, minShared = 5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // intro frame appears in all 4 clips: df=4 > 3 → guarded away, so
+    // it never contributes a shared count
+    assert(pairs.get((1L, 2L)).contains(5L), s"trimmed copy must pair: $pairs")
+    assert(pairs.get((1L, 3L)).contains(7L), s"re-ordered copy must pair: $pairs")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      s"unrelated clips must not pair: $pairs")
+  }
+
   test("resize caps dimensions without touching payloads") {
     val out = MultimodalOps.resize(media, 320, 240)
     assert(out.filter($"meta.width" > 320 || $"meta.height" > 240).count() == 0)
