@@ -319,4 +319,47 @@ class PlanQualitySpec extends SparkTestBase {
         s"$q must not nest-loop:\n$p")
     }
   }
+
+  test("round-12 tier: ranked windows partitioned, store paths pruned, " +
+    "dedup joins equi-keyed") {
+    // cms store / perceptual dedup / attr lookup: no data-sized nested
+    // loop anywhere, and the store-backed paths carry pruning into
+    // scans. Excluded from the no-BNLJ sweep with cause: w6/w7 (the
+    // two-phase windows' carry join is a theta join over the BOUNDED
+    // bucket-aggregate frame — ≤ 4·shuffle.partitions rows — where a
+    // broadcast nested loop is the right plan; window-partitioning
+    // asserted below instead) and text_bm25 (its corpus stats are a
+    // ONE-ROW broadcast crossJoin, the a_corr/ev_cms exception class;
+    // its pruning is asserted below).
+    Seq("ev_cms_store",
+      "mm_dhash_dedup", "mm_ahash_dedup", "mm_vdup_pairs",
+      "store_attr_lookup").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfTiny)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not nest-loop:\n$p")
+    }
+    // no partition-less window in the rank-family plan (the tie-heavy
+    // global order MUST ride the two-phase bucket machinery: every
+    // windowspec leads with the bucket id, never with the order column)
+    val w6 = SparkEntry.queries("w6_rank_family")(spark, sfTiny)
+    w6.collect()
+    val w6p = w6.queryExecution.executedPlan.toString
+    assert(w6p.contains("Window"), w6p)
+    assert(!w6p.contains("windowspecdefinition(o_orderpriority"),
+      "rank-family window must be partitioned by the bucket id")
+    // the attr-index lookup prunes BOTH sides on their bucket columns
+    val al = SparkEntry.queries("store_attr_lookup")(spark, sfTiny)
+    al.collect()
+    assert(al.queryExecution.executedPlan.toString.contains("__bucket"),
+      "attr lookup must prune bucket partitions")
+    // bm25's postings scan is bucket-pruned (SelectedBucketsCount)
+    val bm = SparkEntry.queries("text_bm25")(spark, sfTiny)
+    bm.collect()
+    assert(bm.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount"),
+      "bm25 must bucket-prune the postings scan")
+  }
 }
