@@ -287,6 +287,53 @@ object CurationOps {
           expr("__cum div 512").as("seq_id")) // integer div: float floor drifts past 2^53 cumulative tokens
     },
 
+    // Length-SORTED batching — the padding-efficiency sibling of
+    // pack_sequences: docs ordered globally by (token count DESC, id)
+    // and cut into batches by running token budget, so each batch holds
+    // similar-length docs and the padding bill (max·n − sum a trainer
+    // actually pays for unpacked batches) stays small. The global order
+    // and running sum both ride the two-phase ScalableWindow — at
+    // 100 TB there is no single-partition sort anywhere in the plan.
+    // The per-batch padded_tokens column IS the efficiency metric,
+    // hash-pinned.
+    q(
+      "pack_batches",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(CAST(SUM(n_tokens) OVER
+        |      (ORDER BY n_tokens DESC, doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) // 512 AS batch_id
+        |  FROM tk
+        |)
+        |SELECT batch_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+        |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+        |    AS padded_tokens
+        |FROM b GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      val tk = tDocs(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        // descending token order through the ascending two-phase
+        // machinery: negate the leading key (ties broken by id)
+        .withColumn("__neg", -col("n_tokens"))
+      ScalableWindow
+        .prefixSumExclusive(tk, Seq("__neg", "doc_id"), col("n_tokens"),
+          "__cum")
+        .withColumn("batch_id", expr("__cum div 512"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("batch_tokens"),
+          (max("n_tokens") * count(lit(1)) - sum("n_tokens"))
+            .as("padded_tokens"))
+        .orderBy("batch_id")
+    },
+
     // The FULL curation run composed in one query: quality gate
     // (length + repetition) → near-dup CLUSTER dedup (survivors only,
     // via the connected-component assignment) → deterministic train

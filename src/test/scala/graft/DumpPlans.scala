@@ -19,7 +19,12 @@ object DumpPlans {
       "dedup_jaccard", "dedup_emblsh", "ann_ivf", "bam_check_blocks",
       "p2_interval_filter", "pack_sequences", "sample_per_source",
       "emb_centroids", "tfidf_terms", "ev_spike",
-      "ev_hdr_quantile").foreach { name =>
+      "ev_hdr_quantile",
+      // r12 flagships: fused rank family (one WindowExec, bucket-keyed),
+      // bm25 (bucket-pruned postings scan), pq ADC (codes-only corpus
+      // pass), perceptual clip dedup (df-guarded equi-join)
+      "w6_rank_family", "text_bm25", "ann_pq_adc",
+      "mm_vdup_pairs").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       out ++= s"## $name\n\n```\n"
