@@ -335,6 +335,60 @@ object SimilarityOps {
         col("__m.cos").as("cos"))
   }
 
+  // ---------------------------------------------- feature-hash embedding
+
+  /** The hashing trick: embed raw text as a `dim`-wide vector of
+    * signed token votes — bucket = token-hash mod dim, sign = one hash
+    * bit, vector[b] = Σ signs. No model, no vocabulary, fully
+    * deterministic, and the votes are exact integers, so the embedding
+    * is bit-replicable by any engine. Cosine over hash embeddings
+    * approximates token-multiset similarity, which makes every
+    * downstream vector operator (brute/LSH/IVF/PQ search, the IVF
+    * store, embedding near-dup) runnable on a TEXT corpus with no
+    * external embedder — the cheap end-to-end path, and the plumbing
+    * proof for the real-model one. Vectors are unnormalized (cosine is
+    * scale-invariant); all-zero vectors (empty docs, or votes that
+    * cancel exactly) are dropped — their cosine is 0/0. */
+  def hashEmbed(docs: DataFrame, dim: Int = 64,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    hashEmbedWith(docs, dim, idCol, textCol,
+      t => pmod(xxhash64(t), lit(dim)).cast("int"),
+      t => when(pmod(shiftright(xxhash64(t), 32), lit(2)) === 0, 1L)
+        .otherwise(-1L))
+
+  /** The md5-seamed twin of [[hashEmbed]] — identical machinery, hash
+    * replicable in DuckDB (the HashSeam convention): bucket from the
+    * first 8 hex chars, sign from the 9th's parity. */
+  def hashEmbedMd5(docs: DataFrame, dim: Int = 64,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    hashEmbedWith(docs, dim, idCol, textCol,
+      t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(dim)).cast("int"),
+      t => when(conv(substring(md5(t), 9, 1), 16, 10).cast("long")
+        % 2 === 0, 1L).otherwise(-1L))
+
+  private def hashEmbedWith(docs: DataFrame, dim: Int, idCol: String,
+                            textCol: String,
+                            bucket: Column => Column,
+                            sign: Column => Column): DataFrame = {
+    val votes = docs
+      .select(col(idCol), explode(DedupOps.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), bucket(col("__t")).as("__b"),
+        sign(col("__t")).as("__s"))
+      .groupBy(idCol, "__b").agg(sum("__s").as("__v"))
+    votes.groupBy(idCol)
+      .agg(map_from_entries( // bounded: ≤ dim entries per doc
+        collect_list(struct(col("__b"), col("__v")))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+      .filter(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0)
+  }
+
   // ------------------------------------------------ product quantization
 
   /** PQ codebook table (`sub`, `code`, `cvec array<float>`): the

@@ -797,6 +797,139 @@ object TextOps {
       val m = graft.ops.LmOps.trainBigram(docs.filter(col("lang") === "en"))
       graft.ops.LmOps.scoreDocs(docs, m)
         .select("doc_id", "n_bigrams", "n_oov", "sum_c2", "sum_c1")
+    },
+
+    // Feature-hash embedding (the hashing trick) END-TO-END under the
+    // oracle: raw text → dim-16 signed-vote vectors → brute-force
+    // cosine top-5 — the no-model text→vector bridge that lets the
+    // whole ANN/vector-store tier run on a text corpus. Votes are
+    // exact integers (md5-seamed hashes, the HashSeam convention), the
+    // vectors replicate bit-for-bit in DuckDB, and the re-rank is the
+    // proven rounded-cosine convention — so the hash pins bucketing,
+    // sign arithmetic, zero-fill, the zero-vector drop, and the search.
+    // Production uses xxhash64 (emb_hash below, rows-only, same
+    // machinery through hashEmbedWith).
+    q(
+      "emb_hash_q",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        |    CASE WHEN CAST(concat('0x', substr(md5(t), 9, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tok
+        |), v AS (
+        |  SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY 1, 2
+        |), e AS (
+        |  SELECT d.doc_id, LIST(COALESCE(v.v, 0) ORDER BY g.i) AS emb
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d
+        |  CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+        |  LEFT JOIN v ON v.doc_id = d.doc_id AND v.b = g.i
+        |  GROUP BY 1
+        |), ne AS (
+        |  SELECT doc_id, emb FROM e
+        |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS item_id,
+        |    ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.doc_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) DESC, c.doc_id) AS rank
+        |  FROM ne q JOIN ne c ON c.doc_id <> q.doc_id
+        |  WHERE q.doc_id % 50 = 0
+        |) WHERE rank <= 5""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.SimilarityOps
+      val emb = SimilarityOps.hashEmbedMd5(tDocs(s, dir), dim = 16)
+      SimilarityOps.bruteForceTopK(
+        emb.filter(col("doc_id") % 50 === 0), emb, k = 5, idCol = "doc_id")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // The production hasher (xxhash64 buckets/signs — rows-only: no
+    // DuckDB xxhash64; machinery oracle-gated by emb_hash_q above).
+    Q("emb_hash", (s, dir) => {
+      import graft.ops.SimilarityOps
+      val emb = SimilarityOps.hashEmbed(tDocs(s, dir), dim = 64)
+      SimilarityOps.bruteForceTopK(
+        emb.filter(col("doc_id") % 50 === 0), emb, k = 5, idCol = "doc_id")
+        .orderBy("query_id", "rank")
+    }, None),
+
+    // The cross-tier capstone: RAW TEXT through the persisted IVF
+    // vector store — hash-embed the corpus, write a real store (seed
+    // centroids, the ann_inc_q conventions), probe-pruned search.
+    // DuckDB composes the two proven pieces (emb_hash_q's exact-integer
+    // embeddings, ann_inc_q's declarative assignment/probe/re-rank);
+    // equal hashes prove a text corpus can ride the entire vector tier
+    // with no external embedder and no accuracy mystery at any seam.
+    q(
+      "emb_hash_store_q",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        |    CASE WHEN CAST(concat('0x', substr(md5(t), 9, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tok
+        |), v AS (
+        |  SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY 1, 2
+        |), e AS (
+        |  SELECT d.doc_id, LIST(COALESCE(v.v, 0) ORDER BY g.i) AS emb
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d
+        |  CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+        |  LEFT JOIN v ON v.doc_id = d.doc_id AND v.b = g.i
+        |  GROUP BY 1
+        |), ne AS (
+        |  SELECT doc_id, emb FROM e
+        |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+        |), cseeds AS (
+        |  SELECT doc_id AS cid, emb AS cvec FROM ne ORDER BY doc_id LIMIT 8
+        |), scored AS (
+        |  SELECT ne.doc_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY ne.doc_id ORDER BY
+        |      ROUND(list_cosine_similarity(ne.emb::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM ne CROSS JOIN cseeds s
+        |), asg AS (
+        |  SELECT doc_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT doc_id AS query_id, cid FROM scored
+        |  WHERE doc_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.emb::DOUBLE[], i.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.emb::DOUBLE[], i.emb::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN ne q ON q.doc_id = c.query_id
+        |              JOIN ne i ON i.doc_id = c.item_id
+        |) WHERE rank <= 5""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.{SimilarityOps, VectorStoreOps}
+      val emb = SimilarityOps.hashEmbedMd5(tDocs(s, dir), dim = 16)
+        .localCheckpoint(true) // one derivation feeds store build + queries
+      val base = scratchDir("graft-vstore-hash")
+      val cents = emb.orderBy("doc_id").limit(8)
+        .select(col("doc_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(emb, s, base, cents,
+        idCol = "doc_id", assignRound = Some(6))
+      VectorStoreOps.searchStore(
+        emb.filter(col("doc_id") % 50 === 0), s, base, k = 5, nprobe = 4,
+        idCol = "doc_id", probeRound = Some(6))
+        .orderBy("query_id", "rank")
     }
   )
 }
