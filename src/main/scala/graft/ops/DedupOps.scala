@@ -496,6 +496,28 @@ object DedupOps {
     LayoutOps.appendBucketed(staged.select("id", "ss"), spark, setsTable)
   }
 
+  /** Right-to-be-forgotten for the dedup tier: tombstone `ids` so no
+    * future ingest dedups against them. The bucketed tables are
+    * append-only, so the tombstone is a NULL-set row in the SETS table
+    * (delete-wins, no sequence — deletion is permanent, matching the
+    * doc-ids-are-immutable ingest contract: a deleted id stays burned,
+    * because the replay guard treats any id ever seen as ingested).
+    * [[incrementalPairs]] drops candidates against tombstoned ids at
+    * pair time; the fingerprints linger PHYSICALLY (band rows, the
+    * original set row) until a periodic rebuild
+    * ([[writeFingerprintStore]] over surviving docs) reclaims them —
+    * the same linger-then-rebuild trade the doc store documents for
+    * its tombstones. */
+  def deleteFromFingerprintStore(ids: DataFrame, spark: SparkSession,
+                                 setsTable: String,
+                                 idCol: String = "doc_id"): Unit = {
+    val schema = spark.table(setsTable).schema
+    LayoutOps.appendBucketed(
+      ids.select(col(idCol).cast(schema("id").dataType).as("id")).distinct()
+        .withColumn("ss", lit(null).cast(schema("ss").dataType)),
+      spark, setsTable)
+  }
+
   /** Near-dup pairs `(id_old, id_new, est_jaccard, jaccard)` between a
     * new batch and the stored corpus — identical banding, estimator and
     * exact verify as [[minhashPairs]], but the corpus participates only
@@ -506,7 +528,10 @@ object DedupOps {
     * (growth curves measured in ScaleStress). Equivalence to the batch
     * operator (the
     * store×delta restriction of `minhashPairs(store ∪ delta)`) is pinned
-    * value-level in the same spec. */
+    * value-level in the same spec. Tombstoned ids
+    * ([[deleteFromFingerprintStore]]) never emit pairs: candidates drop
+    * against the (narrow, null-set-row) tombstone scan BEFORE the
+    * estimator, and the verify join reads live set rows only. */
   def incrementalPairs(delta: DataFrame, spark: SparkSession,
                        bandsTable: String, setsTable: String,
                        idCol: String = "doc_id", textCol: String = "text",
@@ -531,8 +556,12 @@ object DedupOps {
       .filter(col("est_jaccard") >= threshold)
       .select("id_old", "id_new", "est_jaccard")
     val dSets = staged.select("id", "ss")
+    val storeSets = spark.table(setsTable)
+    val tombstoned = storeSets.filter(col("ss").isNull)
+      .select(col("id").as("id_old")).distinct()
     cand
-      .join(spark.table(setsTable)
+      .join(tombstoned, Seq("id_old"), "left_anti") // deleted docs never pair
+      .join(storeSets.filter(col("ss").isNotNull)
         .select(col("id").as("id_old"), col("ss").as("ss_old")), "id_old")
       .join(dSets.select(col("id").as("id_new"), col("ss").as("ss_new")), "id_new")
       .withColumn("jaccard",

@@ -520,6 +520,76 @@ object PipelineOps {
       out
     },
 
+    // ---- Compliance DELETE in the dedup tier under the oracle: the
+    // dedup_incremental_md5 chain plus a tombstone wave (store docs with
+    // doc_id % 10 = 7) BEFORE the delta dedups — deleted docs must emit
+    // no pairs even though their band rows and set rows physically
+    // remain until rebuild. The oracle is the incremental restriction
+    // with the deleted ids excluded from the store side; equal hashes
+    // prove the tombstone anti-join drops exactly the deleted ids and
+    // nothing else, through the production code (md5 seam).
+    q(
+      "dedup_del_md5",
+      dMd5SigCtes +
+        """,
+          |bk AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |    STRING_AGG(CAST(s AS VARCHAR), '_' ORDER BY k) AS key
+          |  FROM sig GROUP BY 1, 2
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS id_old, y.doc_id AS id_new
+          |  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+          |  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+          |    AND x.doc_id % 3 = 0 AND y.doc_id % 3 = 0
+          |    AND x.doc_id % 10 <> 7
+          |), est AS (
+          |  SELECT c.id_old, c.id_new,
+          |    CAST(SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          |  FROM cand c
+          |  JOIN sig sx ON sx.doc_id = c.id_old
+          |  JOIN sig sy ON sy.doc_id = c.id_new AND sy.k = sx.k
+          |  GROUP BY 1, 2
+          |  HAVING SUM(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END) >= 32
+          |), sz AS (
+          |  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1
+          |), shared AS (
+          |  SELECT e.id_old, e.id_new, e.n_match,
+          |    CAST(COUNT(hb.h) AS BIGINT) AS n_shared
+          |  FROM est e
+          |  LEFT JOIN h ha ON ha.doc_id = e.id_old
+          |  LEFT JOIN h hb ON hb.doc_id = e.id_new AND hb.h = ha.h
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT s.id_old, s.id_new,
+          |  CAST(s.n_match AS DOUBLE) / 64 AS est_jaccard,
+          |  CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) AS jaccard
+          |FROM shared s
+          |JOIN sz sa ON sa.doc_id = s.id_old
+          |JOIN sz sb ON sb.doc_id = s.id_new""".stripMargin
+    ) { (s, dir) =>
+      graft.expressions.SignatureFunctions.register(s)
+      val docs = tDocs(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .filter(size(DedupOps.tokens(col("text"))) >= 3)
+        .localCheckpoint(true)
+      val m5 = pmod(col("doc_id"), lit(5))
+      val base = scratchDir("graft-fpdel")
+      DedupOps.writeFingerprintStore(docs.filter(m5 >= 2), s,
+        "graft_fpdel_bands", "graft_fpdel_sets", base, nBuckets = 8,
+        seam = md5Seam, stageSeed = true)
+      DedupOps.appendToFingerprintStore(docs.filter(m5 === 1), s,
+        "graft_fpdel_bands", "graft_fpdel_sets", seam = md5Seam)
+      DedupOps.deleteFromFingerprintStore(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id"),
+        s, "graft_fpdel_sets")
+      val out = DedupOps.incrementalPairs(docs.filter(m5 === 0), s,
+        "graft_fpdel_bands", "graft_fpdel_sets", seam = md5Seam)
+        .select("id_old", "id_new", "est_jaccard", "jaccard")
+        .localCheckpoint(true)
+      docs.unpersist()
+      out
+    },
+
     // ---- SimHash under the oracle — the last signature family with no
     // oracle: 60-bit md5 token hashes (duplicates KEPT, as in the
     // production tokenHashes path), per-bit ±1 votes, packed sign bits.

@@ -47,6 +47,41 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(inc.nonEmpty, "fixture produced no cross-split near-dups")
   }
 
+  test("tombstoned ids never pair; everything else is untouched") {
+    // a FRESH store (the shared one must stay unmutated for the other
+    // tests): seed, find the pairing id_olds, tombstone half of them
+    val base = java.nio.file.Files.createTempDirectory("inc-del").toString
+    DedupOps.writeFingerprintStore(store, spark,
+      "inc_del_bands", "inc_del_sets", base)
+    val before = DedupOps.incrementalPairs(delta, spark,
+      "inc_del_bands", "inc_del_sets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty, "fixture produced no pairs to delete against")
+    val olds = before.map(_._1).toSeq.sorted
+    val dead = olds.take((olds.size + 1) / 2).toSet
+    import spark.implicits._
+    DedupOps.deleteFromFingerprintStore(
+      dead.toSeq.toDF("doc_id"), spark, "inc_del_sets")
+    val after = DedupOps.incrementalPairs(delta, spark,
+      "inc_del_bands", "inc_del_sets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot { case (o, _) => dead(o) },
+      s"delete must drop exactly the tombstoned id_olds: " +
+        s"extra=${after -- before} missing=${before.filterNot {
+          case (o, _) => dead(o) } -- after}")
+    // deletion is permanent: the ingest replay guard treats the id as
+    // seen, so re-ingesting under a tombstoned id appends nothing and
+    // the id still pairs with nothing
+    val deadDocs = docs.join(dead.toSeq.toDF("doc_id"), Seq("doc_id"),
+      "left_semi")
+    graft.streaming.IngestOps.ingestBatch(deadDocs, spark,
+      "inc_del_bands", "inc_del_sets").collect()
+    val again = DedupOps.incrementalPairs(delta, spark,
+      "inc_del_bands", "inc_del_sets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == after, "a burned id must stay deleted through ingest")
+  }
+
   test("the candidate join reads the store Exchange-free") {
     val (bands, _) = storeTables
     val key = "spark.sql.autoBroadcastJoinThreshold"
