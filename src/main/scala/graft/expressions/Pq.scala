@@ -53,6 +53,11 @@ case class PqCodes(child: Expression, qcb: Array[Array[Array[Long]]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // malformed (wrong-length) input yields NULL even under a non-nullable
+  // child, so the default child.nullable inheritance would lie to the
+  // optimizer (pruned IsNotNull over a value that CAN be null)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -126,6 +131,9 @@ case class PqReconstruct(child: Expression, cb: Array[Array[Array[Float]]])
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
+  // out-of-range/wrong-arity codes yield NULL regardless of child.nullable
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -179,6 +187,9 @@ case class PqLut(child: Expression, cb: Array[Array[Array[Float]]])
   private val dsub = cb.head.head.length
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // wrong-length query yields NULL regardless of child.nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -276,7 +287,11 @@ case class PqAdcCosine(codes: Expression, lut: Expression, qnorm: Expression,
       nn += n2(s)(c)
       s += 1
     }
-    dot / (qn * math.sqrt(nn))
+    // degenerate norms (zero query, all-zero codewords) are NULL, not
+    // NaN/±Inf — the CosineSim stance; a NaN here would poison round()
+    // and the top-k ordering downstream
+    if (qn == 0.0 || nn == 0.0) null
+    else dot / (qn * math.sqrt(nn))
   }
 
   override def eval(input: InternalRow): Any = {

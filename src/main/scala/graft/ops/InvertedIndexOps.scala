@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent inverted text index — term → posting list as a TABLE,
@@ -20,16 +20,112 @@ import org.apache.spark.sql.functions._
   * the catalog's bucket spec, so the pruning property survives any
   * number of appends); the existing index is never rewritten.
   *
-  * Durability contract (vs the manifest-committed vector/join stores):
-  * appends ride Spark's file-commit protocol, so a FAILED append leaves
-  * nothing visible — but there is no replay tag, so a SUCCEEDED batch
-  * re-submitted by an at-least-once orchestrator lands twice
-  * (duplicate postings, double tf). Idempotence is the caller's:
-  * dedupe batches upstream, or route document ingest through
-  * [[graft.streaming.IngestOps]] whose fingerprint-store guard is
-  * replay-safe.
+  * == Durability contract (the store-family commit ledger) ==
+  *
+  * Every posting row carries the opaque physical tag (`__batch`) of the
+  * ingest that wrote it, and the per-index `<table>_stats` ledger holds
+  * ONE row per committed ingest: `(batch_tag, logical_tag, n_docs,
+  * sum_dlen)`. The ledger row is written LAST, as its own single-job
+  * append — it IS the commit point, exactly the manifest-borne marker
+  * role of [[VectorStoreOps]]' commit dirs:
+  *
+  *  - ATOMIC VISIBILITY: readers semi-join postings on committed
+  *    `batch_tag`s (a broadcast of the tiny ledger), so a crash between
+  *    the postings append and the ledger append leaves the torn batch's
+  *    rows PHYSICALLY present but INVISIBLE — never half a batch, and
+  *    never postings whose tf/df mass is missing from the corpus stats.
+  *  - REPLAY IDEMPOTENCE: callers pass a stable `batchTag`; an append
+  *    whose logical tag already sits in the ledger is a no-op, so an
+  *    at-least-once orchestrator redelivering a SUCCEEDED batch lands
+  *    nothing twice (doubled tf/df/stats was the failure mode). A
+  *    redelivery after a TORN attempt re-runs under a fresh physical
+  *    tag; the torn rows stay uncommitted forever (vacuum candidates —
+  *    a compacting rebuild through [[writeScoredIndex]] drops them).
+  *  - Doc ids are IMMUTABLE once ingested (the [[graft.streaming
+  *    .IngestOps]] contract): the guard covers redelivery of the same
+  *    batch, not re-ingesting a changed document under an old id.
+  *
+  * == Compliance delete (right-to-be-forgotten) ==
+  *
+  * [[deleteFromTextIndex]] tombstones doc ids: searches anti-join the
+  * (committed) tombstone set, df comes off the already-filtered pruned
+  * scan, and one NEGATIVE ledger row retracts the deleted docs'
+  * (n_docs, sum_dlen) mass — so post-delete BM25 equals a from-scratch
+  * index over the survivors (gate query `text_bm25_del`). Postings
+  * linger physically until a rebuild reclaims them, the same
+  * linger-then-rebuild trade as the fingerprint store's tombstones.
   */
 object InvertedIndexOps {
+
+  private val StatsCols = Seq("batch_tag", "logical_tag", "n_docs", "sum_dlen")
+
+  /** Fresh physical tag for one write ATTEMPT. Replays of the same
+    * logical batch get distinct physical tags, so a torn attempt's rows
+    * can never be retroactively committed by the retry's ledger row. */
+  private def physicalTag(logical: Option[String]): String =
+    s"${logical.getOrElse("adhoc")}#${java.util.UUID.randomUUID()}"
+
+  /** True iff `logical` already committed — the replay short-circuit.
+    * The ledger is one row per batch; this is a tiny pruned read. */
+  private def seen(spark: SparkSession, table: String,
+                   logical: Option[String]): Boolean =
+    logical.exists(tag => !spark.table(s"${table}_stats")
+      .filter(col("logical_tag") === tag).isEmpty)
+
+  /** Broadcastable set of committed physical tags (the ledger's
+    * `batch_tag` column) — the visibility filter for postings AND
+    * tombstones. */
+  private def committedTags(spark: SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_stats").select("batch_tag").distinct()
+
+  /** Committed tombstoned doc ids. */
+  private def committedTombstones(spark: SparkSession,
+                                  table: String): DataFrame =
+    spark.table(s"${table}_tombstones")
+      .join(broadcast(committedTags(spark, table)),
+        col("__batch") === col("batch_tag"), "left_semi")
+      .select("doc_id")
+
+  /** Live postings under `pred`: the pruned scan, restricted to
+    * committed batches, minus tombstoned docs. `pred` lands directly on
+    * the table scan, so bucket pruning on `term` is untouched; both
+    * joins broadcast ledger-sized frames. */
+  private def livePostings(spark: SparkSession, table: String,
+                           pred: Column): DataFrame =
+    spark.table(table).filter(pred)
+      .join(broadcast(committedTags(spark, table)),
+        col("__batch") === col("batch_tag"), "left_semi")
+      .join(broadcast(committedTombstones(spark, table)),
+        Seq("doc_id"), "left_anti")
+
+  /** One ledger row; `nDocs`/`sumDlen` may be negative (delete). */
+  private def ledgerRow(spark: SparkSession, tag: String,
+                        logical: Option[String], nDocs: Long,
+                        sumDlen: Long): DataFrame = {
+    import spark.implicits._
+    Seq((tag, logical.orNull, nDocs, sumDlen))
+      .toDF(StatsCols: _*)
+  }
+
+  private def commitLedger(rows: DataFrame, spark: SparkSession,
+                           table: String, overwrite: Boolean,
+                           basePath: Option[String] = None): Unit = {
+    val w = rows.select(StatsCols.map(col): _*).coalesce(1).write
+    if (overwrite) {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+      w.mode("overwrite").option("path", s"${basePath.get}/stats")
+        .saveAsTable(s"${table}_stats")
+    } else w.mode("append").saveAsTable(s"${table}_stats")
+  }
+
+  /** Fresh empty tombstone table beside the index. */
+  private def initTombstones(posts: DataFrame, spark: SparkSession,
+                             table: String, basePath: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
+    posts.select(col("doc_id"), lit("").as("__batch")).limit(0)
+      .write.mode("overwrite").option("path", s"$basePath/tombstones")
+      .saveAsTable(s"${table}_tombstones")
+  }
 
   /** One (doc_id, term) row per DISTINCT term of each doc (lowercased
     * whitespace tokens — [[DedupOps.tokens]]). */
@@ -39,19 +135,38 @@ object InvertedIndexOps {
       explode(array_distinct(DedupOps.tokens(col(textCol)))).as("term"))
 
   /** Build the index: postings of `docs` bucketed by term at
-    * `basePath`, registered as `table`. */
+    * `basePath`, plus the commit ledger and tombstone side tables. */
   def writeTextIndex(docs: DataFrame, spark: SparkSession, table: String,
                      basePath: String, nBuckets: Int = 16,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): Unit =
-    LayoutOps.writeBucketed(postings(docs, idCol, textCol), spark,
-      table, basePath, nBuckets, "term")
+                     textCol: String = "text"): Unit = {
+    val tag = physicalTag(Some("seed"))
+    val posts = postings(docs, idCol, textCol)
+      .withColumn("__batch", lit(tag))
+    LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
+      nBuckets, "term")
+    initTombstones(posts, spark, table, basePath)
+    val st = corpusStats(docs, idCol, textCol).head()
+    commitLedger(ledgerRow(spark, tag, Some("seed"),
+      st.getLong(0), st.getLong(1)), spark, table,
+      overwrite = true, basePath = Some(basePath))
+  }
 
-  /** Ingest a batch: its postings append under the same bucket spec. */
+  /** Ingest a batch: its postings append under the same bucket spec,
+    * then one ledger row commits them. `batchTag` is the caller's
+    * stable batch identity — pass it and redeliveries are no-ops. */
   def appendToTextIndex(batch: DataFrame, spark: SparkSession,
                         table: String, idCol: String = "doc_id",
-                        textCol: String = "text"): Unit =
-    LayoutOps.appendBucketed(postings(batch, idCol, textCol), spark, table)
+                        textCol: String = "text",
+                        batchTag: Option[String] = None): Unit = {
+    if (seen(spark, table, batchTag)) return
+    val tag = physicalTag(batchTag)
+    LayoutOps.appendBucketed(postings(batch, idCol, textCol)
+      .withColumn("__batch", lit(tag)), spark, table)
+    val st = corpusStats(batch, idCol, textCol).head()
+    commitLedger(ledgerRow(spark, tag, batchTag,
+      st.getLong(0), st.getLong(1)), spark, table, overwrite = false)
+  }
 
   // ------------------------------------------------- BM25 ranked search
 
@@ -72,31 +187,41 @@ object InvertedIndexOps {
       .agg(count(lit(1)).as("tf"))
 
   /** Build the ranked index: scored postings bucketed by term at
-    * `basePath`, plus an append-only one-row-per-commit corpus-stats
-    * table `<table>_stats` (n_docs, sum_dlen) — readers SUM it, so an
-    * append never rewrites anything and the stats stay exact under any
-    * number of ingest batches. */
+    * `basePath`, plus the `<table>_stats` commit ledger (whose
+    * (n_docs, sum_dlen) columns readers SUM — so an append never
+    * rewrites anything and the stats stay exact under any number of
+    * ingest batches) and the tombstone table. */
   def writeScoredIndex(docs: DataFrame, spark: SparkSession, table: String,
                        basePath: String, nBuckets: Int = 16,
                        idCol: String = "doc_id",
                        textCol: String = "text"): Unit = {
-    LayoutOps.writeBucketed(scoredPostings(docs, idCol, textCol), spark,
-      table, s"$basePath/postings", nBuckets, "term")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
-    corpusStats(docs, idCol, textCol)
-      .write.mode("overwrite").option("path", s"$basePath/stats")
-      .saveAsTable(s"${table}_stats")
+    val tag = physicalTag(Some("seed"))
+    val posts = scoredPostings(docs, idCol, textCol)
+      .withColumn("__batch", lit(tag))
+    LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
+      nBuckets, "term")
+    initTombstones(posts, spark, table, basePath)
+    val st = corpusStats(docs, idCol, textCol).head()
+    commitLedger(ledgerRow(spark, tag, Some("seed"),
+      st.getLong(0), st.getLong(1)), spark, table,
+      overwrite = true, basePath = Some(basePath))
   }
 
   /** Ingest a batch into the ranked index: postings append under the
-    * existing bucket spec; one stats row appends beside them. */
+    * existing bucket spec, then the ledger row commits them (tf, df,
+    * and corpus stats become visible together — no torn batch can skew
+    * a score). Redeliveries of a committed `batchTag` are no-ops. */
   def appendToScoredIndex(batch: DataFrame, spark: SparkSession,
                           table: String, idCol: String = "doc_id",
-                          textCol: String = "text"): Unit = {
-    LayoutOps.appendBucketed(scoredPostings(batch, idCol, textCol), spark,
-      table)
-    corpusStats(batch, idCol, textCol)
-      .write.mode("append").saveAsTable(s"${table}_stats")
+                          textCol: String = "text",
+                          batchTag: Option[String] = None): Unit = {
+    if (seen(spark, table, batchTag)) return
+    val tag = physicalTag(batchTag)
+    LayoutOps.appendBucketed(scoredPostings(batch, idCol, textCol)
+      .withColumn("__batch", lit(tag)), spark, table)
+    val st = corpusStats(batch, idCol, textCol).head()
+    commitLedger(ledgerRow(spark, tag, batchTag,
+      st.getLong(0), st.getLong(1)), spark, table, overwrite = false)
   }
 
   private def corpusStats(docs: DataFrame, idCol: String,
@@ -105,14 +230,62 @@ object InvertedIndexOps {
       coalesce(sum(size(DedupOps.tokens(col(textCol))).cast("long")),
         lit(0L)).as("sum_dlen"))
 
+  /** Right-to-be-forgotten: tombstone `ids` so every search excludes
+    * them — from results, from df (the pruned scan is tombstone-filtered
+    * BEFORE the df groupBy) and from the corpus stats (one negative
+    * ledger row retracts exactly the deleted docs' n_docs/sum_dlen
+    * mass, read off their own live postings). Serves both index kinds:
+    * the plain index has no `dlen`, so its retraction is count-only.
+    *
+    * Idempotent without a tag: already-tombstoned ids are filtered out
+    * up front, so a re-submitted delete recomputes an empty correction
+    * and writes nothing; a TORN delete (tombstones landed, ledger row
+    * didn't) left its tombstones uncommitted-invisible, so the retry
+    * re-runs cleanly. Ids with no live postings (never ingested, or
+    * zero-token docs that produced none) are ignored — there is nothing
+    * of theirs to forget in this store.
+    *
+    * Cost note: the per-doc dlen read is a full (doc_id, dlen, __batch)
+    * column scan of the postings (they are bucketed by term, not id) —
+    * the one corpus-sized cost of an RTBF batch; amortize ids per call. */
+  def deleteFromTextIndex(ids: DataFrame, spark: SparkSession,
+                          table: String, idCol: String = "doc_id"): Unit = {
+    val want = ids.select(col(idCol).as("doc_id")).distinct()
+      .join(committedTombstones(spark, table), Seq("doc_id"), "left_anti")
+    val hasDlen = spark.table(table).columns.contains("dlen")
+    val posts = spark.table(table)
+      .join(broadcast(committedTags(spark, table)),
+        col("__batch") === col("batch_tag"), "left_semi")
+      .join(broadcast(want), Seq("doc_id"), "left_semi")
+    // one row per affected doc (bounded by the RTBF batch size)
+    val perDoc = (if (hasDlen)
+      posts.groupBy("doc_id").agg(max("dlen").as("dlen"))
+    else posts.select("doc_id").distinct().withColumn("dlen", lit(0L)))
+      .localCheckpoint(true)
+    val agg = perDoc.agg(count(lit(1)).as("k"),
+      coalesce(sum("dlen"), lit(0L)).as("s")).head()
+    val (k, s) = (agg.getLong(0), agg.getLong(1))
+    if (k > 0) {
+      val tag = physicalTag(Some("delete"))
+      perDoc.select(col("doc_id"), lit(tag).as("__batch"))
+        .coalesce(1).write.mode("append")
+        .saveAsTable(s"${table}_tombstones")
+      commitLedger(ledgerRow(spark, tag, None, -k, -s), spark, table,
+        overwrite = false)
+    }
+    perDoc.unpersist()
+  }
+
   /** BM25 top-k: the disjunctive ranked-retrieval twin of
     * [[searchAllTerms]]. The postings scan is bucket-pruned to the
-    * query terms; document frequency comes off that same pruned scan
-    * (df(t) = posting count of t — exact, no stored df to maintain);
-    * corpus stats are a broadcast one-row aggregate of the stats table.
-    * So the only data-sized work is one pruned scan + one groupBy on
-    * the surviving postings — candidate volume is the query terms'
-    * posting mass, never the corpus.
+    * query terms and visibility-filtered (committed batches only, minus
+    * tombstones — both broadcast ledger-sized joins); document
+    * frequency comes off that same pruned scan (df(t) = live posting
+    * count of t — exact, no stored df to maintain); corpus stats are a
+    * broadcast one-row aggregate of the ledger. So the only data-sized
+    * work is one pruned scan + one groupBy on the surviving postings —
+    * candidate volume is the query terms' posting mass, never the
+    * corpus.
     *
     * Scoring is Robertson/Lucene BM25:
     * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, contribution
@@ -125,7 +298,7 @@ object InvertedIndexOps {
                  topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one term")
     val qs = terms.map(_.toLowerCase).distinct.filter(_.nonEmpty)
-    val posts = spark.table(table).filter(col("term").isin(qs: _*))
+    val posts = livePostings(spark, table, col("term").isin(qs: _*))
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val st = spark.table(s"${table}_stats")
       .agg(sum("n_docs").as("n"), sum("sum_dlen").as("sd"))
@@ -148,8 +321,9 @@ object InvertedIndexOps {
   }
 
   /** Conjunctive (AND-of-terms) search: doc_ids containing EVERY term.
-    * The scan is bucket-pruned to the query terms' buckets; the AND is
-    * a distinct-term count per doc over the surviving postings. */
+    * The scan is bucket-pruned to the query terms' buckets and
+    * visibility-filtered like [[searchBm25]]; the AND is a
+    * distinct-term count per doc over the surviving postings. */
   def searchAllTerms(spark: SparkSession, table: String,
                      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAllTerms needs at least one term")
@@ -158,8 +332,7 @@ object InvertedIndexOps {
     // and a duplicated term would demand more distinct matches than
     // can exist — both silently empty, not errors
     val qs = terms.map(_.toLowerCase).distinct
-    spark.table(table)
-      .filter(col("term").isin(qs: _*))
+    livePostings(spark, table, col("term").isin(qs: _*))
       .groupBy("doc_id")
       .agg(countDistinct("term").as("__k"))
       .filter(col("__k") === qs.size)

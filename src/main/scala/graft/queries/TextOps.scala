@@ -537,10 +537,13 @@ object TextOps {
     // Conjunctive search through a REAL bucketed inverted index built
     // from 80% of the corpus + a 20% append (InvertedIndexOps): the
     // term filter is a bucket-pruned scan (SelectedBucketsCount
-    // spec-asserted), the store never shuffles. DuckDB answers the same
-    // query by brute-force list_contains over the raw corpus — equal
-    // hashes prove the index loses and invents nothing across the
-    // build + append.
+    // spec-asserted), the store never shuffles. The append is SUBMITTED
+    // TWICE under one batch tag — the at-least-once redelivery an
+    // orchestrator produces — so the replay guard runs inside the gate:
+    // a doubled batch would double-count nothing here but WOULD flip
+    // text_bm25's tf/df hash below. DuckDB answers the same query by
+    // brute-force list_contains over the raw corpus — equal hashes
+    // prove the index loses and invents nothing across build + append.
     q(
       "text_search",
       """SELECT doc_id FROM documents
@@ -554,8 +557,11 @@ object TextOps {
       InvertedIndexOps.writeTextIndex(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
         "graft_text_idx", base)
-      InvertedIndexOps.appendToTextIndex(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s, "graft_text_idx")
+      val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      InvertedIndexOps.appendToTextIndex(delta, s, "graft_text_idx",
+        batchTag = Some("b1"))
+      InvertedIndexOps.appendToTextIndex(delta, s, "graft_text_idx",
+        batchTag = Some("b1")) // redelivery: must be a no-op
       InvertedIndexOps.searchAllTerms(
         s, "graft_text_idx", Seq("batch", "scan", "hash"))
         .orderBy("doc_id")
@@ -609,10 +615,73 @@ object TextOps {
       InvertedIndexOps.writeScoredIndex(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
         "graft_bm25_idx", base)
-      InvertedIndexOps.appendToScoredIndex(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s, "graft_bm25_idx")
+      val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      // the append is submitted twice under one tag: a replayed batch
+      // that actually landed would double tf/df/N and flip this hash
+      InvertedIndexOps.appendToScoredIndex(delta, s, "graft_bm25_idx",
+        batchTag = Some("b1"))
+      InvertedIndexOps.appendToScoredIndex(delta, s, "graft_bm25_idx",
+        batchTag = Some("b1"))
       InvertedIndexOps.searchBm25(
         s, "graft_bm25_idx", Seq("batch", "scan", "hash"), topK = 50)
+    },
+
+    // Right-to-be-forgotten through the SAME scored index lifecycle:
+    // build 80% + tagged append 20%, then DELETE every doc_id % 11 == 3
+    // (tombstones + one negative ledger row) and search. DuckDB computes
+    // BM25 from scratch over the SURVIVORS only — equal hashes prove the
+    // deleted docs left the results, the df counts, AND the corpus stats
+    // (N, avgdl), i.e. the negative-ledger retraction is exact. The
+    // delete is also submitted twice: a non-idempotent delete would
+    // subtract the stats mass twice and flip every idf/avgdl input.
+    q(
+      "text_bm25_del",
+      """WITH corpus AS (
+        |  SELECT * FROM documents WHERE doc_id % 11 <> 3
+        |), tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS term
+        |  FROM corpus
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT COUNT(*) FROM corpus) AS n,
+        |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('batch', 'scan', 'hash') GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((tf.tf * (1.2 + 1)) /
+        |       (tf.tf + 1.2 * (0.25 + (0.75 * dl.dlen) /
+        |         (CAST(st.sd AS DOUBLE) / CAST(st.n AS DOUBLE))))), 6) AS c
+        |  FROM tf
+        |  JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |)
+        |SELECT doc_id, ROUND(SUM(c), 4) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS matched
+        |FROM sc GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-bm25-del")
+      InvertedIndexOps.writeScoredIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
+        "graft_bm25_del_idx", base)
+      InvertedIndexOps.appendToScoredIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s,
+        "graft_bm25_del_idx", batchTag = Some("b1"))
+      val doomed = docs.filter(pmod(col("doc_id"), lit(11)) === 3)
+        .select("doc_id")
+      InvertedIndexOps.deleteFromTextIndex(doomed, s, "graft_bm25_del_idx")
+      InvertedIndexOps.deleteFromTextIndex(doomed, s, "graft_bm25_del_idx")
+      InvertedIndexOps.searchBm25(
+        s, "graft_bm25_del_idx", Seq("batch", "scan", "hash"), topK = 50)
     },
 
     // RAG-style chunking: 30-token windows, stride 20 (10-token overlap),

@@ -93,8 +93,14 @@ object ManifestIO {
     val before = allVersions(spark, dir)
     val next = (before.map(_._1) :+ -1L).max + 1
     rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
-    // the _SUCCESS of v=next is now down: retire superseded + torn dirs
+    // VERIFY v=next is actually committed before retiring anything: if
+    // the success marker is disabled (marksuccessfuljobs=false) or its
+    // write failed, deleting the old versions would destroy the only
+    // committed manifests — the exact window this class exists to close.
     val fs = fsOf(spark, dir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$next", Success)),
+      s"manifest swap aborted: $dir/v=$next has no $Success marker " +
+        "(committer success-marker disabled or failed); prior versions left live")
     before.foreach { case (_, p) => fs.delete(p, true) }
     spark.catalog.refreshByPath(dir)
   }

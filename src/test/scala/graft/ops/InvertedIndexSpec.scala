@@ -85,6 +85,103 @@ class InvertedIndexSpec extends SparkTestBase {
       s"bm25 scan must be bucket-pruned:\n$plan")
   }
 
+  test("redelivered batch is a no-op: postings, ledger and scores unchanged") {
+    val base = Files.createTempDirectory("tidx-replay").toString
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    InvertedIndexOps.writeScoredIndex(store, spark, "tidx_rp", base)
+    InvertedIndexOps.appendToScoredIndex(delta, spark, "tidx_rp",
+      batchTag = Some("b1"))
+    val terms = Seq("batch", "scan", "hash")
+    def snap() = (
+      spark.table("tidx_rp").count(),
+      spark.table("tidx_rp_stats")
+        .agg(sum("n_docs"), sum("sum_dlen"), count(lit(1))).head().toSeq,
+      InvertedIndexOps.searchBm25(spark, "tidx_rp", terms, topK = 20)
+        .collect().toSeq)
+    val before = snap()
+    // the at-least-once redelivery: same batch, same tag, submitted again
+    InvertedIndexOps.appendToScoredIndex(delta, spark, "tidx_rp",
+      batchTag = Some("b1"))
+    assert(snap() == before,
+      "a redelivered committed batch must change nothing")
+    // … and the same guard on the plain index
+    val base2 = Files.createTempDirectory("tidx-replay2").toString
+    InvertedIndexOps.writeTextIndex(store, spark, "tidx_rp2", base2)
+    InvertedIndexOps.appendToTextIndex(delta, spark, "tidx_rp2",
+      batchTag = Some("b1"))
+    val n1 = spark.table("tidx_rp2").count()
+    InvertedIndexOps.appendToTextIndex(delta, spark, "tidx_rp2",
+      batchTag = Some("b1"))
+    assert(spark.table("tidx_rp2").count() == n1)
+  }
+
+  test("torn batch (postings landed, ledger row didn't) is invisible; " +
+    "its retry lands exactly once") {
+    val base = Files.createTempDirectory("tidx-torn").toString
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    InvertedIndexOps.writeScoredIndex(store, spark, "tidx_torn", base)
+    val terms = Seq("batch", "scan", "hash")
+    def res() = InvertedIndexOps
+      .searchBm25(spark, "tidx_torn", terms, topK = 20).collect().toSeq
+    val before = res()
+    // simulate the crash between the two appends: postings rows land
+    // under a physical tag that never reaches the ledger
+    LayoutOps.appendBucketed(
+      InvertedIndexOps.scoredPostings(delta)
+        .withColumn("__batch", lit("b9#torn-attempt")),
+      spark, "tidx_torn")
+    assert(res() == before,
+      "uncommitted postings must be invisible to every search")
+    // the orchestrator retries the batch; it commits exactly once
+    InvertedIndexOps.appendToScoredIndex(delta, spark, "tidx_torn",
+      batchTag = Some("b9"))
+    val fullBase = Files.createTempDirectory("tidx-full").toString
+    InvertedIndexOps.writeScoredIndex(docs, spark, "tidx_full", fullBase)
+    assert(res() == InvertedIndexOps
+      .searchBm25(spark, "tidx_full", terms, topK = 20).collect().toSeq,
+      "post-retry scores must equal a clean one-shot index (the torn " +
+        "rows contribute nothing — no doubled tf/df)")
+  }
+
+  test("compliance delete: results, df and corpus stats equal the " +
+    "survivor-only index; re-submitted delete is a no-op") {
+    val base = Files.createTempDirectory("tidx-del").toString
+    InvertedIndexOps.writeScoredIndex(docs, spark, "tidx_del", base)
+    val doomed = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select("doc_id")
+    InvertedIndexOps.deleteFromTextIndex(doomed, spark, "tidx_del")
+    val survivors = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+    // ledger sums = survivor corpus exactly (negative row is exact)
+    val st = spark.table("tidx_del_stats")
+      .agg(sum("n_docs"), sum("sum_dlen")).head()
+    assert(st.getLong(0) == survivors.count())
+    assert(st.getLong(1) == survivors.agg(
+      sum(size(DedupOps.tokens(col("text"))).cast("long"))).head().getLong(0))
+    // scores = a from-scratch index over the survivors
+    val terms = Seq("batch", "scan", "hash")
+    val got = InvertedIndexOps
+      .searchBm25(spark, "tidx_del", terms, topK = 20).collect().toSeq
+    val cleanBase = Files.createTempDirectory("tidx-del-clean").toString
+    InvertedIndexOps.writeScoredIndex(survivors, spark, "tidx_dclean",
+      cleanBase)
+    assert(got == InvertedIndexOps
+      .searchBm25(spark, "tidx_dclean", terms, topK = 20).collect().toSeq)
+    // deleted docs are gone from conjunctive search too
+    val hits = InvertedIndexOps
+      .searchAllTerms(spark, "tidx_del", Seq("batch"))
+      .collect().map(_.getLong(0))
+    assert(hits.forall(_ % 7 != 2))
+    // idempotent: the same RTBF request re-submitted changes nothing
+    InvertedIndexOps.deleteFromTextIndex(doomed, spark, "tidx_del")
+    val st2 = spark.table("tidx_del_stats")
+      .agg(sum("n_docs"), sum("sum_dlen")).head()
+    assert(st2.getLong(0) == st.getLong(0) && st2.getLong(1) == st.getLong(1))
+    assert(got == InvertedIndexOps
+      .searchBm25(spark, "tidx_del", terms, topK = 20).collect().toSeq)
+  }
+
   test("a k-term query scans only the terms' buckets") {
     val base = Files.createTempDirectory("tidx-prune").toString
     InvertedIndexOps.writeTextIndex(docs, spark, "tidx_prune", base,
