@@ -518,6 +518,42 @@ object DedupOps {
       spark, setsTable)
   }
 
+  /** The periodic reclaim [[deleteFromFingerprintStore]] defers to:
+    * rewrite both store tables WITHOUT the deleted docs' fingerprints —
+    * their band rows and original set rows are physically gone from the
+    * new layout — while CARRYING THE TOMBSTONE ROWS FORWARD. The
+    * carry-forward is load-bearing, not cosmetic: the streaming replay
+    * guard ([[graft.streaming.IngestOps.ingestBatch]]) treats any id
+    * present in the sets table as already-ingested, so deletion stays
+    * permanent only while the tombstone row exists. A rebuild that
+    * dropped tombstones would un-burn the ids, and a replayed (or
+    * later) batch carrying a deleted doc would re-ingest it through the
+    * guard — resurrecting the document RTBF promised to forget.
+    *
+    * No re-signaturing: survivors' fingerprints are copied from the
+    * existing tables (one bucketed read + write per table, the
+    * compaction cost profile), never recomputed from text. Writes land
+    * at the NEW `basePath`; the old directories are never touched, so a
+    * crash mid-rebuild loses nothing — re-run it (the second write's
+    * inputs resolve against the surviving old files) and vacuum the old
+    * basePath only after both tables re-registered. */
+  def rebuildFingerprintStore(spark: SparkSession, bandsTable: String,
+                              setsTable: String, basePath: String,
+                              nBuckets: Int = 32): Unit = {
+    val sets = spark.table(setsTable)
+    val bands = spark.table(bandsTable)
+    val tomb = sets.filter(col("ss").isNull).select("id").distinct()
+    val liveSets = sets.filter(col("ss").isNotNull)
+      .join(tomb, Seq("id"), "left_anti")
+    val liveBands = bands.join(tomb, Seq("id"), "left_anti")
+    val newSets = liveSets.unionByName(
+      tomb.withColumn("ss", lit(null).cast(sets.schema("ss").dataType)))
+    LayoutOps.writeBucketed(liveBands, spark, bandsTable,
+      s"$basePath/bands", nBuckets, "band", "bandHash")
+    LayoutOps.writeBucketed(newSets, spark, setsTable,
+      s"$basePath/sets", nBuckets, "id")
+  }
+
   /** Near-dup pairs `(id_old, id_new, est_jaccard, jaccard)` between a
     * new batch and the stored corpus — identical banding, estimator and
     * exact verify as [[minhashPairs]], but the corpus participates only

@@ -582,6 +582,12 @@ object PipelineOps {
       DedupOps.deleteFromFingerprintStore(
         docs.filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id"),
         s, "graft_fpdel_sets")
+      // the periodic reclaim runs MID-CHAIN: deleted docs' fingerprints
+      // are physically rewritten away (tombstones carried forward), and
+      // the delta must still dedup identically — the oracle doesn't
+      // change because the rebuild must not change semantics
+      DedupOps.rebuildFingerprintStore(s, "graft_fpdel_bands",
+        "graft_fpdel_sets", scratchDir("graft-fpdel-rb"), nBuckets = 8)
       val out = DedupOps.incrementalPairs(docs.filter(m5 === 0), s,
         "graft_fpdel_bands", "graft_fpdel_sets", seam = md5Seam)
         .select("id_old", "id_new", "est_jaccard", "jaccard")

@@ -82,6 +82,63 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(again == after, "a burned id must stay deleted through ingest")
   }
 
+  test("rebuild reclaims deleted fingerprints, carries tombstones, and " +
+    "keeps burned ids burned through a replayed ingest") {
+    val base = java.nio.file.Files.createTempDirectory("inc-rb").toString
+    DedupOps.writeFingerprintStore(store, spark,
+      "inc_rb_bands", "inc_rb_sets", base)
+    val before = DedupOps.incrementalPairs(delta, spark,
+      "inc_rb_bands", "inc_rb_sets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty, "fixture produced no pairs to delete against")
+    val dead = before.map(_._1).toSeq.sorted
+      .take((before.size + 1) / 2).toSet
+    import spark.implicits._
+    DedupOps.deleteFromFingerprintStore(
+      dead.toSeq.toDF("doc_id"), spark, "inc_rb_sets")
+    val expected = before.filterNot { case (o, _) => dead(o) }
+
+    DedupOps.rebuildFingerprintStore(spark, "inc_rb_bands", "inc_rb_sets",
+      java.nio.file.Files.createTempDirectory("inc-rb-new").toString)
+
+    // (a) the deleted docs' fingerprints are PHYSICALLY gone: no band
+    // rows, no live set rows — only the carried-forward tombstones
+    val deadDf = dead.toSeq.toDF("id")
+    assert(spark.table("inc_rb_bands")
+      .join(deadDf, Seq("id"), "left_semi").count() == 0,
+      "rebuild must drop deleted ids' band rows")
+    val deadSets = spark.table("inc_rb_sets")
+      .join(deadDf, Seq("id"), "left_semi")
+    assert(deadSets.filter(col("ss").isNotNull).count() == 0,
+      "rebuild must drop deleted ids' live set rows")
+    assert(deadSets.filter(col("ss").isNull).select("id").distinct().count()
+      == dead.size,
+      "rebuild must carry every tombstone forward")
+
+    // semantics preserved: the delta dedups identically post-rebuild
+    val after = DedupOps.incrementalPairs(delta, spark,
+      "inc_rb_bands", "inc_rb_sets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == expected, s"rebuild changed pair semantics: " +
+      s"extra=${after -- expected} missing=${expected -- after}")
+
+    // (b) burned ids stay burned: a replayed batch carrying deleted docs
+    // appends nothing (the replay guard sees the tombstone ids) and
+    // still produces no pairs against them
+    val deadDocs = docs.join(dead.toSeq.toDF("doc_id"), Seq("doc_id"),
+      "left_semi")
+    graft.streaming.IngestOps.ingestBatch(deadDocs, spark,
+      "inc_rb_bands", "inc_rb_sets").collect()
+    assert(spark.table("inc_rb_sets")
+      .join(deadDf, Seq("id"), "left_semi")
+      .filter(col("ss").isNotNull).count() == 0,
+      "a replayed ingest must not resurrect a deleted doc post-rebuild")
+    val again = DedupOps.incrementalPairs(delta, spark,
+      "inc_rb_bands", "inc_rb_sets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == expected)
+  }
+
   test("the candidate join reads the store Exchange-free") {
     val (bands, _) = storeTables
     val key = "spark.sql.autoBroadcastJoinThreshold"
