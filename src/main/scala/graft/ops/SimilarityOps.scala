@@ -421,13 +421,19 @@ object SimilarityOps {
   /** Train the codebooks: per-sub-space Lloyd rounds over the
     * [[pqCodebooks]] seeds. Assignment reuses the codegen'd exact-integer
     * encoder (one [[pqEncode]] pass assigns ALL sub-spaces at once);
-    * re-centering is the [[ivfCentroids]] convention — per-(sub, code)
-    * coordinate averages ROUNDED so the trained table is reproducible
-    * across partitionings. Codes that attract no vectors keep their
-    * previous codeword (k stays fixed; a vanished cell would shrink the
-    * code space and break stored codes). Train once per corpus and
-    * persist the m·ksub-row table beside the encoded vectors — encode /
-    * decode / ADC are codebook-agnostic. */
+    * re-centering is EXACT INTEGER arithmetic end-to-end — per-(sub,
+    * code) coordinate mean computed as Σ quantize(x) (a long sum:
+    * associativity-free, so partitioning can never move it) divided by
+    * the member count with half-away-from-zero integer rounding, then
+    * one double division by 10⁶ and one float cast. No float ever
+    * accumulates across rows, so the TRAINED codebook is bit-replicable
+    * in any engine — the full train→encode→decode cycle sits under the
+    * driver's hash gate (`ann_pq_train_q`), not just the seeded one.
+    * Codes that attract no vectors keep their previous codeword (k
+    * stays fixed; a vanished cell would shrink the code space and break
+    * stored codes). Train once per corpus and persist the m·ksub-row
+    * table beside the encoded vectors — encode / decode / ADC are
+    * codebook-agnostic. */
   def pqCodebooksTrained(corpus: DataFrame, dim: Int, m: Int = 8,
                          ksub: Int = 16, iters: Int = 2,
                          idCol: String = "vec_id",
@@ -441,9 +447,18 @@ object SimilarityOps {
           col("col").as("code"))
       val sl = corpus.select(col(idCol), posexplode(col(vecCol)))
         .select(col(idCol), (col("pos") / lit(dsub)).cast("int").as("sub"),
-          (col("pos") % lit(dsub)).as("d"), col("col").cast("double").as("v"))
+          (col("pos") % lit(dsub)).as("d"),
+          // the same round(x·10⁶) fixed-point the encoder assigns by
+          round(col("col").cast("double") * lit(1e6), 0).cast("long")
+            .as("__q"))
       val trained = asg.join(sl, Seq(idCol, "sub"))
-        .groupBy("sub", "code", "d").agg(round(avg("v"), 6).as("cv"))
+        .groupBy("sub", "code", "d")
+        .agg(sum("__q").as("__sq"), count(lit(1)).as("__n"))
+        // integer mean, ties half away from zero: exact in longs
+        .withColumn("__cq", when(col("__sq") >= 0,
+            expr("(2 * __sq + __n) div (2 * __n)"))
+          .otherwise(-expr("(2 * -__sq + __n) div (2 * __n)")))
+        .withColumn("cv", col("__cq").cast("double") / lit(1e6))
         .groupBy("sub", "code")
         .agg(transform( // bounded: dsub entries per (sub, code)
           array_sort(collect_list(struct(col("d"), col("cv")))),

@@ -1049,13 +1049,14 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
-    // ---- The production PQ searcher (rows-only: Lloyd-trained
-    // codebooks are float-average artifacts, like ann_ivf's centroids;
-    // the machinery is oracle-gated by ann_pq_q and the ADC ≡
-    // reconstruct equivalence is spec-pinned): train per-sub-space
-    // codebooks, encode the corpus 32× smaller, search by asymmetric
-    // distance — each candidate scored from the query's LUT in m table
-    // adds, no vector ever reconstructed.
+    // ---- The production PQ searcher (rows-only: the LUT-summed ADC
+    // cosine groups the dot product by sub-space, an association DuckDB's
+    // flat list_cosine_similarity can differ from in the last ulp; the
+    // trained codebook itself is hash-gated by ann_pq_train_q below and
+    // the ADC ≡ reconstruct equivalence is spec-pinned): train
+    // per-sub-space codebooks, encode the corpus 32× smaller, search by
+    // asymmetric distance — each candidate scored from the query's LUT
+    // in m table adds, no vector ever reconstructed.
     qq("ann_pq_adc") { (s, dir) =>
       import org.apache.spark.sql.functions.{col => c}
       val emb = tEmbeddings(s, dir)
@@ -1063,6 +1064,94 @@ object PipelineOps {
       val codes = SimilarityOps.pqEncode(emb, cb)
       SimilarityOps.pqTopKAdc(
         emb.filter(c("vec_id") % 50 === 0), codes, cb, k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- Lloyd-TRAINED product quantization UNDER THE ORACLE: one full
+    // train→encode→decode cycle, every step bit-replicable. Assignment
+    // is the exact-integer argmin (ann_pq_q's convention); re-centering
+    // is Σ quantize(x) as a LONG (associativity-free — no float ever
+    // accumulates across rows) divided by the member count with
+    // half-away integer rounding, one double ÷10⁶, one float cast;
+    // empty codes keep their seed codeword. DuckDB replays the whole
+    // iteration declaratively; equal hashes pin the trained codebook
+    // values, the re-assignment, every reconstructed float, every rank.
+    q(
+      "ann_pq_train_q",
+      """WITH qe AS (
+        |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+        |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |    FROM embeddings)
+        |), seeds AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+        |), seedf AS (
+        |  SELECT (q.i - 1) // 8 AS sub, s.code, (q.i - 1) % 8 AS d,
+        |    e.embedding[q.i] AS cf, q.qv AS qc
+        |  FROM seeds s
+        |  JOIN qe q ON q.vec_id = s.vec_id
+        |  JOIN embeddings e ON e.vec_id = s.vec_id
+        |), dist0 AS (
+        |  SELECT e.vec_id, c.sub, c.code,
+        |    SUM((e.qv - c.qc) * (e.qv - c.qc)) AS d2
+        |  FROM qe e JOIN seedf c ON c.sub = (e.i - 1) // 8 AND c.d = (e.i - 1) % 8
+        |  GROUP BY 1, 2, 3
+        |), asg AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+        |    FROM dist0) WHERE rk = 1
+        |), rc AS (
+        |  SELECT a.sub, a.code, (e.i - 1) % 8 AS d,
+        |    SUM(e.qv) AS sq, COUNT(*) AS n
+        |  FROM asg a JOIN qe e ON e.vec_id = a.vec_id AND (e.i - 1) // 8 = a.sub
+        |  GROUP BY 1, 2, 3
+        |), tr AS (
+        |  SELECT sub, code, d,
+        |    CAST(CAST(CASE WHEN sq >= 0 THEN (2 * sq + n) // (2 * n)
+        |      ELSE -((2 * (-sq) + n) // (2 * n)) END AS DOUBLE) / 1000000 AS REAL) AS cf
+        |  FROM rc
+        |), cb1 AS (
+        |  SELECT s.sub, s.code, s.d, COALESCE(t.cf, s.cf) AS cf
+        |  FROM seedf s LEFT JOIN tr t
+        |    ON t.sub = s.sub AND t.code = s.code AND t.d = s.d
+        |), cw1 AS (
+        |  SELECT sub, code, d, cf,
+        |    CAST(ROUND(CAST(cf AS DOUBLE) * 1000000) AS BIGINT) AS qc
+        |  FROM cb1
+        |), dist1 AS (
+        |  SELECT e.vec_id, c.sub, c.code,
+        |    SUM((e.qv - c.qc) * (e.qv - c.qc)) AS d2
+        |  FROM qe e JOIN cw1 c ON c.sub = (e.i - 1) // 8 AND c.d = (e.i - 1) % 8
+        |  GROUP BY 1, 2, 3
+        |), codes1 AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+        |    FROM dist1) WHERE rk = 1
+        |), rec AS (
+        |  SELECT c.vec_id, LIST(w.cf ORDER BY c.sub, w.d) AS emb
+        |  FROM codes1 c
+        |  JOIN cw1 w ON w.sub = c.sub AND w.code = c.code
+        |  GROUP BY c.vec_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], r.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], r.emb::DOUBLE[]), 4) DESC, r.vec_id) AS rank
+        |  FROM embeddings q JOIN rec r ON r.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col => c}
+      val emb = tEmbeddings(s, dir)
+      val cb = SimilarityOps.pqCodebooksTrained(emb, dim = 64, iters = 1)
+      val dec = SimilarityOps.pqDecode(SimilarityOps.pqEncode(emb, cb), cb)
+      SimilarityOps.bruteForceTopK(
+        emb.filter(c("vec_id") % 50 === 0), dec, k = 10)
+        .withColumn("rank", c("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
 
