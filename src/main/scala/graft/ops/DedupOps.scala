@@ -245,13 +245,19 @@ object DedupOps {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidate
-    * generation by 4×16-bit band buckets (any pair within distance 3 must
-    * agree on ≥1 of 4 bands — pigeonhole). */
-  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxDist: Int = 3,
-                   maxBucket: Int = 0): DataFrame = {
-    val sig = simhashes(docs, idCol, textCol)
+  /** Hamming-ball pairing over ANY 64-bit fingerprint column: pairs of
+    * `(id, sh)` rows within `maxDist` bits, candidates from a 4×16-bit
+    * band equi-join (pigeonhole: a pair differing in ≤ 3 bits leaves at
+    * least one of the 4 bands untouched, so banding is COMPLETE for
+    * maxDist ≤ 3 — required), verified by exact `bit_count(xor)`.
+    * Shared by text SimHash ([[simhashPairs]]) and perceptual image
+    * dHash ([[MultimodalOps.imageNearDups]]) so near-miss semantics
+    * can't drift between modalities; `maxBucket` is the usual
+    * hot-bucket skew guard. */
+  def hammingPairs64(sig: DataFrame, maxDist: Int = 3,
+                     maxBucket: Int = 0): DataFrame = {
+    require(maxDist <= 3,
+      s"4-band pigeonhole is only complete for maxDist <= 3, got $maxDist")
     val allBands = sig.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sh"), j * 16).bitwiseAND(0xffffL)): _*)))
@@ -269,6 +275,14 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidate
+    * generation by 4×16-bit band buckets (any pair within distance 3 must
+    * agree on ≥1 of 4 bands — pigeonhole). */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxDist: Int = 3,
+                   maxBucket: Int = 0): DataFrame =
+    hammingPairs64(simhashes(docs, idCol, textCol), maxDist, maxBucket)
 
   /** Exact n-gram Jaccard near-dup pairs via the INVERTED-INDEX shape
     * with PREFIX FILTERING: per-doc distinct gram hashes → candidates

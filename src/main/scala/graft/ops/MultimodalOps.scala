@@ -213,9 +213,9 @@ object MultimodalOps {
     * re-encoded or exposure-nudged copies of an image COLLIDE to one
     * fingerprint while distinct images scatter: grouping by `dhash` is
     * image-level near-dedup the way MinHash banding is text-level.
-    * Near-misses (1–2 bit flips) extend via the SimHash machinery
-    * (hamming-ball probing) — same fingerprint column, different
-    * grouping. */
+    * Near-misses (1–2 bit flips — a recompression artifact nudging one
+    * comparison) pair through [[imageNearDups]] — same fingerprint
+    * column, banded hamming-ball grouping instead of equality. */
   private def dHashOf(img: JvmMediaCodec.Image): Long = {
     require((img.width - 1) * img.height <= 64,
       s"dhash needs (w-1)*h <= 64 bits, got ${img.width}x${img.height}" +
@@ -249,6 +249,22 @@ object MultimodalOps {
       }
     }(enc)
   }
+
+  /** Near-miss image dedup: pairs of images whose dHash fingerprints
+    * sit within `maxDist` hamming bits — the copies exact
+    * grouping-by-dhash misses, because an exposure nudge PLUS a lossy
+    * re-encode flips a comparison or two instead of none. Candidates
+    * come from [[DedupOps.hammingPairs64]]'s 4×16-bit band equi-join
+    * (complete for maxDist ≤ 3 by pigeonhole, never a cartesian pass;
+    * bounded like `cosinePairsLsh` via the same `maxBucket` hot-bucket
+    * guard), verified by exact `bit_count(xor)`. Input is
+    * [[imageDHash]]'s output; at 100 TB the only data-sized work is the
+    * 4-row-per-image band shuffle. */
+  def imageNearDups(hashes: DataFrame, maxDist: Int = 2,
+                    maxBucket: Int = 0): DataFrame =
+    DedupOps.hammingPairs64(
+      hashes.select(col("media_id").as("id"), col("dhash").as("sh")),
+      maxDist, maxBucket)
 
   private val clipHashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

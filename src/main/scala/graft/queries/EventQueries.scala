@@ -810,6 +810,75 @@ object EventQueries {
         .orderBy("dhash")
     },
 
+    // ---- NEAR-MISS image dedup under the oracle: the copies exact
+    // dhash grouping loses. Same md5 base rasters (doc_id % 100 groups),
+    // each copy brightness-shifted by v = doc_id % 3 (the invariance)
+    // AND with v ∈ {1,2} pixels forced to zero — pixel (0,0) for v≥1,
+    // plus (0,4) for v=2 — which flips up to one dhash comparison each,
+    // the 1–2-bit damage a recompression artifact does. Spark decodes
+    // the perturbed P6 payloads for real and pairs fingerprints through
+    // the BANDED hamming join (4×16-bit pigeonhole candidates, exact
+    // bit_count verify — never a cartesian pass, PlanQualitySpec);
+    // DuckDB computes every modified hash arithmetically from the
+    // UNSHIFTED bytes and brute-forces all pairs. Equal hashes prove
+    // the banding is complete at maxDist=3, the verify exact, and the
+    // invariance + near-miss pairing compose through the real codec.
+    q(
+      "mm_dhash_near",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id % 100 AS VARCHAR) || '-0') || md5(CAST(doc_id % 100 AS VARCHAR) || '-1') ||
+        |    md5(CAST(doc_id % 100 AS VARCHAR) || '-2') || md5(CAST(doc_id % 100 AS VARCHAR) || '-3') ||
+        |    md5(CAST(doc_id % 100 AS VARCHAR) || '-4') || md5(CAST(doc_id % 100 AS VARCHAR) || '-5') AS ras
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, (p // 8) AS y, (p % 8) AS x,
+        |    CASE WHEN (doc_id % 3 >= 1 AND p = 0) OR (doc_id % 3 = 2 AND p = 32)
+        |      THEN 0
+        |      ELSE ord(substr(ras, CAST((p * 3) + 1 AS INT), 1)) +
+        |           ord(substr(ras, CAST((p * 3) + 2 AS INT), 1)) +
+        |           ord(substr(ras, CAST((p * 3) + 3 AS INT), 1)) END AS g
+        |  FROM m, UNNEST(GENERATE_SERIES(0, 63)) AS t(p)
+        |), bits AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN b.g > a.g
+        |      THEN (CAST(1 AS BIGINT) << (a.y * 7 + a.x)) ELSE 0 END) AS BIGINT) AS dh
+        |  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |  GROUP BY 1
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin
+    ) { (s, dir) =>
+      val docs = tDocs(s, dir)
+      val header = lit("P6\n8 8\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val seedS = (col("doc_id") % 100).cast("string")
+      val base = concat((0 to 5).map(k =>
+        md5(concat(seedS, lit(s"-$k")))): _*)
+      val shift = (col("doc_id") % 3).cast("int")
+      val pert = array_join(transform(
+        filter(split(base, ""), c => c =!= ""),
+        c => call_function("chr", ascii(c) + shift)), "")
+      val v = col("doc_id") % 3
+      val z3 = lit(Array[Byte](0, 0, 0))
+      val ras0 = pert.cast("binary")
+      // forced-zero pixels: (0,0) at raster offset 0 (overlay pos 1),
+      // (0,4) at offset (4·8+0)·3 = 96 (pos 97); gray 0 sits below any
+      // hex-char pixel, so each flip forces one known comparison
+      val ras = when(v === 1, overlay(ras0, z3, lit(1)))
+        .when(v === 2, overlay(overlay(ras0, z3, lit(1)), z3, lit(97)))
+        .otherwise(ras0)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        concat(header, ras).as("payload"))
+      MultimodalOps.imageNearDups(
+        MultimodalOps.imageDHash(media), maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- Perceptual AUDIO dedup (envelope hash) under the oracle — the
     // WAV sibling of mm_dhash_dedup: docs sharing doc_id % 100 get the
     // same integer-recurrence clip at a volume scaled by doc_id % 3.

@@ -332,7 +332,7 @@ class PlanQualitySpec extends SparkTestBase {
     // ONE-ROW broadcast crossJoin, the a_corr/ev_cms exception class;
     // its pruning is asserted below).
     Seq("ev_cms_store",
-      "mm_dhash_dedup", "mm_ahash_dedup", "mm_vdup_pairs",
+      "mm_dhash_dedup", "mm_ahash_dedup", "mm_vdup_pairs", "mm_dhash_near",
       "store_attr_lookup").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfTiny)
       df.collect()
