@@ -124,6 +124,26 @@ object IncrementalAggOps {
       spark, basePath, keys, measures, nBuckets)
   }
 
+  /** Retraction and merge as ONE bucket-local fold — the change-feed
+    * maintenance step (see the pipeline_cdc_rollup gate): a CDC diff
+    * yields old rows to retract and new rows to fold in, and since both
+    * are sum-monoid folds they compose into a single pass over
+    * `(−old) ∪ new` — one delta aggregation, one affected-bucket read,
+    * one dynamic-partition rewrite, instead of running the whole
+    * read-modify-write cycle twice. Same exactness (sums commute);
+    * sum-only, like [[retractFromAggStore]]. */
+  def applyDiffToAggStore(oldRows: DataFrame, newRows: DataFrame,
+                          spark: SparkSession, basePath: String,
+                          keys: Seq[String], measures: Seq[String],
+                          nBuckets: Int = 64): Unit = {
+    val cols = (keys ++ measures).map(col)
+    mergeIntoAggStore(
+      oldRows.select((keys.map(col) ++
+        measures.map(m => negate(col(m)).as(m))): _*)
+        .unionByName(newRows.select(cols: _*)),
+      spark, basePath, keys, measures, nBuckets)
+  }
+
   /** The current rollup (all buckets). */
   def readAggStore(spark: SparkSession, basePath: String): DataFrame =
     spark.read.parquet(basePath).drop("__bucket")

@@ -70,6 +70,23 @@ object VersionedStoreOps {
   def currentVersion(spark: SparkSession, base: String): Long =
     readManifestOpt(spark, base).map(latest).getOrElse(-1L)
 
+  /** Bucket ids a snapshot write actually produced, read from the
+    * written `__bucket=B` partition directories — one filesystem
+    * listing instead of a `select(BUCKET).distinct().collect()` Spark
+    * job over the written frame (and instead of the localCheckpoint
+    * that job forced, since it was the frame's second consumer). The
+    * committer has already renamed every task file in by the time this
+    * runs, so the listing is exact. */
+  private def writtenBuckets(spark: SparkSession, dir: String): Array[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET=") =>
+        st.getPath.getName.stripPrefix(s"$BUCKET=").toInt
+    }
+  }
+
   /** Version 0: the initial rows (one per key, producing sequence in
     * `seqCol`), bucket-partitioned under `base/v=0`. Rejects a base that
     * already holds a versioned store: overwriting v=0 under a surviving
@@ -80,10 +97,9 @@ object VersionedStoreOps {
     require(currentVersion(spark, base) < 0,
       s"versioned store already exists at $base (manifest present) — " +
         "delete it first to re-initialize, or applyChangesVersioned to evolve it")
-    val b = withBucket(df.withColumn(OP, lit("U")), key, nBuckets)
-      .localCheckpoint(true)
-    b.write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(s"$base/v=0")
-    val written = b.select(BUCKET).distinct().collect().map(_.getInt(0))
+    withBucket(df.withColumn(OP, lit("U")), key, nBuckets)
+      .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(s"$base/v=0")
+    val written = writtenBuckets(spark, s"$base/v=0")
     appendManifest(spark, base, written.toSeq.map(bk => (0L, bk, false)))
   }
 
@@ -147,14 +163,15 @@ object VersionedStoreOps {
       else withBucket(
         spark.read.option("mergeSchema", "true").parquet(touchedDirs: _*),
         key, nBuckets)
-    val merged = electWinners(
+    // copy-on-write needs no read-own-write fence (the write lands under
+    // v=next, never over the dirs it reads), and `merged`'s ONLY Spark
+    // consumer is the write itself — the surviving-bucket set comes off
+    // the written partition dirs, not a second pass over the frame
+    electWinners(
       affected.unionByName(winners, allowMissingColumns = true), key, seqCol)
-      .localCheckpoint(true) // copy-on-write needs no read-own-write fence,
-                             // but the two manifest scans below must not recompute it
-    merged.write.mode(SaveMode.Overwrite)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(BUCKET).parquet(s"$base/v=$next")
-    val surviving = merged.select(BUCKET).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val surviving = writtenBuckets(spark, s"$base/v=$next").toSet
     appendManifest(spark, base,
       touched.toSeq.map(bk => (next, bk, !surviving.contains(bk))))
     next

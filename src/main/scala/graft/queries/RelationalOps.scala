@@ -874,10 +874,11 @@ object RelationalOps {
         .join(diff.filter(col("change").isin("del", "upd")), "doc_id")
       val newRows = VersionedStoreOps.readVersion(s, vbase, Some(v2))
         .join(diff.filter(col("change").isin("add", "upd")), "doc_id")
-      IncrementalAggOps.retractFromAggStore(
-        prep(oldRows), s, abase, Seq("lang"), Seq("n", "chars"), 8)
-      IncrementalAggOps.mergeIntoAggStore(
-        prep(newRows), s, abase, Seq("lang"), Seq("n", "chars"), 8)
+      // retract + merge composed into ONE bucket-local fold (sums
+      // commute): one read-modify-write cycle per change feed, not two
+      IncrementalAggOps.applyDiffToAggStore(
+        prep(oldRows), prep(newRows), s, abase,
+        Seq("lang"), Seq("n", "chars"), 8)
       IncrementalAggOps.readAggStore(s, abase)
         .filter(col("n") =!= 0)
         .orderBy("lang")
