@@ -320,6 +320,27 @@ object InvertedIndexOps {
       .limit(topK)
   }
 
+  /** Lift [[appendToScoredIndex]] into a Structured Streaming sink —
+    * exactly-once index maintenance over at-least-once micro-batch
+    * delivery: the engine's `batchId` IS the logical batch tag, so a
+    * batch redelivered after a crash between the append and the
+    * checkpoint commit finds its tag in the ledger and lands nothing
+    * twice (the [[VectorStoreOps.ingestStream]] shape, on the text
+    * tier). Caller starts/stops the returned query. */
+  def ingestStream(docs: DataFrame, spark: SparkSession, table: String,
+                   checkpointLocation: String,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idle triggers append nothing — skip the ledger round trip
+        if (!batch.isEmpty)
+          appendToScoredIndex(batch, spark, table, idCol, textCol,
+            batchTag = Some(s"stream-$batchId"))
+      }
+      .start()
+
   /** Conjunctive (AND-of-terms) search: doc_ids containing EVERY term.
     * The scan is bucket-pruned to the query terms' buckets and
     * visibility-filtered like [[searchBm25]]; the AND is a

@@ -182,6 +182,49 @@ class InvertedIndexSpec extends SparkTestBase {
       .searchBm25(spark, "tidx_del", terms, topK = 20).collect().toSeq)
   }
 
+  test("streaming ingest lands every batch exactly once across a " +
+    "checkpoint restart; scores equal a clean one-shot index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("tidx-stream").toString
+    val ckpt = s"$base/ckpt"
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    InvertedIndexOps.writeScoredIndex(store, spark, "tidx_str", base)
+
+    val rows = delta.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    def start() = InvertedIndexOps.ingestStream(
+      input.toDS().toDF("doc_id", "text"), spark, "tidx_str", ckpt)
+    val q1 = start()
+    try { input.addData(a.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData(b.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    // a crash-between-append-and-checkpoint redelivery re-submits a
+    // batch id the ledger has already committed: must be a no-op
+    val n1 = spark.table("tidx_str").count()
+    InvertedIndexOps.appendToScoredIndex(
+      delta.filter(pmod(col("doc_id"), lit(2)) === 0), spark, "tidx_str",
+      batchTag = Some("stream-1"))
+    assert(spark.table("tidx_str").count() == n1,
+      "a redelivered stream batch id must append nothing")
+
+    val terms = Seq("batch", "scan", "hash")
+    val fullBase = Files.createTempDirectory("tidx-str-full").toString
+    InvertedIndexOps.writeScoredIndex(docs, spark, "tidx_str_full", fullBase)
+    assert(InvertedIndexOps.searchBm25(spark, "tidx_str", terms, topK = 20)
+      .collect().toSeq ==
+      InvertedIndexOps.searchBm25(spark, "tidx_str_full", terms, topK = 20)
+        .collect().toSeq,
+      "streamed index must score exactly like a clean one-shot build")
+  }
+
   test("a k-term query scans only the terms' buckets") {
     val base = Files.createTempDirectory("tidx-prune").toString
     InvertedIndexOps.writeTextIndex(docs, spark, "tidx_prune", base,
