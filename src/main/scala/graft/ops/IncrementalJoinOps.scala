@@ -333,14 +333,28 @@ object IncrementalJoinOps {
                       maxFilesPerBucket: Int = 4,
                       gc: Boolean = true): Unit = {
     require(manifestExists(spark, base), s"no join view at $base")
+    // ONE manifest read and ONE swap for all three sides: their manifest
+    // rows are disjoint (the side column), so the per-side rewrites can
+    // all land first — under one shared commit id, in per-side dirs —
+    // and a single swap publishes everything. The per-side
+    // read/swap/read/swap round-trip this replaces paid two extra
+    // manifest resolutions and two extra versioned swaps per compaction
+    // for no added safety: a crash before the one swap leaves the prior
+    // manifest live and the orphan c=<next> dirs are the same in-flight
+    // slot a torn refresh leaves (vacuum skips them; the next writer
+    // overwrites them).
+    val manifest = readManifest(spark, base)
+    val fs = hadoopFs(spark, base)
+    val next = manifest.map(_.c).max + 1
+    var kept = manifest.toIndexedSeq
+    var newRows = IndexedSeq.empty[ManifestRow]
+    var droppedAll = IndexedSeq.empty[ManifestRow]
     Sides.foreach { side =>
-      val manifest = readManifest(spark, base) // fresh per side rewrite
       val live = manifest
         .filter(r => r.side == side && r.bucket >= 0)
         .map(r => (r.c, r.bucket)).toSet
       val counts = scala.collection.mutable.Map.empty[Int, Int]
       val root = new org.apache.hadoop.fs.Path(s"$base/$side")
-      val fs = hadoopFs(spark, base)
       if (fs.exists(root)) {
         val it = fs.listFiles(root, true)
         while (it.hasNext) {
@@ -360,7 +374,6 @@ object IncrementalJoinOps {
       }
       val frag = counts.filter(_._2 > maxFilesPerBucket).keySet.toSet
       if (frag.nonEmpty) {
-        val next = manifest.map(_.c).max + 1
         val dirs = manifest
           .filter(r => r.side == side && frag(r.bucket))
           .map(r => s"$base/$side/c=${r.c}/$BUCKET=${r.bucket}")
@@ -372,26 +385,30 @@ object IncrementalJoinOps {
           .repartition(frag.size, col(BUCKET))
           .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(commitDir)
         val surviving = writtenBuckets(spark, commitDir)
-        val (dropped, kept) = manifest.toIndexedSeq
+        val (dropped, keptRest) = kept
           .partition(r => r.side == side && r.bucket >= 0 && frag(r.bucket))
-        val markers = dropped.flatMap(_.tag).distinct
-          .filterNot(t => kept.exists(_.tag.contains(t)))
-          .map(t => ManifestRow(next, side, -1, Some(t)))
-        writeManifest(spark, base,
-          kept ++ markers ++
-            surviving.map(bk => ManifestRow(next, side, bk, None)),
-          append = false)
-        // post-commit GC; orphans from a crash here are invisible.
-        // `gc = false` defers deletion so in-flight readers resolved
-        // against the old manifest keep their files (sweep later)
-        if (gc) dropped.foreach { r =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$base/$side/c=${r.c}/$BUCKET=${r.bucket}"), true)
-          val cdir = new org.apache.hadoop.fs.Path(s"$base/$side/c=${r.c}")
-          if (fs.exists(cdir) && !fs.listStatus(cdir).exists(st =>
-              st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET=")))
-            fs.delete(cdir, true)
-        }
+        kept = keptRest
+        newRows ++= surviving.map(bk => ManifestRow(next, side, bk, None))
+        droppedAll ++= dropped
+      }
+    }
+    if (droppedAll.nonEmpty) {
+      // tags whose every data row was superseded survive as pure
+      // markers — the replay guard must outlive the data it guarded
+      val markers = droppedAll.flatMap(_.tag).distinct
+        .filterNot(t => kept.exists(_.tag.contains(t)))
+        .map(t => ManifestRow(next, "j", -1, Some(t)))
+      writeManifest(spark, base, kept ++ markers ++ newRows, append = false)
+      // post-commit GC; orphans from a crash here are invisible.
+      // `gc = false` defers deletion so in-flight readers resolved
+      // against the old manifest keep their files (sweep later)
+      if (gc) droppedAll.foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$base/${r.side}/c=${r.c}/$BUCKET=${r.bucket}"), true)
+        val cdir = new org.apache.hadoop.fs.Path(s"$base/${r.side}/c=${r.c}")
+        if (fs.exists(cdir) && !fs.listStatus(cdir).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET=")))
+          fs.delete(cdir, true)
       }
     }
   }
