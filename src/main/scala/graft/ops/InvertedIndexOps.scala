@@ -320,6 +320,39 @@ object InvertedIndexOps {
       .limit(topK)
   }
 
+  /** Physical reclaim for either index kind — the compaction the
+    * delete and torn-batch paths defer to: rewrite the postings keeping
+    * ONLY live rows (committed batches, minus tombstoned docs), one
+    * file per bucket again after N appends. Rows reclaimed: tombstoned
+    * docs' postings (physically gone at last) and torn attempts'
+    * uncommitted rows.
+    *
+    * The load-bearing design point: live rows keep their ORIGINAL
+    * `__batch` tags and the ledger/tombstone side tables are NOT
+    * touched — visibility is ledger-driven, so a pure physical rewrite
+    * needs no new commit point, the replay guard survives by
+    * construction (a late redelivery of any old batch tag — including
+    * one carrying a deleted doc — is still a no-op), the corpus stats
+    * (already net of the deletes' negative rows) stay exact, and
+    * re-deletes stay idempotent. Contrast
+    * [[DedupOps.rebuildFingerprintStore]], whose guard rides data rows
+    * and must carry tombstones forward explicitly.
+    *
+    * Writes land at the NEW `basePath`; old postings files are never
+    * deleted, so a crash mid-rewrite loses nothing — re-register the
+    * table at the old path and re-run. Quiet-window maintenance, like
+    * every sibling store's rebuild. */
+  def rebuildTextIndex(spark: SparkSession, table: String,
+                       basePath: String, nBuckets: Int = 16): Unit = {
+    val live = spark.table(table)
+      .join(broadcast(committedTags(spark, table)),
+        col("__batch") === col("batch_tag"), "left_semi")
+      .join(broadcast(committedTombstones(spark, table)),
+        Seq("doc_id"), "left_anti")
+    LayoutOps.writeBucketed(live, spark, table, s"$basePath/postings",
+      nBuckets, "term")
+  }
+
   /** Lift [[appendToScoredIndex]] into a Structured Streaming sink —
     * exactly-once index maintenance over at-least-once micro-batch
     * delivery: the engine's `batchId` IS the logical batch tag, so a

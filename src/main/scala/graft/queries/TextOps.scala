@@ -680,6 +680,11 @@ object TextOps {
         .select("doc_id")
       InvertedIndexOps.deleteFromTextIndex(doomed, s, "graft_bm25_del_idx")
       InvertedIndexOps.deleteFromTextIndex(doomed, s, "graft_bm25_del_idx")
+      // the physical reclaim runs MID-CHAIN (tombstoned postings gone,
+      // ledger untouched) — the oracle doesn't change because a rebuild
+      // must not change semantics
+      InvertedIndexOps.rebuildTextIndex(s, "graft_bm25_del_idx",
+        scratchDir("graft-bm25-del-rb"))
       InvertedIndexOps.searchBm25(
         s, "graft_bm25_del_idx", Seq("batch", "scan", "hash"), topK = 50)
     },

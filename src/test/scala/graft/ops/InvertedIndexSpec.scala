@@ -182,6 +182,58 @@ class InvertedIndexSpec extends SparkTestBase {
       .searchBm25(spark, "tidx_del", terms, topK = 20).collect().toSeq)
   }
 
+  test("rebuild reclaims tombstoned and torn postings, keeps scores, " +
+    "and the replay guard survives (ledger untouched)") {
+    val base = Files.createTempDirectory("tidx-rb").toString
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    InvertedIndexOps.writeScoredIndex(store, spark, "tidx_rb", base)
+    InvertedIndexOps.appendToScoredIndex(delta, spark, "tidx_rb",
+      batchTag = Some("b1"))
+    // a torn attempt whose ledger row never landed…
+    LayoutOps.appendBucketed(
+      InvertedIndexOps.scoredPostings(delta)
+        .withColumn("__batch", lit("b2#torn")), spark, "tidx_rb")
+    // …and a compliance delete whose postings linger physically
+    val doomed = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select("doc_id")
+    InvertedIndexOps.deleteFromTextIndex(doomed, spark, "tidx_rb")
+    val terms = Seq("batch", "scan", "hash")
+    val before = InvertedIndexOps
+      .searchBm25(spark, "tidx_rb", terms, topK = 20).collect().toSeq
+    val stBefore = spark.table("tidx_rb_stats")
+      .agg(sum("n_docs"), sum("sum_dlen")).head()
+
+    InvertedIndexOps.rebuildTextIndex(spark, "tidx_rb",
+      Files.createTempDirectory("tidx-rb-new").toString)
+
+    // reclaimed physically: no tombstoned doc's postings, no torn rows
+    assert(spark.table("tidx_rb")
+      .filter(pmod(col("doc_id"), lit(7)) === 2).count() == 0,
+      "rebuild must drop tombstoned docs' postings")
+    assert(spark.table("tidx_rb")
+      .filter(col("__batch") === "b2#torn").count() == 0,
+      "rebuild must drop uncommitted torn rows")
+    // semantics preserved: scores and ledger sums identical
+    assert(InvertedIndexOps.searchBm25(spark, "tidx_rb", terms, topK = 20)
+      .collect().toSeq == before)
+    val stAfter = spark.table("tidx_rb_stats")
+      .agg(sum("n_docs"), sum("sum_dlen")).head()
+    assert(stAfter.getLong(0) == stBefore.getLong(0) &&
+      stAfter.getLong(1) == stBefore.getLong(1))
+    // the replay guard survives the rebuild: a late redelivery of the
+    // committed batch still appends nothing
+    val n = spark.table("tidx_rb").count()
+    InvertedIndexOps.appendToScoredIndex(delta, spark, "tidx_rb",
+      batchTag = Some("b1"))
+    assert(spark.table("tidx_rb").count() == n,
+      "a replayed batch must stay a no-op after the rebuild")
+    // …and a re-submitted delete stays idempotent
+    InvertedIndexOps.deleteFromTextIndex(doomed, spark, "tidx_rb")
+    assert(InvertedIndexOps.searchBm25(spark, "tidx_rb", terms, topK = 20)
+      .collect().toSeq == before)
+  }
+
   test("streaming ingest lands every batch exactly once across a " +
     "checkpoint restart; scores equal a clean one-shot index") {
     implicit val sqlCtx = spark.sqlContext
