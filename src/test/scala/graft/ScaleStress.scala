@@ -416,6 +416,69 @@ object ScaleStress {
     java.nio.file.Files.write(out.resolve("scale_stress_bm25.json"),
       (bmJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+    // --- text-index RTBF delete + physical rebuild (r13): the delete's
+    // one corpus-sized cost is the (doc_id, dlen, __batch) column scan
+    // behind the stats correction — linear by design and documented on
+    // the op; the rebuild is one bucketed read+write of live postings,
+    // also linear. Fixed-size delete set (copy-0 ids, present at every
+    // k) so the ratio isolates the corpus term.
+    def idxDelete(k: Int): Long = {
+      InvertedIndexOps.deleteFromTextIndex(
+        scaled(1).filter(col("doc_id") % 97 === 3).select("doc_id"),
+        spark, s"ss_bm25_$k")
+      1L
+    }
+    def idxRebuild(k: Int): Long = {
+      InvertedIndexOps.rebuildTextIndex(spark, s"ss_bm25_$k",
+        s"$fpBase/bm25rb$k")
+      1L
+    }
+    val (tid1, _) = time(idxDelete(1))
+    val (tid10, _) = time(idxDelete(10))
+    val (tir1, _) = time(idxRebuild(1))
+    val (tir10, _) = time(idxRebuild(10))
+    val idRatio = tid10 / math.max(tid1, 1e-9)
+    val irRatio = tir10 / math.max(tir1, 1e-9)
+    println(f"[scale-stress] tindex delete       k=1: $tid1%6.2fs  " +
+      f"k=10: $tid10%6.2fs  ratio $idRatio%5.2f")
+    println(f"[scale-stress] tindex rebuild      k=1: $tir1%6.2fs  " +
+      f"k=10: $tir10%6.2fs  ratio $irRatio%5.2f")
+    require(idRatio < MaxRatio,
+      s"index delete super-linearithmic: ratio $idRatio")
+    require(irRatio < MaxRatio,
+      s"index rebuild super-linearithmic: ratio $irRatio")
+    // post-rebuild the pruned search still answers (reclaim lost nothing
+    // the ledger still commits)
+    require(bmSearch(10) > 0, "bm25 search must survive delete + rebuild")
+    val idxMaintJson =
+      s"""{"op":"textIndexMaint","delete1_sec":${fmt(tid1, 3)},"delete10_sec":${fmt(tid10, 3)},"delete_ratio":${fmt(idRatio, 2)},"rebuild1_sec":${fmt(tir1, 3)},"rebuild10_sec":${fmt(tir10, 3)},"rebuild_ratio":${fmt(irRatio, 2)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_tindex_maint.json"),
+      (idxMaintJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // --- fingerprint-store rebuild (r13): the tombstone-carrying
+    // reclaim is one bucketed read+write per table — linear in the
+    // store, never quadratic. Tombstone a fixed copy-0 id set first so
+    // the rebuild has something to drop.
+    def fpRebuild(k: Int): Long = {
+      DedupOps.deleteFromFingerprintStore(
+        scaled(1).filter(col("doc_id") % 97 === 3).select("doc_id"),
+        spark, s"ss_sets_$k")
+      DedupOps.rebuildFingerprintStore(spark, s"ss_bands_$k", s"ss_sets_$k",
+        s"$fpBase/rb$k")
+      1L
+    }
+    val (tfr1, _) = time(fpRebuild(1))
+    val (tfr10, _) = time(fpRebuild(10))
+    val frRatio = tfr10 / math.max(tfr1, 1e-9)
+    println(f"[scale-stress] fpstore rebuild     k=1: $tfr1%6.2fs  " +
+      f"k=10: $tfr10%6.2fs  ratio $frRatio%5.2f")
+    require(frRatio < MaxRatio,
+      s"fingerprint rebuild super-linearithmic: ratio $frRatio")
+    val fpRbJson =
+      s"""{"op":"fingerprintRebuild","t1_sec":${fmt(tfr1, 3)},"t10_sec":${fmt(tfr10, 3)},"ratio":${fmt(frRatio, 2)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_fp_rebuild.json"),
+      (fpRbJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
     // --- HLL rollup store: ingest appends only the BATCH's cells (never
     // reads the store — flat by construction, measured anyway), and a
     // rollup read costs ∝ cells, which here grow ~k (shifted days), so it
