@@ -63,6 +63,27 @@ class ManifestIOSpec extends SparkTestBase {
     assert(versionDirs(dir).size == 1, versionDirs(dir))
   }
 
+  test("swap refuses to retire when the new version has no commit marker") {
+    val dir = Files.createTempDirectory("mio-nomark").toString + "/_m"
+    ManifestIO.swap(spark, dir, rows((1L, 10L)))
+    // success markers disabled (the committer config a shared cluster
+    // profile can set): the swap's new version never gets _SUCCESS, so
+    // retiring the old versions would destroy the only committed
+    // manifests — the swap must abort loudly and leave them live
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setBoolean(key, false)
+    try {
+      intercept[IllegalArgumentException](
+        ManifestIO.swap(spark, dir, rows((2L, 20L))))
+    } finally conf.unset(key)
+    assert(got(dir) == Set((1L, 10L)),
+      "the prior committed version must survive the aborted swap")
+    // and a normal swap afterwards recovers cleanly
+    ManifestIO.swap(spark, dir, rows((3L, 30L)))
+    assert(got(dir) == Set((3L, 30L)))
+  }
+
   test("a fresh dir neither exists nor reads") {
     val dir = Files.createTempDirectory("mio-fresh").toString + "/_m"
     assert(!ManifestIO.exists(spark, dir))
