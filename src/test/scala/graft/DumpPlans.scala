@@ -24,7 +24,11 @@ object DumpPlans {
       // bm25 (bucket-pruned postings scan), pq ADC (codes-only corpus
       // pass), perceptual clip dedup (df-guarded equi-join)
       "w6_rank_family", "text_bm25", "ann_pq_adc",
-      "mm_vdup_pairs").foreach { name =>
+      "mm_vdup_pairs",
+      // r13 flagships: ledger-visibility + tombstone-filtered bm25 over
+      // a deleted+rebuilt index, trained-PQ oracle cycle, banded
+      // hamming near-miss image dedup
+      "text_bm25_del", "ann_pq_train_q", "mm_dhash_near").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       out ++= s"## $name\n\n```\n"
