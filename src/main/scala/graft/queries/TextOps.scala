@@ -626,6 +626,72 @@ object TextOps {
         s, "graft_bm25_idx", Seq("batch", "scan", "hash"), topK = 50)
     },
 
+    // Batched BM25 retrieval — a whole query TABLE scored in one pass
+    // over the index (the retrieval-eval / hard-negative-mining shape):
+    // three queries with overlapping vocabularies, per-query top-20.
+    // Spark routes them through searchBm25Batch's single pruned scan +
+    // one per-query window; DuckDB recomputes every query's BM25 from
+    // the raw corpus via a VALUES-driven join. Equal hashes pin that
+    // batching changes nothing: per-term df is global (off the shared
+    // scan), stats are shared, ranks are per-query.
+    q(
+      "text_bm25_multi",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), qq AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 'batch'), (0, 'scan'), (0, 'hash'),
+        |    (1, 'batch'),
+        |    (2, 'scan'), (2, 'hash')) v(query_id, term)
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM qq) GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT qq.query_id, tf.doc_id,
+        |    ROUND(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((tf.tf * (1.2 + 1)) /
+        |       (tf.tf + 1.2 * (0.25 + (0.75 * dl.dlen) /
+        |         (CAST(st.sd AS DOUBLE) / CAST(st.n AS DOUBLE))))), 6) AS c
+        |  FROM qq
+        |  JOIN tf USING (term) JOIN dfq ON dfq.term = tf.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |), res AS (
+        |  SELECT query_id, doc_id, ROUND(SUM(c), 4) AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS matched
+        |  FROM sc GROUP BY 1, 2
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score,
+        |  matched
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank
+        |  FROM res
+        |) WHERE rank <= 20""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      import s.implicits._
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-bm25-multi")
+      InvertedIndexOps.writeScoredIndex(docs, s, "graft_bm25m_idx", base)
+      val queries = Seq(
+        (0L, Seq("batch", "scan", "hash")),
+        (1L, Seq("batch")),
+        (2L, Seq("scan", "hash"))).toDF("query_id", "terms")
+      InvertedIndexOps.searchBm25Batch(queries, s, "graft_bm25m_idx",
+        topK = 20)
+        .orderBy("query_id", "rank")
+    },
+
     // Right-to-be-forgotten through the SAME scored index lifecycle:
     // build 80% + tagged append 20%, then DELETE every doc_id % 11 == 3
     // (tombstones + one negative ledger row) and search. DuckDB computes

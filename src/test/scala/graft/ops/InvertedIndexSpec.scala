@@ -182,6 +182,33 @@ class InvertedIndexSpec extends SparkTestBase {
       .searchBm25(spark, "tidx_del", terms, topK = 20).collect().toSeq)
   }
 
+  test("batched bm25 equals per-query searches, on both scan strategies") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tidx-batch").toString
+    InvertedIndexOps.writeScoredIndex(docs, spark, "tidx_mq", base)
+    val qs = Seq(
+      (0L, Seq("batch", "scan", "hash")),
+      (1L, Seq("Batch", "batch")), // case/dup normalization parity
+      (2L, Seq("scan", "hash")),
+      (3L, Seq("zzz-no-such-term", "batch"))) // absent terms contribute 0
+    val queries = qs.toDF("query_id", "terms")
+    def single(terms: Seq[String], qid: Long) = InvertedIndexOps
+      .searchBm25(spark, "tidx_mq", terms, topK = 15)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        (qid, r.getLong(0), (i + 1).toLong, r.getDouble(1), r.getLong(2)) }
+    val want = qs.flatMap { case (qid, terms) => single(terms, qid) }.toSet
+    def got(maxPruned: Int) = InvertedIndexOps
+      .searchBm25Batch(queries, spark, "tidx_mq", topK = 15,
+        maxPrunedTerms = maxPruned)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(got(1024) == want, "pruned-scan batch must equal per-query runs")
+    // force the join strategy (universe > maxPrunedTerms) — same answer
+    assert(got(1) == want, "join-scan batch must equal per-query runs")
+  }
+
   test("rebuild reclaims tombstoned and torn postings, keeps scores, " +
     "and the replay guard survives (ledger untouched)") {
     val base = Files.createTempDirectory("tidx-rb").toString
