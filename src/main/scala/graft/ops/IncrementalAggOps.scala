@@ -10,15 +10,38 @@ import org.apache.spark.sql.functions._
   *
   * The store is partitioned by a hash bucket of the key, so a merge
   * - aggregates the (small) delta,
-  * - reads back ONLY the buckets the delta's keys hash into (an IN-list
-  *   partition filter — pruned at file listing),
+  * - reads back ONLY the buckets the delta's keys hash into (resolved
+  *   from the manifest — untouched buckets' files are never listed),
   * - re-sums store partials with delta partials (sums/counts are
   *   monoidal: partial + partial = whole, any order), and
-  * - rewrites ONLY those buckets via dynamic partition overwrite.
+  * - writes ONLY those buckets as a NEW version (copy-on-write).
   *
   * Cost per refresh ∝ delta + affected buckets — at nBuckets sized so a
   * typical delta touches a fraction of them, the untouched store is
   * never read or written (spec-asserted byte-for-byte).
+  *
+  * == Durability (the store-family manifest commit) ==
+  *
+  * Data lives under `base/v=N/__bucket=B/`; a versioned `_manifest`
+  * ([[graft.util.ManifestIO]], the seam shared with the vector and
+  * join-view stores) names each version's buckets, and readers resolve
+  * every bucket to its LATEST version. A merge writes `v=N` FIRST and
+  * publishes it with one manifest append — the commit point — so:
+  *
+  *  - a torn merge (data written, manifest not) is INVISIBLE, and the
+  *    retry overwrites the same version slot before publishing. The
+  *    dynamic-partition-overwrite shape this replaces had an unfixable
+  *    at-least-once window: the overwrite mutates in place, so neither
+  *    marker-before nor marker-after ordering could make a replayed
+  *    batch safe;
+  *  - a merge carrying `batchTag` is REPLAY-IDEMPOTENT: the tag rides
+  *    the same manifest append that publishes the data, and a
+  *    redelivered batch finds it and no-ops — folds finally get the
+  *    guard every sibling store already had (a re-fold silently
+  *    double-counts, the exact bug class);
+  *  - copy-on-write also removes the read-own-write fence the in-place
+  *    overwrite forced (one fewer eager checkpoint per merge), and
+  *    superseded bucket versions are reclaimed by [[vacuumAggStore]].
   *
   * Measures are restricted to sum-monoids (`sum` over caller-prepared
   * columns; counts as `sum(1)`): that is exactly the class for which
@@ -28,6 +51,92 @@ import org.apache.spark.sql.functions._
   * simply doesn't accept them.
   */
 object IncrementalAggOps {
+
+  private val BUCKET = "__bucket"
+
+  private def manifestPath(base: String) = s"$base/_manifest"
+
+  /** (version, bucket, empty, tag); `bucket = -1` rows are pure replay
+    * markers (an all-empty tagged merge still records its tag). */
+  private def manifestRows(spark: SparkSession,
+                           base: String): Array[(Long, Int, Boolean, Option[String])] =
+    graft.util.ManifestIO.read(spark, manifestPath(base))
+      .select("v", "bucket", "empty", "tag")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))
+
+  private def rowsDf(spark: SparkSession,
+                     rows: Seq[(Long, Int, Boolean, Option[String])]) = {
+    import spark.implicits._
+    rows.map { case (v, b, e, t) => (v, b, e, t.orNull) }
+      .toDF("v", "bucket", "empty", "tag")
+  }
+
+  /** Latest version per bucket, tombstones excluded — the live dirs. */
+  private def liveDirs(rows: Array[(Long, Int, Boolean, Option[String])],
+                       base: String): Seq[String] =
+    rows.filter(_._2 >= 0)
+      .groupBy(_._2).toSeq
+      .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
+      .collect { case (bk, (v, _, empty, _)) if !empty =>
+        s"$base/v=$v/$BUCKET=$bk" }
+
+  /** The store's live data directories — the read path the MV rewrite
+    * rule resolves per matched aggregate (the versioned analog of the
+    * flat listing it replaced). */
+  def liveStorePaths(spark: SparkSession, basePath: String): Seq[String] =
+    liveDirs(manifestRows(spark, basePath), basePath)
+
+  /** Buckets a just-written version dir materialized — one filesystem
+    * listing, the [[VersionedStoreOps]] convention. */
+  private def writtenBuckets(spark: SparkSession, dir: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET=") =>
+        st.getPath.getName.stripPrefix(s"$BUCKET=").toInt
+    }.toSet
+  }
+
+  /** Reclaim superseded bucket versions: every `v=N/__bucket=B` dir no
+    * live resolution points at is deleted (dirs numbered past the
+    * manifest's max are an in-flight writer's slot and are skipped, as
+    * in the sibling stores). The manifest itself is left intact — it is
+    * bounded by merges × touched buckets and holds the replay tags,
+    * which must outlive the data they guard. */
+  def vacuumAggStore(spark: SparkSession, basePath: String): Unit = {
+    val rows = manifestRows(spark, basePath)
+    val maxCommitted = (rows.map(_._1) :+ -1L).max
+    // the (version, bucket) pairs some reader can still resolve to
+    // (.toSeq first: mapping the groupBy Map directly would collapse
+    // buckets sharing a max version into one entry)
+    val live = rows.filter(_._2 >= 0)
+      .groupBy(_._2).toSeq
+      .map { case (bk, hist) => (hist.map(_._1).max, bk) }.toSet
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(basePath)
+    if (fs.exists(root)) {
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .filter(_.getPath.getName.stripPrefix("v=").toLong <= maxCommitted)
+        .foreach { vDir =>
+          val v = vDir.getPath.getName.stripPrefix("v=").toLong
+          fs.listStatus(vDir.getPath)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$BUCKET="))
+            .foreach { bDir =>
+              val bk = bDir.getPath.getName.stripPrefix(s"$BUCKET=").toInt
+              if (!live((v, bk))) fs.delete(bDir.getPath, true)
+            }
+          if (!fs.listStatus(vDir.getPath).exists(st =>
+              st.isDirectory && st.getPath.getName.startsWith(s"$BUCKET=")))
+            fs.delete(vDir.getPath, true)
+        }
+    }
+    spark.catalog.refreshByPath(basePath)
+  }
 
   /** Per-measure merge function. Any COMMUTATIVE MONOID whose partial
     * merge is the function itself qualifies: sum (the default), min,
@@ -52,51 +161,80 @@ object IncrementalAggOps {
     val exprs = measures.map(m => mergeExpr(kindOf(kinds, measures, m), m))
     df.groupBy(keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
-      .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+      .withColumn(BUCKET, pmod(hash(keys.map(col): _*), lit(nBuckets)))
   }
 
   /** Initial build: aggregate `df` by `keys` (merging each measure
-    * column with its kind — all-sum when `kinds` is empty) into a
-    * bucket-partitioned store at `basePath`. */
+    * column with its kind — all-sum when `kinds` is empty) into the
+    * bucket-partitioned `v=0`, published by the manifest swap. */
   def writeAggStore(df: DataFrame, spark: SparkSession, basePath: String,
                     keys: Seq[String], measures: Seq[String],
                     nBuckets: Int = 64, kinds: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty && measures.nonEmpty)
     require(kinds.isEmpty || kinds.length == measures.length)
     bucketed(df, keys, measures, nBuckets, kinds)
-      .write.mode("overwrite").partitionBy("__bucket").parquet(basePath)
+      .write.mode("overwrite").partitionBy(BUCKET).parquet(s"$basePath/v=0")
+    val written = writtenBuckets(spark, s"$basePath/v=0")
+    graft.util.ManifestIO.swap(spark, manifestPath(basePath),
+      rowsDf(spark, written.toSeq.map(bk => (0L, bk, false, None))))
     spark.catalog.refreshByPath(basePath)
   }
 
-  /** Fold a new batch in. Only the delta's buckets are read, re-summed
-    * and rewritten (dynamic partition overwrite); every other bucket's
-    * files are untouched. NOT idempotent — a batch must be merged
-    * exactly once (it is a fold, not an upsert of absolutes). */
+  /** Fold a new batch in. Only the delta's buckets are read (manifest-
+    * resolved), re-summed and written as the next VERSION; every other
+    * bucket's files are untouched and prior versions stay on disk until
+    * [[vacuumAggStore]]. The manifest append is the commit point: a
+    * torn merge is invisible, and a `batchTag` already in the manifest
+    * makes the call a no-op — pass one and at-least-once redelivery
+    * can never double-fold (without one the fold contract stands: a
+    * batch must be merged exactly once). */
   def mergeIntoAggStore(delta: DataFrame, spark: SparkSession,
                         basePath: String, keys: Seq[String],
                         measures: Seq[String], nBuckets: Int = 64,
-                        kinds: Seq[String] = Nil): Unit = {
+                        kinds: Seq[String] = Nil,
+                        batchTag: Option[String] = None): Unit = {
     require(kinds.isEmpty || kinds.length == measures.length)
+    val manifest = manifestRows(spark, basePath) // the op's ONLY manifest read
+    if (batchTag.exists(t => manifest.exists(_._4.contains(t)))) return
+    val next = manifest.map(_._1).max + 1
     val dAgg = bucketed(delta, keys, measures, nBuckets, kinds)
-      // freeze before reading the store this write will mutate
-      .localCheckpoint(true)
-    val touched = dAgg.select("__bucket").distinct()
+      .localCheckpoint(true) // consumed by the bucket probe AND the fold
+    val touched = dAgg.select(BUCKET).distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets, never data-sized
-    val affected = spark.read.parquet(basePath)
-      .filter(col("__bucket").isin(touched.toIndexedSeq: _*))
+    if (touched.isEmpty) {
+      // an all-empty tagged batch still records its replay marker
+      batchTag.foreach(t => graft.util.ManifestIO.append(spark,
+        manifestPath(basePath), rowsDf(spark, Seq((next, -1, true, Some(t))))))
+      return
+    }
+    val touchedDirs = manifest
+      .filter(r => r._2 >= 0 && touched.contains(r._2))
+      .groupBy(_._2).toSeq
+      .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
+      .collect { case (bk, (v, _, empty, _)) if !empty =>
+        s"$basePath/v=$v/$BUCKET=$bk" }
+    // leaf-dir reads carry no partition columns; the bucket is a pure
+    // function of the keys, so recompute it (same value as the dir name)
+    val affected =
+      if (touchedDirs.isEmpty) dAgg.filter(lit(false))
+      else spark.read.parquet(touchedDirs: _*)
+        .withColumn(BUCKET, pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val exprs = measures.map(m => mergeExpr(kindOf(kinds, measures, m), m))
-    val merged = affected.unionByName(dAgg)
-      .groupBy((keys :+ "__bucket").map(col): _*)
+    // copy-on-write: the fold writes v=next, never over what it reads —
+    // no read-own-write fence (and no eager checkpoint) needed
+    affected.unionByName(dAgg)
+      .groupBy((keys :+ BUCKET).map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
-      .select((keys ++ measures :+ "__bucket").map(col): _*)
-      // materialize BEFORE the write: the write overwrites the very
-      // partitions `affected` reads — without the eager cut the job
-      // would consume files it is deleting (bounded: affected slice
-      // of an already-aggregated store, not fact-table-sized)
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket").parquet(basePath)
+      .select((keys ++ measures :+ BUCKET).map(col): _*)
+      .write.mode("overwrite") // a torn prior attempt at this id is replaced
+      .partitionBy(BUCKET).parquet(s"$basePath/v=$next")
+    val written = writtenBuckets(spark, s"$basePath/v=$next")
+    // tombstone any touched bucket the fold left empty (cannot happen
+    // for sum/min/max folds — zero rows persist — but resolution must
+    // never fall back to a superseded copy if it ever did)
+    graft.util.ManifestIO.append(spark, manifestPath(basePath),
+      rowsDf(spark, touched.toIndexedSeq.map(bk =>
+        (next, bk, !written(bk), batchTag))))
     spark.catalog.refreshByPath(basePath)
   }
 
@@ -111,7 +249,8 @@ object IncrementalAggOps {
                           basePath: String, keys: Seq[String],
                           measures: Seq[String],
                           nBuckets: Int = 64,
-                          kinds: Seq[String] = Nil): Unit = {
+                          kinds: Seq[String] = Nil,
+                          batchTag: Option[String] = None): Unit = {
     // retraction = merging the negation, which is only meaningful for
     // sum partials: a min/max partial is not invertible, and silently
     // summing against one would corrupt the stored extreme
@@ -121,7 +260,7 @@ object IncrementalAggOps {
     mergeIntoAggStore(
       batch.select((keys.map(col) ++
         measures.map(m => negate(col(m)).as(m))): _*),
-      spark, basePath, keys, measures, nBuckets)
+      spark, basePath, keys, measures, nBuckets, batchTag = batchTag)
   }
 
   /** Retraction and merge as ONE bucket-local fold — the change-feed
@@ -135,18 +274,22 @@ object IncrementalAggOps {
   def applyDiffToAggStore(oldRows: DataFrame, newRows: DataFrame,
                           spark: SparkSession, basePath: String,
                           keys: Seq[String], measures: Seq[String],
-                          nBuckets: Int = 64): Unit = {
+                          nBuckets: Int = 64,
+                          batchTag: Option[String] = None): Unit = {
     val cols = (keys ++ measures).map(col)
     mergeIntoAggStore(
       oldRows.select((keys.map(col) ++
         measures.map(m => negate(col(m)).as(m))): _*)
         .unionByName(newRows.select(cols: _*)),
-      spark, basePath, keys, measures, nBuckets)
+      spark, basePath, keys, measures, nBuckets, batchTag = batchTag)
   }
 
-  /** The current rollup (all buckets). */
-  def readAggStore(spark: SparkSession, basePath: String): DataFrame =
-    spark.read.parquet(basePath).drop("__bucket")
+  /** The current rollup: every bucket's latest committed version. */
+  def readAggStore(spark: SparkSession, basePath: String): DataFrame = {
+    val dirs = liveStorePaths(spark, basePath)
+    require(dirs.nonEmpty, s"aggregate store at $basePath has no live data")
+    spark.read.parquet(dirs: _*)
+  }
 
   // ------------------------------------------------- HDR quantile stores
 
@@ -182,9 +325,11 @@ object IncrementalAggOps {
   def mergeIntoHdrStore(delta: DataFrame, spark: SparkSession,
                         basePath: String, keys: Seq[String],
                         valueCol: String, nBuckets: Int = 64,
-                        subBits: Int = 5): Unit =
+                        subBits: Int = 5,
+                        batchTag: Option[String] = None): Unit =
     mergeIntoAggStore(hdrFrame(delta, keys, valueCol, subBits), spark,
-      basePath, keys :+ HdrBucketCol, Seq(HdrCountCol), nBuckets)
+      basePath, keys :+ HdrBucketCol, Seq(HdrCountCol), nBuckets,
+      batchTag = batchTag)
 
   // ------------------------------------------- CMS point-frequency stores
 
@@ -220,16 +365,17 @@ object IncrementalAggOps {
     writeAggStore(cmsFrame(df, keys, keyCol, d, w), spark, basePath,
       keys :+ CmsPosCol, Seq(CmsCountCol), nBuckets)
 
-  /** Fold a batch in (counter sums — exact, any order). Like every
-    * agg-store merge this is a FOLD, not an upsert: a replayed batch
-    * double-counts, so at-least-once streams need upstream idempotence
-    * (the manifest-tagged stores' replay guard has no analog here). */
+  /** Fold a batch in (counter sums — exact, any order). A fold, not an
+    * upsert — but `batchTag` rides the manifest commit like every
+    * sibling store's guard, so tagged at-least-once streams can never
+    * double-count a redelivered batch. */
   def mergeIntoCmsStore(delta: DataFrame, spark: SparkSession,
                         basePath: String, keys: Seq[String], keyCol: String,
                         d: Int = 4, w: Int = 16384,
-                        nBuckets: Int = 64): Unit =
+                        nBuckets: Int = 64,
+                        batchTag: Option[String] = None): Unit =
     mergeIntoAggStore(cmsFrame(delta, keys, keyCol, d, w), spark, basePath,
-      keys :+ CmsPosCol, Seq(CmsCountCol), nBuckets)
+      keys :+ CmsPosCol, Seq(CmsCountCol), nBuckets, batchTag = batchTag)
 
   /** Retract a previously-merged batch — counters subtract exactly, so
     * CMS inherits the sum-store's compliance-deletion path (HLL can't:

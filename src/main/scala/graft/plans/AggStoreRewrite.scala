@@ -207,11 +207,14 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[LogicalPlan] = {
     val exact = groupNames == reg.keys.toSet
     // Deliberately NOT memoized per registration: a cached analyzed plan
-    // would pin the store's FILE LISTING, silently serving a stale
-    // snapshot after mergeIntoAggStore rewrites buckets (refreshByPath
-    // cannot reach a private memo). One listing per MATCHED aggregate is
-    // the price of always serving the current store.
-    val storePlan = spark.read.parquet(reg.storePath)
+    // would pin the store's RESOLVED VERSION DIRS, silently serving a
+    // stale snapshot after mergeIntoAggStore commits a new version
+    // (refreshByPath cannot reach a private memo). One manifest
+    // resolution per MATCHED aggregate is the price of always serving
+    // the current store — the versioned analog of the flat listing the
+    // copy-on-write layout replaced.
+    val storePlan = spark.read.parquet(
+      graft.ops.IncrementalAggOps.liveStorePaths(spark, reg.storePath): _*)
       .queryExecution.analyzed
     def storeAttr(name: String): Option[AttributeReference] =
       storePlan.output.collectFirst {

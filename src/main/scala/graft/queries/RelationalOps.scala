@@ -809,9 +809,15 @@ object RelationalOps {
       IncrementalAggOps.writeAggStore(
         prepped.filter(col("o_orderkey") % 5 =!= 0).drop("o_orderkey"),
         s, base, keys, ms, nBuckets = 16)
+      // the fold is SUBMITTED TWICE under one batch tag — the
+      // at-least-once redelivery; a double-fold would double every
+      // delta key's partials and flip the hash
+      val delta = prepped.filter(col("o_orderkey") % 5 === 0)
+        .drop("o_orderkey")
       IncrementalAggOps.mergeIntoAggStore(
-        prepped.filter(col("o_orderkey") % 5 === 0).drop("o_orderkey"),
-        s, base, keys, ms, nBuckets = 16)
+        delta, s, base, keys, ms, nBuckets = 16, batchTag = Some("b1"))
+      IncrementalAggOps.mergeIntoAggStore(
+        delta, s, base, keys, ms, nBuckets = 16, batchTag = Some("b1"))
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 

@@ -15,11 +15,16 @@ import graft.SparkTestBase
 class IncrementalAggSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def bucketFiles(base: String): Map[String, Map[String, Long]] =
-    new File(base).listFiles().filter(_.getName.startsWith("__bucket="))
-      .map { d =>
-        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName -> f.lastModified()).toMap
+  /** `(version dir, bucket dir) -> parquet files` over the versioned
+    * copy-on-write layout. */
+  private def bucketFiles(base: String): Map[(String, String), Map[String, Long]] =
+    new File(base).listFiles().filter(_.getName.startsWith("v="))
+      .flatMap { v =>
+        v.listFiles().filter(_.getName.startsWith("__bucket=")).map { d =>
+          (v.getName, d.getName) ->
+            d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => f.getName -> f.lastModified()).toMap
+        }
       }.toMap
 
   test("merge re-sums partials for keys on both sides") {
@@ -90,31 +95,77 @@ class IncrementalAggSpec extends SparkTestBase {
       s"unseen-key estimate $unseen exceeds the collision bound")
   }
 
-  test("a merge rewrites only the delta's buckets") {
+  test("a merge writes only the delta's buckets — as a new version; " +
+    "every existing file stays byte-untouched; vacuum reclaims the " +
+    "superseded copy") {
     val base = Files.createTempDirectory("aggstore-loc").toString
     val orders = graft.queries.t(spark, sfTiny, "orders")
       .select(col("o_custkey").as("k"), lit(1L).as("n"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
     IncrementalAggOps.writeAggStore(orders, spark, base, Seq("k"), Seq("n", "v"), 8)
     val before = bucketFiles(base)
-    assert(before.size == 8, s"expected 8 bucket dirs: ${before.keySet}")
+    assert(before.size == 8 && before.keySet.forall(_._1 == "v=0"),
+      s"expected 8 v=0 bucket dirs: ${before.keySet}")
     // a delta of ONE key → exactly one bucket affected
     val delta = Seq((7L, 1L, 100L)).toDF("k", "n", "v")
     IncrementalAggOps.mergeIntoAggStore(delta, spark, base, Seq("k"), Seq("n", "v"), 8)
     val after = bucketFiles(base)
     val touched = "__bucket=" + spark.range(1)
       .select(pmod(hash(lit(7L)), lit(8))).head().getInt(0)
-    assert(after(touched) != before(touched), "the key's bucket must change")
-    (before.keySet - touched).foreach { b =>
+    // copy-on-write: the merge ADDED one version dir for the touched
+    // bucket and touched nothing that existed
+    assert(after.keySet == before.keySet + (("v=1", touched)),
+      s"merge must add exactly v=1/$touched: ${after.keySet -- before.keySet}")
+    before.keySet.foreach { b =>
       assert(after(b) == before(b),
-        s"unaffected bucket $b was rewritten: ${before(b)} -> ${after(b)}")
+        s"existing files of $b were rewritten: ${before(b)} -> ${after(b)}")
     }
-    // and the fold landed
+    // and the fold landed (resolution picks v=1 for the touched bucket)
     val row = IncrementalAggOps.readAggStore(spark, base)
       .filter(col("k") === 7L).collect().head
     val want = orders.filter(col("k") === 7L)
       .agg(sum("n"), sum("v")).collect().head
     assert(row.getLong(1) == want.getLong(0) + 1L)
     assert(row.getLong(2) == want.getLong(1) + 100L)
+    // vacuum deletes exactly the superseded v=0 copy of the touched
+    // bucket; the store reads identically after
+    val readBefore = IncrementalAggOps.readAggStore(spark, base)
+      .collect().map(_.toSeq).toSet
+    IncrementalAggOps.vacuumAggStore(spark, base)
+    val afterVac = bucketFiles(base)
+    assert(afterVac.keySet == after.keySet - (("v=0", touched)),
+      s"vacuum must reclaim v=0/$touched only: ${afterVac.keySet}")
+    assert(IncrementalAggOps.readAggStore(spark, base)
+      .collect().map(_.toSeq).toSet == readBefore)
+  }
+
+  test("a tagged merge is replay-idempotent; a torn merge is invisible") {
+    val base = Files.createTempDirectory("aggstore-replay").toString
+    val store = Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("k", "n", "v")
+    val batch = Seq((2L, 1L, 5L), (3L, 1L, 7L)).toDF("k", "n", "v")
+    IncrementalAggOps.writeAggStore(store, spark, base, Seq("k"), Seq("n", "v"), 8)
+    IncrementalAggOps.mergeIntoAggStore(batch, spark, base,
+      Seq("k"), Seq("n", "v"), 8, batchTag = Some("b1"))
+    def snap() = IncrementalAggOps.readAggStore(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val committed = snap()
+    assert(committed == Set((1L, 1L, 10L), (2L, 2L, 25L), (3L, 1L, 7L)))
+    // the at-least-once redelivery: same batch, same tag — must no-op
+    // (the in-place-overwrite shape this replaced would double-fold)
+    IncrementalAggOps.mergeIntoAggStore(batch, spark, base,
+      Seq("k"), Seq("n", "v"), 8, batchTag = Some("b1"))
+    assert(snap() == committed, "a redelivered tagged fold must change nothing")
+    // a torn merge: data dirs land, the manifest append never does —
+    // readers must not see it, and the next writer overwrites the slot
+    Seq((9L, 99L, 99L)).toDF("k", "n", "v")
+      .withColumn("__bucket", pmod(hash(col("k")), lit(8)))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$base/v=2")
+    assert(snap() == committed, "uncommitted version dirs must be invisible")
+    IncrementalAggOps.mergeIntoAggStore(
+      Seq((1L, 1L, 1L)).toDF("k", "n", "v"), spark, base,
+      Seq("k"), Seq("n", "v"), 8, batchTag = Some("b2"))
+    assert(snap() == Set((1L, 2L, 11L), (2L, 2L, 25L), (3L, 1L, 7L)),
+      "the retry slot must overwrite the torn attempt, not absorb it")
   }
 }
