@@ -291,6 +291,28 @@ object IncrementalAggOps {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Continuous rollup maintenance: fold a STREAMING delta in per
+    * micro-batch, exactly-once over at-least-once delivery — the
+    * engine's `batchId` is the merge's batch tag, so a batch
+    * redelivered after a crash between the fold and the checkpoint
+    * commit finds its tag in the manifest and no-ops (the guard the
+    * in-place store could never have). `checkpoint` is mandatory:
+    * batch ids are only monotone when the engine replays them from
+    * one (see [[IncrementalJoinOps.joinViewSinkA]]). */
+  def aggStoreSink(delta: DataFrame, basePath: String,
+                   keys: Seq[String], measures: Seq[String],
+                   checkpoint: String, nBuckets: Int = 64,
+                   kinds: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeIntoAggStore(batch, batch.sparkSession, basePath, keys,
+            measures, nBuckets, kinds, batchTag = Some(s"stream-$batchId"))
+      }
+      .start()
+
   // ------------------------------------------------- HDR quantile stores
 
   /** Store column names of an HDR rollup: the bucket lower bound and its

@@ -139,6 +139,36 @@ class IncrementalAggSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet == readBefore)
   }
 
+  test("streamed folds land exactly once across a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("aggstore-stream").toString
+    val ckpt = s"$base/ckpt"
+    IncrementalAggOps.writeAggStore(
+      Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("k", "n", "v"),
+      spark, base, Seq("k"), Seq("n", "v"), 8)
+    val input = MemoryStream[(Long, Long, Long)]
+    def start() = IncrementalAggOps.aggStoreSink(
+      input.toDS().toDF("k", "n", "v"), base, Seq("k"), Seq("n", "v"), ckpt, 8)
+    val q1 = start()
+    try { input.addData((2L, 1L, 5L)); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData((3L, 1L, 7L)); q2.processAllAvailable() }
+    finally q2.stop()
+    def snap() = IncrementalAggOps.readAggStore(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val after = snap()
+    assert(after == Set((1L, 1L, 10L), (2L, 2L, 25L), (3L, 1L, 7L)),
+      s"each streamed batch must fold exactly once: $after")
+    // a crash-between-fold-and-checkpoint redelivery re-submits an
+    // already-committed batch id: must be a no-op
+    IncrementalAggOps.mergeIntoAggStore(
+      Seq((2L, 1L, 5L)).toDF("k", "n", "v"), spark, base,
+      Seq("k"), Seq("n", "v"), 8, batchTag = Some("stream-0"))
+    assert(snap() == after, "a redelivered stream batch id must fold nothing")
+  }
+
   test("a tagged merge is replay-idempotent; a torn merge is invisible") {
     val base = Files.createTempDirectory("aggstore-replay").toString
     val store = Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("k", "n", "v")
