@@ -379,8 +379,8 @@ object SimilarityOps {
         sign(col("__t")).as("__s"))
       .groupBy(idCol, "__b").agg(sum("__s").as("__v"))
     votes.groupBy(idCol)
-      .agg(map_from_entries( // bounded: ≤ dim entries per doc
-        collect_list(struct(col("__b"), col("__v")))).as("__m"))
+      .agg(map_from_entries(
+        collect_list(struct(col("__b"), col("__v")))).as("__m")) // bounded: ≤ dim entries per doc (votes grouped by (doc, bucket))
       .select(col(idCol),
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("__m"), i), lit(0L)).cast("float"))
@@ -460,8 +460,8 @@ object SimilarityOps {
           .otherwise(-expr("(2 * -__sq + __n) div (2 * __n)")))
         .withColumn("cv", col("__cq").cast("double") / lit(1e6))
         .groupBy("sub", "code")
-        .agg(transform( // bounded: dsub entries per (sub, code)
-          array_sort(collect_list(struct(col("d"), col("cv")))),
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("cv")))), // bounded: dsub entries per (sub, code)
           x => x.getField("cv")).cast("array<float>").as("tvec"))
       cb = cb.join(trained, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
