@@ -990,6 +990,114 @@ object TextOps {
         .orderBy("query_id", "rank")
     },
 
+    // HYBRID retrieval (sparse + dense) under the oracle — the modern
+    // RAG search shape, fusing the two tiers this engine already
+    // gate-proves: query-by-document (each query doc's distinct tokens
+    // through searchBm25Batch's ONE shared scan; its md5 hash-embedding
+    // through the rounded-cosine dense top-k) fused by FIXED-POINT
+    // Reciprocal Rank Fusion (round(1e9/(60+rank)) longs — exact
+    // integer sums, so the fusion is bit-replicable; RetrievalOps).
+    // DuckDB recomputes both rank lists from the raw corpus and fuses
+    // identically — equal hashes pin both retrievers' ranks AND the
+    // fusion arithmetic end-to-end.
+    q(
+      "hybrid_rrf",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM tok
+        |  WHERE doc_id % 50 = 0
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((tf.tf * (1.2 + 1)) /
+        |       (tf.tf + 1.2 * (0.25 + (0.75 * dl.dlen) /
+        |         (CAST(st.sd AS DOUBLE) / CAST(st.n AS DOUBLE))))), 6) AS c
+        |  FROM qt
+        |  JOIN tf USING (term) JOIN dfq ON dfq.term = tf.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |), bmr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY ROUND(SUM(c), 4) DESC, doc_id) AS rank
+        |    FROM sc GROUP BY 1, 2
+        |  ) WHERE rank <= 10
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        |    CASE WHEN CAST(concat('0x', substr(md5(term), 9, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tok
+        |), v AS (
+        |  SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY 1, 2
+        |), e AS (
+        |  SELECT d.doc_id, LIST(COALESCE(v.v, 0) ORDER BY g.i) AS emb
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d
+        |  CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+        |  LEFT JOIN v ON v.doc_id = d.doc_id AND v.b = g.i
+        |  GROUP BY 1
+        |), ne AS (
+        |  SELECT doc_id, emb FROM e
+        |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+        |), dnr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.doc_id
+        |        ORDER BY ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) DESC,
+        |        c.doc_id) AS rank
+        |    FROM ne q JOIN ne c ON c.doc_id <> q.doc_id
+        |    WHERE q.doc_id % 50 = 0
+        |  ) WHERE rank <= 10
+        |), pts AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) AS p FROM bmr
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) FROM dnr
+        |), fused AS (
+        |  SELECT query_id, doc_id, CAST(SUM(p) AS BIGINT) AS rrf_pts,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM pts GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, rank, rrf_pts, n_lists FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_pts DESC, doc_id) AS rank
+        |  FROM fused
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.{InvertedIndexOps, RetrievalOps, SimilarityOps}
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-hybrid")
+      InvertedIndexOps.writeScoredIndex(docs, s, "graft_hybrid_idx", base)
+      val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          graft.ops.DedupOps.tokens(col("text")).as("terms"))
+      val bm = InvertedIndexOps.searchBm25Batch(queries, s,
+        "graft_hybrid_idx", topK = 10)
+        .select("query_id", "doc_id", "rank")
+      val emb = SimilarityOps.hashEmbedMd5(docs, dim = 16)
+      val dense = SimilarityOps.bruteForceTopK(
+        emb.filter(col("doc_id") % 50 === 0), emb, k = 10, idCol = "doc_id")
+        .select(col("query_id"), col("item_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      RetrievalOps.rrfFuse(Seq(bm, dense), topK = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // The production hasher (xxhash64 buckets/signs — rows-only: no
     // DuckDB xxhash64; machinery oracle-gated by emb_hash_q above).
     Q("emb_hash", (s, dir) => {
