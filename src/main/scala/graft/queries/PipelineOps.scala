@@ -1739,6 +1739,59 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- Cluster-balanced subsampling (the SemDeDup-shaped diversity
+    // downsample): assign every embedding to its nearest of 8 seed
+    // centroids (raw lowest-id vectors, round(cos,6) ranking — the
+    // proven ann_inc_q convention), then keep ceil(20%) of EVERY
+    // cluster by the md5 deterministic-rank convention the sampling
+    // family shares — so dominant clusters shrink proportionally and
+    // no region of embedding space is wiped out, unlike a global 20%
+    // cut. Per-cluster quota = (n + 4) div 5: exact integer ceil in
+    // both engines. Scale shape: one broadcast assignment pass + one
+    // partitioned window — no corpus self-join anywhere.
+    q(
+      "emb_cluster_sample",
+      """WITH cs AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  ORDER BY vec_id LIMIT 8
+        |), asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) DESC,
+        |        c.cid) AS rk
+        |    FROM embeddings e CROSS JOIN cs c
+        |  ) WHERE rk = 1
+        |), sz AS (
+        |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_n FROM asg GROUP BY 1
+        |), rk AS (
+        |  SELECT a.vec_id, a.cid, sz.cluster_n,
+        |    ROW_NUMBER() OVER (PARTITION BY a.cid
+        |      ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rk
+        |  FROM asg a JOIN sz USING (cid)
+        |)
+        |SELECT vec_id, cid, CAST(rk AS BIGINT) AS rk, cluster_n
+        |FROM rk WHERE rk <= (cluster_n + 4) // 5""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = tEmbeddings(s, dir)
+      val cents = emb.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      val asg = emb.crossJoin(broadcast(cents))
+        .withColumn("__s",
+          round(SimilarityOps.cosineFast(s, col("embedding"), col("cvec")), 6))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("__s"), -col("cid"))).as("cid"))
+      val sz = asg.groupBy("cid").agg(count(lit(1)).as("cluster_n"))
+      val w = Window.partitionBy("cid")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      asg.join(broadcast(sz), "cid")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= expr("(cluster_n + 4) div 5"))
+        .select("vec_id", "cid", "rk", "cluster_n")
+    },
+
     // ---- Language-ID heuristic (stopword-profile argmax) with a CASE
     // argmax oracle; ties break to the alphabetically-first language in
     // both engines.
