@@ -172,6 +172,13 @@ object IncrementalAggOps {
                     nBuckets: Int = 64, kinds: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty && measures.nonEmpty)
     require(kinds.isEmpty || kinds.length == measures.length)
+    // re-initializing over a live versioned store would leave its later
+    // version dirs orphaned beyond the fresh manifest's horizon (where
+    // vacuum treats them as an in-flight slot) — like the versioned doc
+    // store, re-init must be an explicit delete-then-write
+    require(!graft.util.ManifestIO.exists(spark, manifestPath(basePath)),
+      s"aggregate store already exists at $basePath (manifest present) — " +
+        "delete the base dir first to re-initialize, or merge into it")
     bucketed(df, keys, measures, nBuckets, kinds)
       .write.mode("overwrite").partitionBy(BUCKET).parquet(s"$basePath/v=0")
     val written = writtenBuckets(spark, s"$basePath/v=0")
