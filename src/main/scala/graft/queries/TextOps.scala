@@ -992,14 +992,16 @@ object TextOps {
 
     // HYBRID retrieval (sparse + dense) under the oracle — the modern
     // RAG search shape, fusing the two tiers this engine already
-    // gate-proves: query-by-document (each query doc's distinct tokens
-    // through searchBm25Batch's ONE shared scan; its md5 hash-embedding
-    // through the rounded-cosine dense top-k) fused by FIXED-POINT
-    // Reciprocal Rank Fusion (round(1e9/(60+rank)) longs — exact
-    // integer sums, so the fusion is bit-replicable; RetrievalOps).
-    // DuckDB recomputes both rank lists from the raw corpus and fuses
-    // identically — equal hashes pin both retrievers' ranks AND the
-    // fusion arithmetic end-to-end.
+    // gate-proves: each query is an 8-token snippet of a corpus doc
+    // (the short-query reality — a whole-document query would drag
+    // every hot term's full posting list through the contribution
+    // join), scored by BM25 through searchBm25Batch's ONE shared scan
+    // AND by cosine of the snippet's md5 hash-embedding, fused by
+    // FIXED-POINT Reciprocal Rank Fusion (round(1e9/(60+rank)) longs —
+    // exact integer sums, so the fusion is bit-replicable;
+    // RetrievalOps). DuckDB recomputes both rank lists from the raw
+    // corpus and fuses identically — equal hashes pin both retrievers'
+    // ranks AND the fusion arithmetic end-to-end.
     q(
       "hybrid_rrf",
       """WITH tok AS (
@@ -1011,9 +1013,13 @@ object TextOps {
         |), st AS (
         |  SELECT (SELECT COUNT(*) FROM documents) AS n,
         |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), snip AS (
+        |  SELECT doc_id AS query_id, UNNEST(
+        |    (list_filter(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                 x -> x <> ''))[1:8]) AS term
+        |  FROM documents WHERE doc_id % 50 = 0
         |), qt AS (
-        |  SELECT DISTINCT doc_id AS query_id, term FROM tok
-        |  WHERE doc_id % 50 = 0
+        |  SELECT DISTINCT query_id, term FROM snip
         |), tf AS (
         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2
@@ -1053,14 +1059,30 @@ object TextOps {
         |), ne AS (
         |  SELECT doc_id, emb FROM e
         |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+        |), qh AS (
+        |  SELECT query_id,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        |    CASE WHEN CAST(concat('0x', substr(md5(term), 9, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM snip
+        |), qv AS (
+        |  SELECT query_id, b, CAST(SUM(s) AS BIGINT) AS v FROM qh GROUP BY 1, 2
+        |), qe AS (
+        |  SELECT d.query_id, LIST(COALESCE(qv.v, 0) ORDER BY g.i) AS emb
+        |  FROM (SELECT DISTINCT query_id FROM snip) d
+        |  CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+        |  LEFT JOIN qv ON qv.query_id = d.query_id AND qv.b = g.i
+        |  GROUP BY 1
+        |), qne AS (
+        |  SELECT query_id, emb FROM qe
+        |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
         |), dnr AS (
         |  SELECT query_id, doc_id, rank FROM (
-        |    SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.doc_id
+        |    SELECT q.query_id, c.doc_id AS doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
         |        ORDER BY ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) DESC,
         |        c.doc_id) AS rank
-        |    FROM ne q JOIN ne c ON c.doc_id <> q.doc_id
-        |    WHERE q.doc_id % 50 = 0
+        |    FROM qne q JOIN ne c ON c.doc_id <> q.query_id
         |  ) WHERE rank <= 10
         |), pts AS (
         |  SELECT query_id, doc_id,
@@ -1079,19 +1101,24 @@ object TextOps {
         |  FROM fused
         |) WHERE rank <= 10""".stripMargin
     ) { (s, dir) =>
-      import graft.ops.{InvertedIndexOps, RetrievalOps, SimilarityOps}
+      import graft.ops.{DedupOps, InvertedIndexOps, RetrievalOps, SimilarityOps}
       val docs = tDocs(s, dir)
       val base = scratchDir("graft-hybrid")
       InvertedIndexOps.writeScoredIndex(docs, s, "graft_hybrid_idx", base)
-      val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select(col("doc_id").as("query_id"),
-          graft.ops.DedupOps.tokens(col("text")).as("terms"))
-      val bm = InvertedIndexOps.searchBm25Batch(queries, s,
-        "graft_hybrid_idx", topK = 10)
+      // queries = 8-token snippets of every 50th doc (short-query shape)
+      val snips = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"),
+          slice(DedupOps.tokens(col("text")), 1, 8).as("t8"))
+      val bm = InvertedIndexOps.searchBm25Batch(
+        snips.select(col("doc_id").as("query_id"), col("t8").as("terms")),
+        s, "graft_hybrid_idx", topK = 10)
         .select("query_id", "doc_id", "rank")
       val emb = SimilarityOps.hashEmbedMd5(docs, dim = 16)
-      val dense = SimilarityOps.bruteForceTopK(
-        emb.filter(col("doc_id") % 50 === 0), emb, k = 10, idCol = "doc_id")
+      val qemb = SimilarityOps.hashEmbedMd5(
+        snips.select(col("doc_id"), array_join(col("t8"), " ").as("text")),
+        dim = 16)
+      val dense = SimilarityOps.bruteForceTopK(qemb, emb, k = 10,
+        idCol = "doc_id")
         .select(col("query_id"), col("item_id").as("doc_id"),
           col("rank").cast("long").as("rank"))
       RetrievalOps.rrfFuse(Seq(bm, dense), topK = 10)
