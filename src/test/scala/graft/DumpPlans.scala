@@ -27,8 +27,10 @@ object DumpPlans {
       "mm_vdup_pairs",
       // r13 flagships: ledger-visibility + tombstone-filtered bm25 over
       // a deleted+rebuilt index, trained-PQ oracle cycle, banded
-      // hamming near-miss image dedup
-      "text_bm25_del", "ann_pq_train_q", "mm_dhash_near").foreach { name =>
+      // hamming near-miss image dedup, hybrid sparse+dense RRF fusion,
+      // cluster-balanced subsampling
+      "text_bm25_del", "ann_pq_train_q", "mm_dhash_near",
+      "hybrid_rrf", "emb_cluster_sample").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       out ++= s"## $name\n\n```\n"
