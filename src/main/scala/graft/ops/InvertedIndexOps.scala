@@ -168,6 +168,85 @@ object InvertedIndexOps {
       st.getLong(0), st.getLong(1)), spark, table, overwrite = false)
   }
 
+  // ---------------------------------------------- positional / phrase
+
+  /** Positional postings: one (doc_id, term, pos) row per token
+    * OCCURRENCE (1-based position) — the phrase-query index. Positions
+    * multiply posting volume by term frequency (the classic space
+    * trade), but the layout is the same term-bucketed store, so a
+    * k-term phrase query still reads ≤ k/n of the index. */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(DedupOps.tokens(col(textCol))))
+      .select(col("doc_id"), col("col").as("term"),
+        (col("pos") + 1).cast("long").as("pos"))
+
+  /** Build the positional index — same commit-ledger durability as the
+    * other index kinds (tagged postings, ledger-append commit,
+    * tombstones). */
+  def writePositionalIndex(docs: DataFrame, spark: SparkSession,
+                           table: String, basePath: String,
+                           nBuckets: Int = 16, idCol: String = "doc_id",
+                           textCol: String = "text"): Unit = {
+    val tag = physicalTag(Some("seed"))
+    val posts = positionalPostings(docs, idCol, textCol)
+      .withColumn("__batch", lit(tag))
+    LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
+      nBuckets, "term")
+    initTombstones(posts, spark, table, basePath)
+    val st = corpusStats(docs, idCol, textCol).head()
+    commitLedger(ledgerRow(spark, tag, Some("seed"),
+      st.getLong(0), st.getLong(1)), spark, table,
+      overwrite = true, basePath = Some(basePath))
+  }
+
+  /** Ingest a batch into the positional index; redeliveries of a
+    * committed `batchTag` are no-ops (the shared ledger guard). */
+  def appendToPositionalIndex(batch: DataFrame, spark: SparkSession,
+                              table: String, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              batchTag: Option[String] = None): Unit = {
+    if (seen(spark, table, batchTag)) return
+    val tag = physicalTag(batchTag)
+    LayoutOps.appendBucketed(positionalPostings(batch, idCol, textCol)
+      .withColumn("__batch", lit(tag)), spark, table)
+    val st = corpusStats(batch, idCol, textCol).head()
+    commitLedger(ledgerRow(spark, tag, batchTag,
+      st.getLong(0), st.getLong(1)), spark, table, overwrite = false)
+  }
+
+  /** Exact phrase search: docs containing `phrase` as CONSECUTIVE
+    * tokens, with the match count. The scan is bucket-pruned to the
+    * phrase's terms and visibility-filtered like every search here;
+    * the positional AND is pure arithmetic — occurrence i of the
+    * phrase's i-th term is mapped to its candidate START (`pos − i`),
+    * and a start where all k distinct offsets appear is a match. So
+    * the only data-sized work is the pruned scan + one groupBy on
+    * (doc, start): candidate volume is the phrase terms' posting mass,
+    * never the corpus, and no self-join over positions ever happens.
+    * Repeated terms in the phrase are handled (each offset's rows are
+    * tagged with their offset index; a start needs all k DISTINCT
+    * offsets). */
+  def searchPhrase(spark: SparkSession, table: String,
+                   phrase: Seq[String]): DataFrame = {
+    val qs = phrase.map(_.toLowerCase).filter(_.nonEmpty)
+    require(qs.nonEmpty, "searchPhrase needs at least one token")
+    import spark.implicits._
+    val posts = livePostings(spark, table, col("term").isin(qs.distinct: _*))
+    // one broadcast (term → offset) join = ONE pass over the pruned
+    // scan, repeated phrase words fanning out to each of their offsets
+    val offsets = qs.zipWithIndex.toDF("term", "__i")
+    val starts = posts.join(broadcast(offsets), "term")
+      .select(col("doc_id"), (col("pos") - col("__i")).as("start"),
+        col("__i"))
+    starts.groupBy("doc_id", "start")
+      .agg(countDistinct("__i").as("__k"))
+      .filter(col("__k") === qs.size && col("start") >= 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   // ------------------------------------------------- BM25 ranked search
 
   /** Scored postings: one (doc_id, term, tf, dlen) row per DISTINCT

@@ -567,6 +567,50 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Exact PHRASE search through a REAL positional index (one posting
+    // per token occurrence with its position, bucketed by term, same
+    // commit-ledger durability as the other index kinds; the 20%
+    // append rides a replayed batch tag). The positional AND is pure
+    // arithmetic — occurrence i of the phrase's i-th term maps to its
+    // candidate start (pos − i) and a start holding all 3 offsets is a
+    // match — so candidates are the phrase terms' posting mass, never
+    // a position self-join. DuckDB brute-forces consecutive-token
+    // windows over the raw corpus; equal hashes prove the positional
+    // payload and the start-vote arithmetic exactly.
+    q(
+      "text_phrase",
+      """WITH raw AS (
+        |  SELECT doc_id, list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i, ts
+        |  FROM raw WHERE LEN(ts) >= 3
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM st
+        |WHERE ts[CAST(i AS INT)] = 'stream'
+        |  AND ts[CAST(i + 1 AS INT)] = 'table'
+        |  AND ts[CAST(i + 2 AS INT)] = 'hash'
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-pidx")
+      InvertedIndexOps.writePositionalIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
+        "graft_pos_idx", base)
+      val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      InvertedIndexOps.appendToPositionalIndex(delta, s, "graft_pos_idx",
+        batchTag = Some("b1"))
+      InvertedIndexOps.appendToPositionalIndex(delta, s, "graft_pos_idx",
+        batchTag = Some("b1")) // redelivery: doubled positions would
+                               // double every n_matches
+      InvertedIndexOps.searchPhrase(
+        s, "graft_pos_idx", Seq("stream", "table", "hash"))
+        .orderBy("doc_id")
+    },
+
     // BM25 ranked retrieval through a REAL scored index store (tf+dlen
     // postings bucketed by term, append-only corpus-stats rows) built
     // from 80% of the corpus + a 20% append. df comes off the pruned

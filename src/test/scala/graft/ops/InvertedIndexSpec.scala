@@ -182,6 +182,54 @@ class InvertedIndexSpec extends SparkTestBase {
       .searchBm25(spark, "tidx_del", terms, topK = 20).collect().toSeq)
   }
 
+  test("phrase search equals brute-force consecutive-window matching; " +
+    "repeated phrase words need genuinely consecutive occurrences") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tidx-phrase").toString
+    val fixture = Seq(
+      (1L, "the data lake holds data lake data lake files"),
+      (2L, "data lake"),
+      (3L, "lake data"),          // reversed — must not match
+      (4L, "data x lake"),        // gapped — must not match
+      (5L, "go go go stop"),      // repeated-word phrase territory
+      (6L, "go stop go go"),
+      (7L, "empty of matches entirely")).toDF("doc_id", "text")
+    InvertedIndexOps.writePositionalIndex(fixture, spark, "tidx_ph", base)
+    def got(phrase: String*) = InvertedIndexOps
+      .searchPhrase(spark, "tidx_ph", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "data lake": doc 1 has 3 occurrences (positions 2, 5, 7), doc 2 one
+    assert(got("data", "lake") == Map(1L -> 3L, 2L -> 1L))
+    // repeated-word phrase: "go go" matches only truly consecutive pairs
+    assert(got("go", "go") == Map(5L -> 2L, 6L -> 1L))
+    assert(got("go", "go", "go") == Map(5L -> 1L))
+    // single token degenerates to occurrence counting
+    assert(got("lake") == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // and the real corpus agrees with a brute-force window scan
+    val base2 = Files.createTempDirectory("tidx-phrase2").toString
+    InvertedIndexOps.writePositionalIndex(docs, spark, "tidx_ph2", base2)
+    val phrase = Seq("stream", "table", "hash")
+    val brute = docs.select(col("doc_id"),
+      DedupOps.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), posexplode(col("ts")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("col"))).as("tp")) // bounded: one row per doc (its own tokens)
+      .select(col("doc_id"), transform(array_sort(col("tp")),
+        x => x.getField("col")).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, greatest(size(ts) - 3, -1)), " +
+          "i -> struct(ts[i] as a, ts[i+1] as b, ts[i+2] as c))")).as("w"))
+      .filter(col("w.a") === phrase.head && col("w.b") === phrase(1) &&
+        col("w.c") === phrase(2))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaIndex = InvertedIndexOps
+      .searchPhrase(spark, "tidx_ph2", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIndex == brute)
+    assert(viaIndex.nonEmpty, "fixture must contain the phrase")
+  }
+
   test("batched bm25 equals per-query searches, on both scan strategies") {
     import spark.implicits._
     val base = Files.createTempDirectory("tidx-batch").toString
