@@ -213,8 +213,15 @@ case class AggStoreRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // resolution per MATCHED aggregate is the price of always serving
     // the current store — the versioned analog of the flat listing the
     // copy-on-write layout replaced.
-    val storePlan = spark.read.parquet(
-      graft.ops.IncrementalAggOps.liveStorePaths(spark, reg.storePath): _*)
+    // a store whose manifest was deleted out from under a stale
+    // registration, or whose every bucket is tombstoned, can't serve:
+    // fall back to the fact scan rather than throw inside the optimizer
+    if (!graft.util.ManifestIO.exists(spark,
+        s"${reg.storePath}/_manifest")) return None
+    val liveDirs =
+      graft.ops.IncrementalAggOps.liveStorePaths(spark, reg.storePath)
+    if (liveDirs.isEmpty) return None
+    val storePlan = spark.read.parquet(liveDirs: _*)
       .queryExecution.analyzed
     def storeAttr(name: String): Option[AttributeReference] =
       storePlan.output.collectFirst {
