@@ -455,6 +455,46 @@ object ScaleStress {
     java.nio.file.Files.write(out.resolve("scale_stress_tindex_maint.json"),
       (idxMaintJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+    // --- batched BM25 + phrase search (r13): a FIXED 20-query batch's
+    // cost tracks its terms' posting mass (~linear in the corpus since
+    // copy-0 terms keep their share), never corpus structure; the
+    // phrase search is the same pruned-scan shape with per-occurrence
+    // positions.
+    val batchQs = (0 until 20).map(i =>
+      (i.toLong, Seq("c0batch", "c0scan", "c0hash", s"c0q$i")))
+    def bmBatch(k: Int): Long = {
+      import spark.implicits._
+      InvertedIndexOps.searchBm25Batch(
+        batchQs.toDF("query_id", "terms"), spark, s"ss_bm25_$k", topK = 20)
+        .count()
+    }
+    def buildPos(k: Int): Unit =
+      InvertedIndexOps.writePositionalIndex(scaled(k), spark, s"ss_pos_$k",
+        s"$fpBase/pos$k")
+    def phrase(k: Int): Long =
+      InvertedIndexOps.searchPhrase(spark, s"ss_pos_$k",
+        Seq("c0stream", "c0table", "c0hash")).count()
+    buildPos(1); buildPos(10)
+    bmBatch(1); phrase(1) // warmup
+    val (tbb1, nbb1) = time(bmBatch(1))
+    val (tbb10, nbb10) = time(bmBatch(10))
+    val (tph1, nph1) = time(phrase(1))
+    val (tph10, nph10) = time(phrase(10))
+    val bbRatio = tbb10 / math.max(tbb1, 1e-9)
+    val phRatio = tph10 / math.max(tph1, 1e-9)
+    println(f"[scale-stress] bm25 batch          k=1: $tbb1%6.2fs ($nbb1 rows)  " +
+      f"k=10: $tbb10%6.2fs ($nbb10 rows)  ratio $bbRatio%5.2f")
+    println(f"[scale-stress] phrase search       k=1: $tph1%6.2fs ($nph1 docs)  " +
+      f"k=10: $tph10%6.2fs ($nph10 docs)  ratio $phRatio%5.2f")
+    require(nbb1 == nbb10, s"fixed batch must rank the same: $nbb1 vs $nbb10")
+    require(nph1 == nph10, s"fixed phrase must match the same docs")
+    require(bbRatio < MaxRatio, s"bm25 batch super-linearithmic: $bbRatio")
+    require(phRatio < MaxRatio, s"phrase search super-linearithmic: $phRatio")
+    val srchJson =
+      s"""{"op":"searchR13","bm25batch1_sec":${fmt(tbb1, 3)},"bm25batch10_sec":${fmt(tbb10, 3)},"bm25batch_ratio":${fmt(bbRatio, 2)},"phrase1_sec":${fmt(tph1, 3)},"phrase10_sec":${fmt(tph10, 3)},"phrase_ratio":${fmt(phRatio, 2)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_search_r13.json"),
+      (srchJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
     // --- fingerprint-store rebuild (r13): the tombstone-carrying
     // reclaim is one bucketed read+write per table — linear in the
     // store, never quadratic. Tombstone a fixed copy-0 id set first so
