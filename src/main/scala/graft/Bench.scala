@@ -55,6 +55,37 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Between-queries hygiene: a 175-query campaign in one JVM
+    // accumulates state that has inflated LATE queries up to 8x vs a
+    // fresh-JVM scoped run (BENCH_r11 vs the judge's reruns) — never a
+    // plan regression, always the instrument. The three accumulators and
+    // their antidotes: localCheckpoint blocks pinned by queries that
+    // don't unpersist (drop every persistent RDD), scratch-disk store
+    // copies (sweep the registered scratch dirs), and weakly-referenced
+    // broadcast/shuffle state the ContextCleaner only reclaims after a
+    // driver GC (force one). Runs BETWEEN queries, outside every timed
+    // region — per-query walls never include it. The trailing 1-task job
+    // + short sleep give the async ContextCleaner thread cycles to DRAIN
+    // the reference queue the GC just filled, so its RPC/disk work lands
+    // here instead of bleeding into the next query's timer.
+    def cleanup(): Unit = try {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // the MV registry must go BEFORE the scratch sweep: agg_rewrite's
+      // registration outlives its query, so (a) the sweep deletes the
+      // store files a still-registered rewrite would resolve (BENCH_r12
+      // dry run: q1_agg / agg_rewrite_rollup died PATH_NOT_FOUND), and
+      // (b) a leaked registration silently changes LATER queries' plans
+      // (q1_agg measured store-served or not depending on run order) —
+      // both instrument defects, not product ones. Verify is unaffected:
+      // it sweeps only at JVM exit.
+      graft.plans.AggStoreRegistry.clear()
+      graft.queries.sweepScratch()
+      System.gc()
+      spark.range(32).count(): Unit
+      Thread.sleep(50)
+    } catch { case _: Throwable => }
     warmDir match {
       case Some(d) =>
         selected.foreach { case (_, fn) =>
@@ -74,6 +105,15 @@ object Bench {
         try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
     }
+    // Settle BEFORE the clock starts: the warmup leaves this JVM with the
+    // ENTIRE campaign's GC debt and ContextCleaner backlog (hundreds of
+    // broadcasts/shuffles/RDD refs from ~200 queries), and that drain used
+    // to be billed to whichever query ran FIRST — BENCH_r13's a11_stats
+    // read 6.08 s in-run vs 0.59 s scoped, a 10.7x attribution leak, purely
+    // because it is alphabetically first. Repeated gc+drain rounds here eat
+    // the backlog while nothing is measured; each round's trivial job keeps
+    // the scheduler path hot so cleanup RPCs are processed, not queued.
+    (1 to 4).foreach { _ => cleanup(); Thread.sleep(150) }
     // ---- contention self-diagnosis: a bench run on a shared box can be
     // inflated 4-18x by OTHER processes (BENCH_r06 was), and min/median
     // sampling can't tell "box was busy for the whole run" from "the plan
@@ -115,32 +155,6 @@ object Bench {
     // as the fastest entries in the suite because a failure's wall time is
     // indistinguishable from a success's in a bare {name: sec} JSON.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Between-queries hygiene: a 175-query campaign in one JVM
-    // accumulates state that has inflated LATE queries up to 8x vs a
-    // fresh-JVM scoped run (BENCH_r11 vs the judge's reruns) — never a
-    // plan regression, always the instrument. The three accumulators and
-    // their antidotes: localCheckpoint blocks pinned by queries that
-    // don't unpersist (drop every persistent RDD), scratch-disk store
-    // copies (sweep the registered scratch dirs), and weakly-referenced
-    // broadcast/shuffle state the ContextCleaner only reclaims after a
-    // driver GC (force one). Runs BETWEEN queries, outside every timed
-    // region — per-query walls never include it.
-    def cleanup(): Unit = try {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // the MV registry must go BEFORE the scratch sweep: agg_rewrite's
-      // registration outlives its query, so (a) the sweep deletes the
-      // store files a still-registered rewrite would resolve (BENCH_r12
-      // dry run: q1_agg / agg_rewrite_rollup died PATH_NOT_FOUND), and
-      // (b) a leaked registration silently changes LATER queries' plans
-      // (q1_agg measured store-served or not depending on run order) —
-      // both instrument defects, not product ones. Verify is unaffected:
-      // it sweeps only at JVM exit.
-      graft.plans.AggStoreRegistry.clear()
-      graft.queries.sweepScratch()
-      System.gc()
-    } catch { case _: Throwable => }
     // (wall, cpu, succeeded) — a failed attempt's (often fast) elapsed
     // time must never win over a successful run's real time
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

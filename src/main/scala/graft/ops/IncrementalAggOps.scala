@@ -203,7 +203,9 @@ object IncrementalAggOps {
     require(kinds.isEmpty || kinds.length == measures.length)
     val manifest = manifestRows(spark, basePath) // the op's ONLY manifest read
     if (batchTag.exists(t => manifest.exists(_._4.contains(t)))) return
-    val next = manifest.map(_._1).max + 1
+    // `:+ -1L`: a store seeded from an EMPTY frame has a committed but
+    // row-less manifest, and a bare .max would throw on the first merge
+    val next = (manifest.map(_._1) :+ -1L).max + 1
     val dAgg = bucketed(delta, keys, measures, nBuckets, kinds)
       .localCheckpoint(true) // consumed by the bucket probe AND the fold
     val touched = dAgg.select(BUCKET).distinct()

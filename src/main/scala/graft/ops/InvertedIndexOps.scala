@@ -54,6 +54,24 @@ import org.apache.spark.sql.functions._
   * index over the survivors (gate query `text_bm25_del`). Postings
   * linger physically until a rebuild reclaims them, the same
   * linger-then-rebuild trade as the fingerprint store's tombstones.
+  *
+  * The retraction reads the `<table>_docs` SIDECAR (one (doc_id, dlen,
+  * __batch) row per ingested doc, bucketed BY DOC ID, committed by the
+  * same ledger row as its postings): an RTBF batch is request-sized —
+  * its ids push down as an `IN` on the id-bucketed sidecar — and never
+  * touches the postings, which are bucketed by term and would cost a
+  * corpus-sized column scan (the pre-r14 shape). The sidecar also
+  * carries zero-token docs (postings can't), so THEIR n_docs mass
+  * retracts correctly too.
+  *
+  * == Single writer ==
+  *
+  * The replay guard is check-then-act (ledger read, postings append,
+  * ledger append): it makes SEQUENTIAL redelivery idempotent, not
+  * CONCURRENT duplicate delivery — two simultaneous submissions of one
+  * batch tag can both pass the check and both commit. One writer per
+  * index at a time, the same contract as the agg/join/vector stores
+  * (whose manifest appends assume it too).
   */
 object InvertedIndexOps {
 
@@ -127,6 +145,38 @@ object InvertedIndexOps {
       .saveAsTable(s"${table}_tombstones")
   }
 
+  private def docsTable(table: String) = s"${table}_docs"
+
+  /** The doc sidecar frame of one batch: (doc_id, dlen, __batch), one
+    * row per doc INCLUDING zero-token ones — the id-keyed view of the
+    * ingest that makes an RTBF batch-sized (see the class doc). Also
+    * the source of the batch's ledger stats: count(rows) = n_docs,
+    * sum(dlen) = sum_dlen, so ingest tokenizes twice (postings +
+    * sidecar), not three times. */
+  private def docSidecar(docs: DataFrame, idCol: String, textCol: String,
+                         tag: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(DedupOps.tokens(col(textCol))).cast("long").as("dlen"),
+      lit(tag).as("__batch"))
+
+  /** Write the sidecar (seed) / append a batch, then return the ledger
+    * stats OF that frame — the shared tail of every write and append. */
+  private def putSidecar(docs: DataFrame, spark: SparkSession,
+                         table: String, idCol: String, textCol: String,
+                         tag: String, seedPath: Option[String],
+                         nBuckets: Int = 16): (Long, Long) = {
+    val side = docSidecar(docs, idCol, textCol, tag).localCheckpoint(true)
+    seedPath match {
+      case Some(base) => LayoutOps.writeBucketed(side, spark,
+        docsTable(table), s"$base/docs", nBuckets, "doc_id")
+      case None => LayoutOps.appendBucketed(side, spark, docsTable(table))
+    }
+    val st = side.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dlen"), lit(0L)).as("sum_dlen")).head()
+    side.unpersist()
+    (st.getLong(0), st.getLong(1))
+  }
+
   /** One (doc_id, term) row per DISTINCT term of each doc (lowercased
     * whitespace tokens — [[DedupOps.tokens]]). */
   def postings(docs: DataFrame, idCol: String = "doc_id",
@@ -146,9 +196,9 @@ object InvertedIndexOps {
     LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
       nBuckets, "term")
     initTombstones(posts, spark, table, basePath)
-    val st = corpusStats(docs, idCol, textCol).head()
-    commitLedger(ledgerRow(spark, tag, Some("seed"),
-      st.getLong(0), st.getLong(1)), spark, table,
+    val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
+      Some(basePath), nBuckets)
+    commitLedger(ledgerRow(spark, tag, Some("seed"), n, sd), spark, table,
       overwrite = true, basePath = Some(basePath))
   }
 
@@ -163,9 +213,9 @@ object InvertedIndexOps {
     val tag = physicalTag(batchTag)
     LayoutOps.appendBucketed(postings(batch, idCol, textCol)
       .withColumn("__batch", lit(tag)), spark, table)
-    val st = corpusStats(batch, idCol, textCol).head()
-    commitLedger(ledgerRow(spark, tag, batchTag,
-      st.getLong(0), st.getLong(1)), spark, table, overwrite = false)
+    val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
+    commitLedger(ledgerRow(spark, tag, batchTag, n, sd), spark, table,
+      overwrite = false)
   }
 
   // ---------------------------------------------- positional / phrase
@@ -195,9 +245,9 @@ object InvertedIndexOps {
     LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
       nBuckets, "term")
     initTombstones(posts, spark, table, basePath)
-    val st = corpusStats(docs, idCol, textCol).head()
-    commitLedger(ledgerRow(spark, tag, Some("seed"),
-      st.getLong(0), st.getLong(1)), spark, table,
+    val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
+      Some(basePath), nBuckets)
+    commitLedger(ledgerRow(spark, tag, Some("seed"), n, sd), spark, table,
       overwrite = true, basePath = Some(basePath))
   }
 
@@ -211,9 +261,9 @@ object InvertedIndexOps {
     val tag = physicalTag(batchTag)
     LayoutOps.appendBucketed(positionalPostings(batch, idCol, textCol)
       .withColumn("__batch", lit(tag)), spark, table)
-    val st = corpusStats(batch, idCol, textCol).head()
-    commitLedger(ledgerRow(spark, tag, batchTag,
-      st.getLong(0), st.getLong(1)), spark, table, overwrite = false)
+    val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
+    commitLedger(ledgerRow(spark, tag, batchTag, n, sd), spark, table,
+      overwrite = false)
   }
 
   /** Exact phrase search: docs containing `phrase` as CONSECUTIVE
@@ -280,9 +330,9 @@ object InvertedIndexOps {
     LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
       nBuckets, "term")
     initTombstones(posts, spark, table, basePath)
-    val st = corpusStats(docs, idCol, textCol).head()
-    commitLedger(ledgerRow(spark, tag, Some("seed"),
-      st.getLong(0), st.getLong(1)), spark, table,
+    val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
+      Some(basePath), nBuckets)
+    commitLedger(ledgerRow(spark, tag, Some("seed"), n, sd), spark, table,
       overwrite = true, basePath = Some(basePath))
   }
 
@@ -298,48 +348,59 @@ object InvertedIndexOps {
     val tag = physicalTag(batchTag)
     LayoutOps.appendBucketed(scoredPostings(batch, idCol, textCol)
       .withColumn("__batch", lit(tag)), spark, table)
-    val st = corpusStats(batch, idCol, textCol).head()
-    commitLedger(ledgerRow(spark, tag, batchTag,
-      st.getLong(0), st.getLong(1)), spark, table, overwrite = false)
+    val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
+    commitLedger(ledgerRow(spark, tag, batchTag, n, sd), spark, table,
+      overwrite = false)
   }
 
-  private def corpusStats(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
-    docs.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(size(DedupOps.tokens(col(textCol))).cast("long")),
-        lit(0L)).as("sum_dlen"))
+  /** The per-doc retraction frame of an RTBF request: one (doc_id,
+    * dlen) row per ingested-and-not-yet-deleted requested id, read off
+    * the id-bucketed `<table>_docs` sidecar — an IN-pushdown when the
+    * literal id list is in hand (bucket-pruned: spec-asserted), a
+    * semi-join against the sidecar (docs-sized, never postings-sized)
+    * otherwise. `max(dlen)` collapses the one-row-per-batch history;
+    * the id-immutability contract makes every copy equal anyway. */
+  private[ops] def rtbfDocFrame(spark: SparkSession, table: String,
+                                want: Either[Seq[Any], DataFrame]): DataFrame = {
+    val side = spark.table(docsTable(table))
+      .join(broadcast(committedTags(spark, table)),
+        col("__batch") === col("batch_tag"), "left_semi")
+    (want match {
+      case Left(idLits) => side.filter(col("doc_id").isin(idLits: _*))
+      case Right(idsDf) => side.join(idsDf, Seq("doc_id"), "left_semi")
+    }).groupBy("doc_id").agg(max("dlen").as("dlen"))
+  }
 
   /** Right-to-be-forgotten: tombstone `ids` so every search excludes
     * them — from results, from df (the pruned scan is tombstone-filtered
     * BEFORE the df groupBy) and from the corpus stats (one negative
     * ledger row retracts exactly the deleted docs' n_docs/sum_dlen
-    * mass, read off their own live postings). Serves both index kinds:
-    * the plain index has no `dlen`, so its retraction is count-only.
+    * mass, read off the doc sidecar). All three index kinds retract
+    * exactly — the sidecar carries each doc's true token count whether
+    * or not the postings denormalize it.
     *
     * Idempotent without a tag: already-tombstoned ids are filtered out
     * up front, so a re-submitted delete recomputes an empty correction
     * and writes nothing; a TORN delete (tombstones landed, ledger row
     * didn't) left its tombstones uncommitted-invisible, so the retry
-    * re-runs cleanly. Ids with no live postings (never ingested, or
-    * zero-token docs that produced none) are ignored — there is nothing
-    * of theirs to forget in this store.
+    * re-runs cleanly. Ids never ingested are ignored — there is nothing
+    * of theirs to forget in this store; zero-token docs ARE retracted
+    * (they counted toward N at ingest).
     *
-    * Cost note: the per-doc dlen read is a full (doc_id, dlen, __batch)
-    * column scan of the postings (they are bucketed by term, not id) —
-    * the one corpus-sized cost of an RTBF batch; amortize ids per call. */
+    * Cost: an RTBF batch is REQUEST-sized — up to `maxPrunedIds` ids it
+    * collects them and reads only the sidecar buckets they hash into;
+    * past the cap it degrades to one sidecar scan (docs-sized), never a
+    * postings scan. */
   def deleteFromTextIndex(ids: DataFrame, spark: SparkSession,
-                          table: String, idCol: String = "doc_id"): Unit = {
+                          table: String, idCol: String = "doc_id",
+                          maxPrunedIds: Int = 65536): Unit = {
     val want = ids.select(col(idCol).as("doc_id")).distinct()
       .join(committedTombstones(spark, table), Seq("doc_id"), "left_anti")
-    val hasDlen = spark.table(table).columns.contains("dlen")
-    val posts = spark.table(table)
-      .join(broadcast(committedTags(spark, table)),
-        col("__batch") === col("batch_tag"), "left_semi")
-      .join(broadcast(want), Seq("doc_id"), "left_semi")
-    // one row per affected doc (bounded by the RTBF batch size)
-    val perDoc = (if (hasDlen)
-      posts.groupBy("doc_id").agg(max("dlen").as("dlen"))
-    else posts.select("doc_id").distinct().withColumn("dlen", lit(0L)))
+    val sample = want.limit(maxPrunedIds + 1).collect().map(_.get(0))
+    if (sample.isEmpty) return
+    val perDoc = (if (sample.length <= maxPrunedIds)
+      rtbfDocFrame(spark, table, Left(sample.toIndexedSeq))
+    else rtbfDocFrame(spark, table, Right(want)))
       .localCheckpoint(true)
     val agg = perDoc.agg(count(lit(1)).as("k"),
       coalesce(sum("dlen"), lit(0L)).as("s")).head()
@@ -430,6 +491,17 @@ object InvertedIndexOps {
         Seq("doc_id"), "left_anti")
     LayoutOps.writeBucketed(live, spark, table, s"$basePath/postings",
       nBuckets, "term")
+    // the doc sidecar compacts under the same rule (live rows, ORIGINAL
+    // tags): deleted docs' rows go, the ledger already carries their
+    // negative correction, and a replayed delete of them stays a no-op
+    // via the untouched tombstone table
+    val liveDocs = spark.table(docsTable(table))
+      .join(broadcast(committedTags(spark, table)),
+        col("__batch") === col("batch_tag"), "left_semi")
+      .join(broadcast(committedTombstones(spark, table)),
+        Seq("doc_id"), "left_anti")
+    LayoutOps.writeBucketed(liveDocs, spark, docsTable(table),
+      s"$basePath/docs", nBuckets, "doc_id")
   }
 
   /** Lift [[appendToScoredIndex]] into a Structured Streaming sink —
@@ -511,9 +583,16 @@ object InvertedIndexOps {
         count(lit(1)).as("matched"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    // materialize the (queries × k)-bounded result eagerly so qt's
+    // checkpoint blocks can be RELEASED here rather than leaking one
+    // pinned RDD per call until the context cleaner happens to run
+    // (the deleteFromTextIndex perDoc.unpersist() convention)
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select("query_id", "doc_id", "rank", "score", "matched")
+      .localCheckpoint(true)
+    qt.unpersist()
+    out
   }
 
   /** Conjunctive (AND-of-terms) search: doc_ids containing EVERY term.

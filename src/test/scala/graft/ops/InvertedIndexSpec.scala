@@ -352,6 +352,58 @@ class InvertedIndexSpec extends SparkTestBase {
       "streamed index must score exactly like a clean one-shot build")
   }
 
+  test("RTBF reads the id-bucketed doc sidecar, never the postings: " +
+    "the retraction scan is bucket-pruned by the requested ids") {
+    val base = Files.createTempDirectory("tidx-side").toString
+    InvertedIndexOps.writeScoredIndex(docs, spark, "tidx_side", base,
+      nBuckets = 16)
+    val someIds = docs.limit(3).collect().map(_.getLong(0)).toIndexedSeq
+    val frame = InvertedIndexOps.rtbfDocFrame(spark, "tidx_side",
+      Left(someIds))
+    frame.collect()
+    val plan = frame.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("tidx_side_docs"),
+      s"retraction must read the doc sidecar:\n$plan")
+    assert(!plan.contains("tidx_side/postings") &&
+      !"""tidx_side[,\]\s]""".r.findFirstIn(
+        plan.replace("tidx_side_docs", "").replace("tidx_side_stats", ""))
+        .isDefined,
+      s"retraction must not scan the postings:\n$plan")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt <= 3,
+      s"3 ids must prune the sidecar scan to <= 3 of 16 buckets:\n$plan")
+  }
+
+  test("zero-token docs retract their n_docs mass on delete " +
+    "(they counted toward N at ingest)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tidx-zero").toString
+    val fixture = Seq(
+      (1L, "batch scan hash"),
+      (2L, "   "), // tokenizes to nothing — no postings, but N includes it
+      (3L, "batch hash tables")).toDF("doc_id", "text")
+    InvertedIndexOps.writeScoredIndex(fixture, spark, "tidx_zero", base)
+    val n0 = spark.table("tidx_zero_stats").agg(sum("n_docs")).head().getLong(0)
+    assert(n0 == 3L, "ingest counts zero-token docs toward N")
+    InvertedIndexOps.deleteFromTextIndex(
+      Seq(2L).toDF("doc_id"), spark, "tidx_zero")
+    val n1 = spark.table("tidx_zero_stats").agg(sum("n_docs")).head().getLong(0)
+    assert(n1 == 2L,
+      "deleting a zero-token doc must retract its n_docs mass — " +
+        "post-delete BM25's N must equal a from-scratch survivor index")
+    // …and equality with the from-scratch survivor index holds end-to-end
+    val cleanBase = Files.createTempDirectory("tidx-zero-clean").toString
+    InvertedIndexOps.writeScoredIndex(
+      fixture.filter(col("doc_id") =!= 2L), spark, "tidx_zclean", cleanBase)
+    val terms = Seq("batch", "hash")
+    assert(InvertedIndexOps.searchBm25(spark, "tidx_zero", terms, topK = 5)
+      .collect().toSeq ==
+      InvertedIndexOps.searchBm25(spark, "tidx_zclean", terms, topK = 5)
+        .collect().toSeq)
+  }
+
   test("a k-term query scans only the terms' buckets") {
     val base = Files.createTempDirectory("tidx-prune").toString
     InvertedIndexOps.writeTextIndex(docs, spark, "tidx_prune", base,
