@@ -353,8 +353,9 @@ object SimilarityOps {
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame =
     hashEmbedWith(docs, dim, idCol, textCol,
-      t => pmod(xxhash64(t), lit(dim)).cast("int"),
-      t => when(pmod(shiftright(xxhash64(t), 32), lit(2)) === 0, 1L)
+      t => xxhash64(t),
+      h => pmod(h, lit(dim)).cast("int"),
+      h => when(pmod(shiftright(h, 32), lit(2)) === 0, 1L)
         .otherwise(-1L))
 
   /** The md5-seamed twin of [[hashEmbed]] — identical machinery, hash
@@ -364,19 +365,26 @@ object SimilarityOps {
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     hashEmbedWith(docs, dim, idCol, textCol,
-      t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+      t => md5(t),
+      h => pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
         lit(dim)).cast("int"),
-      t => when(conv(substring(md5(t), 9, 1), 16, 10).cast("long")
+      h => when(conv(substring(h, 9, 1), 16, 10).cast("long")
         % 2 === 0, 1L).otherwise(-1L))
 
+  /** `stage` hashes the token ONCE per occurrence in its own projection
+    * (CollapseProject keeps non-cheap multiply-referenced expressions
+    * staged); bucket and sign then both derive from the staged hash —
+    * half the md5/xxhash work of computing each from the raw token. */
   private def hashEmbedWith(docs: DataFrame, dim: Int, idCol: String,
                             textCol: String,
+                            stage: Column => Column,
                             bucket: Column => Column,
                             sign: Column => Column): DataFrame = {
     val votes = docs
       .select(col(idCol), explode(DedupOps.tokens(col(textCol))).as("__t"))
-      .select(col(idCol), bucket(col("__t")).as("__b"),
-        sign(col("__t")).as("__s"))
+      .select(col(idCol), stage(col("__t")).as("__h"))
+      .select(col(idCol), bucket(col("__h")).as("__b"),
+        sign(col("__h")).as("__s"))
       .groupBy(idCol, "__b").agg(sum("__s").as("__v"))
     votes.groupBy(idCol)
       .agg(map_from_entries(
