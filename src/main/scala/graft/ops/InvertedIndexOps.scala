@@ -300,6 +300,134 @@ object InvertedIndexOps {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Proximity (sloppy-phrase) search: docs where the phrase's terms
+    * occur IN ORDER within a span of at most `maxSpan` tokens —
+    * `maxSpan = k−1` degenerates to exact consecutiveness
+    * ([[searchPhrase]] semantics, spec-pinned equal). `n_matches`
+    * counts the distinct anchor positions (occurrences of the first
+    * term) that begin at least one valid ordered chain.
+    *
+    * Exactness without a position self-join: for a FIXED anchor the
+    * GREEDY chain (always the smallest next position) minimizes the
+    * final position, so "some chain fits in the span" ⟺ "the greedy
+    * chain fits" — and the greedy walk is pure array arithmetic over
+    * the doc's own occurrences of the phrase terms, evaluated inside
+    * one groupBy row per (query, doc). Candidate volume is the phrase
+    * terms' posting mass (pruned scan), per-candidate state is that
+    * doc's occurrences of those terms — never the corpus, never a
+    * pairwise join. */
+  def searchPhraseWindow(spark: SparkSession, table: String,
+                         phrase: Seq[String], maxSpan: Int): DataFrame = {
+    require(phrase.nonEmpty, "searchPhraseWindow needs at least one token")
+    import spark.implicits._
+    phraseWindowScores(
+      Seq((0L, phrase)).toDF("query_id", "terms"), spark, table, maxSpan)
+      .select("doc_id", "n_matches")
+  }
+
+  /** Batched proximity search: one (query_id, terms array) row per
+    * query, scored in ONE pruned pass (the [[searchBm25Batch]] shape),
+    * per-query top-k ranks by (n_matches desc, doc_id) — the third
+    * retriever of the hybrid stack, fusable by
+    * [[RetrievalOps.rrfFuse]]. */
+  def searchPhraseWindowBatch(queries: DataFrame, spark: SparkSession,
+                              table: String, topK: Int, maxSpan: Int,
+                              maxPrunedTerms: Int = 1024): DataFrame = {
+    val scored = phraseWindowScores(queries, spark, table, maxSpan,
+      maxPrunedTerms)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("n_matches"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "rank", "n_matches")
+  }
+
+  /** Shared proximity scorer: (query_id, doc_id, n_matches > 0). */
+  private def phraseWindowScores(queries: DataFrame, spark: SparkSession,
+                                 table: String, maxSpan: Int,
+                                 maxPrunedTerms: Int = 1024): DataFrame = {
+    // offsets are POSITIONS in the phrase — no empty-token filtering
+    // here (it would silently shift the phrase), unlike the bag-of-
+    // terms searches
+    val qt = queries.select(col("query_id"),
+      posexplode(transform(col("terms"), t => lower(t))))
+      .select(col("query_id"), col("pos").as("__i"), col("col").as("term"))
+      .localCheckpoint(true) // consumed by the term probe AND the join
+    val qk = queries.select(col("query_id"),
+      size(col("terms")).as("__k"))
+    val posts = livePostingsForTerms(spark, table, qt.select("term"),
+      maxPrunedTerms)
+    // one row per (query, doc): that doc's occurrences of the query's
+    // terms, tagged with their phrase offsets — bounded by the doc's
+    // own token count, the same bound as the spec's brute force
+    val occ = posts.join(qt, "term")
+      .repartition(col("query_id"), col("doc_id")) // see searchBm25Batch
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("__i"), col("pos"))).as("__occ"))
+      .join(broadcast(qk), "query_id")
+    // pp[i] = sorted positions of phrase offset i in this doc;
+    // a doc missing any offset's term can't match (cheap pre-filter)
+    val sentinel = Long.MaxValue / 2
+    val out = occ
+      .filter(size(array_distinct(transform(col("__occ"),
+        o => o.getField("__i")))) === col("__k"))
+      .withColumn("__pp", transform(sequence(lit(0), col("__k") - 1),
+        i => array_sort(transform(
+          filter(col("__occ"), o => o.getField("__i") === i),
+          o => o.getField("pos")))))
+      // greedy chain from each anchor: fold the remaining offsets'
+      // position arrays, taking the smallest position > prev each step
+      // (filter preserves the sort, so element 1 is that minimum); a
+      // missing step poisons the chain with the sentinel
+      .withColumn("n_matches",
+        size(filter(element_at(col("__pp"), 1), a =>
+          aggregate(slice(col("__pp"), lit(2), col("__k") - 1), a,
+            (prev, arr) => coalesce(
+              get(filter(arr, q => q > prev), lit(0)), // null when empty
+              lit(sentinel))) - a <= maxSpan)).cast("long"))
+      .filter(col("n_matches") > 0)
+      .select("query_id", "doc_id", "n_matches")
+      .localCheckpoint(true) // bounded: matching (query, doc) pairs
+    qt.unpersist()
+    out
+  }
+
+  /** Pruned live-postings scan for a term-set frame: collected and
+    * pushed as an `IN` when the universe is small (bucket-pruned, the
+    * single-query path's plan), a semi-join against the scan when it
+    * isn't — the full read is then amortized over the query batch that
+    * produced it, the right trade exactly when pruning stopped being
+    * selective anyway. */
+  private def livePostingsForTerms(spark: SparkSession, table: String,
+                                   terms: DataFrame,
+                                   maxPrunedTerms: Int): DataFrame = {
+    val universe = terms.distinct()
+      .limit(maxPrunedTerms + 1).collect().map(_.getString(0)) // bounded
+    if (universe.length <= maxPrunedTerms)
+      livePostings(spark, table, col("term").isin(universe.toIndexedSeq: _*))
+    else livePostings(spark, table, lit(true))
+      .join(terms.distinct(), Seq("term"), "left_semi")
+  }
+
+  /** [[ingestStream]]'s positional sibling: exactly-once positional-
+    * index maintenance over at-least-once micro-batches — the engine's
+    * `batchId` is the ledger's logical tag, so a batch redelivered
+    * after a crash between the append and the checkpoint commit lands
+    * nothing twice. Caller starts/stops the returned query. */
+  def ingestPositionalStream(docs: DataFrame, spark: SparkSession,
+                             table: String, checkpointLocation: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          appendToPositionalIndex(batch, spark, table, idCol, textCol,
+            batchTag = Some(s"stream-$batchId"))
+      }
+      .start()
+
   // ------------------------------------------------- BM25 ranked search
 
   /** Scored postings: one (doc_id, term, tf, dlen) row per DISTINCT

@@ -611,6 +611,56 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // PROXIMITY (sloppy) phrase search over the same positional index:
+    // the phrase's terms in ORDER within a span ≤ 6 tokens, n_matches =
+    // distinct anchors beginning a valid chain. The index side is the
+    // greedy-chain walk (for a fixed anchor the greedy next-position
+    // choice minimizes the span, so "some chain fits" ⟺ "the greedy
+    // chain fits") evaluated as array arithmetic inside one row per
+    // candidate doc — no position self-join; DuckDB brute-forces the
+    // ordered-chain EXISTENCE per anchor with non-equi joins. Equal
+    // hashes pin the chain arithmetic, the span bound and the anchor
+    // counting; the streamed append rides a replayed batch tag.
+    q(
+      "text_phrase_slop",
+      """WITH raw AS (
+        |  SELECT doc_id, list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+        |         ts[CAST(i + 1 AS INT)] AS t
+        |  FROM raw, UNNEST(range(len(ts))) AS u(i)
+        |), m AS (
+        |  SELECT p0.doc_id, p0.pos AS a
+        |  FROM tok p0
+        |  JOIN tok p1 ON p1.doc_id = p0.doc_id AND p1.t = 'table'
+        |    AND p1.pos > p0.pos AND p1.pos <= p0.pos + 6
+        |  JOIN tok p2 ON p2.doc_id = p0.doc_id AND p2.t = 'hash'
+        |    AND p2.pos > p1.pos AND p2.pos <= p0.pos + 6
+        |  WHERE p0.t = 'stream'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM m GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-pidx-slop")
+      InvertedIndexOps.writePositionalIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
+        "graft_slop_idx", base)
+      val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      InvertedIndexOps.appendToPositionalIndex(delta, s, "graft_slop_idx",
+        batchTag = Some("b1"))
+      InvertedIndexOps.appendToPositionalIndex(delta, s, "graft_slop_idx",
+        batchTag = Some("b1")) // redelivery: doubled positions would
+                               // double every chain count
+      InvertedIndexOps.searchPhraseWindow(
+        s, "graft_slop_idx", Seq("stream", "table", "hash"), maxSpan = 6)
+        .orderBy("doc_id")
+    },
+
     // BM25 ranked retrieval through a REAL scored index store (tf+dlen
     // postings bucketed by term, append-only corpus-stats rows) built
     // from 80% of the corpus + a 20% append. df comes off the pruned
@@ -1166,6 +1216,171 @@ object TextOps {
         .select(col("query_id"), col("item_id").as("doc_id"),
           col("rank").cast("long").as("rank"))
       RetrievalOps.rrfFuse(Seq(bm, dense), topK = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // THREE-list hybrid retrieval: BM25 + dense cosine + PROXIMITY
+    // phrase (each query's first 3 snippet tokens, ordered within a
+    // 6-token span) fused by the same fixed-point RRF — the full
+    // modern retrieval stack (lexical, semantic, positional) in one
+    // bit-replicable fusion. DuckDB recomputes ALL THREE rank lists
+    // from the raw corpus and fuses identically.
+    q(
+      "hybrid_rrf3",
+      """WITH raw AS (
+        |  SELECT doc_id, list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, UNNEST(ts) AS term FROM raw
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), sn AS (
+        |  SELECT doc_id, ts[1:8] AS t8, ts[1] AS t0, ts[2] AS t1,
+        |         ts[3] AS t2
+        |  FROM raw WHERE doc_id % 100 = 0 AND len(ts) >= 3
+        |), snip AS (
+        |  SELECT doc_id AS query_id, UNNEST(t8) AS term FROM sn
+        |), qt AS (
+        |  SELECT DISTINCT query_id, term FROM snip
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ROUND(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((tf.tf * (1.2 + 1)) /
+        |       (tf.tf + 1.2 * (0.25 + (0.75 * dl.dlen) /
+        |         (CAST(st.sd AS DOUBLE) / CAST(st.n AS DOUBLE))))), 6) AS c
+        |  FROM qt
+        |  JOIN tf USING (term) JOIN dfq ON dfq.term = tf.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |), bmr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY ROUND(SUM(c), 4) DESC, doc_id) AS rank
+        |    FROM sc GROUP BY 1, 2
+        |  ) WHERE rank <= 10
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        |    CASE WHEN CAST(concat('0x', substr(md5(term), 9, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM tok
+        |), v AS (
+        |  SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY 1, 2
+        |), e AS (
+        |  SELECT d.doc_id, LIST(COALESCE(v.v, 0) ORDER BY g.i) AS emb
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d
+        |  CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+        |  LEFT JOIN v ON v.doc_id = d.doc_id AND v.b = g.i
+        |  GROUP BY 1
+        |), ne AS (
+        |  SELECT doc_id, emb FROM e
+        |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+        |), qh AS (
+        |  SELECT query_id,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        |    CASE WHEN CAST(concat('0x', substr(md5(term), 9, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM snip
+        |), qv AS (
+        |  SELECT query_id, b, CAST(SUM(s) AS BIGINT) AS v FROM qh GROUP BY 1, 2
+        |), qe AS (
+        |  SELECT d.query_id, LIST(COALESCE(qv.v, 0) ORDER BY g.i) AS emb
+        |  FROM (SELECT DISTINCT query_id FROM snip) d
+        |  CROSS JOIN GENERATE_SERIES(0, 15) AS g(i)
+        |  LEFT JOIN qv ON qv.query_id = d.query_id AND qv.b = g.i
+        |  GROUP BY 1
+        |), qne AS (
+        |  SELECT query_id, emb FROM qe
+        |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+        |), dnr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT q.query_id, c.doc_id AS doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) DESC,
+        |        c.doc_id) AS rank
+        |    FROM qne q JOIN ne c ON c.doc_id <> q.query_id
+        |  ) WHERE rank <= 10
+        |), ptok AS (
+        |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+        |         ts[CAST(i + 1 AS INT)] AS t
+        |  FROM raw, UNNEST(range(len(ts))) AS u(i)
+        |), pm AS (
+        |  SELECT q.doc_id AS query_id, p0.doc_id, p0.pos AS a
+        |  FROM sn q
+        |  JOIN ptok p0 ON p0.t = q.t0
+        |  JOIN ptok p1 ON p1.doc_id = p0.doc_id AND p1.t = q.t1
+        |    AND p1.pos > p0.pos AND p1.pos <= p0.pos + 6
+        |  JOIN ptok p2 ON p2.doc_id = p0.doc_id AND p2.t = q.t2
+        |    AND p2.pos > p1.pos AND p2.pos <= p0.pos + 6
+        |  GROUP BY 1, 2, 3
+        |), pnm AS (
+        |  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS nm
+        |  FROM pm GROUP BY 1, 2
+        |), phr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY nm DESC, doc_id) AS rank
+        |    FROM pnm
+        |  ) WHERE rank <= 10
+        |), pts AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) AS p FROM bmr
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) FROM dnr
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) FROM phr
+        |), fused AS (
+        |  SELECT query_id, doc_id, CAST(SUM(p) AS BIGINT) AS rrf_pts,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM pts GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, rank, rrf_pts, n_lists FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_pts DESC, doc_id) AS rank
+        |  FROM fused
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.{DedupOps, InvertedIndexOps, RetrievalOps, SimilarityOps}
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-hybrid3")
+      InvertedIndexOps.writeScoredIndex(docs, s, "graft_h3_idx", s"$base/bm")
+      InvertedIndexOps.writePositionalIndex(docs, s, "graft_h3_pos",
+        s"$base/pos")
+      val snips = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"),
+          slice(DedupOps.tokens(col("text")), 1, 8).as("t8"))
+        .filter(size(col("t8")) >= 3)
+      val bm = InvertedIndexOps.searchBm25Batch(
+        snips.select(col("doc_id").as("query_id"), col("t8").as("terms")),
+        s, "graft_h3_idx", topK = 10)
+        .select("query_id", "doc_id", "rank")
+      val ph = InvertedIndexOps.searchPhraseWindowBatch(
+        snips.select(col("doc_id").as("query_id"),
+          slice(col("t8"), 1, 3).as("terms")),
+        s, "graft_h3_pos", topK = 10, maxSpan = 6)
+        .select("query_id", "doc_id", "rank")
+      val emb = SimilarityOps.hashEmbedMd5(docs, dim = 16)
+      val qemb = SimilarityOps.hashEmbedMd5(
+        snips.select(col("doc_id"), array_join(col("t8"), " ").as("text")),
+        dim = 16)
+      val dense = SimilarityOps.bruteForceTopK(qemb, emb, k = 10,
+        idCol = "doc_id")
+        .select(col("query_id"), col("item_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      RetrievalOps.rrfFuse(Seq(bm, dense, ph), topK = 10)
         .orderBy("query_id", "rank")
     },
 

@@ -230,6 +230,126 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(viaIndex.nonEmpty, "fixture must contain the phrase")
   }
 
+  test("proximity phrase search: ordered chains within the span, exact " +
+    "phrase at maxSpan = k-1, brute-force parity on the corpus") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tidx-slop").toString
+    val fixture = Seq(
+      (1L, "data big lake"),            // span 2 chain data->lake
+      (2L, "data lake"),                // adjacent
+      (3L, "lake data"),                // wrong order — never matches
+      (4L, "data x y z lake"),          // span 4
+      (5L, "data data lake"),           // two anchors, both chain
+      (6L, "lake x data y lake"),       // ordered chain at pos 3
+      (7L, "nothing relevant here")).toDF("doc_id", "text")
+    InvertedIndexOps.writePositionalIndex(fixture, spark, "tidx_slop", base)
+    def got(w: Int, phrase: String*) = InvertedIndexOps
+      .searchPhraseWindow(spark, "tidx_slop", phrase, maxSpan = w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // span 1 = adjacency: only docs 2 and 5 (one adjacent pair)
+    assert(got(1, "data", "lake") == Map(2L -> 1L, 5L -> 1L))
+    // span 2 admits one gap
+    assert(got(2, "data", "lake") == Map(1L -> 1L, 2L -> 1L, 5L -> 2L,
+      6L -> 1L))
+    // span 4 admits doc 4's three-gap chain
+    assert(got(4, "data", "lake") == Map(1L -> 1L, 2L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 1L))
+    // order is required even at generous spans
+    assert(!got(10, "data", "lake").contains(3L))
+
+    // maxSpan = k−1 ≡ exact consecutive phrase, on the real corpus
+    val base2 = Files.createTempDirectory("tidx-slop2").toString
+    InvertedIndexOps.writePositionalIndex(docs, spark, "tidx_slop2", base2)
+    val phrase = Seq("stream", "table", "hash")
+    val exact = InvertedIndexOps.searchPhrase(spark, "tidx_slop2", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val winK1 = InvertedIndexOps
+      .searchPhraseWindow(spark, "tidx_slop2", phrase, maxSpan = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(winK1 == exact,
+      "maxSpan = k-1 must reproduce exact phrase search")
+
+    // brute-force parity at a real slop: count anchors of term0 from
+    // which a greedy in-order walk stays within the span
+    val w = 6
+    val brute = docs.select(col("doc_id"),
+      DedupOps.tokens(col("text")).as("ts")).collect().flatMap { r =>
+      val ts = r.getSeq[String](1)
+      val n = ts.indices.count { a =>
+        if (ts(a) != phrase.head) false
+        else {
+          var prev = a
+          var ok = true
+          for (t <- phrase.tail) {
+            val next = ((prev + 1) until ts.length).find(ts(_) == t)
+            next match {
+              case Some(p) => prev = p
+              case None => ok = false; prev = ts.length + w + 1
+            }
+          }
+          ok && (prev - a) <= w
+        }
+      }
+      if (n > 0) Some(r.getLong(0) -> n.toLong) else None
+    }.toMap
+    val viaIndex = InvertedIndexOps
+      .searchPhraseWindow(spark, "tidx_slop2", phrase, maxSpan = w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIndex == brute)
+    assert(viaIndex.nonEmpty, "fixture must contain sloppy matches")
+    assert((viaIndex.keySet -- winK1.keySet).nonEmpty,
+      "the slop must admit docs exact phrase misses")
+
+    // batched ranks equal per-query ordering
+    val qs = Seq((0L, phrase), (1L, Seq("batch", "scan")))
+      .toDF("query_id", "terms")
+    val ranked = InvertedIndexOps.searchPhraseWindowBatch(
+      qs, spark, "tidx_slop2", topK = 5, maxSpan = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want0 = viaIndex.toSeq.sortBy { case (d, m) => (-m, d) }.take(5)
+      .zipWithIndex.map { case ((d, _), i) => (0L, d, (i + 1).toLong) }
+    assert(ranked.filter(_._1 == 0L).toSeq == want0)
+  }
+
+  test("positional streaming ingest: exactly-once across a checkpoint " +
+    "restart, phrase results equal a one-shot index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("pidx-stream").toString
+    val ckpt = s"$base/ckpt"
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    InvertedIndexOps.writePositionalIndex(store, spark, "pidx_str", base)
+    val rows = delta.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    def start() = InvertedIndexOps.ingestPositionalStream(
+      input.toDS().toDF("doc_id", "text"), spark, "pidx_str", ckpt)
+    val q1 = start()
+    try { input.addData(a.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData(b.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    // redelivery of a committed stream batch id appends nothing
+    val n1 = spark.table("pidx_str").count()
+    InvertedIndexOps.appendToPositionalIndex(
+      delta.filter(pmod(col("doc_id"), lit(2)) === 0), spark, "pidx_str",
+      batchTag = Some("stream-1"))
+    assert(spark.table("pidx_str").count() == n1)
+    val fullBase = Files.createTempDirectory("pidx-str-full").toString
+    InvertedIndexOps.writePositionalIndex(docs, spark, "pidx_str_full",
+      fullBase)
+    val phrase = Seq("stream", "table", "hash")
+    def res(t: String) = InvertedIndexOps
+      .searchPhraseWindow(spark, t, phrase, maxSpan = 6)
+      .orderBy("doc_id").collect().toSeq
+    assert(res("pidx_str") == res("pidx_str_full"),
+      "streamed positional index must match a clean one-shot build")
+  }
+
   test("batched bm25 equals per-query searches, on both scan strategies") {
     import spark.implicits._
     val base = Files.createTempDirectory("tidx-batch").toString
