@@ -72,14 +72,20 @@ object IncrementalAggOps {
       .toDF("v", "bucket", "empty", "tag")
   }
 
-  /** Latest version per bucket, tombstones excluded — the live dirs. */
-  private def liveDirs(rows: Array[(Long, Int, Boolean, Option[String])],
-                       base: String): Seq[String] =
-    rows.filter(_._2 >= 0)
+  /** Latest version per bucket AT OR BELOW `asOf`, tombstones excluded
+    * — the dirs a reader pinned to version `asOf` resolves. */
+  private def dirsAt(rows: Array[(Long, Int, Boolean, Option[String])],
+                     base: String, asOf: Long): Seq[String] =
+    rows.filter(r => r._2 >= 0 && r._1 <= asOf)
       .groupBy(_._2).toSeq
       .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
       .collect { case (bk, (v, _, empty, _)) if !empty =>
         s"$base/v=$v/$BUCKET=$bk" }
+
+  /** Latest version per bucket, tombstones excluded — the live dirs. */
+  private def liveDirs(rows: Array[(Long, Int, Boolean, Option[String])],
+                       base: String): Seq[String] =
+    dirsAt(rows, base, Long.MaxValue)
 
   /** The store's live data directories — the read path the MV rewrite
     * rule resolves per matched aggregate (the versioned analog of the
@@ -100,20 +106,34 @@ object IncrementalAggOps {
   }
 
   /** Reclaim superseded bucket versions: every `v=N/__bucket=B` dir no
-    * live resolution points at is deleted (dirs numbered past the
+    * retained resolution points at is deleted (dirs numbered past the
     * manifest's max are an in-flight writer's slot and are skipped, as
-    * in the sibling stores). The manifest itself is left intact — it is
-    * bounded by merges × touched buckets and holds the replay tags,
-    * which must outlive the data they guard. */
-  def vacuumAggStore(spark: SparkSession, basePath: String): Unit = {
+    * in the sibling stores). `retainVersions` is the TIME-TRAVEL floor:
+    * every [[readAggStoreAt]] of a version within the last
+    * `retainVersions` merges stays resolvable — a (v, bucket) dir
+    * survives iff it is some such read's resolution (v above the
+    * horizon, or the bucket's latest at it). The manifest itself is
+    * left intact — it is bounded by merges × touched buckets and holds
+    * the replay tags, which must outlive the data they guard. */
+  def vacuumAggStore(spark: SparkSession, basePath: String,
+                     retainVersions: Int = 0): Unit = {
     val rows = manifestRows(spark, basePath)
     val maxCommitted = (rows.map(_._1) :+ -1L).max
-    // the (version, bucket) pairs some reader can still resolve to
-    // (.toSeq first: mapping the groupBy Map directly would collapse
-    // buckets sharing a max version into one entry)
+    val horizon = maxCommitted - math.max(0, retainVersions)
+    // the (version, bucket) pairs a reader at version >= horizon can
+    // still resolve to: everything above the horizon, plus each
+    // bucket's latest at it. (.toSeq first: mapping the groupBy Map
+    // directly would collapse buckets sharing a max version)
     val live = rows.filter(_._2 >= 0)
       .groupBy(_._2).toSeq
-      .map { case (bk, hist) => (hist.map(_._1).max, bk) }.toSet
+      .flatMap { case (bk, hist) =>
+        val vs = hist.map(_._1)
+        val atHorizon = vs.filter(_ <= horizon) match {
+          case s if s.isEmpty => Nil
+          case s => Seq((s.max, bk))
+        }
+        atHorizon ++ vs.filter(_ > horizon).map((_, bk))
+      }.toSet
     val fs = new org.apache.hadoop.fs.Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(basePath)
@@ -298,6 +318,68 @@ object IncrementalAggOps {
     val dirs = liveStorePaths(spark, basePath)
     require(dirs.nonEmpty, s"aggregate store at $basePath has no live data")
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Highest committed version (the seed is 0, each merge — including
+    * an all-empty tagged one — takes the next slot). */
+  def maxCommittedVersion(spark: SparkSession, basePath: String): Long =
+    (manifestRows(spark, basePath).map(_._1) :+ -1L).max
+
+  /** TIME TRAVEL: the rollup exactly as of merge `v` — each bucket at
+    * its latest version ≤ v, the payoff the copy-on-write layout
+    * already paid for (superseded bucket versions stay on disk until
+    * [[vacuumAggStore]]). Rollback/audit of a bad fold: read the store
+    * at the version before it. Fails loudly (not wrongly) when `v`
+    * predates the vacuum retention — resolution is manifest-driven, so
+    * a reclaimed dir is detected, never silently substituted. */
+  def readAggStoreAt(spark: SparkSession, basePath: String,
+                     v: Long): DataFrame = {
+    val rows = manifestRows(spark, basePath)
+    val maxC = (rows.map(_._1) :+ -1L).max
+    require(v >= 0 && v <= maxC,
+      s"version $v out of range: store at $basePath has versions 0..$maxC")
+    val dirs = dirsAt(rows, basePath, v)
+    require(dirs.nonEmpty,
+      s"aggregate store at $basePath has no data at version $v")
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.foreach { d =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(d)),
+        s"version $v predates the vacuum retention: $d was reclaimed " +
+          "(re-vacuum with a retention floor to keep older reads alive)")
+    }
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Version diff: per-key measure values at `vFrom` vs `vTo`, one row
+    * per key whose partials CHANGED (appeared, vanished, or moved) —
+    * the [[VersionedStoreOps.diffVersions]] symmetry for rollups.
+    * Output: keys, then `<m>_from` / `<m>_to` per measure (null on an
+    * absent side). Bucket-local like every op here: only buckets
+    * TOUCHED by merges in (vFrom, vTo] are read — an untouched
+    * bucket's partials are byte-identical at both versions and can
+    * contribute no diff row. */
+  def diffAggStore(spark: SparkSession, basePath: String,
+                   keys: Seq[String], measures: Seq[String],
+                   vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"diffAggStore: vFrom $vFrom > vTo $vTo")
+    val rows = manifestRows(spark, basePath)
+    val touched = rows
+      .filter(r => r._2 >= 0 && r._1 > vFrom && r._1 <= vTo)
+      .map(_._2).toSet
+    def side(v: Long, suffix: String): DataFrame = {
+      val dirs = dirsAt(rows, basePath, v)
+        .filter(d => touched.contains(
+          d.substring(d.lastIndexOf('=') + 1).toInt))
+      val cols = (keys.map(col) ++
+        measures.map(m => col(m).as(s"${m}_$suffix")))
+      if (dirs.isEmpty)
+        readAggStoreAt(spark, basePath, v).select(cols: _*).limit(0)
+      else spark.read.parquet(dirs: _*).select(cols: _*)
+    }
+    side(vFrom, "from").join(side(vTo, "to"), keys.toIndexedSeq, "full_outer")
+      .filter(measures.map(m =>
+        !(col(s"${m}_from") <=> col(s"${m}_to"))).reduce(_ || _))
   }
 
   /** Continuous rollup maintenance: fold a STREAMING delta in per

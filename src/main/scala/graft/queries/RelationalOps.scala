@@ -821,6 +821,85 @@ object RelationalOps {
       IncrementalAggOps.readAggStore(s, base).orderBy("o_custkey")
     },
 
+    // ---- TIME TRAVEL on the rollup store: the copy-on-write layout
+    // retains superseded bucket versions until vacuum, so the store is
+    // readable AS OF any merge — rollback/audit of a bad fold. Seed
+    // (v0) + two merges (v1, v2), then vacuum WITH a retention floor
+    // of one version, then read AT v1: the answer must equal DuckDB's
+    // one-shot aggregate over the pre-delta2 facts, proving both the
+    // versioned resolution and that the retention vacuum kept exactly
+    // the history it promised.
+    q(
+      "agg_store_at",
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderkey % 5 <> 4 GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      val base = scratchDir("graft-aggstore-at")
+      val prepped = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lit(1L).as("n_orders"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val keys = Seq("o_custkey")
+      val ms = Seq("n_orders", "total_cents")
+      IncrementalAggOps.writeAggStore(
+        prepped.filter(col("o_orderkey") % 5 =!= 0 &&
+          col("o_orderkey") % 5 =!= 4).drop("o_orderkey"),
+        s, base, keys, ms, nBuckets = 16)
+      IncrementalAggOps.mergeIntoAggStore(
+        prepped.filter(col("o_orderkey") % 5 === 0).drop("o_orderkey"),
+        s, base, keys, ms, nBuckets = 16, batchTag = Some("d1"))
+      IncrementalAggOps.mergeIntoAggStore(
+        prepped.filter(col("o_orderkey") % 5 === 4).drop("o_orderkey"),
+        s, base, keys, ms, nBuckets = 16, batchTag = Some("d2"))
+      // reclaim what only v0 resolves; v1 must stay readable
+      IncrementalAggOps.vacuumAggStore(s, base, retainVersions = 1)
+      IncrementalAggOps.readAggStoreAt(s, base, 1L).orderBy("o_custkey")
+    },
+
+    // ---- VERSION DIFF on the rollup store: per-key partials at two
+    // versions, one row per key whose mass MOVED between them — only
+    // the buckets touched by the intervening merges are read (the
+    // VersionedStoreOps.diffVersions symmetry, bucket-local). DuckDB
+    // full-outer-joins the two one-shot aggregates and keeps the
+    // distinct rows; nulls mark a key absent on one side.
+    q(
+      "agg_store_vdiff",
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM orders WHERE o_orderkey % 5 <> 4 GROUP BY 1
+        |), t AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT COALESCE(f.o_custkey, t.o_custkey) AS o_custkey,
+        |  f.n AS n_orders_from, f.s AS total_cents_from,
+        |  t.n AS n_orders_to, t.s AS total_cents_to
+        |FROM f FULL OUTER JOIN t ON f.o_custkey = t.o_custkey
+        |WHERE f.n IS DISTINCT FROM t.n OR f.s IS DISTINCT FROM t.s""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.IncrementalAggOps
+      val base = scratchDir("graft-aggstore-vd")
+      val prepped = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lit(1L).as("n_orders"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val keys = Seq("o_custkey")
+      val ms = Seq("n_orders", "total_cents")
+      IncrementalAggOps.writeAggStore(
+        prepped.filter(col("o_orderkey") % 5 =!= 4).drop("o_orderkey"),
+        s, base, keys, ms, nBuckets = 16)
+      IncrementalAggOps.mergeIntoAggStore(
+        prepped.filter(col("o_orderkey") % 5 === 4).drop("o_orderkey"),
+        s, base, keys, ms, nBuckets = 16, batchTag = Some("d1"))
+      IncrementalAggOps.diffAggStore(s, base, keys, ms, 0L, 1L)
+        .orderBy("o_custkey")
+    },
+
     // ---- CDC change feed DRIVING rollup maintenance (the downstream-
     // sync pattern, end-to-end): a versioned store takes two change
     // waves; the v1→v2 snapshot diff becomes a retract/merge pair

@@ -139,6 +139,75 @@ class IncrementalAggSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet == readBefore)
   }
 
+  test("time travel: read-at-v equals the store as of that merge; the " +
+    "version diff names exactly the moved keys; vacuum respects the " +
+    "retention floor and reclaimed reads fail loudly") {
+    val base = Files.createTempDirectory("aggstore-tt").toString
+    val orders = graft.queries.t(spark, sfTiny, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("k"), lit(1L).as("n"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    val seed = orders.filter(col("o_orderkey") % 3 === 0).drop("o_orderkey")
+    val d1 = orders.filter(col("o_orderkey") % 3 === 1).drop("o_orderkey")
+    val d2 = orders.filter(col("o_orderkey") % 3 === 2).drop("o_orderkey")
+    IncrementalAggOps.writeAggStore(seed, spark, base, Seq("k"), Seq("n", "v"), 8)
+    IncrementalAggOps.mergeIntoAggStore(d1, spark, base, Seq("k"), Seq("n", "v"), 8)
+    IncrementalAggOps.mergeIntoAggStore(d2, spark, base, Seq("k"), Seq("n", "v"), 8)
+    assert(IncrementalAggOps.maxCommittedVersion(spark, base) == 2L)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(sum("n").as("n"), sum("v").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def readAt(v: Long) = IncrementalAggOps.readAggStoreAt(spark, base, v)
+      .select("k", "n", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(readAt(0) == agg(seed), "v0 = the seed rollup")
+    assert(readAt(1) == agg(seed.unionByName(d1)), "v1 = seed + delta1")
+    assert(readAt(2) == agg(seed.unionByName(d1).unionByName(d2)))
+    assert(readAt(2) == IncrementalAggOps.readAggStore(spark, base)
+      .select("k", "n", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "read-at-max = the current read")
+
+    // the version diff names exactly the keys d2 moved
+    val diff = IncrementalAggOps.diffAggStore(spark, base,
+      Seq("k"), Seq("n", "v"), 1L, 2L)
+    val gotKeys = diff.select("k").collect().map(_.getLong(0)).toSet
+    val wantKeys = d2.select("k").distinct().collect().map(_.getLong(0)).toSet
+    assert(gotKeys == wantKeys,
+      s"diff keys must be exactly delta2's: got ${gotKeys.size}, want ${wantKeys.size}")
+    // from/to values are the two snapshots' partials (null when absent);
+    // columns: k, n_from, v_from, n_to, v_to
+    val v1m = readAt(1).map(t => t._1 -> (t._2, t._3)).toMap
+    val v2m = readAt(2).map(t => t._1 -> (t._2, t._3)).toMap
+    diff.collect().foreach { r =>
+      val k = r.getLong(0)
+      v1m.get(k) match {
+        case Some((n1, vv1)) =>
+          assert(r.getLong(1) == n1 && r.getLong(2) == vv1)
+        case None => assert(r.isNullAt(1) && r.isNullAt(2))
+      }
+      val (n2, vv2) = v2m(k) // d2 only adds mass here — always present
+      assert(r.getLong(3) == n2 && r.getLong(4) == vv2)
+    }
+
+    // retention floor: vacuum(retain=1) keeps v1 and v2 readable,
+    // reclaims what only v0 resolves
+    IncrementalAggOps.vacuumAggStore(spark, base, retainVersions = 1)
+    assert(readAt(1) == agg(seed.unionByName(d1)),
+      "retained version must read identically after the vacuum")
+    assert(readAt(2) == agg(seed.unionByName(d1).unionByName(d2)))
+    // v0: some bucket superseded at v1 lost its v0 copy — loud failure
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAggOps.readAggStoreAt(spark, base, 0L).collect()
+    }
+    assert(e.getMessage.contains("predates the vacuum retention"))
+    // retain=0 collapses to latest-only; current read unchanged
+    IncrementalAggOps.vacuumAggStore(spark, base)
+    assert(readAt(2) == agg(seed.unionByName(d1).unionByName(d2)))
+    intercept[IllegalArgumentException] {
+      IncrementalAggOps.readAggStoreAt(spark, base, 1L).collect()
+    }
+  }
+
   test("streamed folds land exactly once across a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
