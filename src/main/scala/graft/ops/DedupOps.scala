@@ -455,7 +455,12 @@ object DedupOps {
     *
     * The band rows carry the full signature (the same 16× duplication
     * [[minhashPairs]] flows through its shuffle) so candidate estimation
-    * needs no extra join against a signature table. */
+    * needs no extra join against a signature table.
+    *
+    * Durability contract of record: `graft.ops.StoreContractSpec` (the
+    * cross-family suite — this store's mechanism is the data-row guard
+    * in [[graft.streaming.IngestOps.ingestBatch]] plus the tombstone
+    * carry-forward in [[rebuildFingerprintStore]]). */
   def writeFingerprintStore(docs: DataFrame, spark: SparkSession,
                             bandsTable: String, setsTable: String,
                             basePath: String, nBuckets: Int = 32,

@@ -49,6 +49,11 @@ import org.apache.spark.sql.functions._
   * non-monoidal measures (distinct, medians) need sketch stores (see
   * [[SketchOps]]) — merging raw partials would be wrong, so this API
   * simply doesn't accept them.
+  *
+  * Durability contract of record: `graft.ops.StoreContractSpec` —
+  * the cross-family property suite every persisted store passes
+  * (replay no-op, torn-write invisibility, RTBF permanence through
+  * rebuild + replay, rebuild answer-preservation).
   */
 object IncrementalAggOps {
 

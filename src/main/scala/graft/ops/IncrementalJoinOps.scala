@@ -43,6 +43,11 @@ import org.apache.spark.sql.functions._
   * besides the key must be disjoint across A and B; A-side and ΔA
   * schemas match (same for B). Single writer at a time, as in the
   * sibling stores.
+  *
+  * Durability contract of record: `graft.ops.StoreContractSpec` —
+  * the cross-family property suite every persisted store passes
+  * (replay no-op, torn-write invisibility, RTBF permanence through
+  * rebuild + replay, rebuild answer-preservation).
   */
 object IncrementalJoinOps {
 

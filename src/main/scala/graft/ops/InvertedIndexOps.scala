@@ -72,6 +72,11 @@ import org.apache.spark.sql.functions._
   * batch tag can both pass the check and both commit. One writer per
   * index at a time, the same contract as the agg/join/vector stores
   * (whose manifest appends assume it too).
+  *
+  * Durability contract of record: `graft.ops.StoreContractSpec` —
+  * the cross-family property suite every persisted store passes
+  * (replay no-op, torn-write invisibility, RTBF permanence through
+  * rebuild + replay, rebuild answer-preservation).
   */
 object InvertedIndexOps {
 

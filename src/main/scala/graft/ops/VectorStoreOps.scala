@@ -37,6 +37,11 @@ import org.apache.spark.sql.functions._
   * there). The manifest is bounded by live (commit, cell) pairs —
   * commits × nlist driver-side rows, the same order as the versioned
   * store's nBuckets × versions.
+  *
+  * Durability contract of record: `graft.ops.StoreContractSpec` —
+  * the cross-family property suite every persisted store passes
+  * (replay no-op, torn-write invisibility, RTBF permanence through
+  * rebuild + replay, rebuild answer-preservation).
   */
 object VectorStoreOps {
 
