@@ -416,12 +416,12 @@ object ScaleStress {
     java.nio.file.Files.write(out.resolve("scale_stress_bm25.json"),
       (bmJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    // --- text-index RTBF delete + physical rebuild (r13): the delete's
-    // one corpus-sized cost is the (doc_id, dlen, __batch) column scan
-    // behind the stats correction — linear by design and documented on
-    // the op; the rebuild is one bucketed read+write of live postings,
-    // also linear. Fixed-size delete set (copy-0 ids, present at every
-    // k) so the ratio isolates the corpus term.
+    // --- text-index RTBF delete + physical rebuild: since r14 the
+    // delete is BATCH-sized — the stats correction reads the id-bucketed
+    // doc SIDECAR with an IN-pushdown of the requested ids, never the
+    // postings — so the fixed-size delete set (copy-0 ids, present at
+    // every k) should hold the ratio near flat; the rebuild is one
+    // bucketed read+write of live postings + sidecar, linear by design.
     def idxDelete(k: Int): Long = {
       InvertedIndexOps.deleteFromTextIndex(
         scaled(1).filter(col("doc_id") % 97 === 3).select("doc_id"),
