@@ -102,6 +102,37 @@ object SimilarityOps {
         org.apache.spark.sql.GraftColumnBridge.expression(v), flat, dim))
   }
 
+  /** Deterministic ±1 Rademacher sign matrix (row-major, outDim × dim) —
+    * the projection's only state, shared with gate oracles that
+    * interpolate it as SQL literals (the minhash-permutation precedent). */
+  def rademacherSigns(dim: Int, outDim: Int, seed: Long = 42L): Array[Byte] = {
+    var s = seed ^ 0x9e3779b97f4a7c15L
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    Array.fill(outDim * dim)(if ((next() & 1L) == 0L) 1.toByte else -1.toByte)
+  }
+
+  /** Johnson-Lindenstrauss dimensionality reduction: project `vecCol`
+    * (dim-wide float/double) to `outDim` exact-integer coordinates with
+    * a deterministic ±1 sign matrix ([[graft.expressions
+    * .RademacherProject]] — one codegen'd outDim×dim loop per row, no
+    * shuffle, no model). The 100 TB pre-ANN step: a 1024-dim corpus
+    * projects to 64 dims in one narrow map pass, cutting every
+    * downstream cosine/LSH/IVF cost ~16× while JL preserves pairwise
+    * geometry (Achlioptas 2003). Output is `array<long>` (quantized ×10⁶
+    * inputs, ±sums) — bit-replicable in any engine, and cosine is
+    * scale-invariant so downstream search never undoes the scaling;
+    * cast to `array<double>` for the cosine kernels (exact: magnitudes
+    * sit far below 2⁵³). */
+  def randomProject(df: DataFrame, outDim: Int, dim: Int,
+                    seed: Long = 42L, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val signs = rademacherSigns(dim, outDim, seed)
+    df.withColumn(vecCol, bridge.column(
+      graft.expressions.RademacherProject(
+        bridge.expression(col(vecCol)), signs, dim)))
+  }
+
   /** Interpreted HOF reference implementation (kept for the parity spec). */
   def lshSignatureHof(v: Column, dim: Int, numPlanes: Int = 16,
                       seed: Long = 42L): Column = {

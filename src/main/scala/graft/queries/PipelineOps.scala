@@ -778,6 +778,60 @@ object PipelineOps {
         .select("query_id", "item_id", "rank", "cos")
     },
 
+    // ---- Johnson-Lindenstrauss dimensionality reduction UNDER THE
+    // ORACLE: the pre-ANN step a 1024-dim corpus runs before any
+    // similarity work. Rademacher (±1) projection over quantized
+    // coordinates — every output coordinate is an exact ±sum of longs
+    // (associativity-free, the oracle-able-kernel convention), so the
+    // projected VECTORS hash-compare bit-for-bit; the search over them
+    // is the proven rounded-cosine brute top-k. DuckDB replays the sign
+    // matrix (interpolated literals, the ann_lsh_q precedent), the
+    // quantization, every projected coordinate, and the ranking.
+    q(
+      "emb_project_q", {
+        val signs = SimilarityOps.rademacherSigns(dim = 64, outDim = 8)
+        val lits = signs.grouped(64).zipWithIndex.flatMap { case (row, j) =>
+          row.zipWithIndex.map { case (sg, i) => s"($j, ${i + 1}, $sg)" }
+        }.mkString(", ")
+        s"""WITH sgn(j, i, s) AS (VALUES $lits),
+           |qe AS (
+           |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+           |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+           |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+           |    FROM embeddings)
+           |), proj AS (
+           |  SELECT qe.vec_id, sgn.j AS j, CAST(SUM(sgn.s * qe.qv) AS BIGINT) AS y
+           |  FROM qe JOIN sgn ON sgn.i = qe.i
+           |  GROUP BY 1, 2
+           |), pv AS (
+           |  SELECT vec_id, LIST(y ORDER BY j) AS emb FROM proj GROUP BY 1
+           |), nz AS (
+           |  SELECT vec_id, emb FROM pv
+           |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+           |)
+           |SELECT query_id, item_id, rank, cos FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+           |    ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ROUND(list_cosine_similarity(q.emb::DOUBLE[], c.emb::DOUBLE[]), 4) DESC, c.vec_id) AS rank
+           |  FROM nz q JOIN nz c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id % 50 = 0
+           |) WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pe = SimilarityOps.randomProject(
+          tEmbeddings(s, dir), outDim = 8, dim = 64)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x * x) > 0)
+      SimilarityOps.bruteForceTopK(
+        pe.filter(col("vec_id") % 50 === 0), pe, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- The IVF ANN machinery UNDER THE ORACLE: the same
     // build → assign → probe → re-rank shape as ann_ivf, all in exact
     // integers. Seed cells are the nlist lowest ids; one Lloyd round

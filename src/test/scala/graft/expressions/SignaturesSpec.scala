@@ -65,6 +65,53 @@ class SignaturesSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("rademacher_project equals a driver-side reference; projection " +
+    "roughly preserves cosine neighborhoods (JL sanity)") {
+    import graft.ops.SimilarityOps
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(200)
+    val dim = 64
+    val outDim = 16
+    val signs = SimilarityOps.rademacherSigns(dim, outDim)
+    val got = SimilarityOps.randomProject(emb, outDim, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // driver-side reference: quantize half-away, ±sums per row
+    def quant(x: Double): Long = {
+      val s = x * 1e6
+      if (s >= 0) math.floor(s + 0.5).toLong else math.ceil(s - 0.5).toLong
+    }
+    val want = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(f => quant(f.toDouble))
+      r.getLong(0) -> (0 until outDim).map { j =>
+        (0 until dim).map(i => signs(j * dim + i) * v(i)).sum
+      }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) => assert(got(id) == w, s"vec $id") }
+    // JL sanity: projected cosine correlates with full-dim cosine —
+    // high-similarity pairs stay high, dissimilar pairs stay low,
+    // ON AVERAGE (JL bounds distortion per pair only probabilistically
+    // at this outDim; the mean gap is the stable signal)
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val proj = rows.map { case (id, _) => id -> got(id).map(_.toDouble) }.toMap
+    val pairs = for {
+      (ai, av) <- rows.take(40); (bi, bv) <- rows.take(40) if ai < bi
+    } yield (cos(av, bv), cos(proj(ai), proj(bi)))
+    val byFull = pairs.sortBy(_._1)
+    val dec = math.max(1, byFull.length / 10)
+    val lo = byFull.take(dec).map(_._2)
+    val hi = byFull.takeRight(dec).map(_._2)
+    assert(hi.sum / hi.size > lo.sum / lo.size + 0.25,
+      s"projection must separate the most-similar decile from the " +
+        s"least-similar on average: hi=${hi.sum / hi.size} " +
+        s"lo=${lo.sum / lo.size}")
+  }
+
   test("word_gram_hashes equals the shingle+hash HOF chain on real docs") {
     val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
     // sort both sides: the expression emits first-occurrence order like
