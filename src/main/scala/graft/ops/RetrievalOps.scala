@@ -37,6 +37,35 @@ object RetrievalOps {
     val pts = rankings.map(_.select(col("query_id"), col("doc_id"),
         round(lit(1e9) / (lit(k) + col("rank"))).cast("long").as("__pts")))
       .reduce(_ unionByName _)
+    fuse(pts, topK)
+  }
+
+  /** Weighted RRF — the hybrid tuning knob (lexical-heavy vs
+    * semantic-heavy stacks): fused(d) = Σ_r w_r / (k + rank_r(d)).
+    * Weights become EXACT ppm integers (`round(w · 10⁶)`) and each
+    * contribution is `wppm · round(10⁹/(k+rank))` — integer products
+    * and sums, still associativity-free, so the weighted fusion stays
+    * bit-replicable in any engine (a float w·pts sum would reintroduce
+    * the partial-agg-order tie-break RRF's fixed point removed). Scores
+    * are 10⁶× [[rrfFuse]]'s scale; at all-1 weights the RANKING is
+    * identical to rrfFuse's (spec-pinned). */
+  def rrfFuseWeighted(rankings: Seq[(DataFrame, Double)], topK: Int,
+                      k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuseWeighted needs at least one ranking")
+    require(rankings.forall(_._2 > 0), "retriever weights must be positive")
+    val pts = rankings.map { case (r, weight) =>
+      val wppm = math.round(weight * 1e6)
+      r.select(col("query_id"), col("doc_id"),
+        (lit(wppm) * round(lit(1e9) / (lit(k) + col("rank"))).cast("long"))
+          .as("__pts"))
+    }.reduce(_ unionByName _)
+    fuse(pts, topK)
+  }
+
+  /** Shared tail: per-(query, doc) integer point sum → per-query top-k
+    * (rank ≤ k runs through WindowGroupLimit, capping groups
+    * pre-shuffle). */
+  private def fuse(pts: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("rrf_pts"), col("doc_id"))
     pts.groupBy("query_id", "doc_id")

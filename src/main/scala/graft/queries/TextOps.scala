@@ -1384,6 +1384,63 @@ object TextOps {
         .orderBy("query_id", "rank")
     },
 
+    // WEIGHTED RRF under the oracle — the hybrid tuning knob (a
+    // lexical-heavy stack weighs BM25 2x, etc.). Weights become exact
+    // ppm integers multiplied into the fixed-point contributions, so
+    // the weighted fusion stays bit-replicable. The two rank lists are
+    // cheap deterministic windows (length-ranked and id-ranked docs per
+    // language, capped at 20 — retriever outputs are top-k-bounded by
+    // contract), isolating the WEIGHTED-FUSION arithmetic from any
+    // corpus structure; DuckDB recomputes lists, weights and fusion.
+    q(
+      "rrf_weighted",
+      """WITH l1 AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT lang AS query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY n_chars DESC, doc_id) AS rank
+        |    FROM documents
+        |  ) WHERE rank <= 20
+        |), l2 AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT lang AS query_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rank
+        |    FROM documents
+        |  ) WHERE rank <= 20
+        |), pts AS (
+        |  SELECT query_id, doc_id,
+        |    2000000 * CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) AS p FROM l1
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    500000 * CAST(ROUND(1e9 / (60 + rank)) AS BIGINT) FROM l2
+        |), fused AS (
+        |  SELECT query_id, doc_id, CAST(SUM(p) AS BIGINT) AS rrf_pts,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM pts GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, rank, rrf_pts, n_lists FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_pts DESC, doc_id) AS rank
+        |  FROM fused
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.RetrievalOps
+      val docs = tDocs(s, dir)
+      val l1 = docs.select(col("lang").as("query_id"), col("doc_id"),
+          row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(desc("n_chars"), col("doc_id"))).cast("long").as("rank"))
+        .filter(col("rank") <= 20)
+      val l2 = docs.select(col("lang").as("query_id"), col("doc_id"),
+          row_number().over(
+            Window.partitionBy("lang").orderBy("doc_id"))
+            .cast("long").as("rank"))
+        .filter(col("rank") <= 20)
+      RetrievalOps.rrfFuseWeighted(Seq((l1, 2.0), (l2, 0.5)), topK = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // The production hasher (xxhash64 buckets/signs — rows-only: no
     // DuckDB xxhash64; machinery oracle-gated by emb_hash_q above).
     Q("emb_hash", (s, dir) => {
