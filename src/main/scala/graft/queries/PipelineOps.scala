@@ -832,6 +832,82 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- The projection COMPOSED with the persisted store tier: JL
+    // project 64→8, build a REAL IVF vector store over the projected
+    // vectors (seed centroids, the ann_inc_q conventions), probe-pruned
+    // search — the 100 TB shape end-to-end (reduce once, store small,
+    // search cells). DuckDB replays projection, assignment, probing,
+    // candidates and the re-rank; equal hashes prove the reduced
+    // vectors ride the entire store tier with no accuracy mystery at
+    // any seam (the emb_hash_store_q capstone, on the projection path).
+    q(
+      "emb_project_store_q", {
+        val signs = SimilarityOps.rademacherSigns(dim = 64, outDim = 8)
+        val lits = signs.grouped(64).zipWithIndex.flatMap { case (row, j) =>
+          row.zipWithIndex.map { case (sg, i) => s"($j, ${i + 1}, $sg)" }
+        }.mkString(", ")
+        s"""WITH sgn(j, i, s) AS (VALUES $lits),
+           |qe AS (
+           |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+           |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+           |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+           |    FROM embeddings)
+           |), proj AS (
+           |  SELECT qe.vec_id, sgn.j AS j, CAST(SUM(sgn.s * qe.qv) AS BIGINT) AS y
+           |  FROM qe JOIN sgn ON sgn.i = qe.i
+           |  GROUP BY 1, 2
+           |), pv AS (
+           |  SELECT vec_id, LIST(y ORDER BY j) AS emb FROM proj GROUP BY 1
+           |), nz AS (
+           |  SELECT vec_id, emb FROM pv
+           |  WHERE list_sum(list_transform(emb, x -> x * x)) > 0
+           |), cseeds AS (
+           |  SELECT vec_id AS cid, emb AS cvec FROM nz ORDER BY vec_id LIMIT 8
+           |), scored AS (
+           |  SELECT nz.vec_id, s.cid,
+           |    ROW_NUMBER() OVER (PARTITION BY nz.vec_id ORDER BY
+           |      ROUND(list_cosine_similarity(nz.emb::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+           |      s.cid) AS rk
+           |  FROM nz CROSS JOIN cseeds s
+           |), asg AS (
+           |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+           |), probes AS (
+           |  SELECT vec_id AS query_id, cid FROM scored
+           |  WHERE vec_id % 50 = 0 AND rk <= 4
+           |), cand AS (
+           |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+           |  WHERE a.item_id <> p.query_id
+           |)
+           |SELECT query_id, item_id, rank, cos FROM (
+           |  SELECT c.query_id, c.item_id,
+           |    ROUND(list_cosine_similarity(q.emb::DOUBLE[], i.emb::DOUBLE[]), 4) AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+           |      ROUND(list_cosine_similarity(q.emb::DOUBLE[], i.emb::DOUBLE[]), 4) DESC,
+           |      c.item_id) AS rank
+           |  FROM cand c JOIN nz q ON q.vec_id = c.query_id
+           |              JOIN nz i ON i.vec_id = c.item_id
+           |) WHERE rank <= 5""".stripMargin
+      }
+    ) { (s, dir) =>
+      import graft.ops.VectorStoreOps
+      val pe = SimilarityOps.randomProject(
+          tEmbeddings(s, dir), outDim = 8, dim = 64)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x * x) > 0)
+        .localCheckpoint(true) // one derivation feeds build + queries
+      val base = scratchDir("graft-vstore-proj")
+      val cents = pe.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      VectorStoreOps.writeVectorStore(pe, s, base, cents,
+        idCol = "vec_id", assignRound = Some(6))
+      VectorStoreOps.searchStore(
+        pe.filter(col("vec_id") % 50 === 0), s, base, k = 5, nprobe = 4,
+        idCol = "vec_id", probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- The IVF ANN machinery UNDER THE ORACLE: the same
     // build → assign → probe → re-rank shape as ann_ivf, all in exact
     // integers. Seed cells are the nlist lowest ids; one Lloyd round
