@@ -490,8 +490,28 @@ object ScaleStress {
     require(nph1 == nph10, s"fixed phrase must match the same docs")
     require(bbRatio < MaxRatio, s"bm25 batch super-linearithmic: $bbRatio")
     require(phRatio < MaxRatio, s"phrase search super-linearithmic: $phRatio")
+    // --- batched PROXIMITY search (r14): same pruned-scan + per-(query,
+    // doc) bounded state shape — a fixed 10-query batch of 3-token
+    // ordered-window phrases; candidate volume tracks the phrase terms'
+    // posting mass, never corpus structure.
+    val slopQs = (0 until 10).map(i =>
+      (i.toLong, Seq("c0stream", "c0table", "c0hash")))
+    def slopBatch(k: Int): Long = {
+      import spark.implicits._
+      InvertedIndexOps.searchPhraseWindowBatch(
+        slopQs.toDF("query_id", "terms"), spark, s"ss_pos_$k",
+        topK = 20, maxSpan = 6).count()
+    }
+    slopBatch(1) // warmup
+    val (tsl1, nsl1) = time(slopBatch(1))
+    val (tsl10, nsl10) = time(slopBatch(10))
+    val slRatio = tsl10 / math.max(tsl1, 1e-9)
+    println(f"[scale-stress] phrase-window batch k=1: $tsl1%6.2fs ($nsl1 rows)  " +
+      f"k=10: $tsl10%6.2fs ($nsl10 rows)  ratio $slRatio%5.2f")
+    require(nsl1 == nsl10, s"fixed slop batch must rank the same: $nsl1 vs $nsl10")
+    require(slRatio < MaxRatio, s"phrase-window batch super-linearithmic: $slRatio")
     val srchJson =
-      s"""{"op":"searchR13","bm25batch1_sec":${fmt(tbb1, 3)},"bm25batch10_sec":${fmt(tbb10, 3)},"bm25batch_ratio":${fmt(bbRatio, 2)},"phrase1_sec":${fmt(tph1, 3)},"phrase10_sec":${fmt(tph10, 3)},"phrase_ratio":${fmt(phRatio, 2)}}"""
+      s"""{"op":"searchR13","bm25batch1_sec":${fmt(tbb1, 3)},"bm25batch10_sec":${fmt(tbb10, 3)},"bm25batch_ratio":${fmt(bbRatio, 2)},"phrase1_sec":${fmt(tph1, 3)},"phrase10_sec":${fmt(tph10, 3)},"phrase_ratio":${fmt(phRatio, 2)},"phrasewin1_sec":${fmt(tsl1, 3)},"phrasewin10_sec":${fmt(tsl10, 3)},"phrasewin_ratio":${fmt(slRatio, 2)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_search_r13.json"),
       (srchJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
