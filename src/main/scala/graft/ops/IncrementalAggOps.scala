@@ -378,8 +378,10 @@ object IncrementalAggOps {
           d.substring(d.lastIndexOf('=') + 1).toInt))
       val cols = (keys.map(col) ++
         measures.map(m => col(m).as(s"${m}_$suffix")))
+      // empty side: schema only — off the CURRENT store, so a diff over
+      // buckets untouched since a vacuumed-away version still works
       if (dirs.isEmpty)
-        readAggStoreAt(spark, basePath, v).select(cols: _*).limit(0)
+        readAggStore(spark, basePath).select(cols: _*).limit(0)
       else spark.read.parquet(dirs: _*).select(cols: _*)
     }
     side(vFrom, "from").join(side(vTo, "to"), keys.toIndexedSeq, "full_outer")

@@ -256,6 +256,10 @@ class InvertedIndexSpec extends SparkTestBase {
       5L -> 2L, 6L -> 1L))
     // order is required even at generous spans
     assert(!got(10, "data", "lake").contains(3L))
+    // repeated phrase words need strictly increasing DISTINCT positions:
+    // "data data" within span 3 matches only doc 5 (one anchor — its
+    // second occurrence has no later "data" to chain to)
+    assert(got(3, "data", "data") == Map(5L -> 1L))
 
     // maxSpan = k−1 ≡ exact consecutive phrase, on the real corpus
     val base2 = Files.createTempDirectory("tidx-slop2").toString
