@@ -346,6 +346,16 @@ object IncrementalAggOps {
     val dirs = dirsAt(rows, basePath, v)
     require(dirs.nonEmpty,
       s"aggregate store at $basePath has no data at version $v")
+    requireUnvacuumed(spark, basePath, v, dirs)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Loud reader-vs-vacuum boundary: every dir a version resolution
+    * points at must still exist, or the read predates the vacuum
+    * retention — detected, never silently substituted (shared by
+    * [[readAggStoreAt]] and both sides of [[diffAggStore]]). */
+  private def requireUnvacuumed(spark: SparkSession, basePath: String,
+                                v: Long, dirs: Seq[String]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dirs.foreach { d =>
@@ -353,7 +363,6 @@ object IncrementalAggOps {
         s"version $v predates the vacuum retention: $d was reclaimed " +
           "(re-vacuum with a retention floor to keep older reads alive)")
     }
-    spark.read.parquet(dirs: _*)
   }
 
   /** Version diff: per-key measure values at `vFrom` vs `vTo`, one row
@@ -382,7 +391,10 @@ object IncrementalAggOps {
       // buckets untouched since a vacuumed-away version still works
       if (dirs.isEmpty)
         readAggStore(spark, basePath).select(cols: _*).limit(0)
-      else spark.read.parquet(dirs: _*).select(cols: _*)
+      else {
+        requireUnvacuumed(spark, basePath, v, dirs)
+        spark.read.parquet(dirs: _*).select(cols: _*)
+      }
     }
     side(vFrom, "from").join(side(vTo, "to"), keys.toIndexedSeq, "full_outer")
       .filter(measures.map(m =>

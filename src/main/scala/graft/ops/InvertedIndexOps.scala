@@ -152,6 +152,19 @@ object InvertedIndexOps {
 
   private def docsTable(table: String) = s"${table}_docs"
 
+  /** Format-migration guard: delete and rebuild read the `<table>_docs`
+    * sidecar, which indexes persisted before r14's sidecar format don't
+    * have — fail with the migration story, not a bare
+    * TABLE_OR_VIEW_NOT_FOUND. */
+  private def requireSidecar(spark: SparkSession, table: String,
+                             op: String): Unit =
+    require(spark.catalog.tableExists(docsTable(table)),
+      s"$op: text index '$table' has no '${docsTable(table)}' doc sidecar " +
+        "— a pre-sidecar index. Re-seed it (writeTextIndex/" +
+        "writeScoredIndex/writePositionalIndex writes the sidecar) or " +
+        "backfill one (doc_id, dlen, __batch) row per ingested doc, " +
+        "bucketed by doc_id, reusing each doc's committed batch tag.")
+
   /** The doc sidecar frame of one batch: (doc_id, dlen, __batch), one
     * row per doc INCLUDING zero-token ones — the id-keyed view of the
     * ingest that makes an RTBF batch-sized (see the class doc). Also
@@ -382,8 +395,9 @@ object InvertedIndexOps {
           o => o.getField("pos")))))
       // greedy chain from each anchor: fold the remaining offsets'
       // position arrays, taking the smallest position > prev each step
-      // (filter preserves the sort, so element 1 is that minimum); a
-      // missing step poisons the chain with the sentinel
+      // (filter preserves the sort, so element 0 — `get` is 0-indexed —
+      // is that minimum); a missing step poisons the chain with the
+      // sentinel
       .withColumn("n_matches",
         size(filter(element_at(col("__pp"), 1), a =>
           aggregate(slice(col("__pp"), lit(2), col("__k") - 1), a,
@@ -530,6 +544,7 @@ object InvertedIndexOps {
   def deleteFromTextIndex(ids: DataFrame, spark: SparkSession,
                           table: String, idCol: String = "doc_id",
                           maxPrunedIds: Int = 65536): Unit = {
+    requireSidecar(spark, table, "deleteFromTextIndex")
     val want = ids.select(col(idCol).as("doc_id")).distinct()
       .join(committedTombstones(spark, table), Seq("doc_id"), "left_anti")
     val sample = want.limit(maxPrunedIds + 1).collect().map(_.get(0))
@@ -620,6 +635,7 @@ object InvertedIndexOps {
     * every sibling store's rebuild. */
   def rebuildTextIndex(spark: SparkSession, table: String,
                        basePath: String, nBuckets: Int = 16): Unit = {
+    requireSidecar(spark, table, "rebuildTextIndex")
     val live = spark.table(table)
       .join(broadcast(committedTags(spark, table)),
         col("__batch") === col("batch_tag"), "left_semi")

@@ -83,6 +83,7 @@ object SimilarityOps {
     * vectors of dimension `dim` (sign-only LSH doesn't need normalization). */
   private def planes(dim: Int, numPlanes: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] = {
     var s = seed ^ 0x9e3779b97f4a7c15L
+    if (s == 0L) s = 0x106689d45497fdb5L // same absorbing-zero guard as rademacherSigns
     def next(): Double = {
       s ^= s << 13; s ^= s >>> 7; s ^= s << 17
       (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
@@ -106,7 +107,11 @@ object SimilarityOps {
     * the projection's only state, shared with gate oracles that
     * interpolate it as SQL literals (the minhash-permutation precedent). */
   def rademacherSigns(dim: Int, outDim: Int, seed: Long = 42L): Array[Byte] = {
+    // xorshift64 has an absorbing zero state: the one seed that XORs to 0
+    // would emit 0 forever and collapse every sign to +1, silently
+    // destroying the JL property — remap it to an arbitrary odd constant
     var s = seed ^ 0x9e3779b97f4a7c15L
+    if (s == 0L) s = 0x106689d45497fdb5L
     def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
     Array.fill(outDim * dim)(if ((next() & 1L) == 0L) 1.toByte else -1.toByte)
   }

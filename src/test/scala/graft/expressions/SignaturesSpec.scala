@@ -112,6 +112,19 @@ class SignaturesSpec extends SparkTestBase {
         s"lo=${lo.sum / lo.size}")
   }
 
+  test("sign generators survive the xorshift absorbing-zero seed") {
+    // the one seed whose XOR-mix lands on state 0 used to emit 0 forever:
+    // every Rademacher sign +1 (projection collapses to one direction)
+    // and every LSH plane all-zero (every sign bit 0)
+    val degenerate = 0x9e3779b97f4a7c15L
+    val signs = graft.ops.SimilarityOps.rademacherSigns(8, 4, degenerate)
+    assert(signs.contains(1.toByte) && signs.contains(-1.toByte),
+      "degenerate seed must still produce a mixed sign matrix")
+    val qp = graft.ops.SimilarityOps.quantizedPlanes(8, 16, degenerate)
+    assert(qp.flatten.exists(_ != 0L),
+      "degenerate seed must still produce nonzero hyperplanes")
+  }
+
   test("word_gram_hashes equals the shingle+hash HOF chain on real docs") {
     val staged = docs.withColumn("toks", DedupOps.tokens($"text"))
     // sort both sides: the expression emits first-occurrence order like

@@ -206,6 +206,13 @@ class IncrementalAggSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       IncrementalAggOps.readAggStoreAt(spark, base, 1L).collect()
     }
+    // the version diff hits the SAME loud boundary when a side's
+    // resolution was reclaimed — never a raw PATH_NOT_FOUND
+    val de = intercept[IllegalArgumentException] {
+      IncrementalAggOps.diffAggStore(spark, base,
+        Seq("k"), Seq("n", "v"), 1L, 2L).collect()
+    }
+    assert(de.getMessage.contains("predates the vacuum retention"))
   }
 
   test("streamed folds land exactly once across a checkpoint restart") {

@@ -543,4 +543,24 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt == 16,
       s"3 terms must select <= 3 of 16 buckets: ${m.get.matched}")
   }
+
+  test("pre-sidecar index: delete and rebuild fail with the migration " +
+    "story, not a bare missing-table error") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tidx-presc").toString
+    InvertedIndexOps.writeScoredIndex(docs.limit(50), spark,
+      "tidx_presc", base)
+    // simulate an index persisted before the r14 sidecar format
+    spark.sql("DROP TABLE tidx_presc_docs")
+    val e1 = intercept[IllegalArgumentException] {
+      InvertedIndexOps.deleteFromTextIndex(
+        Seq(1L).toDF("doc_id"), spark, "tidx_presc")
+    }
+    assert(e1.getMessage.contains("doc sidecar"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      InvertedIndexOps.rebuildTextIndex(spark, "tidx_presc",
+        Files.createTempDirectory("tidx-presc2").toString)
+    }
+    assert(e2.getMessage.contains("doc sidecar"), e2.getMessage)
+  }
 }
