@@ -6,14 +6,38 @@ import org.apache.spark.sql.functions._
 /** Persistent inverted text index — term → posting list as a TABLE,
   * the search-side sibling of the fingerprint/vector stores.
   *
-  * Postings (term, doc_id) are bucketed BY TERM, so a term lookup is a
-  * bucket-pruned scan: Spark's bucket pruning turns
-  * `term IN (...)` into "read only the buckets those terms hash into" —
-  * `SelectedBucketsCount k of n` in the plan (spec-asserted). At 100 TB
-  * the index is petabyte-scale postings, a k-term query physically
-  * reads ≤ k/n of it, and no shuffle touches the store: the only
-  * exchange in a search is the per-doc AND-count over the (tiny)
-  * matching postings.
+  * == One posting layout, every search kind ==
+  *
+  * A posting row is `(term, doc_id, tf, dlen, positions, __batch)` —
+  * one row per DISTINCT term of each doc, carrying that term's in-doc
+  * count (`tf`), the doc's total token count (`dlen`, denormalized so
+  * BM25's length norm needs no doc-length join at score time) and the
+  * term's sorted 1-based occurrence positions. ONE ingest serves all
+  * four search kinds: containment ([[searchAllTerms]]) and BM25
+  * ([[searchBm25]]/[[searchBm25Batch]]) read (term, doc_id, tf, dlen);
+  * exact phrase ([[searchPhrase]]) and proximity
+  * ([[searchPhraseWindow]]) explode `positions`. Parquet is columnar,
+  * so each search physically reads only its columns — BM25 never pays
+  * for the positions a phrase query needs, and a hybrid stack
+  * (`hybrid_rrf3`) builds ONE index where it used to build two, with
+  * one ledger, one doc sidecar and half the tokenization.
+  *
+  * Postings are bucketed BY TERM, so a term lookup is a bucket-pruned
+  * scan: Spark's bucket pruning turns `term IN (...)` into "read only
+  * the buckets those terms hash into" — `SelectedBucketsCount k of n`
+  * in the plan (spec-asserted). At 100 TB the index is petabyte-scale
+  * postings, a k-term query physically reads ≤ k/n of it, and no
+  * shuffle touches the store: the only exchange in a search is the
+  * per-doc AND-count over the (tiny) matching postings.
+  *
+  * Beside the postings, the `<table>_terms` sidecar keeps one
+  * (term, df, max_tf, min_dlen, __batch) row per (term, ingest batch) —
+  * the per-term score-upper-bound statistics [[searchBm25Batch]]'s
+  * WAND-style pruning reads (see its doc); committed by the same
+  * ledger row as the postings, maintained through append (a new row
+  * per batch), delete (untouched: bounds stay valid upper bounds —
+  * the deleted-doc mass is subtracted via the ledger) and rebuild
+  * (untouched: live values can only shrink under the stored bounds).
   *
   * Ingest is the store-family pattern: new documents' postings append
   * into the SAME bucket layout ([[LayoutOps.appendBucketed]] re-states
@@ -199,23 +223,65 @@ object InvertedIndexOps {
   }
 
   /** One (doc_id, term) row per DISTINCT term of each doc (lowercased
-    * whitespace tokens — [[DedupOps.tokens]]). */
+    * whitespace tokens — [[DedupOps.tokens]]). Derivation helper (spec
+    * oracles); the persisted layout is [[unifiedPostings]]. */
   def postings(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(DedupOps.tokens(col(textCol)))).as("term"))
 
-  /** Build the index: postings of `docs` bucketed by term at
-    * `basePath`, plus the commit ledger and tombstone side tables. */
+  /** THE persisted posting layout: one (doc_id, term, tf, dlen,
+    * positions) row per DISTINCT term of each doc — `tf` the term's
+    * in-doc count, `dlen` the doc's total token count denormalized onto
+    * every row (BM25's length norm needs it next to tf; a doc-length
+    * side table would put a data-sized join on every query), and
+    * `positions` the term's sorted 1-based occurrence positions
+    * (bounded by the doc's own token count — the collect_list groups by
+    * (doc, term), never anything corpus-sized). */
+  def unifiedPostings(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      DedupOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dlen"),
+        posexplode(col("__t")))
+      .select(col("doc_id"), col("dlen"), col("col").as("term"),
+        (col("pos") + 1).cast("long").as("pos"))
+      .groupBy("doc_id", "term", "dlen")
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("pos"))).as("positions")) // bounded: the doc's own occurrences of one term
+      .select("doc_id", "term", "tf", "dlen", "positions")
+
+  private def termsTable(table: String) = s"${table}_terms"
+
+  /** One batch's term-statistics rows: per term, its document frequency
+    * within the batch and the batch's extreme (max tf, min dlen) over
+    * that term's postings — the ingredients of a per-term score upper
+    * bound that stays VALID (never tight, never wrong) under deletes
+    * and rebuilds: live df can only be ≤ the committed sum, live max tf
+    * ≤ the committed max, live min dlen ≥ the committed min. */
+  private def termStats(posts: DataFrame, tag: String): DataFrame =
+    posts.groupBy("term")
+      .agg(count(lit(1)).as("df"), max("tf").as("max_tf"),
+        min("dlen").as("min_dlen"))
+      .withColumn("__batch", lit(tag))
+
+  /** Build the index at `basePath`: unified postings bucketed by term,
+    * the `<table>_terms` statistics sidecar, the `<table>_docs` RTBF
+    * sidecar, the tombstone table, and the commit ledger (written LAST
+    * — the atomic commit point for all four). */
   def writeTextIndex(docs: DataFrame, spark: SparkSession, table: String,
                      basePath: String, nBuckets: Int = 16,
                      idCol: String = "doc_id",
                      textCol: String = "text"): Unit = {
     val tag = physicalTag(Some("seed"))
-    val posts = postings(docs, idCol, textCol)
+    val posts = unifiedPostings(docs, idCol, textCol)
       .withColumn("__batch", lit(tag))
+      .persist() // consumed by the postings write AND the term stats
     LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
       nBuckets, "term")
+    LayoutOps.writeBucketed(termStats(posts, tag), spark,
+      termsTable(table), s"$basePath/terms", nBuckets, "term")
+    posts.unpersist()
     initTombstones(posts, spark, table, basePath)
     val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
       Some(basePath), nBuckets)
@@ -223,17 +289,23 @@ object InvertedIndexOps {
       overwrite = true, basePath = Some(basePath))
   }
 
-  /** Ingest a batch: its postings append under the same bucket spec,
-    * then one ledger row commits them. `batchTag` is the caller's
-    * stable batch identity — pass it and redeliveries are no-ops. */
+  /** Ingest a batch: its postings and term stats append under the same
+    * bucket specs, then one ledger row commits them both. `batchTag` is
+    * the caller's stable batch identity — pass it and redeliveries are
+    * no-ops. */
   def appendToTextIndex(batch: DataFrame, spark: SparkSession,
                         table: String, idCol: String = "doc_id",
                         textCol: String = "text",
                         batchTag: Option[String] = None): Unit = {
     if (seen(spark, table, batchTag)) return
     val tag = physicalTag(batchTag)
-    LayoutOps.appendBucketed(postings(batch, idCol, textCol)
-      .withColumn("__batch", lit(tag)), spark, table)
+    val posts = unifiedPostings(batch, idCol, textCol)
+      .withColumn("__batch", lit(tag))
+      .persist()
+    LayoutOps.appendBucketed(posts, spark, table)
+    LayoutOps.appendBucketed(termStats(posts, tag), spark,
+      termsTable(table))
+    posts.unpersist()
     val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
     commitLedger(ledgerRow(spark, tag, batchTag, n, sd), spark, table,
       overwrite = false)
@@ -241,11 +313,10 @@ object InvertedIndexOps {
 
   // ---------------------------------------------- positional / phrase
 
-  /** Positional postings: one (doc_id, term, pos) row per token
-    * OCCURRENCE (1-based position) — the phrase-query index. Positions
-    * multiply posting volume by term frequency (the classic space
-    * trade), but the layout is the same term-bucketed store, so a
-    * k-term phrase query still reads ≤ k/n of the index. */
+  /** Occurrence-level view: one (doc_id, term, pos) row per token
+    * OCCURRENCE (1-based) — what the phrase searches consume, derived
+    * by exploding the unified rows' `positions` (derivation helper for
+    * spec oracles; nothing persists this shape anymore). */
   def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -253,39 +324,21 @@ object InvertedIndexOps {
       .select(col("doc_id"), col("col").as("term"),
         (col("pos") + 1).cast("long").as("pos"))
 
-  /** Build the positional index — same commit-ledger durability as the
-    * other index kinds (tagged postings, ledger-append commit,
-    * tombstones). */
+  /** Alias of [[writeTextIndex]] kept for the phrase-first call sites:
+    * the unified layout IS the positional index (phrase searches
+    * explode its `positions` column). */
   def writePositionalIndex(docs: DataFrame, spark: SparkSession,
                            table: String, basePath: String,
                            nBuckets: Int = 16, idCol: String = "doc_id",
-                           textCol: String = "text"): Unit = {
-    val tag = physicalTag(Some("seed"))
-    val posts = positionalPostings(docs, idCol, textCol)
-      .withColumn("__batch", lit(tag))
-    LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
-      nBuckets, "term")
-    initTombstones(posts, spark, table, basePath)
-    val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
-      Some(basePath), nBuckets)
-    commitLedger(ledgerRow(spark, tag, Some("seed"), n, sd), spark, table,
-      overwrite = true, basePath = Some(basePath))
-  }
+                           textCol: String = "text"): Unit =
+    writeTextIndex(docs, spark, table, basePath, nBuckets, idCol, textCol)
 
-  /** Ingest a batch into the positional index; redeliveries of a
-    * committed `batchTag` are no-ops (the shared ledger guard). */
+  /** Alias of [[appendToTextIndex]] (see [[writePositionalIndex]]). */
   def appendToPositionalIndex(batch: DataFrame, spark: SparkSession,
                               table: String, idCol: String = "doc_id",
                               textCol: String = "text",
-                              batchTag: Option[String] = None): Unit = {
-    if (seen(spark, table, batchTag)) return
-    val tag = physicalTag(batchTag)
-    LayoutOps.appendBucketed(positionalPostings(batch, idCol, textCol)
-      .withColumn("__batch", lit(tag)), spark, table)
-    val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
-    commitLedger(ledgerRow(spark, tag, batchTag, n, sd), spark, table,
-      overwrite = false)
-  }
+                              batchTag: Option[String] = None): Unit =
+    appendToTextIndex(batch, spark, table, idCol, textCol, batchTag)
 
   /** Exact phrase search: docs containing `phrase` as CONSECUTIVE
     * tokens, with the match count. The scan is bucket-pruned to the
@@ -304,7 +357,10 @@ object InvertedIndexOps {
     val qs = phrase.map(_.toLowerCase).filter(_.nonEmpty)
     require(qs.nonEmpty, "searchPhrase needs at least one token")
     import spark.implicits._
+    // occurrence rows come from exploding the pruned unified rows'
+    // positions — the scan reads (term, doc_id, positions), never tf
     val posts = livePostings(spark, table, col("term").isin(qs.distinct: _*))
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
     // one broadcast (term → offset) join = ONE pass over the pruned
     // scan, repeated phrase words fanning out to each of their offsets
     val offsets = qs.zipWithIndex.toDF("term", "__i")
@@ -375,6 +431,7 @@ object InvertedIndexOps {
       size(col("terms")).as("__k"))
     val posts = livePostingsForTerms(spark, table, qt.select("term"),
       maxPrunedTerms)
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
     // one row per (query, doc): that doc's occurrences of the query's
     // terms, tagged with their phrase offsets — bounded by the doc's
     // own token count, the same bound as the spec's brute force
@@ -450,12 +507,8 @@ object InvertedIndexOps {
   // ------------------------------------------------- BM25 ranked search
 
   /** Scored postings: one (doc_id, term, tf, dlen) row per DISTINCT
-    * term of each doc — `tf` the term's in-doc count, `dlen` the doc's
-    * total token count DENORMALIZED onto every posting row. The
-    * denormalization is the scale call: BM25's length norm needs dlen
-    * next to tf at score time, and a doc-length side table would put a
-    * data-sized join on every query; one long column on the postings
-    * costs ~8 bytes/row instead. */
+    * term of each doc (derivation helper for spec oracles — the
+    * persisted layout is [[unifiedPostings]], which adds positions). */
   def scoredPostings(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -465,43 +518,21 @@ object InvertedIndexOps {
       .groupBy("doc_id", "term", "dlen")
       .agg(count(lit(1)).as("tf"))
 
-  /** Build the ranked index: scored postings bucketed by term at
-    * `basePath`, plus the `<table>_stats` commit ledger (whose
-    * (n_docs, sum_dlen) columns readers SUM — so an append never
-    * rewrites anything and the stats stay exact under any number of
-    * ingest batches) and the tombstone table. */
+  /** Alias of [[writeTextIndex]] kept for the ranked-retrieval call
+    * sites: the unified layout IS the BM25 index (its scans read
+    * (term, doc_id, tf, dlen) and column-prune the positions away). */
   def writeScoredIndex(docs: DataFrame, spark: SparkSession, table: String,
                        basePath: String, nBuckets: Int = 16,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): Unit = {
-    val tag = physicalTag(Some("seed"))
-    val posts = scoredPostings(docs, idCol, textCol)
-      .withColumn("__batch", lit(tag))
-    LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
-      nBuckets, "term")
-    initTombstones(posts, spark, table, basePath)
-    val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
-      Some(basePath), nBuckets)
-    commitLedger(ledgerRow(spark, tag, Some("seed"), n, sd), spark, table,
-      overwrite = true, basePath = Some(basePath))
-  }
+                       textCol: String = "text"): Unit =
+    writeTextIndex(docs, spark, table, basePath, nBuckets, idCol, textCol)
 
-  /** Ingest a batch into the ranked index: postings append under the
-    * existing bucket spec, then the ledger row commits them (tf, df,
-    * and corpus stats become visible together — no torn batch can skew
-    * a score). Redeliveries of a committed `batchTag` are no-ops. */
+  /** Alias of [[appendToTextIndex]] (see [[writeScoredIndex]]). */
   def appendToScoredIndex(batch: DataFrame, spark: SparkSession,
                           table: String, idCol: String = "doc_id",
                           textCol: String = "text",
-                          batchTag: Option[String] = None): Unit = {
-    if (seen(spark, table, batchTag)) return
-    val tag = physicalTag(batchTag)
-    LayoutOps.appendBucketed(scoredPostings(batch, idCol, textCol)
-      .withColumn("__batch", lit(tag)), spark, table)
-    val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
-    commitLedger(ledgerRow(spark, tag, batchTag, n, sd), spark, table,
-      overwrite = false)
-  }
+                          batchTag: Option[String] = None): Unit =
+    appendToTextIndex(batch, spark, table, idCol, textCol, batchTag)
 
   /** The per-doc retraction frame of an RTBF request: one (doc_id,
     * dlen) row per ingested-and-not-yet-deleted requested id, read off
@@ -654,6 +685,15 @@ object InvertedIndexOps {
         Seq("doc_id"), "left_anti")
     LayoutOps.writeBucketed(liveDocs, spark, docsTable(table),
       s"$basePath/docs", nBuckets, "doc_id")
+    // the `<table>_terms` statistics sidecar is deliberately NOT
+    // compacted: its rows are per-(term, batch) UPPER-BOUND inputs
+    // (df sum, max tf, min dlen), and physically removing postings can
+    // only move the live values further UNDER the stored bounds —
+    // still-correct pruning, just looser for heavily-deleted terms
+    // until their next append. Recomputing the stats from live rows
+    // here would instead UNDER-state df (the ledger's delete rows
+    // subtract the tombstoned mass a second time) — looser still, and
+    // a rewrite of a table this path doesn't otherwise touch.
   }
 
   /** Lift [[appendToScoredIndex]] into a Structured Streaming sink —

@@ -1223,8 +1223,11 @@ object TextOps {
     // phrase (each query's first 3 snippet tokens, ordered within a
     // 6-token span) fused by the same fixed-point RRF — the full
     // modern retrieval stack (lexical, semantic, positional) in one
-    // bit-replicable fusion. DuckDB recomputes ALL THREE rank lists
-    // from the raw corpus and fuses identically.
+    // bit-replicable fusion, served off ONE unified index build (the
+    // r15 layout: BM25 reads its tf/dlen columns, proximity explodes
+    // the same rows' positions — one ingest, one ledger, one sidecar
+    // where r14 built two whole stores). DuckDB recomputes ALL THREE
+    // rank lists from the raw corpus and fuses identically.
     q(
       "hybrid_rrf3",
       """WITH raw AS (
@@ -1356,9 +1359,7 @@ object TextOps {
       import graft.ops.{DedupOps, InvertedIndexOps, RetrievalOps, SimilarityOps}
       val docs = tDocs(s, dir)
       val base = scratchDir("graft-hybrid3")
-      InvertedIndexOps.writeScoredIndex(docs, s, "graft_h3_idx", s"$base/bm")
-      InvertedIndexOps.writePositionalIndex(docs, s, "graft_h3_pos",
-        s"$base/pos")
+      InvertedIndexOps.writeScoredIndex(docs, s, "graft_h3_idx", base)
       val snips = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
         .select(col("doc_id"),
           slice(DedupOps.tokens(col("text")), 1, 8).as("t8"))
@@ -1370,7 +1371,7 @@ object TextOps {
       val ph = InvertedIndexOps.searchPhraseWindowBatch(
         snips.select(col("doc_id").as("query_id"),
           slice(col("t8"), 1, 3).as("terms")),
-        s, "graft_h3_pos", topK = 10, maxSpan = 6)
+        s, "graft_h3_idx", topK = 10, maxSpan = 6)
         .select("query_id", "doc_id", "rank")
       val emb = SimilarityOps.hashEmbedMd5(docs, dim = 16)
       val qemb = SimilarityOps.hashEmbedMd5(

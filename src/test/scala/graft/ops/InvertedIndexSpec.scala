@@ -129,7 +129,7 @@ class InvertedIndexSpec extends SparkTestBase {
     // simulate the crash between the two appends: postings rows land
     // under a physical tag that never reaches the ledger
     LayoutOps.appendBucketed(
-      InvertedIndexOps.scoredPostings(delta)
+      InvertedIndexOps.unifiedPostings(delta)
         .withColumn("__batch", lit("b9#torn-attempt")),
       spark, "tidx_torn")
     assert(res() == before,
@@ -391,7 +391,7 @@ class InvertedIndexSpec extends SparkTestBase {
       batchTag = Some("b1"))
     // a torn attempt whose ledger row never landed…
     LayoutOps.appendBucketed(
-      InvertedIndexOps.scoredPostings(delta)
+      InvertedIndexOps.unifiedPostings(delta)
         .withColumn("__batch", lit("b2#torn")), spark, "tidx_rb")
     // …and a compliance delete whose postings linger physically
     val doomed = docs.filter(pmod(col("doc_id"), lit(7)) === 2)

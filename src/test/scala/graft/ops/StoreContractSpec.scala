@@ -120,7 +120,7 @@ class StoreContractSpec extends SparkTestBase {
         InvertedIndexOps.appendToScoredIndex(delta, spark, "sc_text",
           batchTag = Some("b1"))
       def tear(): Unit = LayoutOps.appendBucketed(
-        InvertedIndexOps.scoredPostings(delta)
+        InvertedIndexOps.unifiedPostings(delta)
           .withColumn("__batch", lit("torn#attempt")), spark, "sc_text")
       val forget = Some(() =>
         InvertedIndexOps.deleteFromTextIndex(doomedOf(docs, "doc_id"),
