@@ -43,7 +43,11 @@ object Pq {
   * sub-space, the code minimizing exact integer L2 to the quantized
   * sub-vector, ties to the LOWEST code. Input length must be
   * `m · dsub`; a short/corrupt embedding yields NULL (same stance as
-  * [[CosineSim]] — truncation would silently mis-encode). */
+  * [[CosineSim]] — truncation would silently mis-encode).
+  *
+  * An `array<long>` input is taken as ALREADY-quantized fixed-point
+  * coordinates (the residual-PQ path: residuals are exact integers by
+  * construction, so re-quantizing would be a lossy no-op). */
 case class PqCodes(child: Expression, qcb: Array[Array[Array[Long]]])
     extends UnaryExpression {
 
@@ -59,13 +63,19 @@ case class PqCodes(child: Expression, qcb: Array[Array[Array[Long]]])
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_codes expects array<float|double>, got ${other.simpleString}")
+      s"pq_codes expects array<float|double|long>, got ${other.simpleString}")
   }
 
-  @transient private lazy val isFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // 0 = float (quantize), 1 = double (quantize), 2 = long (verbatim)
+  @transient private lazy val elemKind =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => 0
+      case DoubleType => 1
+      case LongType => 2
+    }
 
   /** Public so generated code can call it; null on wrong length. */
   def encode(a: ArrayData): Any = {
@@ -82,9 +92,12 @@ case class PqCodes(child: Expression, qcb: Array[Array[Array[Long]]])
         var d2 = 0L
         var d = 0
         while (d < dsub) {
-          val x = if (isFloat) a.getFloat(s * dsub + d).toDouble
-                  else a.getDouble(s * dsub + d)
-          val diff = Pq.quantize(x) - cw(d)
+          val q = elemKind match {
+            case 0 => Pq.quantize(a.getFloat(s * dsub + d).toDouble)
+            case 1 => Pq.quantize(a.getDouble(s * dsub + d))
+            case _ => a.getLong(s * dsub + d)
+          }
+          val diff = q - cw(d)
           d2 += diff * diff
           d += 1
         }
@@ -173,6 +186,64 @@ case class PqReconstruct(child: Expression, cb: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
     copy(child = newChild)
   override def prettyName: String = "pq_reconstruct"
+}
+
+/** `pq_reconstruct_long(codes)` → `array<long>`: the fixed-point twin
+  * of [[PqReconstruct]] for INTEGER codebooks (residual PQ): the output
+  * elements are VERBATIM codeword longs, so the decode — and anything
+  * summed onto it, like the cell centroid the residual was taken
+  * against — stays exact-integer end to end. Out-of-range or
+  * wrong-arity codes yield NULL. */
+case class PqReconstructLong(child: Expression, qcb: Array[Array[Array[Long]]])
+    extends UnaryExpression {
+
+  private val m = qcb.length
+  private val ksub = qcb.head.length
+  private val dsub = qcb.head.head.length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // out-of-range/wrong-arity codes yield NULL regardless of child.nullable
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_reconstruct_long expects array<int>, got ${other.simpleString}")
+  }
+
+  /** Public so generated code can call it. */
+  def decode(a: ArrayData): Any = {
+    if (a.numElements() != m) return null
+    val out = new Array[Long](m * dsub)
+    var s = 0
+    while (s < m) {
+      val c = a.getInt(s)
+      if (c < 0 || c >= ksub) return null
+      System.arraycopy(qcb(s)(c), 0, out, s * dsub, dsub)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    decode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqRecL", this, classOf[PqReconstructLong].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("decl")
+      s"""
+         |Object $tmp = $ref.decode($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconstructLong =
+    copy(child = newChild)
+  override def prettyName: String = "pq_reconstruct_long"
 }
 
 /** `pq_lut(query_vec)` → `array<double>` of `m·ksub` dot products:

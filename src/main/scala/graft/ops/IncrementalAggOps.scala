@@ -50,10 +50,18 @@ import org.apache.spark.sql.functions._
   * [[SketchOps]]) — merging raw partials would be wrong, so this API
   * simply doesn't accept them.
   *
+  * Reader vs maintenance: [[readAggStoreAt]] resolves manifest-named
+  * bucket versions; [[vacuumAggStore]]'s `retainVersions` is the
+  * retention floor. The rule: the floor must cover the longest reader
+  * window — a read racing a vacuum past the floor fails loudly
+  * ("predates the vacuum retention" at resolve, or a missing-file
+  * task error mid-read), never silently substitutes newer partials.
+  *
   * Durability contract of record: `graft.ops.StoreContractSpec` —
   * the cross-family property suite every persisted store passes
   * (replay no-op, torn-write invisibility, RTBF permanence through
-  * rebuild + replay, rebuild answer-preservation).
+  * rebuild + replay, rebuild answer-preservation, loud
+  * reader-vs-maintenance boundaries).
   */
 object IncrementalAggOps {
 

@@ -97,14 +97,34 @@ import org.apache.spark.sql.functions._
   * index at a time, the same contract as the agg/join/vector stores
   * (whose manifest appends assume it too).
   *
+  * == Reader vs maintenance ==
+  *
+  * Time travel ([[searchBm25]] `asOfSeq`) reads through a committed
+  * ledger prefix; REBUILD is this store's vacuum and collapses that
+  * history. The retention rule: schedule rebuilds so the newest
+  * barrier is older than the longest reader window — an as-of read
+  * that races a rebuild either answers exactly (its rows still live)
+  * or fails loudly at the barrier check / with a missing-file task
+  * error; there is no path from "rows reclaimed" to "different rows
+  * returned", because visibility is ledger-resolved, never inferred
+  * from what happens to be on disk.
+  *
   * Durability contract of record: `graft.ops.StoreContractSpec` —
   * the cross-family property suite every persisted store passes
   * (replay no-op, torn-write invisibility, RTBF permanence through
-  * rebuild + replay, rebuild answer-preservation).
+  * rebuild + replay, rebuild answer-preservation, loud
+  * reader-vs-maintenance boundaries).
   */
 object InvertedIndexOps {
 
-  private val StatsCols = Seq("batch_tag", "logical_tag", "n_docs", "sum_dlen")
+  private val StatsCols =
+    Seq("batch_tag", "logical_tag", "n_docs", "sum_dlen", "seq")
+
+  /** The logical tag of a rebuild's history-collapse barrier row (see
+    * [[rebuildTextIndex]]): as-of reads older than the newest barrier
+    * fail loudly — the rebuild physically reclaimed the rows such a
+    * read would need. */
+  private val RebuildBarrier = "__rebuild__"
 
   /** Fresh physical tag for one write ATTEMPT. Replays of the same
     * logical batch get distinct physical tags, so a torn attempt's rows
@@ -121,15 +141,22 @@ object InvertedIndexOps {
 
   /** Broadcastable set of committed physical tags (the ledger's
     * `batch_tag` column) — the visibility filter for postings AND
-    * tombstones. */
-  private def committedTags(spark: SparkSession, table: String): DataFrame =
-    spark.table(s"${table}_stats").select("batch_tag").distinct()
+    * tombstones. `asOfSeq` restricts it to the ledger PREFIX up to that
+    * commit — the whole time-travel mechanism: everything the index
+    * serves is visibility-joined through this set, so filtering one
+    * tiny broadcast rolls searches back to any committed point. */
+  private def committedTags(spark: SparkSession, table: String,
+                            asOfSeq: Option[Long] = None): DataFrame = {
+    val led = spark.table(s"${table}_stats")
+    asOfSeq.fold(led)(n => led.filter(col("seq") <= n))
+      .select("batch_tag").distinct()
+  }
 
   /** Committed tombstoned doc ids. */
-  private def committedTombstones(spark: SparkSession,
-                                  table: String): DataFrame =
+  private def committedTombstones(spark: SparkSession, table: String,
+                                  asOfSeq: Option[Long] = None): DataFrame =
     spark.table(s"${table}_tombstones")
-      .join(broadcast(committedTags(spark, table)),
+      .join(broadcast(committedTags(spark, table, asOfSeq)),
         col("__batch") === col("batch_tag"), "left_semi")
       .select("doc_id")
 
@@ -138,32 +165,60 @@ object InvertedIndexOps {
     * the table scan, so bucket pruning on `term` is untouched; both
     * joins broadcast ledger-sized frames. */
   private def livePostings(spark: SparkSession, table: String,
-                           pred: Column): DataFrame =
+                           pred: Column,
+                           asOfSeq: Option[Long] = None): DataFrame =
     spark.table(table).filter(pred)
-      .join(broadcast(committedTags(spark, table)),
+      .join(broadcast(committedTags(spark, table, asOfSeq)),
         col("__batch") === col("batch_tag"), "left_semi")
-      .join(broadcast(committedTombstones(spark, table)),
+      .join(broadcast(committedTombstones(spark, table, asOfSeq)),
         Seq("doc_id"), "left_anti")
 
-  /** One ledger row; `nDocs`/`sumDlen` may be negative (delete). */
-  private def ledgerRow(spark: SparkSession, tag: String,
-                        logical: Option[String], nDocs: Long,
-                        sumDlen: Long): DataFrame = {
-    import spark.implicits._
-    Seq((tag, logical.orNull, nDocs, sumDlen))
-      .toDF(StatsCols: _*)
-  }
-
-  private def commitLedger(rows: DataFrame, spark: SparkSession,
-                           table: String, overwrite: Boolean,
+  /** Append one ledger row (the commit point) under the next `seq` —
+    * the single-writer contract makes the read-max-then-append safe.
+    * `nDocs`/`sumDlen` may be negative (delete). */
+  private def commitLedger(spark: SparkSession, table: String, tag: String,
+                           logical: Option[String], nDocs: Long,
+                           sumDlen: Long, overwrite: Boolean,
                            basePath: Option[String] = None): Unit = {
-    val w = rows.select(StatsCols.map(col): _*).coalesce(1).write
+    import spark.implicits._
+    val seq =
+      if (overwrite) 1L
+      else spark.table(s"${table}_stats")
+        .agg(coalesce(max("seq"), lit(0L))).head().getLong(0) + 1L
+    val w = Seq((tag, logical.orNull, nDocs, sumDlen, seq))
+      .toDF(StatsCols: _*).coalesce(1).write
     if (overwrite) {
       spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
       w.mode("overwrite").option("path", s"${basePath.get}/stats")
         .saveAsTable(s"${table}_stats")
     } else w.mode("append").saveAsTable(s"${table}_stats")
   }
+
+  /** Newest committed ledger seq — the value to remember before a
+    * mutation if you want to [[searchBm25]] `asOfSeq` it later. */
+  def currentLedgerSeq(spark: SparkSession, table: String): Long =
+    spark.table(s"${table}_stats")
+      .agg(coalesce(max("seq"), lit(0L))).head().getLong(0)
+
+  /** As-of reads must not predate the newest rebuild barrier: the
+    * rebuild physically reclaimed tombstoned/torn rows, so an older
+    * snapshot is unanswerable — loudly, never approximately. */
+  private def requireAsOfReadable(spark: SparkSession, table: String,
+                                  asOfSeq: Option[Long]): Unit =
+    asOfSeq.foreach { n =>
+      val r = spark.table(s"${table}_stats")
+        .agg(coalesce(max("seq"), lit(0L)),
+          coalesce(max(when(col("logical_tag") === RebuildBarrier,
+            col("seq"))), lit(0L))).head()
+      val (maxSeq, barrier) = (r.getLong(0), r.getLong(1))
+      require(n >= 1 && n <= maxSeq,
+        s"asOfSeq $n out of range: index '$table' has commits 1..$maxSeq")
+      require(n >= barrier,
+        s"asOfSeq $n predates the last rebuild (barrier seq $barrier) of " +
+          s"index '$table' — the rebuild reclaimed the rows that read " +
+          "would need; keep pre-rebuild snapshots elsewhere if older " +
+          "reads must stay alive")
+    }
 
   /** Fresh empty tombstone table beside the index. */
   private def initTombstones(posts: DataFrame, spark: SparkSession,
@@ -285,7 +340,7 @@ object InvertedIndexOps {
     initTombstones(posts, spark, table, basePath)
     val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
       Some(basePath), nBuckets)
-    commitLedger(ledgerRow(spark, tag, Some("seed"), n, sd), spark, table,
+    commitLedger(spark, table, tag, Some("seed"), n, sd,
       overwrite = true, basePath = Some(basePath))
   }
 
@@ -307,8 +362,7 @@ object InvertedIndexOps {
       termsTable(table))
     posts.unpersist()
     val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
-    commitLedger(ledgerRow(spark, tag, batchTag, n, sd), spark, table,
-      overwrite = false)
+    commitLedger(spark, table, tag, batchTag, n, sd, overwrite = false)
   }
 
   // ---------------------------------------------- positional / phrase
@@ -592,8 +646,7 @@ object InvertedIndexOps {
       perDoc.select(col("doc_id"), lit(tag).as("__batch"))
         .coalesce(1).write.mode("append")
         .saveAsTable(s"${table}_tombstones")
-      commitLedger(ledgerRow(spark, tag, None, -k, -s), spark, table,
-        overwrite = false)
+      commitLedger(spark, table, tag, None, -k, -s, overwrite = false)
     }
     perDoc.unpersist()
   }
@@ -615,15 +668,26 @@ object InvertedIndexOps {
     * round to 6 decimals and the summed score to 4 — wide enough to
     * absorb last-ulp libm `ln` divergence across engines, tight enough
     * that the driver's hash compare pins every df/tf/dlen/avgdl input
-    * exactly ([[graft.queries.TextOps]] `text_bm25`). */
+    * exactly ([[graft.queries.TextOps]] `text_bm25`).
+    *
+    * TIME TRAVEL: `asOfSeq = Some(n)` answers from the index exactly
+    * as of ledger commit `n` (capture one with [[currentLedgerSeq]]):
+    * postings, tombstones, df and corpus stats all flow through the
+    * SAME ledger-prefix visibility filter, so later appends vanish and
+    * later deletes un-happen — rollback/audit of a bad ingest with no
+    * store mutation, the [[IncrementalAggOps.readAggStoreAt]] symmetry
+    * for ranked search. The floor is the newest REBUILD (this index's
+    * vacuum): physically reclaimed history fails loudly
+    * ([[requireAsOfReadable]]), never approximately. */
   def searchBm25(spark: SparkSession, table: String, terms: Seq[String],
-                 topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 topK: Int, k1: Double = 1.2, b: Double = 0.75,
+                 asOfSeq: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one term")
+    requireAsOfReadable(spark, table, asOfSeq)
     val qs = terms.map(_.toLowerCase).distinct.filter(_.nonEmpty)
-    val posts = livePostings(spark, table, col("term").isin(qs: _*))
+    val posts = livePostings(spark, table, col("term").isin(qs: _*), asOfSeq)
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    val st = spark.table(s"${table}_stats")
-      .agg(sum("n_docs").as("n"), sum("sum_dlen").as("sd"))
+    val st = ledgerTotals(spark, table, asOfSeq)
     posts.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(st))
       .withColumn("__avgdl",
@@ -694,6 +758,15 @@ object InvertedIndexOps {
     // here would instead UNDER-state df (the ledger's delete rows
     // subtract the tombstoned mass a second time) — looser still, and
     // a rewrite of a table this path doesn't otherwise touch.
+    //
+    // one sums-neutral BARRIER row marks the history collapse: the
+    // rebuild physically reclaimed tombstoned/torn rows, so as-of reads
+    // older than this seq become unanswerable and must fail loudly
+    // (the vacuum-retention-floor analog of readAggStoreAt). Corpus
+    // stats, visibility and the replay guard are untouched — the row
+    // carries (0, 0) mass and a tag no posting wears.
+    commitLedger(spark, table, physicalTag(Some(RebuildBarrier)),
+      Some(RebuildBarrier), 0L, 0L, overwrite = false)
   }
 
   /** Lift [[appendToScoredIndex]] into a Structured Streaming sink —
@@ -717,6 +790,75 @@ object InvertedIndexOps {
       }
       .start()
 
+  /** The shared ledger-totals frame BM25 scoring broadcasts; `asOfSeq`
+    * sums only the ledger prefix (exact corpus stats at that commit). */
+  private def ledgerTotals(spark: SparkSession, table: String,
+                           asOfSeq: Option[Long] = None): DataFrame = {
+    val led = spark.table(s"${table}_stats")
+    asOfSeq.fold(led)(n => led.filter(col("seq") <= n))
+      .agg(sum("n_docs").as("n"), sum("sum_dlen").as("sd"))
+  }
+
+  /** Score posting rows to (term, doc_id, __c): a (term, doc)
+    * contribution is QUERY-INDEPENDENT, so it is computed ONCE per
+    * posting BEFORE any fan-out to the queries that share a term — the
+    * idf/length-norm arithmetic runs once per posting, and the
+    * (posting × query) fan-out — a batch's only super-linear term —
+    * carries just a precomputed value to sum (measured 2.7M fan-out
+    * rows over 116k postings on the hybrid gate: 23x less scoring
+    * arithmetic; __c never depended on query_id). `dfreq` is passed in
+    * (not derived from `posts`) because the probe tier scores a
+    * candidate-shrunk scan against the FULL live df. */
+  private def bm25Contrib(posts: DataFrame, dfreq: DataFrame, st: DataFrame,
+                          k1: Double, b: Double): DataFrame =
+    posts.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(st))
+      .withColumn("__avgdl",
+        col("sd").cast("double") / col("n").cast("double"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__c",
+        round(col("__idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + (lit(b) * col("dlen")) / col("__avgdl")))), 6))
+      .select("term", "doc_id", "__c")
+
+  /** Per-query top-k over a (query_id, doc_id, score, matched) frame:
+    * rank ≤ k → WindowGroupLimit caps every group pre-shuffle. */
+  private def bm25Rank(scored: DataFrame, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "doc_id", "rank", "score", "matched")
+  }
+
+  /** The exact full-evaluation batch plan (every query term's postings
+    * scored and fanned out): the baseline the pruned tier falls back to,
+    * and the whole plan when pruning has nothing to prune. Clusters the
+    * fan-out on the GROUP keys before aggregating: the fan-out arrives
+    * partitioned by term bucket, where a (query, doc) pair's
+    * contributions are spread across its terms' buckets — the
+    * partial-agg maps inflate to ~group-cardinality per partition and
+    * reduce almost nothing (measured 4x cpu on the hybrid gate). One
+    * explicit hash exchange on (query_id, doc_id) gives the aggregate
+    * perfect map locality, is exactly the shuffle the planner would
+    * have inserted AFTER the useless partial pass, and stays skew-free
+    * (doc_id in the key spreads any one query's result set). AQE still
+    * coalesces it (no fixed partition count). */
+  private def bm25BatchFull(qt: DataFrame, posts: DataFrame,
+                            spark: SparkSession, table: String, topK: Int,
+                            k1: Double, b: Double): DataFrame = {
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = bm25Contrib(posts, dfreq, ledgerTotals(spark, table), k1, b)
+    bm25Rank(contrib.join(qt, "term")
+      .repartition(col("query_id"), col("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("__c"), 4).as("score"),
+        count(lit(1)).as("matched")), topK)
+  }
+
   /** Batched BM25: score a whole DataFrame of queries `(query_id,
     * terms array<string>)` against the index in ONE pass — the shape
     * retrieval evaluation and hard-negative mining actually run
@@ -735,11 +877,72 @@ object InvertedIndexOps {
     * path. A bigger universe flips to joining the scan against the
     * term set — the full postings read is then amortized over the
     * thousands of queries that produced it, which is the right trade
-    * exactly when pruning stopped being selective anyway. */
+    * exactly when pruning stopped being selective anyway (and the
+    * pruning below is skipped for the same reason).
+    *
+    * == Score-upper-bound pruning (MaxScore/WAND-style, exact) ==
+    *
+    * A stopword in a query used to make that query's candidate set
+    * corpus-sized: the term's FULL postings entered the scoring
+    * fan-out, though BM25's own idf drives its contributions toward
+    * zero. The pruned tier restores top-k exactness at stopword-free
+    * cost:
+    *
+    *  1. A bounded probe reads the `<table>_terms` sidecar for the
+    *     batch's term universe and computes each term's score UPPER
+    *     BOUND: `ub(t) = idf_ub(t) · kernel_ub(t)` with
+    *     `idf_ub` from `df_lb = max(0, Σ committed df − D)` (D = docs
+    *     ever deleted, off the ledger's negative rows — live df can
+    *     only sit between df_lb and the committed sum, and idf is
+    *     decreasing in df) and `kernel_ub` from the committed
+    *     (max tf, min dlen) extremes (the tf-kernel is increasing in
+    *     tf, decreasing in dlen). Every input moves in the SAFE
+    *     direction under deletes and rebuilds, so ub is valid against
+    *     any live posting, merely loose after heavy deletion.
+    *  2. Terms with committed df > `stopDfFrac` of all ever-ingested
+    *     docs classify as STOPWORDS; the rest are ESSENTIAL. Queries
+    *     with no essential term route to the full plan up front (their
+    *     exact top-k genuinely needs every posting).
+    *  3. Phase 1 scores ONLY essential postings → the candidate set
+    *     (every doc matching ≥ 1 essential term of the query).
+    *  4. Phase 2 PROBES stopword postings for candidate docs only:
+    *     the scan is semi-joined to the candidate doc set BEFORE the
+    *     query fan-out, so the super-linear fan-out never sees a
+    *     corpus-sized posting list (df for scoring still comes exact
+    *     off the unshrunk scan). Candidates' final scores are exact.
+    *  5. ACCEPTANCE, per query: a doc matching only stopwords scores
+    *     ≤ S_P(q) = Σ ub over the query's stopwords; the pruned result
+    *     stands iff the k-th candidate score strictly clears S_P(q)
+    *     (+1e-3 slack absorbing the round-6/round-4 convention).
+    *     Queries that fail re-run through the full plan — pruning can
+    *     REFUSE and fall back, never silently differ (spec-pinned
+    *     pruned ≡ unpruned on stopword/tie adversaries).
+    *
+    * `stopDfFrac` ≥ 1 disables classification (every term essential —
+    * the exact r14 plan); the default 0.5 is the classic stopword
+    * threshold. Pruning also steps aside when the terms sidecar is
+    * missing (pre-r15 index), the universe overflows `maxPrunedTerms`,
+    * or (k1, b) leave the Robertson kernel's monotone regime. */
   def searchBm25Batch(queries: DataFrame, spark: SparkSession,
                       table: String, topK: Int,
                       k1: Double = 1.2, b: Double = 0.75,
-                      maxPrunedTerms: Int = 1024): DataFrame = {
+                      maxPrunedTerms: Int = 1024,
+                      stopDfFrac: Double = 0.5): DataFrame =
+    searchBm25BatchDiag(queries, spark, table, topK, k1, b,
+      maxPrunedTerms, stopDfFrac)._1
+
+  /** [[searchBm25Batch]] plus the route the planner took — a test
+    * seam ("full-scan", "full-in", "pruned", "pruned+fallback",
+    * "pruned+allstop", ...): specs assert the pruning engaged (or
+    * refused) where designed, without reaching into the plan. */
+  private[graft] def searchBm25BatchDiag(queries: DataFrame,
+                                       spark: SparkSession,
+                                       table: String, topK: Int,
+                                       k1: Double = 1.2, b: Double = 0.75,
+                                       maxPrunedTerms: Int = 1024,
+                                       stopDfFrac: Double = 0.5)
+      : (DataFrame, String) = {
+    import spark.implicits._
     // lowercase BEFORE the distinct ("Batch" and "batch" are one query
     // term, not a doubled contribution), matching searchBm25's
     // normalize-then-dedup order
@@ -750,60 +953,145 @@ object InvertedIndexOps {
       .localCheckpoint(true) // consumed by the term probe AND the scoring join
     val universe = qt.select("term").distinct()
       .limit(maxPrunedTerms + 1).collect().map(_.getString(0)) // bounded
-    val posts =
-      if (universe.length <= maxPrunedTerms)
-        livePostings(spark, table, col("term").isin(universe.toIndexedSeq: _*))
-      else livePostings(spark, table, lit(true))
-        .join(qt.select("term").distinct(), Seq("term"), "left_semi")
-    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    val st = spark.table(s"${table}_stats")
-      .agg(sum("n_docs").as("n"), sum("sum_dlen").as("sd"))
-    // a (term, doc) contribution is QUERY-INDEPENDENT, so score the
-    // posting rows BEFORE fanning out to the queries that share a term:
-    // the idf/length-norm arithmetic runs once per posting, and the
-    // (posting × query) fan-out — the batch's only super-linear term —
-    // carries just a precomputed value to sum (measured 2.7M fan-out
-    // rows over 116k postings on the hybrid gate: 23x less scoring
-    // arithmetic, same result — __c never depended on query_id)
-    val contrib = posts.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(st))
-      .withColumn("__avgdl",
-        col("sd").cast("double") / col("n").cast("double"))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
-      .withColumn("__c",
-        round(col("__idf") * ((col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) *
-            (lit(1 - b) + (lit(b) * col("dlen")) / col("__avgdl")))), 6))
-      .select("term", "doc_id", "__c")
-    // cluster the fan-out on the GROUP keys before aggregating: the
-    // fan-out arrives partitioned by term bucket, where a (query, doc)
-    // pair's contributions are spread across its terms' buckets — the
-    // partial-agg maps inflate to ~group-cardinality per partition and
-    // reduce almost nothing (measured 4x cpu on the hybrid gate). One
-    // explicit hash exchange on (query_id, doc_id) gives the aggregate
-    // perfect map locality, is exactly the shuffle the planner would
-    // have inserted AFTER the useless partial pass, and stays skew-free
-    // (doc_id in the key spreads any one query's result set). AQE still
-    // coalesces it (no fixed partition count).
-    val scored = contrib.join(qt, "term")
-      .repartition(col("query_id"), col("doc_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum("__c"), 4).as("score"),
-        count(lit(1)).as("matched"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
     // materialize the (queries × k)-bounded result eagerly so qt's
-    // checkpoint blocks can be RELEASED here rather than leaking one
-    // pinned RDD per call until the context cleaner happens to run
-    // (the deleteFromTextIndex perDoc.unpersist() convention)
-    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select("query_id", "doc_id", "rank", "score", "matched")
-      .localCheckpoint(true)
-    qt.unpersist()
-    out
+    // checkpoint blocks (and the pruned tier's intermediates) can be
+    // RELEASED here rather than leaking one pinned RDD per call until
+    // the context cleaner happens to run
+    def finish(ranked: DataFrame, route: String): (DataFrame, String) = {
+      val out = ranked.localCheckpoint(true)
+      qt.unpersist()
+      (out, route)
+    }
+    if (universe.length > maxPrunedTerms)
+      return finish(bm25BatchFull(qt,
+        livePostings(spark, table, lit(true))
+          .join(qt.select("term").distinct(), Seq("term"), "left_semi"),
+        spark, table, topK, k1, b), "full-scan")
+    val inAll = col("term").isin(universe.toIndexedSeq: _*)
+    def fullIn(route: String) = finish(
+      bm25BatchFull(qt, livePostings(spark, table, inAll),
+        spark, table, topK, k1, b), route)
+    if (universe.isEmpty || stopDfFrac >= 1.0 || b < 0 || b > 1 ||
+        k1 <= 0 || !spark.catalog.tableExists(termsTable(table)))
+      return fullIn("full-in")
+    // ONE bounded probe job: committed bound statistics for the term
+    // universe (bucket-pruned sidecar read) beside the ledger totals
+    val probeRows = spark.table(termsTable(table))
+      .filter(inAll)
+      .join(broadcast(committedTags(spark, table)),
+        col("__batch") === col("batch_tag"), "left_semi")
+      .groupBy("term")
+      .agg(sum("df").as("__sdf"), max("max_tf").as("__mtf"),
+        min("min_dlen").as("__mdl"))
+      .crossJoin(spark.table(s"${table}_stats").agg(
+        coalesce(sum("n_docs"), lit(0L)).as("__n"),
+        coalesce(sum("sum_dlen"), lit(0L)).as("__sd"),
+        coalesce(sum(when(col("n_docs") < 0, -col("n_docs"))
+          .otherwise(0L)), lit(0L)).as("__d")))
+      .collect() // bounded: ≤ universe rows
+    if (probeRows.isEmpty) return fullIn("full-in") // nothing committed
+    val n = probeRows.head.getLong(4)
+    val sd = probeRows.head.getLong(5)
+    val d = probeRows.head.getLong(6)
+    if (n <= 0) return fullIn("full-in") // deleted-to-empty index
+    val avgdl = sd.toDouble / n.toDouble
+    // stopword classification + per-term upper bounds, driver-side
+    // (the probe is universe-bounded; no data-sized state here)
+    val prunedUb = probeRows.flatMap { r =>
+      val sdf = r.getLong(1)
+      if (sdf <= stopDfFrac * (n + d)) None
+      else {
+        val dfLb = math.max(0L, sdf - d).toDouble
+        val idfUb = math.log(1.0 + (n - dfLb + 0.5) / (dfLb + 0.5))
+        val mtf = r.getLong(2).toDouble
+        val mdl = r.getLong(3).toDouble
+        val kUb = mtf * (k1 + 1) / (mtf + k1 * (1 - b + b * mdl / avgdl))
+        Some((r.getString(0), idfUb * kUb))
+      }
+    }.toIndexedSeq
+    val prunedSet = prunedUb.map(_._1).toSet
+    val present = probeRows.map(_.getString(0)).toSet
+    val essTerms = universe.toIndexedSeq.filterNot(prunedSet)
+    if (prunedUb.isEmpty) return fullIn("full-in")     // no stopwords
+    if (!essTerms.exists(present)) return fullIn("full-in") // no candidates possible
+    val essIn = col("term").isin(essTerms: _*)
+    val prunedIn = col("term").isin(prunedSet.toIndexedSeq: _*)
+    // route all-stopword queries to the full plan UP FRONT (not via
+    // the fallback): their exact top-k needs every posting, so running
+    // them through the candidate machinery first would be pure waste
+    val qClass = qt.groupBy("query_id")
+      .agg(max(when(essIn, 1).otherwise(0)).as("__he"))
+      .localCheckpoint(true) // one row per query
+    val qAllP = qClass.filter(col("__he") === 0).select("query_id")
+    val hasAllStop = !qAllP.isEmpty
+    val st = ledgerTotals(spark, table)
+    // CANDIDATE DOCS are query-independent: any doc matching ANY
+    // essential posting (a doc matching an essential term of query q is
+    // a candidate of q by definition, and of every other query it
+    // shares a stopword with — whose contribution we then need anyway).
+    // So the stopword scan shrinks with ONE doc-level semi-join, both
+    // contribution streams share ONE aggregation, and every emitted
+    // (query, doc) pair carries its EXACT full score: essential
+    // contributions are never shrunk, and a candidate doc's stopword
+    // postings all survive the semi-join. The pairs the shrink omits
+    // are exactly docs matching ONLY stopwords of their query — the
+    // set the acceptance bound below covers.
+    val postsE = livePostings(spark, table, essIn)
+    val contribE = bm25Contrib(postsE,
+      postsE.groupBy("term").agg(count(lit(1)).as("df")), st, k1, b)
+    // df for scoring comes off the UNSHRUNK live scan (exact); the
+    // candidate semi-join lands BEFORE the query fan-out, so the
+    // super-linear stage never sees a corpus-sized posting list
+    val postsP = livePostings(spark, table, prunedIn)
+    val dfreqP = postsP.groupBy("term").agg(count(lit(1)).as("df"))
+    val contribP = bm25Contrib(
+      postsP.join(postsE.select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi"), dfreqP, st, k1, b)
+    val qtPm = qt.filter(prunedIn)
+      .join(qAllP, Seq("query_id"), "left_anti")
+    val scored = contribE.join(qt.filter(essIn), "term")
+      .unionByName(contribP.join(qtPm, "term"))
+      .repartition(col("query_id"), col("doc_id")) // see bm25BatchFull
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("__c"), 4).as("score"), count(lit(1)).as("matched"))
+    val ranked = bm25Rank(scored, topK).localCheckpoint(true) // (queries × k)
+    // acceptance: an omitted only-stopword doc scores ≤ S_P(q); the
+    // pruned top-k stands iff the k-th candidate strictly clears that
+    // bound (1e-3 slack > any round-6-per-term + round-4-final
+    // inflation)
+    val ubDf = prunedUb.toDF("term", "__ub")
+    val spQ = qtPm.join(broadcast(ubDf), "term")
+      .groupBy("query_id").agg(sum("__ub").as("__sp"))
+    val perQ = ranked.groupBy("query_id")
+      .agg(min("score").as("__kth"), count(lit(1)).as("__got"))
+    val rejected = spQ.join(perQ, Seq("query_id"), "left")
+      .filter(col("__got").isNull || col("__got") < topK ||
+        col("__kth") <= col("__sp") + lit(1e-3))
+      .select("query_id")
+      .localCheckpoint(true) // one row per refused query
+    val hasRejected = !rejected.isEmpty
+    var out = ranked
+    var route = "pruned"
+    if (hasRejected) {
+      // the refusal path: re-run JUST those queries through the exact
+      // full plan — pruning degrades to the baseline, never to a
+      // different answer
+      out = out.join(rejected, Seq("query_id"), "left_anti")
+        .unionByName(bm25BatchFull(
+          qt.join(rejected, Seq("query_id"), "left_semi"),
+          livePostings(spark, table, inAll), spark, table, topK, k1, b))
+      route += "+fallback"
+    }
+    if (hasAllStop) {
+      out = out.unionByName(bm25BatchFull(
+        qt.join(qAllP, Seq("query_id"), "left_semi"),
+        livePostings(spark, table, prunedIn), spark, table, topK, k1, b))
+      route += "+allstop"
+    }
+    val fin = finish(out, route)
+    qClass.unpersist()
+    ranked.unpersist(); rejected.unpersist()
+    fin
   }
 
   /** Conjunctive (AND-of-terms) search: doc_ids containing EVERY term.

@@ -524,6 +524,43 @@ object SimilarityOps {
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
 
+  /** `round(x·10⁶)` fixed-point view of a float/double vector column —
+    * exact longs, half away from zero (Spark `round` ≡ DuckDB `ROUND`
+    * ≡ [[graft.expressions.Pq.quantize]], the proven oracle seam). */
+  def q6(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6, 0).cast("long"))
+
+  /** Residual-PQ codebook: per-sub-space INTEGER codewords over the
+    * `ksub` lowest-id rows' residual vectors (`rqCol`: array<long> of
+    * length `dim`) — the [[pqCodebooks]] raw-slice no-averaging
+    * convention lifted to fixed point, so the whole
+    * assign → residual → encode → reconstruct cycle is exact-integer
+    * and bit-replicable (`ann_pq_res_q`). Table: (sub, code,
+    * qvec array<long>). */
+  def pqResidualCodebooks(residuals: DataFrame, dim: Int, m: Int = 8,
+                          ksub: Int = 16, idCol: String = "item_id",
+                          rqCol: String = "rq"): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim must divide into $m sub-spaces")
+    val dsub = dim / m
+    val seeds = residuals.orderBy(idCol).limit(ksub)
+      .select(col(idCol).as("__sid"), col(rqCol).as("__r"))
+    val ranked = seeds.withColumn("code",
+      (row_number().over(Window.orderBy("__sid")) - 1)) // ksub rows: fine
+    val subs = residuals.sparkSession.range(0, m)
+      .select(col("id").cast("int").as("sub"))
+    ranked.crossJoin(broadcast(subs))
+      .select(col("sub"), col("code"),
+        slice(col("__r"), col("sub") * dsub + 1, lit(dsub)).as("qvec"))
+  }
+
+  /** Collect an INTEGER codebook table (sub, code, qvec array<long>) —
+    * the [[collectCodebook]] twin for the residual tier. */
+  def collectCodebookLong(cb: DataFrame): Array[Array[Array[Long]]] =
+    cb.select("sub", "code", "qvec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
   /** Encode a corpus to (`idCol`, `codes array<int>`): 32× smaller than
     * 64 floats (m bytes of code space per vector; stored as ints for
     * parquet simplicity, dictionary-encoded to ~m bytes on disk). Code

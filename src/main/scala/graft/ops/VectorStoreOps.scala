@@ -38,10 +38,21 @@ import org.apache.spark.sql.functions._
   * commits × nlist driver-side rows, the same order as the versioned
   * store's nBuckets × versions.
   *
+  * Reader vs maintenance: mutations with `gc = false` retain the
+  * superseded manifest version AND its data dirs as a time-travel
+  * snapshot ([[storeVersion]] / [[readStoreAt]] / [[searchStoreAt]]);
+  * [[vacuumStore]]'s `retainVersions` is the retention floor. The
+  * rule: the floor must cover the longest reader window — a reader
+  * that races maintenance past the floor fails loudly ("predates the
+  * retention" at resolve, or a missing-file task error mid-read),
+  * never silently reads substituted data, because every read resolves
+  * a committed manifest snapshot and nothing else.
+  *
   * Durability contract of record: `graft.ops.StoreContractSpec` —
   * the cross-family property suite every persisted store passes
   * (replay no-op, torn-write invisibility, RTBF permanence through
-  * rebuild + replay, rebuild answer-preservation).
+  * rebuild + replay, rebuild answer-preservation, loud
+  * reader-vs-maintenance boundaries).
   */
 object VectorStoreOps {
 
@@ -69,12 +80,14 @@ object VectorStoreOps {
   private def manifestExists(spark: SparkSession, base: String): Boolean =
     graft.util.ManifestIO.exists(spark, manifestPath(base))
 
-  private def readManifestRows(spark: SparkSession, base: String): Array[ManifestRow] = {
-    if (!manifestExists(spark, base)) Array.empty
-    else graft.util.ManifestIO.read(spark, manifestPath(base))
-      .select("c", "cid", "tag")
+  private def parseManifest(df: DataFrame): Array[ManifestRow] =
+    df.select("c", "cid", "tag")
       .collect().map(r => ManifestRow(r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
+
+  private def readManifestRows(spark: SparkSession, base: String): Array[ManifestRow] = {
+    if (!manifestExists(spark, base)) Array.empty
+    else parseManifest(graft.util.ManifestIO.read(spark, manifestPath(base)))
   }
 
   /** Live (commit, cell) DIRECTORIES: manifest rows minus the pure tag
@@ -94,11 +107,13 @@ object VectorStoreOps {
     * (a crash mid-swap leaves the prior version live; the old flat
     * `SaveMode.Overwrite` rewrite bricked the store in that window). */
   private def writeManifest(spark: SparkSession, base: String,
-                            rows: Seq[ManifestRow], append: Boolean): Unit = {
+                            rows: Seq[ManifestRow], append: Boolean,
+                            retainHistory: Boolean = false): Unit = {
     import spark.implicits._
     val df = rows.map(r => (r.c, r.cid, r.tag)).toDF("c", "cid", "tag")
     if (append) graft.util.ManifestIO.append(spark, manifestPath(base), df)
-    else graft.util.ManifestIO.swap(spark, manifestPath(base), df)
+    else graft.util.ManifestIO.swap(spark, manifestPath(base), df,
+      retainHistory)
     // prefix-invalidate the session's file-listing cache for the whole
     // store (manifest AND item dirs) — the sibling stores do the same
     spark.catalog.refreshByPath(base)
@@ -134,6 +149,62 @@ object VectorStoreOps {
     } else readStoreFrom(spark, basePath, manifest)
   }
 
+  /** Current committed manifest version — the handle to remember
+    * BEFORE a delete/compaction (run with `gc = false`) if that
+    * snapshot must stay readable via [[readStoreAt]]. Appends land
+    * INSIDE the live version (they add data, never supersede any), so
+    * versions advance exactly at the rewriting mutations — the
+    * rollback/audit points. */
+  def storeVersion(spark: SparkSession, basePath: String): Long =
+    graft.util.ManifestIO.maxVersion(spark, manifestPath(basePath))
+
+  /** TIME TRAVEL: the store contents exactly as committed at manifest
+    * version `v` ([[storeVersion]]) — each cell resolved through THAT
+    * manifest snapshot, so a later delete/compaction is invisible.
+    * Requires the history to still exist: mutate with `gc = false` and
+    * vacuum with a retention floor; a reclaimed version or data dir
+    * fails loudly ([[graft.util.ManifestIO.readAt]] / the dir check
+    * here), never silently substitutes newer data. */
+  def readStoreAt(spark: SparkSession, basePath: String, v: Long): DataFrame = {
+    val rows = parseManifest(graft.util.ManifestIO.readAt(
+      spark, manifestPath(basePath), v))
+    val live = liveDirRows(rows)
+    if (live.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Array[Float], Long)].toDF("item_id", "cv", "cid")
+    } else {
+      val fs = hadoopFs(spark, basePath)
+      live.foreach { r =>
+        val d = s"${itemsPath(basePath)}/c=${r.c}/cid=${r.cid}"
+        require(fs.exists(new org.apache.hadoop.fs.Path(d)),
+          s"store version $v predates the GC/vacuum retention: $d was " +
+            "reclaimed (mutate with gc = false and vacuum with a " +
+            "retention floor to keep older reads alive)")
+      }
+      readStoreFrom(spark, basePath, live.map(r => (r.c, r.cid)))
+    }
+  }
+
+  /** [[searchStore]] against the [[readStoreAt]] snapshot — ranked
+    * retrieval over the store as of version `v` (the probe side uses
+    * the frozen centroids, which are version-independent). */
+  def searchStoreAt(queries: DataFrame, spark: SparkSession,
+                    basePath: String, v: Long, k: Int, nprobe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    probeRound: Option[Int] = None): DataFrame = {
+    val items = readStoreAt(spark, basePath, v)
+    val probes = probeFrame(spark, basePath, queries, idCol, vecCol,
+      nprobe, probeRound)
+    val cand = items.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos",
+        round(SimilarityOps.cosineFast(spark, col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
   private def readStoreFrom(spark: SparkSession, base: String,
                             manifest: Array[(Long, Long)]): DataFrame = {
     val raw = readStoreRawFrom(spark, base, manifest)
@@ -149,6 +220,10 @@ object VectorStoreOps {
       // Only the probed cells ever decode; the codebook (m·ksub rows)
       // rides the expression as one task-broadcast object.
       decodePq(raw, loadPqCodebook(spark, base))
+    else if (raw.columns.contains("rcodes"))
+      // residual-pq tier: centroid + residual codeword, exact integers
+      decodePqRes(raw, spark.read.parquet(s"$base/centroids"),
+        loadPqResCodebook(spark, base))
     else raw.select(col("item_id"), col("cv"), col("cid"))
   }
 
@@ -181,6 +256,64 @@ object VectorStoreOps {
       bridge.column(graft.expressions.PqReconstruct(
         bridge.expression(col("codes")), cbArr)).as("cv"),
       col("cid"))
+  }
+
+  // ------------------------------------------------- residual-PQ tier
+
+  private def pqResCodebookPath(base: String) = s"$base/pqres_codebook"
+
+  private def loadPqResCodebook(spark: SparkSession,
+                                base: String): Array[Array[Array[Long]]] =
+    SimilarityOps.collectCodebookLong(
+      spark.read.parquet(pqResCodebookPath(base)))
+
+  /** Fixed-point centroid coordinates (cid, __cq array<long>) — the
+    * residual tier's anchor: residual = q6(vector) − cq(cell),
+    * reconstruction = cq + codeword. Derived, not stored: q6 of the
+    * frozen centroid table is deterministic. */
+  private def quantCents(cents: DataFrame): DataFrame =
+    cents.select(col("cid"), SimilarityOps.q6(col("cvec")).as("__cq"))
+
+  /** (item_id, cv, cid) → (item_id, cid, rq): each vector's EXACT
+    * integer residual against its cell's quantized centroid — the
+    * coordinates PQ should spend its codebook on (their dynamic range
+    * is the within-cell spread, not the corpus spread: the classic
+    * recall upgrade residual coding buys). */
+  private def residualFrame(asg: DataFrame, cents: DataFrame): DataFrame =
+    asg.join(broadcast(quantCents(cents)), "cid")
+      .select(col("item_id"), col("cid"),
+        zip_with(SimilarityOps.q6(col("cv")), col("__cq"),
+          (a, b) => a - b).as("rq"))
+
+  /** (item_id, cv, cid) → (item_id, rcodes, cid): the residual-PQ-tier
+    * physical row. Integer-residual code assignment (the long-input
+    * path of [[graft.expressions.PqCodes]] — no re-quantization), so
+    * the stored codes are bit-replicable from the floats
+    * (`ann_pq_res_q`). */
+  private def encodePqRes(asg: DataFrame, cents: DataFrame,
+                          qcb: Array[Array[Array[Long]]]): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    residualFrame(asg, cents)
+      .select(col("item_id"),
+        bridge.column(graft.expressions.PqCodes(
+          bridge.expression(col("rq")), qcb)).as("rcodes"),
+        col("cid"))
+  }
+
+  /** Lossy decode of the residual tier: cv = centroid + codeword, in
+    * exact fixed-point longs cast to double — cosine is scale-invariant
+    * so the ×10⁶ scale never matters downstream, and integer-valued
+    * doubles are what an external engine replays bit-for-bit. */
+  private def decodePqRes(raw: DataFrame, cents: DataFrame,
+                          qcb: Array[Array[Array[Long]]]): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    raw.join(broadcast(quantCents(cents)), "cid")
+      .select(col("item_id"),
+        zip_with(col("__cq"),
+          bridge.column(graft.expressions.PqReconstructLong(
+            bridge.expression(col("rcodes")), qcb)),
+          (a, b) => (a + b).cast("double")).as("cv"),
+        col("cid"))
   }
 
   /** The store's PHYSICAL rows (quantized columns kept as stored) — the
@@ -256,29 +389,48 @@ object VectorStoreOps {
     * int8 vectors + scales (4× smaller); `pqCodebook = Some(cb)` is the
     * IVF+PQ layout — cells carry m-code rows (~32× smaller), the
     * codebook is frozen beside the centroids, and appends inherit the
-    * tier. Both decode at the (probe-pruned) scan, so the search
-    * contract is unchanged up to each tier's declared lossiness. */
+    * tier; `pqResidual = Some((m, ksub))` is IVF+PQ over RESIDUALS
+    * (x − centroid(cell)) — same m-code row size, but the codebook
+    * spends its entries on the within-cell spread instead of the corpus
+    * spread (the standard recall upgrade; spec-pinned ≥ plain PQ), with
+    * the whole assign → residual → encode → decode cycle in exact
+    * integers. Its codebook is built HERE (residuals need the
+    * assignment): the ksub lowest-id vectors' residual slices, the
+    * raw-seed no-averaging convention. All tiers decode at the
+    * (probe-pruned) scan, so the search contract is unchanged up to
+    * each tier's declared lossiness. */
   def writeVectorStore(corpus: DataFrame, spark: SparkSession,
                        basePath: String, cents: DataFrame,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        assignRound: Option[Int] = None,
                        quantize: Boolean = false,
-                       pqCodebook: Option[DataFrame] = None): Unit = {
-    require(!(quantize && pqCodebook.isDefined),
-      "vector store: pick ONE storage tier (int8 or pq), not both")
+                       pqCodebook: Option[DataFrame] = None,
+                       pqResidual: Option[(Int, Int)] = None): Unit = {
+    require(Seq(quantize, pqCodebook.isDefined, pqResidual.isDefined)
+      .count(identity) <= 1,
+      "vector store: pick ONE storage tier (int8, pq or residual pq)")
     val fs = hadoopFs(spark, basePath)
     fs.delete(new org.apache.hadoop.fs.Path(manifestPath(basePath)), true)
     fs.delete(new org.apache.hadoop.fs.Path(itemsPath(basePath)), true)
     fs.delete(new org.apache.hadoop.fs.Path(pqCodebookPath(basePath)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(pqResCodebookPath(basePath)), true)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$basePath/centroids")
     val asg = assigned(spark, corpus, cents, idCol, vecCol, assignRound)
-    val physical = pqCodebook match {
-      case Some(cb) =>
+    val physical = (pqCodebook, pqResidual) match {
+      case (Some(cb), _) =>
         cb.coalesce(1).write.mode("overwrite")
           .parquet(pqCodebookPath(basePath))
         encodePq(asg, loadPqCodebook(spark, basePath))
-      case None => maybeQuantize(asg, quantize)
+      case (None, Some((m, ksub))) =>
+        val frozen = spark.read.parquet(s"$basePath/centroids")
+        val dim = frozen.select(size(col("cvec"))).head().getInt(0)
+        SimilarityOps.pqResidualCodebooks(
+          residualFrame(asg, frozen), dim, m, ksub)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(pqResCodebookPath(basePath))
+        encodePqRes(asg, frozen, loadPqResCodebook(spark, basePath))
+      case _ => maybeQuantize(asg, quantize)
     }
     val commitDir = s"${itemsPath(basePath)}/c=0"
     physical.write.mode("overwrite").partitionBy("cid").parquet(commitDir)
@@ -334,6 +486,8 @@ object VectorStoreOps {
       val physical =
         if (tierCols.contains("codes"))
           encodePq(asg, loadPqCodebook(spark, basePath))
+        else if (tierCols.contains("rcodes"))
+          encodePqRes(asg, cents, loadPqResCodebook(spark, basePath))
         else maybeQuantize(asg, tierCols.contains("cv_q"))
       physical.write.mode("overwrite").partitionBy("cid").parquet(commitDir)
       writeManifest(spark, basePath,
@@ -469,10 +623,14 @@ object VectorStoreOps {
     val markers = dropped.flatMap(_.tag).distinct
       .filterNot(t => kept.exists(_.tag.contains(t)))
       .map(t => ManifestRow(next, -1L, Some(t)))
-    // the commit point: touched cells now resolve ONLY to the new commit
+    // the commit point: touched cells now resolve ONLY to the new
+    // commit. `gc = false` keeps the superseded MANIFEST VERSION too —
+    // data dirs + manifest snapshot together are a readable
+    // time-travel version ([[readStoreAt]]) until [[vacuumStore]]'s
+    // retention floor reclaims them.
     writeManifest(spark, basePath,
       kept ++ markers ++ surviving.map(cid => ManifestRow(next, cid, None)),
-      append = false)
+      append = false, retainHistory = !gc)
     // post-commit GC of superseded dirs — a crash here leaves orphans
     // that readers (manifest-resolved) never see. `gc = false` defers
     // the deletion entirely: a DataFrame resolved against the OLD
@@ -507,11 +665,22 @@ object VectorStoreOps {
     * would let the subsequent manifest row publish dangling paths. A
     * torn attempt left in that slot is overwritten by the next
     * mutation at the same id, so skipping it loses nothing. */
-  def vacuumStore(spark: SparkSession, basePath: String): Unit = {
+  def vacuumStore(spark: SparkSession, basePath: String,
+                  retainVersions: Int = 0): Unit = {
     require(manifestExists(spark, basePath),
       s"no committed vector store at $basePath")
+    // the retention floor: every data dir some RETAINED manifest
+    // version still resolves stays readable ([[readStoreAt]]) — the
+    // vacuumAggStore(retainVersions) semantics on the manifest seam.
+    // retainVersions = 0 collapses to latest-only (the prior behavior).
+    graft.util.ManifestIO.vacuumVersions(spark, manifestPath(basePath),
+      math.max(0, retainVersions))
+    val retained = graft.util.ManifestIO.versions(spark, manifestPath(basePath))
     val rows = readManifestRows(spark, basePath)
-    val live = liveDirRows(rows).map(r => (r.c, r.cid)).toSet
+    val live = retained.flatMap { v =>
+      liveDirRows(parseManifest(graft.util.ManifestIO.readAt(
+        spark, manifestPath(basePath), v))).map(r => (r.c, r.cid))
+    }.toSet
     // markers (cid = -1) count toward the committed-commit horizon too
     val maxCommitted = (rows.map(_.c) :+ -1L).max
     val fs = hadoopFs(spark, basePath)

@@ -1705,6 +1705,157 @@ object PipelineOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- RESIDUAL-coding PQ store tier under the oracle — the
+    // standard recall upgrade over plain PQ: the codebook quantizes
+    // x − centroid(cell) (the within-cell spread, which is where the
+    // information is once IVF has assigned the cell) instead of raw x.
+    // The whole assign → residual → encode → reconstruct cycle is
+    // EXACT INTEGERS (residual = q6 coords minus q6 centroid; codewords
+    // are verbatim residual slices of the 16 lowest store ids; decode =
+    // centroid + codeword), so DuckDB replays every step and the driver
+    // hash-compares a REAL write→append→search lifecycle end to end.
+    q(
+      "ann_pq_res_q",
+      """WITH cseeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN cseeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id
+        |), qe AS (
+        |  SELECT vec_id, u.i AS i, u.qv AS qv FROM (
+        |    SELECT vec_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+        |      i -> {'i': i, 'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |    FROM embeddings)
+        |), cq AS (
+        |  SELECT s.cid, q.i, q.qv AS cqv
+        |  FROM cseeds s JOIN qe q ON q.vec_id = s.cid
+        |), rq AS (
+        |  SELECT e.vec_id, e.i, e.qv - c.cqv AS rv
+        |  FROM qe e JOIN asg a ON a.item_id = e.vec_id
+        |            JOIN cq c ON c.cid = a.cid AND c.i = e.i
+        |), pqseeds AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 0
+        |        ORDER BY vec_id LIMIT 16)
+        |), cw AS (
+        |  SELECT (r.i - 1) // 8 AS sub, s.code, (r.i - 1) % 8 AS d, r.rv AS qc
+        |  FROM pqseeds s JOIN rq r ON r.vec_id = s.vec_id
+        |), dist AS (
+        |  SELECT r.vec_id, c.sub, c.code,
+        |    SUM((r.rv - c.qc) * (r.rv - c.qc)) AS d2
+        |  FROM rq r JOIN cw c ON c.sub = (r.i - 1) // 8 AND c.d = (r.i - 1) % 8
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rk
+        |    FROM dist) WHERE rk = 1
+        |), rec AS (
+        |  SELECT cds.vec_id,
+        |    LIST(cqv.cqv + cwv.qc ORDER BY cwv.sub, cwv.d) AS emb
+        |  FROM codes cds
+        |  JOIN cw cwv ON cwv.sub = cds.sub AND cwv.code = cds.code
+        |  JOIN asg a ON a.item_id = cds.vec_id
+        |  JOIN cq cqv ON cqv.cid = a.cid AND cqv.i = cwv.sub * 8 + cwv.d + 1
+        |  GROUP BY cds.vec_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.emb::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.emb::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN rec i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = scratchDir("graft-vstore-pqres")
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6), pqResidual = Some((8, 16)))
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      VectorStoreOps.searchStore(
+        emb.filter(col("vec_id") % 50 === 0), s, base, k = 10, nprobe = 4,
+        probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- Vector-store TIME TRAVEL under the oracle: build + append,
+    // remember the manifest version, DELETE a slice with gc = false
+    // (the snapshot-retaining mode), then SEARCH AT the pre-delete
+    // version. DuckDB searches the FULL corpus — the delete must be
+    // invisible through the retained manifest snapshot, cell for cell.
+    // The readAggStoreAt/searchBm25-asOf symmetry on the manifest seam;
+    // the current-read twin of this store shape is ann_inc_q.
+    q(
+      "ann_store_at_q",
+      """WITH seeds AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8
+        |), scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec::DOUBLE[]), 6) DESC,
+        |      s.cid) AS rk
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), asg AS (
+        |  SELECT vec_id AS item_id, cid FROM scored WHERE rk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cid FROM scored
+        |  WHERE vec_id % 50 = 0 AND rk <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.item_id FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE a.item_id <> p.query_id
+        |)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT c.query_id, c.item_id,
+        |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+        |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], i.embedding::DOUBLE[]), 4) DESC,
+        |      c.item_id) AS rank
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN embeddings i ON i.vec_id = c.item_id
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = tEmbeddings(s, dir)
+      val store = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val base = scratchDir("graft-vstore-at")
+      val cents = store.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("cvec"))
+      VectorStoreOps.writeVectorStore(store, s, base, cents,
+        assignRound = Some(6))
+      VectorStoreOps.appendToVectorStore(delta, s, base,
+        assignRound = Some(6))
+      val v = VectorStoreOps.storeVersion(s, base)
+      VectorStoreOps.deleteFromVectorStore(
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"), s, base,
+        gc = false)
+      VectorStoreOps.searchStoreAt(
+        emb.filter(col("vec_id") % 50 === 0), s, base, v, k = 10,
+        nprobe = 4, probeRound = Some(6))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Store-served semantic decontamination: the benchmark/test
     // vectors (vec_id % 50 = 0) probe their nprobe cells of the
     // PERSISTED corpus store and every corpus vector with cosine ≥ 0.3

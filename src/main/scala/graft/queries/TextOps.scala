@@ -786,6 +786,130 @@ object TextOps {
         .orderBy("query_id", "rank")
     },
 
+    // WAND-pruned batched BM25 under the oracle: queries mixing the
+    // corpus's one RARE term ('dup', df ≈ 5%) with its stopwords
+    // (df ≈ 75-80% — above the 0.5 classification threshold), so at
+    // sf0.01 the pruned tier ENGAGES and is ACCEPTED (the dup-doc
+    // candidates' k-th score clears the stopwords' summed upper bound),
+    // plus one all-stopword query exercising the up-front full-plan
+    // routing. DuckDB computes every query's BM25 by full evaluation —
+    // equal hashes ARE the pruned ≡ unpruned proof on real data, scores
+    // ranks and matched-counts included (the probe phase must add the
+    // stopword contributions of every candidate exactly).
+    q(
+      "text_bm25_wand",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), qq AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 'dup'), (0, 'the'), (0, 'data'),
+        |    (1, 'dup'), (1, 'key'), (1, 'fast'), (1, 'scan'),
+        |    (2, 'the'), (2, 'data')) v(query_id, term)
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM qq) GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT qq.query_id, tf.doc_id,
+        |    ROUND(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((tf.tf * (1.2 + 1)) /
+        |       (tf.tf + 1.2 * (0.25 + (0.75 * dl.dlen) /
+        |         (CAST(st.sd AS DOUBLE) / CAST(st.n AS DOUBLE))))), 6) AS c
+        |  FROM qq
+        |  JOIN tf USING (term) JOIN dfq ON dfq.term = tf.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |), res AS (
+        |  SELECT query_id, doc_id, ROUND(SUM(c), 4) AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS matched
+        |  FROM sc GROUP BY 1, 2
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score,
+        |  matched
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank
+        |  FROM res
+        |) WHERE rank <= 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      import s.implicits._
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-bm25-wand")
+      InvertedIndexOps.writeScoredIndex(docs, s, "graft_bm25w_idx", base)
+      val queries = Seq(
+        (0L, Seq("dup", "the", "data")),
+        (1L, Seq("dup", "key", "fast", "scan")),
+        (2L, Seq("the", "data"))).toDF("query_id", "terms")
+      InvertedIndexOps.searchBm25Batch(queries, s, "graft_bm25w_idx",
+        topK = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // TIME-TRAVEL ranked search under the oracle: build 80%, append
+    // 20% (capture that ledger seq), then DELETE every doc_id % 11 == 3
+    // — and search AS OF the pre-delete commit. DuckDB computes BM25
+    // over the FULL corpus (the delete must be invisible at that seq:
+    // results, df, N and avgdl all roll back through the one
+    // ledger-prefix filter). The text_bm25_del gate pins the CURRENT
+    // read of the same shape, so together they prove one store serves
+    // both timelines.
+    q(
+      "text_bm25_asof",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |         (SELECT COALESCE(SUM(dlen), 0) FROM dl) AS sd
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('batch', 'scan', 'hash') GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |      ((tf.tf * (1.2 + 1)) /
+        |       (tf.tf + 1.2 * (0.25 + (0.75 * dl.dlen) /
+        |         (CAST(st.sd AS DOUBLE) / CAST(st.n AS DOUBLE))))), 6) AS c
+        |  FROM tf
+        |  JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |)
+        |SELECT doc_id, ROUND(SUM(c), 4) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS matched
+        |FROM sc GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.InvertedIndexOps
+      val docs = tDocs(s, dir)
+      val base = scratchDir("graft-bm25-asof")
+      InvertedIndexOps.writeScoredIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
+        "graft_bm25a_idx", base)
+      InvertedIndexOps.appendToScoredIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s,
+        "graft_bm25a_idx", batchTag = Some("b1"))
+      val at = InvertedIndexOps.currentLedgerSeq(s, "graft_bm25a_idx")
+      InvertedIndexOps.deleteFromTextIndex(
+        docs.filter(pmod(col("doc_id"), lit(11)) === 3).select("doc_id"),
+        s, "graft_bm25a_idx")
+      InvertedIndexOps.searchBm25(s, "graft_bm25a_idx",
+        Seq("batch", "scan", "hash"), topK = 50, asOfSeq = Some(at))
+    },
+
     // Right-to-be-forgotten through the SAME scored index lifecycle:
     // build 80% + tagged append 20%, then DELETE every doc_id % 11 == 3
     // (tombstones + one negative ledger row) and search. DuckDB computes

@@ -46,7 +46,15 @@ package object queries {
     * Verify and ad-hoc runs. */
   def sweepScratch(): Unit = ScratchDirs.sweepNow()
 
+  /** Total scratch dirs EVER registered (monotonic, survives sweeps):
+    * [[graft.Bench]] diffs it around a query run to detect
+    * store-lifecycle queries — the ones that need an sf-dir warm pass
+    * and a full between-queries GC. */
+  def scratchRegistrations: Long = ScratchDirs.registrations
+
   private object ScratchDirs {
+    private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    def registrations: Long = counter.get()
     private val dirs =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
     private def sweep(): Unit =
@@ -61,7 +69,9 @@ package object queries {
       }
     private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
       new Thread(() => sweep(), "graft-scratch-sweep"))
-    def register(p: java.nio.file.Path): Unit = { hook; dirs.add(p) }
+    def register(p: java.nio.file.Path): Unit = {
+      hook; counter.incrementAndGet(); dirs.add(p)
+    }
     def sweepNow(): Unit = { sweep(); dirs.clear() }
   }
 

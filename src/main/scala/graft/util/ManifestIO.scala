@@ -74,6 +74,35 @@ object ManifestIO {
     spark.read.parquet(vs.maxBy(_._1)._2.toString)
   }
 
+  /** All committed manifest versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    committedVersions(spark, dir).map(_._1).sorted
+
+  /** Highest committed manifest version — the handle to remember
+    * before a mutation for a later [[readAt]]. */
+  def maxVersion(spark: SparkSession, dir: String): Long = {
+    val vs = committedVersions(spark, dir)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    vs.map(_._1).max
+  }
+
+  /** TIME TRAVEL: the manifest exactly as committed at version `v`.
+    * Fails loudly when `v` was retired (a swap without
+    * `retainHistory`, or a vacuum past its floor) — a reclaimed
+    * snapshot is detected, never silently substituted. */
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val vs = committedVersions(spark, dir)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    vs.find(_._1 == v) match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None => throw new IllegalArgumentException(
+        s"manifest version $v of $dir predates the retention " +
+          s"(committed versions: ${vs.map(_._1).sorted.mkString(", ")}) — " +
+          "mutate with retainHistory/gc=false and vacuum with a " +
+          "retention floor to keep older reads alive")
+    }
+  }
+
   /** Append `rows` into the live version — the cheap path an ingest
     * takes: one new file lands via stage-and-rename, nothing existing
     * is touched, and the rename IS the commit point. */
@@ -87,10 +116,14 @@ object ManifestIO {
 
   /** Replace the manifest with `rows`: write `v=max+1` beside the live
     * version (overwriting any torn prior attempt at that id), then
-    * retire every other version. Valid on a fresh `dir` too (initial
-    * build writes `v=0`). */
-  def swap(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
+    * retire every other version — or, with `retainHistory`, keep the
+    * prior COMMITTED versions as time-travel snapshots ([[readAt]];
+    * torn versions are still swept). Valid on a fresh `dir` too
+    * (initial build writes `v=0`). */
+  def swap(spark: SparkSession, dir: String, rows: DataFrame,
+           retainHistory: Boolean = false): Unit = {
     val before = allVersions(spark, dir)
+    val committedBefore = committedVersions(spark, dir).map(_._1).toSet
     val next = (before.map(_._1) :+ -1L).max + 1
     rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
     // VERIFY v=next is actually committed before retiring anything: if
@@ -101,7 +134,23 @@ object ManifestIO {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$next", Success)),
       s"manifest swap aborted: $dir/v=$next has no $Success marker " +
         "(committer success-marker disabled or failed); prior versions left live")
-    before.foreach { case (_, p) => fs.delete(p, true) }
+    before.foreach { case (v, p) =>
+      if (!(retainHistory && committedBefore(v))) fs.delete(p, true)
+    }
     spark.catalog.refreshByPath(dir)
+  }
+
+  /** Retire committed manifest versions below the retention floor
+    * (keep the newest `retainVersions + 1`) — the [[readAt]] horizon
+    * management, matching the agg store's vacuum semantics. */
+  def vacuumVersions(spark: SparkSession, dir: String,
+                     retainVersions: Int): Unit = {
+    val vs = committedVersions(spark, dir)
+    if (vs.nonEmpty) {
+      val horizon = vs.map(_._1).max - math.max(0, retainVersions)
+      val fs = fsOf(spark, dir)
+      vs.filter(_._1 < horizon).foreach { case (_, p) => fs.delete(p, true) }
+      spark.catalog.refreshByPath(dir)
+    }
   }
 }

@@ -494,8 +494,13 @@ object ScaleStress {
     // doc) bounded state shape — a fixed 10-query batch of 3-token
     // ordered-window phrases; candidate volume tracks the phrase terms'
     // posting mass, never corpus structure.
-    val slopQs = (0 until 10).map(i =>
-      (i.toLong, Seq("c0stream", "c0table", "c0hash")))
+    // 100 queries (the r14 verdict ask), cycling window phrases over the
+    // copy-0 vocabulary so the batch has real per-query variety
+    val slopVocab = Seq("c0stream", "c0table", "c0hash", "c0batch",
+      "c0scan", "c0data", "c0key", "c0fast", "c0line", "c0value")
+    val slopQs = (0 until 100).map(i =>
+      (i.toLong, Seq(slopVocab(i % 10), slopVocab((i / 10 + i) % 10),
+        slopVocab((i / 3 + 1) % 10))))
     def slopBatch(k: Int): Long = {
       import spark.implicits._
       InvertedIndexOps.searchPhraseWindowBatch(
@@ -514,6 +519,69 @@ object ScaleStress {
       s"""{"op":"searchR13","bm25batch1_sec":${fmt(tbb1, 3)},"bm25batch10_sec":${fmt(tbb10, 3)},"bm25batch_ratio":${fmt(bbRatio, 2)},"phrase1_sec":${fmt(tph1, 3)},"phrase10_sec":${fmt(tph10, 3)},"phrase_ratio":${fmt(phRatio, 2)},"phrasewin1_sec":${fmt(tsl1, 3)},"phrasewin10_sec":${fmt(tsl10, 3)},"phrasewin_ratio":${fmt(slRatio, 2)}}"""
     java.nio.file.Files.write(out.resolve("scale_stress_search_r13.json"),
       (srchJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // --- WAND-pruned batched BM25 (r15): the corpus grows k times in
+    // STOPWORD-ONLY documents (the vocabulary is kept, so each
+    // stopword's posting list grows ~k; copies past the first drop the
+    // rare 'dup' docs, so the discriminative posting list — and with it
+    // the candidate set — stays FIXED). A 500-query batch mixes 'dup'
+    // (essential) with two stopwords each. Pruned, the stopword
+    // postings are scanned once (exact df + the candidate probe) but
+    // the super-linear query fan-out sees only candidate rows — the
+    // batch cost must stay ~FLAT as the stopword mass grows 10x.
+    // Unpruned, every query fans out over its stopwords' FULL posting
+    // lists — the r14 linear-in-corpus-per-query shape this pruning
+    // removes.
+    def scaledFlat(k: Int) = (0 until k).map { i =>
+      val copy = base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))
+      if (i == 0) copy
+      else copy.filter(!array_contains(DedupOps.tokens(col("text")), "dup"))
+    }.reduce(_ union _)
+    InvertedIndexOps.writeScoredIndex(scaledFlat(1), spark, "ss_wand_1",
+      s"$fpBase/wand1")
+    InvertedIndexOps.writeScoredIndex(scaledFlat(10), spark, "ss_wand_10",
+      s"$fpBase/wand10")
+    val wandStop = Seq("batch", "small", "scan", "agg", "data", "customer",
+      "hash", "big", "column", "value", "the", "vector", "line", "fast",
+      "key")
+    val wandQs = (0 until 500).map { i =>
+      (i.toLong, Seq("dup", wandStop(i % wandStop.size),
+        wandStop((i / wandStop.size + 1 + i) % wandStop.size)))
+    }
+    def wandRun(k: Int, frac: Double): (Long, String) = {
+      import spark.implicits._
+      val (df, route) = InvertedIndexOps.searchBm25BatchDiag(
+        wandQs.toDF("query_id", "terms"), spark, s"ss_wand_$k",
+        topK = 10, stopDfFrac = frac)
+      (df.count(), route)
+    }
+    require(wandRun(1, 0.5)._2 == "pruned", // also the warmup
+      s"wand stress must take the ACCEPTED pruned path: ${wandRun(1, 0.5)._2}")
+    require(wandRun(10, 0.5)._2 == "pruned",
+      s"pruned path must hold at 10x: ${wandRun(10, 0.5)._2}")
+    wandRun(10, 1.1) // warmup the full plan too
+    val (twp1, nwp1) = time(wandRun(1, 0.5)._1)
+    val (twp10, nwp10) = time(wandRun(10, 0.5)._1)
+    val (twf1, _) = time(wandRun(1, 1.1)._1)
+    val (twf10, nwf10) = time(wandRun(10, 1.1)._1)
+    val wpRatio = twp10 / math.max(twp1, 1e-9)
+    val wfRatio = twf10 / math.max(twf1, 1e-9)
+    println(f"[scale-stress] wand bm25 pruned    k=1: $twp1%6.2fs ($nwp1 rows)  " +
+      f"k=10: $twp10%6.2fs ($nwp10 rows)  ratio $wpRatio%5.2f")
+    println(f"[scale-stress] wand bm25 full      k=1: $twf1%6.2fs  " +
+      f"k=10: $twf10%6.2fs  ratio $wfRatio%5.2f  " +
+      f"(pruned speedup at 10x: ${twf10 / math.max(twp10, 1e-9)}%4.2fx)")
+    require(nwp1 == nwp10, s"fixed wand batch must rank k docs: $nwp1 vs $nwp10")
+    require(nwp10 == nwf10, s"pruned and full must agree on rows: $nwp10 vs $nwf10")
+    // only the stopword mass grew; the pruned batch's data-sized work is
+    // candidate-bounded and the candidate set is FIXED by construction,
+    // so anything past mild scan-I/O growth is a plan regression
+    require(wpRatio < 3.0, s"pruned wand must stay ~flat: $wpRatio")
+    val wandJson =
+      s"""{"op":"wandBm25","pruned1_sec":${fmt(twp1, 3)},"pruned10_sec":${fmt(twp10, 3)},"pruned_ratio":${fmt(wpRatio, 2)},"full1_sec":${fmt(twf1, 3)},"full10_sec":${fmt(twf10, 3)},"full_ratio":${fmt(wfRatio, 2)},"pruned_speedup10":${fmt(twf10 / math.max(twp10, 1e-9), 2)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_wand.json"),
+      (wandJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // --- fingerprint-store rebuild (r13): the tombstone-carrying
     // reclaim is one bucketed read+write per table — linear in the
@@ -686,6 +754,94 @@ object ScaleStress {
       (jvJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     require(jvRatio < 5.0,
       s"join-view refresh grew with the corpus: ratio $jvRatio")
+
+    // --- r15 additions ----------------------------------------------
+    // JL projection: a narrow codegen'd map — no shuffle, no model; the
+    // only cost is one pass over the vectors (forced through an agg so
+    // column pruning can't skip the projection).
+    def jlProject(k: Int): Long =
+      SimilarityOps.randomProject(scaledEmb(k), outDim = 8, dim = 64)
+        .agg(sum(element_at(col("embedding"), 1))).head().getLong(0)
+    jlProject(1) // warmup
+    val (tjl1, _) = time(jlProject(1))
+    val (tjl10, _) = time(jlProject(10))
+    val jlRatio = tjl10 / math.max(tjl1, 1e-9)
+    println(f"[scale-stress] jl project          k=1: $tjl1%6.2fs  " +
+      f"k=10: $tjl10%6.2fs  ratio $jlRatio%5.2f")
+    require(jlRatio < MaxRatio, s"jl projection super-linearithmic: $jlRatio")
+
+    // Projected store: project → IVF store build → probe-pruned search
+    // (the emb_project_store_q composition). Queries stay FIXED (copy-0
+    // ids) so search cost tracks the probed-cell volume, ~linear.
+    def projStore(k: Int, path: String): (Double, Double) = {
+      val pe = SimilarityOps.randomProject(scaledEmb(k), outDim = 8, dim = 64)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .filter(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x * x) > 0)
+        .localCheckpoint(true)
+      val cents = pe.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (tb, _) = time {
+        VectorStoreOps.writeVectorStore(pe, spark, path, cents,
+          idCol = "vec_id", assignRound = Some(6)); 1L
+      }
+      val (ts, _) = time(VectorStoreOps.searchStore(
+        pe.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L),
+        spark, path, k = 5, nprobe = 4, idCol = "vec_id",
+        probeRound = Some(6)).count())
+      pe.unpersist()
+      (tb, ts)
+    }
+    projStore(1, s"$vsBase/projw") // warmup
+    val (tpb1, tqs1) = projStore(1, s"$vsBase/proj1")
+    val (tpb10, tqs10) = projStore(10, s"$vsBase/proj10")
+    val pbRatio = tpb10 / math.max(tpb1, 1e-9)
+    val qsRatio = tqs10 / math.max(tqs1, 1e-9)
+    println(f"[scale-stress] projected store     build k=1: $tpb1%6.2fs " +
+      f"k=10: $tpb10%6.2fs ratio $pbRatio%5.2f  search k=1: $tqs1%6.2fs " +
+      f"k=10: $tqs10%6.2fs ratio $qsRatio%5.2f")
+    require(pbRatio < MaxRatio && qsRatio < MaxRatio,
+      s"projected store super-linearithmic: build $pbRatio search $qsRatio")
+
+    // diffAggStore under 10x the VERSION count: the diff reads ONLY the
+    // buckets touched in (vFrom, vTo] — a longer history must not make
+    // a one-merge diff slower (bucket locality, not version count).
+    import graft.ops.IncrementalAggOps
+    val aggBase = java.nio.file.Files
+      .createTempDirectory("scale-aggdiff").toString
+    def buildDiffStore(nv: Int, path: String): Unit = {
+      IncrementalAggOps.writeAggStore(
+        spark.range(0, 1000).select(col("id").as("k"), lit(1L).as("n")),
+        spark, path, Seq("k"), Seq("n"), nBuckets = 64)
+      (1 to nv).foreach { v =>
+        IncrementalAggOps.mergeIntoAggStore(
+          spark.range(v % 1000, v % 1000 + 1)
+            .select(col("id").as("k"), lit(1L).as("n")),
+          spark, path, Seq("k"), Seq("n"), nBuckets = 64)
+      }
+    }
+    def diffLast(path: String): Long = {
+      val mv = IncrementalAggOps.maxCommittedVersion(spark, path)
+      IncrementalAggOps.diffAggStore(spark, path, Seq("k"), Seq("n"),
+        mv - 1, mv).count()
+    }
+    buildDiffStore(10, s"$aggBase/v10")
+    buildDiffStore(100, s"$aggBase/v100")
+    diffLast(s"$aggBase/v10") // warmup
+    val (tad1, nad1) = time(diffLast(s"$aggBase/v10"))
+    val (tad10, nad10) = time(diffLast(s"$aggBase/v100"))
+    val adRatio = tad10 / math.max(tad1, 1e-9)
+    println(f"[scale-stress] aggstore diff       v=10: $tad1%6.2fs ($nad1 rows)  " +
+      f"v=100: $tad10%6.2fs ($nad10 rows)  ratio $adRatio%5.2f")
+    require(nad1 == 1 && nad10 == 1,
+      s"one-merge diff must name exactly the moved key: $nad1/$nad10")
+    require(adRatio < 3.0,
+      s"diff cost grew with version history: ratio $adRatio")
+    val r15Json =
+      s"""{"op":"r15Additions","jl1_sec":${fmt(tjl1, 3)},"jl10_sec":${fmt(tjl10, 3)},"jl_ratio":${fmt(jlRatio, 2)},"projbuild1_sec":${fmt(tpb1, 3)},"projbuild10_sec":${fmt(tpb10, 3)},"projbuild_ratio":${fmt(pbRatio, 2)},"projsearch1_sec":${fmt(tqs1, 3)},"projsearch10_sec":${fmt(tqs10, 3)},"projsearch_ratio":${fmt(qsRatio, 2)},"aggdiff_v10_sec":${fmt(tad1, 3)},"aggdiff_v100_sec":${fmt(tad10, 3)},"aggdiff_ratio":${fmt(adRatio, 2)}}"""
+    java.nio.file.Files.write(out.resolve("scale_stress_r15.json"),
+      (r15Json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -382,7 +382,7 @@ class InvertedIndexSpec extends SparkTestBase {
   }
 
   test("rebuild reclaims tombstoned and torn postings, keeps scores, " +
-    "and the replay guard survives (ledger untouched)") {
+    "and the replay guard survives (ledger sums and tags untouched)") {
     val base = Files.createTempDirectory("tidx-rb").toString
     val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -542,6 +542,121 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(m.isDefined, s"scan must be bucket-pruned:\n$plan")
     assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt == 16,
       s"3 terms must select <= 3 of 16 buckets: ${m.get.matched}")
+  }
+
+  test("WAND pruning: pruned top-k (scores, ranks, matched) equals the " +
+    "full evaluation on stopword, tie, all-stop and refusal adversaries") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tidx-wand").toString
+    // 'the'/'of' in EVERY doc (the stopwords); 'zebra' in 5, 'quark' in
+    // 3 (the discriminators); zebra docs carry DIFFERENT stopword
+    // frequencies so a skipped probe would mis-order them; docs 9-20
+    // are byte-identical (score ties, broken by doc_id); 21+ are
+    // stopword-only background a wrong pruning would surface
+    val fixture = (Seq(
+      (1L, "the of zebra"),
+      (2L, "the the the of zebra pad1 pad2"),
+      (3L, "of of zebra the the"),
+      (4L, "zebra the of padx pady padz padw"),
+      (5L, "zebra of the"),
+      (6L, "quark the of"),
+      (7L, "quark quark of the"),
+      (8L, "quark of the")) ++
+      (9L to 20L).map(i => (i, "the of common words here")) ++
+      (21L to 60L).map(i => (i, s"the of w$i x$i"))).toDF("doc_id", "text")
+    InvertedIndexOps.writeScoredIndex(fixture, spark, "tidx_wand", base)
+    val queries = Seq(
+      (0L, Seq("zebra", "the", "of")),   // mixed: prune + accept
+      (1L, Seq("the", "of")),            // all-stop: routed to full
+      (2L, Seq("quark")),                // essential-only
+      (3L, Seq("zebra", "missing")),     // absent term
+      (4L, Seq("quark", "the"))).toDF("query_id", "terms")
+    def run(k: Int, frac: Double) = {
+      val (df, route) = InvertedIndexOps.searchBm25BatchDiag(
+        queries, spark, "tidx_wand", topK = k, stopDfFrac = frac)
+      (df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(t => (t._1, t._3)).toSeq,
+        route)
+    }
+    val (got, route) = run(3, 0.5)
+    val (want, routeU) = run(3, 1.1) // stopDfFrac ≥ 1 disables pruning
+    assert(routeU == "full-in", routeU)
+    assert(route.startsWith("pruned") && route.contains("allstop"),
+      s"pruning must engage and route the all-stop query: $route")
+    assert(!route.contains("fallback"),
+      s"the k=3 adversaries must be ACCEPTED (kth clears the bound): $route")
+    assert(got == want, s"pruned != full at k=3:\n$got\n$want")
+    // refusal: k exceeds the candidate count, so an only-stopword doc
+    // COULD belong in the top-k — acceptance must fail and the
+    // fallback reproduce the full answer
+    val (got50, route50) = run(50, 0.5)
+    val (want50, _) = run(50, 1.1)
+    assert(route50.contains("fallback"),
+      s"k=50 must refuse the pruned answer: $route50")
+    assert(got50 == want50, "refused queries must re-run exactly")
+    // bounds survive a delete (ledger-subtracted, never under-bounding):
+    // drop two zebra docs and compare again
+    InvertedIndexOps.deleteFromTextIndex(
+      Seq(2L, 4L).toDF("doc_id"), spark, "tidx_wand")
+    val (gotD, routeD) = run(3, 0.5)
+    val (wantD, _) = run(3, 1.1)
+    assert(routeD.startsWith("pruned"), routeD)
+    assert(gotD == wantD, "pruned != full after RTBF")
+  }
+
+  test("as-of search: later appends vanish and later deletes un-happen " +
+    "at an earlier ledger seq; rebuild is the loud time-travel floor") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tidx-asof").toString
+    val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    InvertedIndexOps.writeScoredIndex(store, spark, "tidx_asof", base)
+    val atSeed = InvertedIndexOps.currentLedgerSeq(spark, "tidx_asof")
+    InvertedIndexOps.appendToScoredIndex(delta, spark, "tidx_asof",
+      batchTag = Some("b1"))
+    val atFull = InvertedIndexOps.currentLedgerSeq(spark, "tidx_asof")
+    val doomed = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select("doc_id")
+    InvertedIndexOps.deleteFromTextIndex(doomed, spark, "tidx_asof")
+    val terms = Seq("batch", "scan", "hash")
+    def res(asOf: Option[Long]) = InvertedIndexOps
+      .searchBm25(spark, "tidx_asof", terms, topK = 20, asOfSeq = asOf)
+      .collect().toSeq
+    // as-of the pre-delete commit ≡ a fresh index over the full corpus
+    val fullBase = Files.createTempDirectory("tidx-asof-full").toString
+    InvertedIndexOps.writeScoredIndex(docs, spark, "tidx_asof_f", fullBase)
+    assert(res(Some(atFull)) ==
+      InvertedIndexOps.searchBm25(spark, "tidx_asof_f", terms, topK = 20)
+        .collect().toSeq,
+      "as-of pre-delete must equal a clean full-corpus index")
+    // as-of the seed commit ≡ a fresh index over the seed alone
+    val seedBase = Files.createTempDirectory("tidx-asof-seed").toString
+    InvertedIndexOps.writeScoredIndex(store, spark, "tidx_asof_s", seedBase)
+    assert(res(Some(atSeed)) ==
+      InvertedIndexOps.searchBm25(spark, "tidx_asof_s", terms, topK = 20)
+        .collect().toSeq,
+      "as-of the seed must un-happen both the append and the delete")
+    // current read still shows the post-delete world
+    val survBase = Files.createTempDirectory("tidx-asof-surv").toString
+    InvertedIndexOps.writeScoredIndex(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 2), spark,
+      "tidx_asof_v", survBase)
+    assert(res(None) ==
+      InvertedIndexOps.searchBm25(spark, "tidx_asof_v", terms, topK = 20)
+        .collect().toSeq)
+    // out-of-range seqs fail loudly
+    intercept[IllegalArgumentException] { res(Some(0L)) }
+    intercept[IllegalArgumentException] { res(Some(999L)) }
+    // the rebuild collapses history: older as-of reads become
+    // unanswerable (physically reclaimed) and must say so
+    InvertedIndexOps.rebuildTextIndex(spark, "tidx_asof",
+      Files.createTempDirectory("tidx-asof-rb").toString)
+    val e = intercept[IllegalArgumentException] { res(Some(atFull)) }
+    assert(e.getMessage.contains("predates the last rebuild"), e.getMessage)
+    // …while the current read is untouched by the barrier
+    assert(res(None) ==
+      InvertedIndexOps.searchBm25(spark, "tidx_asof_v", terms, topK = 20)
+        .collect().toSeq)
   }
 
   test("pre-sidecar index: delete and rebuild fail with the migration " +

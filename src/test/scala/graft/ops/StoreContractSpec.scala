@@ -26,12 +26,37 @@ import graft.SparkTestBase
   *     flows through refresh/compaction, so it opts out of the forget
   *     leg — documented here, not an accident.)
   *  4. REBUILD: physical reclaim/compaction preserves query answers.
+  *  5. READER vs MAINTENANCE (families with an as-of read): a version
+  *     handle captured before a mutation answers EXACTLY afterwards,
+  *     and once maintenance collapses history past its retention floor
+  *     the same read fails LOUDLY — a message naming the
+  *     retention/rebuild boundary — never a silently wrong or newer
+  *     answer. The operational rule this pins: A RETENTION FLOOR MUST
+  *     COVER THE LONGEST READER WINDOW; a resolution-to-read race with
+  *     maintenance surfaces as an error (resolve-time "predates ..."
+  *     or a task-time missing-file failure), never as substituted
+  *     data, because every read resolves through a committed
+  *     ledger/manifest snapshot and reclaimed directories are checked
+  *     or simply absent — there is no path from "file gone" to "other
+  *     rows returned".
   *
   * Store docs cite this suite as the contract of record; a new store
   * family ships with an adapter here or explains why not.
   */
 class StoreContractSpec extends SparkTestBase {
   import spark.implicits._
+
+  /** Time-travel bindings for contract leg 5. */
+  private trait TimeTravel {
+    /** The current version/seq handle. */
+    def capture(): Long
+    /** A history-creating mutation (append/merge/delete). */
+    def mutate(): Unit
+    /** The canonical answer as of `h`. */
+    def readAt(h: Long): Seq[Seq[Any]]
+    /** Maintenance that reclaims history PAST its retention floor. */
+    def collapse(): Unit
+  }
 
   /** One store family's bindings for the shared contract. */
   private trait StoreAdapter {
@@ -52,6 +77,9 @@ class StoreContractSpec extends SparkTestBase {
     def answer(): Seq[Seq[Any]]
     /** Does the answer leak any forgotten entity? */
     def leaks(ans: Seq[Seq[Any]]): Boolean
+    /** As-of read bindings (None: family has no time travel —
+      * fingerprint store and the derived join view). */
+    def timeTravel: Option[TimeTravel] = None
   }
 
   private def runContract(a: StoreAdapter): Unit = {
@@ -93,6 +121,21 @@ class StoreContractSpec extends SparkTestBase {
         a.forget.foreach(_())
         assert(a.answer() == afterForget,
           s"[${a.family}] forget must stay idempotent after the rebuild")
+    }
+    a.timeTravel.foreach { tt =>
+      val h = tt.capture()
+      val snapshot = tt.readAt(h)
+      tt.mutate()
+      assert(tt.readAt(h) == snapshot,
+        s"[${a.family}] a captured version must answer exactly after " +
+          "later mutations")
+      tt.collapse() // the vacuum lands BETWEEN the resolve and the read
+      val e = intercept[Exception] { tt.readAt(h) }
+      assert(Option(e.getMessage).exists(m =>
+          m.contains("predates") || m.contains("retention") ||
+            m.contains("rebuild")),
+        s"[${a.family}] collapsed history must fail loudly (naming the " +
+          s"retention boundary), got: ${e.getMessage}")
     }
   }
 
@@ -137,6 +180,19 @@ class StoreContractSpec extends SparkTestBase {
       }
       def leaks(ans: Seq[Seq[Any]]): Boolean =
         ans.dropRight(1).exists(r => doomed(r.head.asInstanceOf[Long]))
+      override def timeTravel: Option[TimeTravel] = Some(new TimeTravel {
+        def capture(): Long =
+          InvertedIndexOps.currentLedgerSeq(spark, "sc_text")
+        def mutate(): Unit = InvertedIndexOps.appendToScoredIndex(
+          delta.select((col("doc_id") + 700000L).as("doc_id"), col("text")),
+          spark, "sc_text", batchTag = Some("tt1"))
+        def readAt(h: Long): Seq[Seq[Any]] = InvertedIndexOps
+          .searchBm25(spark, "sc_text", terms, topK = 30,
+            asOfSeq = Some(h))
+          .collect().map(_.toSeq).toSeq
+        def collapse(): Unit = InvertedIndexOps.rebuildTextIndex(spark,
+          "sc_text", Files.createTempDirectory("sc-text-tt").toString)
+      })
     })
   }
 
@@ -216,6 +272,18 @@ class StoreContractSpec extends SparkTestBase {
         .sortBy(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long]))
       def leaks(ans: Seq[Seq[Any]]): Boolean =
         ans.exists(r => doomed(r(1).asInstanceOf[Long]))
+      override def timeTravel: Option[TimeTravel] = Some(new TimeTravel {
+        def capture(): Long = VectorStoreOps.storeVersion(spark, base)
+        def mutate(): Unit = VectorStoreOps.deleteFromVectorStore(
+          embs.filter(pmod(col("vec_id"), lit(9)) === 1).select("vec_id"),
+          spark, base, gc = false) // the snapshot-retaining mode
+        def readAt(h: Long): Seq[Seq[Any]] = VectorStoreOps
+          .searchStoreAt(queries, spark, base, h, k = 5, nprobe = 2,
+            probeRound = Some(6))
+          .collect().map(_.toSeq).toSeq
+          .sortBy(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long]))
+        def collapse(): Unit = VectorStoreOps.vacuumStore(spark, base)
+      })
     })
   }
 
@@ -304,6 +372,20 @@ class StoreContractSpec extends SparkTestBase {
           .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
         ans != want
       }
+      override def timeTravel: Option[TimeTravel] = Some(new TimeTravel {
+        def capture(): Long =
+          IncrementalAggOps.maxCommittedVersion(spark, base)
+        def mutate(): Unit = IncrementalAggOps.mergeIntoAggStore(d1,
+          spark, base, Seq("k"), Seq("n", "v"), nBuckets = 8,
+          batchTag = Some("tt1"))
+        def readAt(h: Long): Seq[Seq[Any]] = IncrementalAggOps
+          .readAggStoreAt(spark, base, h)
+          .filter(col("n") =!= 0)
+          .select("k", "n", "v")
+          .collect().map(_.toSeq).toSeq
+          .sortBy(_.head.asInstanceOf[Long])
+        def collapse(): Unit = IncrementalAggOps.vacuumAggStore(spark, base)
+      })
     })
   }
 }

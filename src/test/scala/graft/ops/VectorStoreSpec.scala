@@ -376,6 +376,144 @@ class VectorStoreSpec extends SparkTestBase {
       f"top-10 overlap vs float store $overlap%.2f")
   }
 
+  test("residual-pq tier: integer residual codes, tier survives append " +
+    "and maintenance, recall >= plain pq on planted neighbors") {
+    // clustered corpus — the ANN use case, and the regime residual
+    // coding is FOR: once IVF has named the cell, the information left
+    // is the small within-cluster offset, which is what the residual
+    // codebook spends its 16 entries on (a plain-PQ codebook spends
+    // them spanning the whole corpus). On unstructured data cells mean
+    // little and the two tiers tie — measured, not asserted.
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val clustered = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val baseR = Files.createTempDirectory("vstore-pqres").toString
+    val basePq = Files.createTempDirectory("vstore-pqres-plain").toString
+    val baseF = Files.createTempDirectory("vstore-pqres-f32").toString
+    val store = clustered.filter(col("vec_id") % 5 =!= 0)
+    val delta = clustered.filter(col("vec_id") % 5 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+      .localCheckpoint(true) // the SAME frozen index for all three tiers
+    VectorStoreOps.writeVectorStore(store, spark, baseR, cents,
+      pqResidual = Some((8, 16)))
+    // the apples-to-apples plain-PQ twin: same raw-seed (no-averaging)
+    // codebook convention, same m/ksub — the only difference is WHAT the
+    // codebook spends its 16 entries on (corpus spread vs within-cell
+    // residual spread)
+    VectorStoreOps.writeVectorStore(store, spark, basePq, cents,
+      pqCodebook = Some(SimilarityOps.pqCodebooks(store, dim = 64)))
+    VectorStoreOps.writeVectorStore(store, spark, baseF, cents)
+    def physicalSchema(b: String) = {
+      val c0 = new java.io.File(s"$b/items").listFiles()
+        .filter(_.getName.startsWith("c=")).head
+      val cell = c0.listFiles().filter(_.getName.startsWith("cid=")).head
+      spark.read.parquet(cell.toString).schema.fieldNames.toSet
+    }
+    assert(physicalSchema(baseR) == Set("item_id", "rcodes"),
+      s"residual store must persist residual codes only: ${physicalSchema(baseR)}")
+
+    // planted neighbors: stored vectors nudged on one coordinate and
+    // re-keyed — the query's true nearest neighbor IS the original.
+    // nprobe = nlist removes probe recall from the comparison: what
+    // remains is pure reconstruction quality.
+    val planted = store.orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.3f)).otherwise(x)).as("embedding"))
+    def hits(b: String): Long = VectorStoreOps
+      .searchStore(planted, spark, b, k = 3, nprobe = 8)
+      .filter(col("item_id") === col("query_id") - 1000000L).count()
+    def overlapF(b: String): Double = {
+      val queries = clustered.filter(col("vec_id") % 50 === 0)
+      val gotF = VectorStoreOps.searchStore(queries, spark, baseF,
+        k = 10, nprobe = 8).select("query_id", "item_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = VectorStoreOps.searchStore(queries, spark, b,
+        k = 10, nprobe = 8).select("query_id", "item_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & gotF).size.toDouble / gotF.size
+    }
+    val (hR, hP, hF) = (hits(baseR), hits(basePq), hits(baseF))
+    val (oR, oP) = (overlapF(baseR), overlapF(basePq))
+    assert(hF >= 18, s"float store must find planted originals: $hF/20")
+    assert(hR >= hP,
+      s"residual coding must not lose to plain pq on planted neighbors: " +
+        s"residual $hR vs plain $hP (float $hF)")
+    assert(hR >= 15, s"residual planted-neighbor recall floor: $hR/20")
+    assert(oR >= oP,
+      s"residual top-10 overlap vs float store must be >= plain pq: " +
+        f"$oR%.2f vs $oP%.2f")
+    assert(oR >= 0.35, f"residual overlap floor on clustered data: $oR%.2f")
+
+    // append + maintenance inherit and preserve the tier
+    VectorStoreOps.appendToVectorStore(delta, spark, baseR)
+    assert(VectorStoreOps.readStore(spark, baseR).count() == clustered.count())
+    VectorStoreOps.deleteFromVectorStore(
+      clustered.select("vec_id").orderBy("vec_id").limit(3), spark, baseR)
+    VectorStoreOps.compactVectorStore(spark, baseR, maxFilesPerCell = 1)
+    assert(physicalSchema(baseR) == Set("item_id", "rcodes"),
+      "maintenance rewrites must preserve the residual tier")
+    assert(VectorStoreOps.readStore(spark, baseR).count() ==
+      clustered.count() - 3)
+    info(f"planted-neighbor hits/20: float $hF residual $hR plain $hP; " +
+      f"top-10 overlap vs float: residual $oR%.2f plain $oP%.2f")
+  }
+
+  test("read-as-of: a gc=false delete keeps the prior manifest version " +
+    "readable; vacuum retention floors it, loudly past the floor") {
+    val base = Files.createTempDirectory("vstore-asof").toString
+    val store = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = SimilarityOps.ivfCentroids(store, nlist = 8, iters = 1)
+      .localCheckpoint(true)
+    VectorStoreOps.writeVectorStore(store, spark, base, cents)
+    VectorStoreOps.appendToVectorStore(delta, spark, base)
+    val vFull = VectorStoreOps.storeVersion(spark, base)
+    def searchAt(v: Long) = VectorStoreOps
+      .searchStoreAt(queries, spark, base, v, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val fullNow = VectorStoreOps
+      .searchStore(queries, spark, base, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // delete a slice with DEFERRED gc: the snapshot survives
+    VectorStoreOps.deleteFromVectorStore(
+      emb.filter(col("vec_id") % 10 === 1).select("vec_id"), spark, base,
+      gc = false)
+    val vDel = VectorStoreOps.storeVersion(spark, base)
+    assert(vDel > vFull, "a delete must advance the store version")
+    assert(VectorStoreOps.readStoreAt(spark, base, vFull).count() ==
+      emb.count(), "read-at the pre-delete version must see every vector")
+    assert(searchAt(vFull) == fullNow,
+      "search-at the pre-delete version must equal the pre-delete search")
+    assert(VectorStoreOps.readStoreAt(spark, base, vDel).count() ==
+      VectorStoreOps.readStore(spark, base).count())
+    // a second gc=false mutation, then a RETAINING vacuum: the newest
+    // prior version stays readable, the older one fails loudly
+    VectorStoreOps.deleteFromVectorStore(
+      emb.filter(col("vec_id") % 10 === 2).select("vec_id"), spark, base,
+      gc = false)
+    VectorStoreOps.vacuumStore(spark, base, retainVersions = 1)
+    assert(VectorStoreOps.readStoreAt(spark, base, vDel).count() > 0,
+      "the retained version must stay readable after the vacuum")
+    val e = intercept[IllegalArgumentException] {
+      VectorStoreOps.readStoreAt(spark, base, vFull).count()
+    }
+    assert(e.getMessage.contains("predates the retention"), e.getMessage)
+    // retain=0 collapses to latest-only; the current read is unchanged
+    val now = VectorStoreOps.readStore(spark, base).count()
+    VectorStoreOps.vacuumStore(spark, base)
+    assert(VectorStoreOps.readStore(spark, base).count() == now)
+    intercept[IllegalArgumentException] {
+      VectorStoreOps.readStoreAt(spark, base, vDel).count()
+    }
+  }
+
   test("store-served decontamination: exact vs brute force at " +
     "nprobe=nlist, a subset (never an invention) at lower nprobe") {
     val base = Files.createTempDirectory("vstore-dc").toString
