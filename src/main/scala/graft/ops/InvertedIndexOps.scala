@@ -132,12 +132,19 @@ object InvertedIndexOps {
   private def physicalTag(logical: Option[String]): String =
     s"${logical.getOrElse("adhoc")}#${java.util.UUID.randomUUID()}"
 
-  /** True iff `logical` already committed — the replay short-circuit.
-    * The ledger is one row per batch; this is a tiny pruned read. */
-  private def seen(spark: SparkSession, table: String,
-                   logical: Option[String]): Boolean =
-    logical.exists(tag => !spark.table(s"${table}_stats")
-      .filter(col("logical_tag") === tag).isEmpty)
+  /** ONE tiny ledger read per mutation: (already committed?, next seq).
+    * The replay short-circuit and the seq allocation used to be two
+    * separate reads; the ledger is one row per batch, so folding them
+    * saves a driver job on every ingest. Single-writer makes the
+    * read-then-append race-free (class doc). */
+  private def ledgerProbe(spark: SparkSession, table: String,
+                          logical: Option[String]): (Boolean, Long) = {
+    val r = spark.table(s"${table}_stats")
+      .agg(coalesce(max("seq"), lit(0L)),
+        coalesce(max(when(col("logical_tag") === lit(logical.orNull), 1)
+          .otherwise(0)), lit(0))).head()
+    (logical.isDefined && r.getInt(1) == 1, r.getLong(0) + 1L)
+  }
 
   /** Broadcastable set of committed physical tags (the ledger's
     * `batch_tag` column) — the visibility filter for postings AND
@@ -173,18 +180,15 @@ object InvertedIndexOps {
       .join(broadcast(committedTombstones(spark, table, asOfSeq)),
         Seq("doc_id"), "left_anti")
 
-  /** Append one ledger row (the commit point) under the next `seq` —
-    * the single-writer contract makes the read-max-then-append safe.
+  /** Append one ledger row (the commit point) at `seq` — callers get
+    * the slot from [[ledgerProbe]] (one read per mutation); the
+    * single-writer contract makes read-then-append race-free.
     * `nDocs`/`sumDlen` may be negative (delete). */
   private def commitLedger(spark: SparkSession, table: String, tag: String,
                            logical: Option[String], nDocs: Long,
-                           sumDlen: Long, overwrite: Boolean,
+                           sumDlen: Long, seq: Long, overwrite: Boolean,
                            basePath: Option[String] = None): Unit = {
     import spark.implicits._
-    val seq =
-      if (overwrite) 1L
-      else spark.table(s"${table}_stats")
-        .agg(coalesce(max("seq"), lit(0L))).head().getLong(0) + 1L
     val w = Seq((tag, logical.orNull, nDocs, sumDlen, seq))
       .toDF(StatsCols: _*).coalesce(1).write
     if (overwrite) {
@@ -331,16 +335,18 @@ object InvertedIndexOps {
     val tag = physicalTag(Some("seed"))
     val posts = unifiedPostings(docs, idCol, textCol)
       .withColumn("__batch", lit(tag))
-      .persist() // consumed by the postings write AND the term stats
     LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
       nBuckets, "term")
-    LayoutOps.writeBucketed(termStats(posts, tag), spark,
+    // term stats read the JUST-WRITTEN table back (three columns,
+    // columnar) rather than re-tokenizing or persisting the posting
+    // frame — on a seed the whole table IS the batch
+    LayoutOps.writeBucketed(
+      termStats(spark.table(table), tag), spark,
       termsTable(table), s"$basePath/terms", nBuckets, "term")
-    posts.unpersist()
     initTombstones(posts, spark, table, basePath)
     val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
       Some(basePath), nBuckets)
-    commitLedger(spark, table, tag, Some("seed"), n, sd,
+    commitLedger(spark, table, tag, Some("seed"), n, sd, seq = 1L,
       overwrite = true, basePath = Some(basePath))
   }
 
@@ -352,17 +358,21 @@ object InvertedIndexOps {
                         table: String, idCol: String = "doc_id",
                         textCol: String = "text",
                         batchTag: Option[String] = None): Unit = {
-    if (seen(spark, table, batchTag)) return
+    val (alreadyCommitted, seq) = ledgerProbe(spark, table, batchTag)
+    if (alreadyCommitted) return
     val tag = physicalTag(batchTag)
     val posts = unifiedPostings(batch, idCol, textCol)
       .withColumn("__batch", lit(tag))
-      .persist()
     LayoutOps.appendBucketed(posts, spark, table)
-    LayoutOps.appendBucketed(termStats(posts, tag), spark,
-      termsTable(table))
-    posts.unpersist()
+    // recompute the (delta-bounded) stats instead of persisting the
+    // posting frame: two passes over a batch beat pinning corpus-scale
+    // blocks on the ingest path
+    LayoutOps.appendBucketed(termStats(
+      unifiedPostings(batch, idCol, textCol).withColumn("__batch", lit(tag)),
+      tag), spark, termsTable(table))
     val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
-    commitLedger(spark, table, tag, batchTag, n, sd, overwrite = false)
+    commitLedger(spark, table, tag, batchTag, n, sd, seq,
+      overwrite = false)
   }
 
   // ---------------------------------------------- positional / phrase
@@ -646,7 +656,8 @@ object InvertedIndexOps {
       perDoc.select(col("doc_id"), lit(tag).as("__batch"))
         .coalesce(1).write.mode("append")
         .saveAsTable(s"${table}_tombstones")
-      commitLedger(spark, table, tag, None, -k, -s, overwrite = false)
+      commitLedger(spark, table, tag, None, -k, -s,
+        seq = ledgerProbe(spark, table, None)._2, overwrite = false)
     }
     perDoc.unpersist()
   }
@@ -766,7 +777,8 @@ object InvertedIndexOps {
     // stats, visibility and the replay guard are untouched — the row
     // carries (0, 0) mass and a tag no posting wears.
     commitLedger(spark, table, physicalTag(Some(RebuildBarrier)),
-      Some(RebuildBarrier), 0L, 0L, overwrite = false)
+      Some(RebuildBarrier), 0L, 0L,
+      seq = ledgerProbe(spark, table, None)._2, overwrite = false)
   }
 
   /** Lift [[appendToScoredIndex]] into a Structured Streaming sink —
@@ -1022,6 +1034,21 @@ object InvertedIndexOps {
     val qClass = qt.groupBy("query_id")
       .agg(max(when(essIn, 1).otherwise(0)).as("__he"))
       .localCheckpoint(true) // one row per query
+    // cost model: all-stop queries cost the same through either plan
+    // (their exact top-k needs every posting), so the pruned tier only
+    // earns its ~half-dozen extra driver jobs when a real share of the
+    // batch is mixed. Below a 10% mixed share, route the WHOLE batch
+    // to the full plan — the savings on a handful of queries can't
+    // cover the orchestration (measured ~1 s of fixed jobs at gate
+    // scale; at corpus scale the mixed share, not the corpus, is still
+    // the right dial).
+    val mixShare = qClass.agg(
+      coalesce(sum("__he"), lit(0L)).cast("double") /
+        greatest(count(lit(1)), lit(1L))).head().getDouble(0)
+    if (mixShare < 0.1) {
+      qClass.unpersist()
+      return fullIn("full-in")
+    }
     val qAllP = qClass.filter(col("__he") === 0).select("query_id")
     val hasAllStop = !qAllP.isEmpty
     val st = ledgerTotals(spark, table)

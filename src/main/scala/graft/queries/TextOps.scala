@@ -899,6 +899,13 @@ object TextOps {
       InvertedIndexOps.writeScoredIndex(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), s,
         "graft_bm25a_idx", base)
+      // the append is double-submitted under one tag (the replay-in-gate
+      // convention): a second landing would take seq 3, shift the
+      // captured handle AND double the as-of corpus mass — either flips
+      // this hash
+      InvertedIndexOps.appendToScoredIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), s,
+        "graft_bm25a_idx", batchTag = Some("b1"))
       InvertedIndexOps.appendToScoredIndex(
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), s,
         "graft_bm25a_idx", batchTag = Some("b1"))
