@@ -78,6 +78,9 @@ import org.apache.spark.sql.functions._
   * index over the survivors (gate query `text_bm25_del`). Postings
   * linger physically until a rebuild reclaims them, the same
   * linger-then-rebuild trade as the fingerprint store's tombstones.
+  * The tombstone table itself is LAZY — created by the first delete —
+  * so a never-deleted index pays no tombstone join on any search and
+  * no side-table write at build time.
   *
   * The retraction reads the `<table>_docs` SIDECAR (one (doc_id, dlen,
   * __batch) row per ingested doc, bucketed BY DOC ID, committed by the
@@ -159,13 +162,29 @@ object InvertedIndexOps {
       .select("batch_tag").distinct()
   }
 
-  /** Committed tombstoned doc ids. */
+  private def tombTable(table: String) = s"${table}_tombstones"
+
+  /** Committed tombstoned doc ids (only meaningful once the tombstone
+    * table exists — see [[minusTombstones]]). */
   private def committedTombstones(spark: SparkSession, table: String,
                                   asOfSeq: Option[Long] = None): DataFrame =
-    spark.table(s"${table}_tombstones")
+    spark.table(tombTable(table))
       .join(broadcast(committedTags(spark, table, asOfSeq)),
         col("__batch") === col("batch_tag"), "left_semi")
       .select("doc_id")
+
+  /** Anti-join `df` against the committed tombstones — skipped WHOLE
+    * when the index has never seen a delete: the tombstone table is
+    * created lazily by the first [[deleteFromTextIndex]], so a
+    * never-deleted store's searches carry no tombstone join at all
+    * (one broadcast stage fewer on every query, one side table fewer
+    * on every build). */
+  private def minusTombstones(df: DataFrame, spark: SparkSession,
+                              table: String,
+                              asOfSeq: Option[Long] = None): DataFrame =
+    if (!spark.catalog.tableExists(tombTable(table))) df
+    else df.join(broadcast(committedTombstones(spark, table, asOfSeq)),
+      Seq("doc_id"), "left_anti")
 
   /** Live postings under `pred`: the pruned scan, restricted to
     * committed batches, minus tombstoned docs. `pred` lands directly on
@@ -174,11 +193,11 @@ object InvertedIndexOps {
   private def livePostings(spark: SparkSession, table: String,
                            pred: Column,
                            asOfSeq: Option[Long] = None): DataFrame =
-    spark.table(table).filter(pred)
-      .join(broadcast(committedTags(spark, table, asOfSeq)),
-        col("__batch") === col("batch_tag"), "left_semi")
-      .join(broadcast(committedTombstones(spark, table, asOfSeq)),
-        Seq("doc_id"), "left_anti")
+    minusTombstones(
+      spark.table(table).filter(pred)
+        .join(broadcast(committedTags(spark, table, asOfSeq)),
+          col("__batch") === col("batch_tag"), "left_semi"),
+      spark, table, asOfSeq)
 
   /** Append one ledger row (the commit point) at `seq` — callers get
     * the slot from [[ledgerProbe]] (one read per mutation); the
@@ -223,15 +242,6 @@ object InvertedIndexOps {
           "would need; keep pre-rebuild snapshots elsewhere if older " +
           "reads must stay alive")
     }
-
-  /** Fresh empty tombstone table beside the index. */
-  private def initTombstones(posts: DataFrame, spark: SparkSession,
-                             table: String, basePath: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
-    posts.select(col("doc_id"), lit("").as("__batch")).limit(0)
-      .write.mode("overwrite").option("path", s"$basePath/tombstones")
-      .saveAsTable(s"${table}_tombstones")
-  }
 
   private def docsTable(table: String) = s"${table}_docs"
 
@@ -343,7 +353,15 @@ object InvertedIndexOps {
     LayoutOps.writeBucketed(
       termStats(spark.table(table), tag), spark,
       termsTable(table), s"$basePath/terms", nBuckets, "term")
-    initTombstones(posts, spark, table, basePath)
+    // a prior index at this TABLE NAME may have left a tombstone table;
+    // a re-seed starts with a clean slate (no lingering tombstones —
+    // the table reappears lazily on the first delete). The FILES go
+    // too: the lazy table is external (under this base), and a stale
+    // dir would otherwise resurface as tombstones on the next delete.
+    spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
+    new org.apache.hadoop.fs.Path(s"$basePath/tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$basePath/tombstones"), true)
     val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
       Some(basePath), nBuckets)
     commitLedger(spark, table, tag, Some("seed"), n, sd, seq = 1L,
@@ -640,8 +658,8 @@ object InvertedIndexOps {
                           table: String, idCol: String = "doc_id",
                           maxPrunedIds: Int = 65536): Unit = {
     requireSidecar(spark, table, "deleteFromTextIndex")
-    val want = ids.select(col(idCol).as("doc_id")).distinct()
-      .join(committedTombstones(spark, table), Seq("doc_id"), "left_anti")
+    val want = minusTombstones(
+      ids.select(col(idCol).as("doc_id")).distinct(), spark, table)
     val sample = want.limit(maxPrunedIds + 1).collect().map(_.get(0))
     if (sample.isEmpty) return
     val perDoc = (if (sample.length <= maxPrunedIds)
@@ -653,9 +671,23 @@ object InvertedIndexOps {
     val (k, s) = (agg.getLong(0), agg.getLong(1))
     if (k > 0) {
       val tag = physicalTag(Some("delete"))
-      perDoc.select(col("doc_id"), lit(tag).as("__batch"))
+      // the first delete CREATES the table, as an EXTERNAL table
+      // beside the index (derived from the postings table's location —
+      // a managed table would collide with stale warehouse dirs left
+      // by earlier JVMs' same-named indexes): the lazy-tombstone
+      // contract minusTombstones keys on
+      val w = perDoc.select(col("doc_id"), lit(tag).as("__batch"))
         .coalesce(1).write.mode("append")
-        .saveAsTable(s"${table}_tombstones")
+      if (spark.catalog.tableExists(tombTable(table)))
+        w.saveAsTable(tombTable(table))
+      else {
+        val postingsLoc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+        val tombPath = new org.apache.hadoop.fs.Path(
+          postingsLoc.getParent, "tombstones").toString
+        w.option("path", tombPath).saveAsTable(tombTable(table))
+      }
       commitLedger(spark, table, tag, None, -k, -s,
         seq = ledgerProbe(spark, table, None)._2, overwrite = false)
     }
@@ -742,22 +774,22 @@ object InvertedIndexOps {
   def rebuildTextIndex(spark: SparkSession, table: String,
                        basePath: String, nBuckets: Int = 16): Unit = {
     requireSidecar(spark, table, "rebuildTextIndex")
-    val live = spark.table(table)
-      .join(broadcast(committedTags(spark, table)),
-        col("__batch") === col("batch_tag"), "left_semi")
-      .join(broadcast(committedTombstones(spark, table)),
-        Seq("doc_id"), "left_anti")
+    val live = minusTombstones(
+      spark.table(table)
+        .join(broadcast(committedTags(spark, table)),
+          col("__batch") === col("batch_tag"), "left_semi"),
+      spark, table)
     LayoutOps.writeBucketed(live, spark, table, s"$basePath/postings",
       nBuckets, "term")
     // the doc sidecar compacts under the same rule (live rows, ORIGINAL
     // tags): deleted docs' rows go, the ledger already carries their
     // negative correction, and a replayed delete of them stays a no-op
     // via the untouched tombstone table
-    val liveDocs = spark.table(docsTable(table))
-      .join(broadcast(committedTags(spark, table)),
-        col("__batch") === col("batch_tag"), "left_semi")
-      .join(broadcast(committedTombstones(spark, table)),
-        Seq("doc_id"), "left_anti")
+    val liveDocs = minusTombstones(
+      spark.table(docsTable(table))
+        .join(broadcast(committedTags(spark, table)),
+          col("__batch") === col("batch_tag"), "left_semi"),
+      spark, table)
     LayoutOps.writeBucketed(liveDocs, spark, docsTable(table),
       s"$basePath/docs", nBuckets, "doc_id")
     // the `<table>_terms` statistics sidecar is deliberately NOT
