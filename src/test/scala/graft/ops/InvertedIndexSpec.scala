@@ -594,6 +594,25 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(route50.contains("fallback"),
       s"k=50 must refuse the pruned answer: $route50")
     assert(got50 == want50, "refused queries must re-run exactly")
+    // the cost-model floor: a batch whose mixed-query share is under
+    // 10% routes WHOLE to the full plan (all-stop queries cost the
+    // same either way; the pruned tier's orchestration jobs only get
+    // spent where stopword fan-out is avoidable) — same answers
+    val manyStop = (Seq((100L, Seq("zebra", "the"))) ++
+      (101L to 119L).map(i => (i, Seq("the", "of"))))
+      .toDF("query_id", "terms")
+    def runMany(frac: Double) = {
+      val (df, route) = InvertedIndexOps.searchBm25BatchDiag(
+        manyStop, spark, "tidx_wand", topK = 3, stopDfFrac = frac)
+      (df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(t => (t._1, t._3)).toSeq,
+        route)
+    }
+    val (gotM, routeM) = runMany(0.5)
+    assert(routeM == "full-in",
+      s"a 5%-mixed batch must route whole to the full plan: $routeM")
+    assert(gotM == runMany(1.1)._1)
+
     // bounds survive a delete (ledger-subtracted, never under-bounding):
     // drop two zebra docs and compare again
     InvertedIndexOps.deleteFromTextIndex(
