@@ -893,9 +893,11 @@ object InvertedIndexOps {
     * coalesces it (no fixed partition count). */
   private def bm25BatchFull(qt: DataFrame, posts: DataFrame,
                             spark: SparkSession, table: String, topK: Int,
-                            k1: Double, b: Double): DataFrame = {
+                            k1: Double, b: Double,
+                            asOfSeq: Option[Long] = None): DataFrame = {
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = bm25Contrib(posts, dfreq, ledgerTotals(spark, table), k1, b)
+    val contrib = bm25Contrib(posts, dfreq,
+      ledgerTotals(spark, table, asOfSeq), k1, b)
     bm25Rank(contrib.join(qt, "term")
       .repartition(col("query_id"), col("doc_id"))
       .groupBy("query_id", "doc_id")
@@ -966,14 +968,20 @@ object InvertedIndexOps {
     * the exact r14 plan); the default 0.5 is the classic stopword
     * threshold. Pruning also steps aside when the terms sidecar is
     * missing (pre-r15 index), the universe overflows `maxPrunedTerms`,
-    * or (k1, b) leave the Robertson kernel's monotone regime. */
+    * (k1, b) leave the Robertson kernel's monotone regime, under a 10%
+    * mixed-query share (all-stop queries cost the same either way), or
+    * under `asOfSeq` — time travel runs the full plan with the
+    * [[searchBm25]] ledger-prefix visibility (the bound sidecar
+    * describes the CURRENT index; prefix-filtered bounds would buy
+    * little on an audit/rollback path). */
   def searchBm25Batch(queries: DataFrame, spark: SparkSession,
                       table: String, topK: Int,
                       k1: Double = 1.2, b: Double = 0.75,
                       maxPrunedTerms: Int = 1024,
-                      stopDfFrac: Double = 0.5): DataFrame =
+                      stopDfFrac: Double = 0.5,
+                      asOfSeq: Option[Long] = None): DataFrame =
     searchBm25BatchDiag(queries, spark, table, topK, k1, b,
-      maxPrunedTerms, stopDfFrac)._1
+      maxPrunedTerms, stopDfFrac, asOfSeq)._1
 
   /** [[searchBm25Batch]] plus the route the planner took — a test
     * seam ("full-scan", "full-in", "pruned", "pruned+fallback",
@@ -984,9 +992,11 @@ object InvertedIndexOps {
                                        table: String, topK: Int,
                                        k1: Double = 1.2, b: Double = 0.75,
                                        maxPrunedTerms: Int = 1024,
-                                       stopDfFrac: Double = 0.5)
+                                       stopDfFrac: Double = 0.5,
+                                       asOfSeq: Option[Long] = None)
       : (DataFrame, String) = {
     import spark.implicits._
+    requireAsOfReadable(spark, table, asOfSeq)
     // lowercase BEFORE the distinct ("Batch" and "batch" are one query
     // term, not a doubled contribution), matching searchBm25's
     // normalize-then-dedup order
@@ -1008,14 +1018,19 @@ object InvertedIndexOps {
     }
     if (universe.length > maxPrunedTerms)
       return finish(bm25BatchFull(qt,
-        livePostings(spark, table, lit(true))
+        livePostings(spark, table, lit(true), asOfSeq)
           .join(qt.select("term").distinct(), Seq("term"), "left_semi"),
-        spark, table, topK, k1, b), "full-scan")
+        spark, table, topK, k1, b, asOfSeq), "full-scan")
     val inAll = col("term").isin(universe.toIndexedSeq: _*)
     def fullIn(route: String) = finish(
-      bm25BatchFull(qt, livePostings(spark, table, inAll),
-        spark, table, topK, k1, b), route)
-    if (universe.isEmpty || stopDfFrac >= 1.0 || b < 0 || b > 1 ||
+      bm25BatchFull(qt, livePostings(spark, table, inAll, asOfSeq),
+        spark, table, topK, k1, b, asOfSeq), route)
+    // an as-of batch always runs the full plan: the bound sidecar's
+    // statistics describe the CURRENT index (they only ever loosen over
+    // time), so pruning a historical read would need prefix-filtered
+    // bounds for marginal gain on an audit/rollback path
+    if (asOfSeq.isDefined || universe.isEmpty || stopDfFrac >= 1.0 ||
+        b < 0 || b > 1 ||
         k1 <= 0 || !spark.catalog.tableExists(termsTable(table)))
       return fullIn("full-in")
     // ONE bounded probe job: committed bound statistics for the term

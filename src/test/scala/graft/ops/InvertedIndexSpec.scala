@@ -663,6 +663,21 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(res(None) ==
       InvertedIndexOps.searchBm25(spark, "tidx_asof_v", terms, topK = 20)
         .collect().toSeq)
+    // the BATCH path time-travels identically (routed to the full
+    // plan: the bound sidecar describes the CURRENT index, so a
+    // historical read never prunes)
+    val qs = Seq((0L, terms), (1L, Seq("batch", "hash")))
+      .toDF("query_id", "terms")
+    val (batchAt, routeAt) = InvertedIndexOps.searchBm25BatchDiag(
+      qs, spark, "tidx_asof", topK = 20, asOfSeq = Some(atFull))
+    assert(routeAt == "full-in", routeAt)
+    val got0 = batchAt.filter(col("query_id") === 0L)
+      .select("doc_id", "score", "matched")
+      .orderBy(desc("score"), col("doc_id")).collect().toSeq
+    assert(got0 == InvertedIndexOps
+      .searchBm25(spark, "tidx_asof", terms, topK = 20,
+        asOfSeq = Some(atFull)).collect().toSeq,
+      "batched as-of must equal the per-query as-of search")
     // out-of-range seqs fail loudly
     intercept[IllegalArgumentException] { res(Some(0L)) }
     intercept[IllegalArgumentException] { res(Some(999L)) }
