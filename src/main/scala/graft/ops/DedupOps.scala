@@ -478,19 +478,24 @@ object DedupOps {
     // trade for corpora KNOWN to fit executor storage (gate fixtures,
     // mid-size backfills): one staged pass feeds both writes — the same
     // one-pass shape as the ingest operators.
+    // the two tables are disjoint (bands vs sets) — their writes are
+    // independent jobs, submitted concurrently so one write's task tail
+    // back-fills the other
     if (stageSeed) {
       val staged = stagedFingerprints(docs, idCol, textCol, seam)
         .localCheckpoint(true)
-      LayoutOps.writeBucketed(explodeBands(staged, seam), spark,
-        bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
-      LayoutOps.writeBucketed(staged.select("id", "ss"), spark,
-        setsTable, s"$basePath/sets", nBuckets, "id")
+      graft.util.Par.run(
+        () => LayoutOps.writeBucketed(explodeBands(staged, seam), spark,
+          bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash"),
+        () => LayoutOps.writeBucketed(staged.select("id", "ss"), spark,
+          setsTable, s"$basePath/sets", nBuckets, "id"))
       staged.unpersist()
     } else {
-      LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol, seam), spark,
-        bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash")
-      LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol, seam), spark,
-        setsTable, s"$basePath/sets", nBuckets, "id")
+      graft.util.Par.run(
+        () => LayoutOps.writeBucketed(bandFrame(docs, idCol, textCol, seam),
+          spark, bandsTable, s"$basePath/bands", nBuckets, "band", "bandHash"),
+        () => LayoutOps.writeBucketed(shingleSets(docs, idCol, textCol, seam),
+          spark, setsTable, s"$basePath/sets", nBuckets, "id"))
     }
   }
 
@@ -511,8 +516,12 @@ object DedupOps {
     // instead — see its note)
     val staged = stagedFingerprints(batch, idCol, textCol, seam)
       .localCheckpoint(true)
-    LayoutOps.appendBucketed(explodeBands(staged, seam), spark, bandsTable)
-    LayoutOps.appendBucketed(staged.select("id", "ss"), spark, setsTable)
+    // disjoint tables — independent appends, submitted concurrently
+    graft.util.Par.run(
+      () => LayoutOps.appendBucketed(explodeBands(staged, seam), spark,
+        bandsTable),
+      () => LayoutOps.appendBucketed(staged.select("id", "ss"), spark,
+        setsTable))
   }
 
   /** Right-to-be-forgotten for the dedup tier: tombstone `ids` so no
@@ -567,10 +576,12 @@ object DedupOps {
     val liveBands = bands.join(tomb, Seq("id"), "left_anti")
     val newSets = liveSets.unionByName(
       tomb.withColumn("ss", lit(null).cast(sets.schema("ss").dataType)))
-    LayoutOps.writeBucketed(liveBands, spark, bandsTable,
-      s"$basePath/bands", nBuckets, "band", "bandHash")
-    LayoutOps.writeBucketed(newSets, spark, setsTable,
-      s"$basePath/sets", nBuckets, "id")
+    // disjoint tables — independent rewrites, submitted concurrently
+    graft.util.Par.run(
+      () => LayoutOps.writeBucketed(liveBands, spark, bandsTable,
+        s"$basePath/bands", nBuckets, "band", "bandHash"),
+      () => LayoutOps.writeBucketed(newSets, spark, setsTable,
+        s"$basePath/sets", nBuckets, "id"))
   }
 
   /** Near-dup pairs `(id_old, id_new, est_jaccard, jaccard)` between a

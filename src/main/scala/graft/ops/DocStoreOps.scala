@@ -103,26 +103,35 @@ object DocStoreOps {
   def applyChanges(changes: DataFrame, spark: SparkSession, basePath: String,
                    key: String, seqCol: String, opCol: String,
                    nBuckets: Int = 64): Unit = {
-    // within-batch election first: the store-side re-election then joins
-    // one row per key, so a million-change batch with hot keys costs one
-    // keyed window over the BATCH, never over the store
-    val winners = electWinners(
-      withBucket(changes.withColumnRenamed(opCol, OP), key, nBuckets),
-      key, seqCol)
-      // freeze before reading the files this apply will overwrite
-      .localCheckpoint(true)
-    val touched = winners.select(BUCKET).distinct()
+    val batch = withBucket(changes.withColumnRenamed(opCol, OP), key, nBuckets)
+    // touched buckets come off the RAW batch with one map-side-partial
+    // aggregate: the election keeps (at least) one winner per key, so
+    // winners' bucket set ≡ the batch's — probing the batch instead of
+    // a materialized winner frame drops the old shape's per-apply
+    // window pass + eager checkpoint over the batch. (`changes` is
+    // evaluated twice — probe + election — which the apply contract
+    // already assumes is safe: a crash-retry re-evaluates it too.)
+    val touched = batch.select(BUCKET).distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets, never batch-sized
+    if (touched.isEmpty) return // empty batch: nothing to elect or rewrite
     // store rows carry their own OP (tombstones included), so the
-    // re-election sees deletes' sequences and stale resurrections lose.
+    // election sees deletes' sequences and stale resurrections lose.
     // mergeSchema + allowMissingColumns = SCHEMA EVOLUTION: a batch may
     // add payload columns; rewritten buckets carry the widened schema,
     // untouched buckets keep theirs, and rows from before the column
     // existed read as null (spec-pinned).
     val affected = spark.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col(BUCKET).isin(touched.toIndexedSeq: _*))
+    // ONE election over (store slice ∪ raw batch): the old within-batch
+    // election followed by a re-election against the store composes into
+    // a single election because the winner order is TOTAL and the
+    // election associative (electWinners doc) — same winners, one window
+    // pass instead of two. The bucket IN-filter is pure insurance: no
+    // bucket outside the probed set may ever be dynamically overwritten
+    // (it would replace store rows that were never read back).
     val merged = electWinners(
-      affected.unionByName(winners, allowMissingColumns = true), key, seqCol)
+      affected.unionByName(batch, allowMissingColumns = true), key, seqCol)
+      .filter(col(BUCKET).isin(touched.toIndexedSeq: _*))
       // materialize BEFORE overwriting the partitions `affected` reads
       // (bounded: the touched slice of the store plus the batch)
       .localCheckpoint(true)

@@ -116,9 +116,18 @@ object GraphOps {
     * the loop's ONLY copy of the edge state — a lost executor kills the
     * whole loop. With a `checkpointDir` the state goes to reliable storage
     * (`sparkContext.setCheckpointDir` + `checkpoint()`), surviving
-    * executor loss at the cost of a DFS write per round. */
+    * executor loss at the cost of a DFS write per round.
+    *
+    * The local cut is LAZY: every call site runs the round's
+    * [[signature]] aggregate immediately after, and that one job both
+    * computes the signature and persists the cut's blocks — an eager
+    * cut spent a whole extra materialization job per round just to then
+    * aggregate what it had materialized. The reliable path stays eager:
+    * a lazy `checkpoint()` recomputes the RDD a second time to write
+    * the checkpoint files (the classic double-computation), which is
+    * exactly the cost the eager form avoids. */
   private def cut(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = false)
 
   /** Connected components of the undirected graph given as an edge list.
     * Returns one row per node that appears in any NON-degenerate edge:
@@ -347,8 +356,9 @@ object GraphOps {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       // three consumers (degrees, orientation, closing join): one
-      // materialization, freed before returning the one-row result
-      .localCheckpoint(true)
+      // materialization — LAZY, the nEdges count below persists the
+      // blocks as it runs — freed before returning the one-row result
+      .localCheckpoint(false)
     val deg = e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))

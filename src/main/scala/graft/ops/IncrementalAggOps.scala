@@ -239,9 +239,18 @@ object IncrementalAggOps {
     // `:+ -1L`: a store seeded from an EMPTY frame has a committed but
     // row-less manifest, and a bare .max would throw on the first merge
     val next = (manifest.map(_._1) :+ -1L).max + 1
-    val dAgg = bucketed(delta, keys, measures, nBuckets, kinds)
-      .localCheckpoint(true) // consumed by the bucket probe AND the fold
-    val touched = dAgg.select(BUCKET).distinct()
+    // the RAW delta rides straight into the fold below: pre-aggregating
+    // it first was a whole extra exchange (delta → hash-agg on keys →
+    // checkpoint → union → hash-agg on keys+bucket) whose reduction the
+    // fold's own map-side partial aggregation performs anyway — one
+    // exchange instead of two, no eager delta checkpoint. The bucket
+    // probe is one map-side-partial distinct over the delta's derived
+    // bucket column (bounded by nBuckets); the delta is evaluated twice
+    // (probe + fold), which the fold contract already assumes is safe —
+    // a crash-retry re-evaluates it too.
+    val dRaw = delta.withColumn(BUCKET, pmod(hash(keys.map(col): _*),
+      lit(nBuckets)))
+    val touched = dRaw.select(BUCKET).distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets, never data-sized
     if (touched.isEmpty) {
       // an all-empty tagged batch still records its replay marker
@@ -257,17 +266,21 @@ object IncrementalAggOps {
         s"$basePath/v=$v/$BUCKET=$bk" }
     // leaf-dir reads carry no partition columns; the bucket is a pure
     // function of the keys, so recompute it (same value as the dir name)
+    val dCols = (keys ++ measures :+ BUCKET).map(col)
     val affected =
-      if (touchedDirs.isEmpty) dAgg.filter(lit(false))
+      if (touchedDirs.isEmpty) dRaw.select(dCols: _*).filter(lit(false))
       else spark.read.parquet(touchedDirs: _*)
         .withColumn(BUCKET, pmod(hash(keys.map(col): _*), lit(nBuckets)))
     val exprs = measures.map(m => mergeExpr(kindOf(kinds, measures, m), m))
     // copy-on-write: the fold writes v=next, never over what it reads —
-    // no read-own-write fence (and no eager checkpoint) needed
-    affected.unionByName(dAgg)
+    // no read-own-write fence (and no eager checkpoint) needed. Folding
+    // store partials with RAW delta rows is exact for every supported
+    // kind (sum/min/max are commutative monoids over rows and partials
+    // alike).
+    affected.select(dCols: _*).unionByName(dRaw.select(dCols: _*))
       .groupBy((keys :+ BUCKET).map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
-      .select((keys ++ measures :+ BUCKET).map(col): _*)
+      .select(dCols: _*)
       .write.mode("overwrite") // a torn prior attempt at this id is replaced
       .partitionBy(BUCKET).parquet(s"$basePath/v=$next")
     val written = writtenBuckets(spark, s"$basePath/v=$next")

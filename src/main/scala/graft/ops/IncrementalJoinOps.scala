@@ -152,20 +152,26 @@ object IncrementalJoinOps {
     fs.delete(new org.apache.hadoop.fs.Path(manifestPath(base)), true)
     Sides.foreach(s =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$s"), true))
-    val rows = Seq(("a", a), ("b", b), ("j", a.join(b, key))).flatMap {
-      case (side, df) =>
-        // schema side-car: one empty parquet footer per side, so empty
-        // live-dir resolutions (empty initial join, all-empty refreshes,
-        // the streamed path's ΔB) get the TRUE schema without listing a
-        // single data directory
-        df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(schemaPath(base, side))
-        val dir = s"$base/$side/c=0"
-        withBucket(df, key, nBuckets)
-          .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(dir)
+    // the three sides' builds are INDEPENDENT jobs writing disjoint
+    // paths — submit them concurrently so each job's task tail
+    // back-fills the next (the manifest, the single commit point,
+    // still lands once and last)
+    val sides = IndexedSeq(("a", a), ("b", b), ("j", a.join(b, key)))
+    val rowsBySide = new Array[Seq[ManifestRow]](sides.size)
+    graft.util.Par.run(sides.zipWithIndex.map { case ((side, df), i) => () => {
+      // schema side-car: one empty parquet footer per side, so empty
+      // live-dir resolutions (empty initial join, all-empty refreshes,
+      // the streamed path's ΔB) get the TRUE schema without listing a
+      // single data directory
+      df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(schemaPath(base, side))
+      val dir = s"$base/$side/c=0"
+      withBucket(df, key, nBuckets)
+        .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(dir)
+      rowsBySide(i) =
         writtenBuckets(spark, dir).map(bk => ManifestRow(0L, side, bk, None))
-    }
-    writeManifest(spark, base, rows, append = false)
+    }}: _*)
+    writeManifest(spark, base, rowsBySide.toIndexedSeq.flatten, append = false)
   }
 
   /** Fold new rows into both sides and the view. Either delta may be
@@ -183,36 +189,56 @@ object IncrementalJoinOps {
 
   /** The refresh against an already-read manifest — each public entry
     * reads the manifest exactly once and threads it here (the tagged
-    * streaming path would otherwise pay two collects per batch). */
+    * streaming path would otherwise pay two collects per batch).
+    *
+    * Plan shape: the two DELTA COMMIT DIRECTORIES land first (their
+    * writes are independent jobs, submitted concurrently so one's task
+    * tail back-fills the other), and everything downstream derives from
+    * what was WRITTEN — the touched-bucket sets come off one driver
+    * listing per side (the same listing the manifest rows need anyway)
+    * and the ΔJ terms read the written files back. The written dirs ARE
+    * the frozen snapshot, so the eager per-delta localCheckpoint (a
+    * second full materialization of each delta) and the per-side
+    * distinct-bucket collect jobs the old shape paid are gone — four
+    * actions per refresh instead of eight, and at corpus scale each
+    * delta's bytes are materialized once (its commit file), not twice
+    * (checkpoint blocks + commit file). */
   private def applyManifest(dA: DataFrame, dB: DataFrame, spark: SparkSession,
                             base: String, key: String, nBuckets: Int,
                             tag: Option[Long],
                             manifest: Array[ManifestRow]): Unit = {
     val next = (manifest.map(_.c) :+ -1L).max + 1
-    // freeze the deltas: the bucket sets are read twice and the ΔJ
-    // write must not race a source that could re-evaluate differently
-    val dAw = withBucket(dA, key, nBuckets).localCheckpoint(true)
-    val dBw = withBucket(dB, key, nBuckets).localCheckpoint(true)
-    def buckets(d: DataFrame): Set[Int] =
-      d.select(BUCKET).distinct().collect().map(_.getInt(0)).toSet
-    val tA = buckets(dAw) // bounded by nBuckets
-    val tB = buckets(dBw)
-    // pre-append states by construction: the manifest was read before
-    // any new directory lands, so the commit dirs written below are
-    // invisible to these resolutions
-    val aAff = readSideLive(spark, base, "a", manifest, Some(tB),
-      dAw.drop(BUCKET))
-    val bAff = readSideLive(spark, base, "b", manifest, Some(tA),
-      dBw.drop(BUCKET))
-    val deltaJ = dAw.drop(BUCKET).join(bAff, key)
-      .unionByName(aAff.join(dBw.drop(BUCKET), key))
-      .unionByName(dAw.drop(BUCKET).join(dBw.drop(BUCKET), key))
-    val rows = Seq(("a", dAw), ("b", dBw),
-      ("j", withBucket(deltaJ, key, nBuckets))).flatMap { case (side, df) =>
-      val dir = s"$base/$side/c=$next"
+    def deltaDir(side: String) = s"$base/$side/c=$next"
+    def writeDelta(side: String, d: DataFrame): Unit =
       // overwrite: a torn previous attempt at this commit id is replaced
-      df.write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(dir)
-      writtenBuckets(spark, dir).map(bk => ManifestRow(next, side, bk, tag))
+      withBucket(d, key, nBuckets)
+        .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(deltaDir(side))
+    graft.util.Par.run(() => writeDelta("a", dA), () => writeDelta("b", dB))
+    val bkA = writtenBuckets(spark, deltaDir("a"))
+    val bkB = writtenBuckets(spark, deltaDir("b"))
+    // the just-written commit dirs read back: a stable on-disk snapshot
+    // of each delta (`like` supplies the schema when the delta was empty
+    // and wrote no bucket directory)
+    def readDelta(side: String, bks: Seq[Int], like: => DataFrame): DataFrame =
+      if (bks.isEmpty) like.filter(lit(false))
+      else spark.read.option("basePath", s"$base/$side")
+        .parquet(bks.map(bk => s"${deltaDir(side)}/$BUCKET=$bk"): _*)
+        .drop("c", BUCKET)
+    val dAr = readDelta("a", bkA, dA)
+    val dBr = readDelta("b", bkB, dB)
+    // pre-append states by construction: readSideLive resolves the
+    // manifest read before any new directory landed, so the commit dirs
+    // written above are invisible to these resolutions
+    val aAff = readSideLive(spark, base, "a", manifest, Some(bkB.toSet), dA)
+    val bAff = readSideLive(spark, base, "b", manifest, Some(bkA.toSet), dB)
+    val deltaJ = dAr.join(bAff, key)
+      .unionByName(aAff.join(dBr, key))
+      .unionByName(dAr.join(dBr, key))
+    withBucket(deltaJ, key, nBuckets)
+      .write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(deltaDir("j"))
+    val rows = Seq(("a", bkA), ("b", bkB),
+      ("j", writtenBuckets(spark, deltaDir("j")))).flatMap { case (side, bks) =>
+      bks.map(bk => ManifestRow(next, side, bk, tag))
     }
     // an all-empty tagged refresh still records its replay marker
     val withMarker =
@@ -221,7 +247,6 @@ object IncrementalJoinOps {
     // the commit point for all three tables at once
     if (withMarker.nonEmpty)
       writeManifest(spark, base, withMarker, append = true)
-    dAw.unpersist(); dBw.unpersist()
   }
 
   /** The maintained join (all buckets); a live-but-empty view (no key

@@ -345,14 +345,6 @@ object InvertedIndexOps {
     val tag = physicalTag(Some("seed"))
     val posts = unifiedPostings(docs, idCol, textCol)
       .withColumn("__batch", lit(tag))
-    LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
-      nBuckets, "term")
-    // term stats read the JUST-WRITTEN table back (three columns,
-    // columnar) rather than re-tokenizing or persisting the posting
-    // frame — on a seed the whole table IS the batch
-    LayoutOps.writeBucketed(
-      termStats(spark.table(table), tag), spark,
-      termsTable(table), s"$basePath/terms", nBuckets, "term")
     // a prior index at this TABLE NAME may have left a tombstone table;
     // a re-seed starts with a clean slate (no lingering tombstones —
     // the table reappears lazily on the first delete). The FILES go
@@ -362,10 +354,26 @@ object InvertedIndexOps {
     new org.apache.hadoop.fs.Path(s"$basePath/tombstones")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(s"$basePath/tombstones"), true)
-    val (n, sd) = putSidecar(docs, spark, table, idCol, textCol, tag,
-      Some(basePath), nBuckets)
-    commitLedger(spark, table, tag, Some("seed"), n, sd, seq = 1L,
-      overwrite = true, basePath = Some(basePath))
+    // two independent write chains, submitted concurrently (the doc
+    // sidecar never reads the postings and vice versa; the ledger — the
+    // one commit point for all three tables — still lands once, LAST):
+    //  - postings, then term stats off the just-written table (three
+    //    columns, columnar) rather than re-tokenizing or persisting the
+    //    posting frame — on a seed the whole table IS the batch;
+    //  - the doc sidecar, whose aggregate also yields the ledger stats.
+    var stats: (Long, Long) = null
+    graft.util.Par.run(
+      () => {
+        LayoutOps.writeBucketed(posts, spark, table, s"$basePath/postings",
+          nBuckets, "term")
+        LayoutOps.writeBucketed(
+          termStats(spark.table(table), tag), spark,
+          termsTable(table), s"$basePath/terms", nBuckets, "term")
+      },
+      () => stats = putSidecar(docs, spark, table, idCol, textCol, tag,
+        Some(basePath), nBuckets))
+    commitLedger(spark, table, tag, Some("seed"), stats._1, stats._2,
+      seq = 1L, overwrite = true, basePath = Some(basePath))
   }
 
   /** Ingest a batch: its postings and term stats append under the same
@@ -381,15 +389,19 @@ object InvertedIndexOps {
     val tag = physicalTag(batchTag)
     val posts = unifiedPostings(batch, idCol, textCol)
       .withColumn("__batch", lit(tag))
-    LayoutOps.appendBucketed(posts, spark, table)
-    // recompute the (delta-bounded) stats instead of persisting the
-    // posting frame: two passes over a batch beat pinning corpus-scale
-    // blocks on the ingest path
-    LayoutOps.appendBucketed(termStats(
-      unifiedPostings(batch, idCol, textCol).withColumn("__batch", lit(tag)),
-      tag), spark, termsTable(table))
-    val (n, sd) = putSidecar(batch, spark, table, idCol, textCol, tag, None)
-    commitLedger(spark, table, tag, batchTag, n, sd, seq,
+    // three INDEPENDENT batch-derived appends (postings, term stats
+    // recomputed from the delta — two passes over a batch beat pinning
+    // corpus-scale blocks on the ingest path — and the doc sidecar),
+    // submitted concurrently; the ledger row, the single commit point
+    // for all three, lands once and LAST as before
+    var stats: (Long, Long) = null
+    graft.util.Par.run(
+      () => LayoutOps.appendBucketed(posts, spark, table),
+      () => LayoutOps.appendBucketed(termStats(
+        unifiedPostings(batch, idCol, textCol).withColumn("__batch", lit(tag)),
+        tag), spark, termsTable(table)),
+      () => stats = putSidecar(batch, spark, table, idCol, textCol, tag, None))
+    commitLedger(spark, table, tag, batchTag, stats._1, stats._2, seq,
       overwrite = false)
   }
 
@@ -508,7 +520,9 @@ object InvertedIndexOps {
     val qt = queries.select(col("query_id"),
       posexplode(transform(col("terms"), t => lower(t))))
       .select(col("query_id"), col("pos").as("__i"), col("col").as("term"))
-      .localCheckpoint(true) // consumed by the term probe AND the join
+      // consumed by the term probe AND the join; LAZY — the probe's
+      // bounded collect materializes it in the same job
+      .localCheckpoint(false)
     val qk = queries.select(col("query_id"),
       size(col("terms")).as("__k"))
     val posts = livePostingsForTerms(spark, table, qt.select("term"),
@@ -662,36 +676,59 @@ object InvertedIndexOps {
       ids.select(col(idCol).as("doc_id")).distinct(), spark, table)
     val sample = want.limit(maxPrunedIds + 1).collect().map(_.get(0))
     if (sample.isEmpty) return
-    val perDoc = (if (sample.length <= maxPrunedIds)
-      rtbfDocFrame(spark, table, Left(sample.toIndexedSeq))
-    else rtbfDocFrame(spark, table, Right(want)))
-      .localCheckpoint(true)
-    val agg = perDoc.agg(count(lit(1)).as("k"),
-      coalesce(sum("dlen"), lit(0L)).as("s")).head()
-    val (k, s) = (agg.getLong(0), agg.getLong(1))
+    // the retraction frame is REQUEST-sized by construction, so on the
+    // pruned path it is collected outright: the one bounded job yields
+    // the tombstone rows AND the (k, Σdlen) retraction in one pass —
+    // no eager checkpoint, no second aggregate job. Only the
+    // degraded (> maxPrunedIds) path keeps the frame distributed.
+    val tag = physicalTag(Some("delete"))
+    var pinned: Option[DataFrame] = None // degraded path's checkpoint
+    val (tomb, k, s) =
+      if (sample.length <= maxPrunedIds) {
+        import spark.implicits._
+        val rows = rtbfDocFrame(spark, table, Left(sample.toIndexedSeq))
+          .collect() // bounded: ≤ maxPrunedIds (doc_id, dlen) rows
+        (rows.map(_.getLong(0)).toIndexedSeq.toDF("doc_id")
+          .withColumn("__batch", lit(tag)),
+          rows.length.toLong, rows.map(_.getLong(1)).sum)
+      } else {
+        val perDoc = rtbfDocFrame(spark, table, Right(want))
+          .localCheckpoint(false) // the aggregate below materializes it
+        pinned = Some(perDoc)
+        val agg = perDoc.agg(count(lit(1)).as("k"),
+          coalesce(sum("dlen"), lit(0L)).as("s")).head()
+        (perDoc.select(col("doc_id"), lit(tag).as("__batch")),
+          agg.getLong(0), agg.getLong(1))
+      }
     if (k > 0) {
-      val tag = physicalTag(Some("delete"))
       // the first delete CREATES the table, as an EXTERNAL table
       // beside the index (derived from the postings table's location —
       // a managed table would collide with stale warehouse dirs left
       // by earlier JVMs' same-named indexes): the lazy-tombstone
       // contract minusTombstones keys on
-      val w = perDoc.select(col("doc_id"), lit(tag).as("__batch"))
-        .coalesce(1).write.mode("append")
-      if (spark.catalog.tableExists(tombTable(table)))
-        w.saveAsTable(tombTable(table))
-      else {
-        val postingsLoc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
-        val tombPath = new org.apache.hadoop.fs.Path(
-          postingsLoc.getParent, "tombstones").toString
-        w.option("path", tombPath).saveAsTable(tombTable(table))
-      }
+      val w = tomb.coalesce(1).write.mode("append")
+      // the tombstone write and the ledger-slot probe are independent
+      // (the ledger row — the commit point — still lands strictly after
+      // both): overlap them
+      var seq = 0L
+      graft.util.Par.run(
+        () => {
+          if (spark.catalog.tableExists(tombTable(table)))
+            w.saveAsTable(tombTable(table))
+          else {
+            val postingsLoc = new org.apache.hadoop.fs.Path(
+              spark.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+            val tombPath = new org.apache.hadoop.fs.Path(
+              postingsLoc.getParent, "tombstones").toString
+            w.option("path", tombPath).saveAsTable(tombTable(table))
+          }
+        },
+        () => seq = ledgerProbe(spark, table, None)._2)
       commitLedger(spark, table, tag, None, -k, -s,
-        seq = ledgerProbe(spark, table, None)._2, overwrite = false)
+        seq = seq, overwrite = false)
     }
-    perDoc.unpersist()
+    pinned.foreach(_.unpersist())
   }
 
   /** BM25 top-k: the disjunctive ranked-retrieval twin of
@@ -779,19 +816,21 @@ object InvertedIndexOps {
         .join(broadcast(committedTags(spark, table)),
           col("__batch") === col("batch_tag"), "left_semi"),
       spark, table)
-    LayoutOps.writeBucketed(live, spark, table, s"$basePath/postings",
-      nBuckets, "term")
     // the doc sidecar compacts under the same rule (live rows, ORIGINAL
     // tags): deleted docs' rows go, the ledger already carries their
     // negative correction, and a replayed delete of them stays a no-op
-    // via the untouched tombstone table
+    // via the untouched tombstone table. The two rewrites read and
+    // write disjoint tables — independent jobs, submitted concurrently.
     val liveDocs = minusTombstones(
       spark.table(docsTable(table))
         .join(broadcast(committedTags(spark, table)),
           col("__batch") === col("batch_tag"), "left_semi"),
       spark, table)
-    LayoutOps.writeBucketed(liveDocs, spark, docsTable(table),
-      s"$basePath/docs", nBuckets, "doc_id")
+    graft.util.Par.run(
+      () => LayoutOps.writeBucketed(live, spark, table, s"$basePath/postings",
+        nBuckets, "term"),
+      () => LayoutOps.writeBucketed(liveDocs, spark, docsTable(table),
+        s"$basePath/docs", nBuckets, "doc_id"))
     // the `<table>_terms` statistics sidecar is deliberately NOT
     // compacted: its rows are per-(term, batch) UPPER-BOUND inputs
     // (df sum, max tf, min dlen), and physically removing postings can
@@ -1004,7 +1043,10 @@ object InvertedIndexOps {
       explode(array_distinct(transform(col("terms"), t => lower(t))))
         .as("term"))
       .filter(length(col("term")) > 0)
-      .localCheckpoint(true) // consumed by the term probe AND the scoring join
+      // consumed by the term probe AND the scoring join; LAZY — the
+      // universe collect right below materializes the blocks in the
+      // same job instead of paying a separate one
+      .localCheckpoint(false)
     val universe = qt.select("term").distinct()
       .limit(maxPrunedTerms + 1).collect().map(_.getString(0)) // bounded
     // materialize the (queries × k)-bounded result eagerly so qt's
@@ -1080,7 +1122,9 @@ object InvertedIndexOps {
     // them through the candidate machinery first would be pure waste
     val qClass = qt.groupBy("query_id")
       .agg(max(when(essIn, 1).otherwise(0)).as("__he"))
-      .localCheckpoint(true) // one row per query
+      // one row per query; LAZY — the mixed-share aggregate right below
+      // materializes it in its own job
+      .localCheckpoint(false)
     // cost model: all-stop queries cost the same through either plan
     // (their exact top-k needs every posting), so the pruned tier only
     // earns its ~half-dozen extra driver jobs when a real share of the

@@ -415,14 +415,27 @@ object VectorStoreOps {
     fs.delete(new org.apache.hadoop.fs.Path(itemsPath(basePath)), true)
     fs.delete(new org.apache.hadoop.fs.Path(pqCodebookPath(basePath)), true)
     fs.delete(new org.apache.hadoop.fs.Path(pqResCodebookPath(basePath)), true)
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$basePath/centroids")
     val asg = assigned(spark, corpus, cents, idCol, vecCol, assignRound)
-    val physical = (pqCodebook, pqResidual) match {
+    val commitDir = s"${itemsPath(basePath)}/c=0"
+    def writeCents(): Unit =
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$basePath/centroids")
+    // the centroid table and the assigned-items commit are independent
+    // writes (the assignment reads the caller's `cents` frame, not the
+    // persisted file) — submit them concurrently on the tiers that
+    // allow it; only the residual tier genuinely chains on the frozen
+    // file (its codebook is built from residuals against EXACTLY what
+    // was persisted). The manifest — the commit point — still lands
+    // once and last either way.
+    (pqCodebook, pqResidual) match {
       case (Some(cb), _) =>
-        cb.coalesce(1).write.mode("overwrite")
-          .parquet(pqCodebookPath(basePath))
+        graft.util.Par.run(
+          () => writeCents(),
+          () => cb.coalesce(1).write.mode("overwrite")
+            .parquet(pqCodebookPath(basePath)))
         encodePq(asg, loadPqCodebook(spark, basePath))
+          .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
       case (None, Some((m, ksub))) =>
+        writeCents()
         val frozen = spark.read.parquet(s"$basePath/centroids")
         val dim = frozen.select(size(col("cvec"))).head().getInt(0)
         SimilarityOps.pqResidualCodebooks(
@@ -430,10 +443,13 @@ object VectorStoreOps {
           .coalesce(1).write.mode("overwrite")
           .parquet(pqResCodebookPath(basePath))
         encodePqRes(asg, frozen, loadPqResCodebook(spark, basePath))
-      case _ => maybeQuantize(asg, quantize)
+          .write.mode("overwrite").partitionBy("cid").parquet(commitDir)
+      case _ =>
+        graft.util.Par.run(
+          () => writeCents(),
+          () => maybeQuantize(asg, quantize)
+            .write.mode("overwrite").partitionBy("cid").parquet(commitDir))
     }
-    val commitDir = s"${itemsPath(basePath)}/c=0"
-    physical.write.mode("overwrite").partitionBy("cid").parquet(commitDir)
     writeManifest(spark, basePath,
       writtenCells(spark, commitDir).map(cid => ManifestRow(0L, cid, None)),
       append = false)
@@ -583,8 +599,10 @@ object VectorStoreOps {
       s"no committed vector store at $basePath")
     val manifest = readManifestRows(spark, basePath)
     if (liveDirRows(manifest).isEmpty) return // nothing to delete from
-    val del = ids.select(col(idCol).cast("long").as("item_id"))
-      .distinct().localCheckpoint(true)
+    // no eager checkpoint: the id set is request-sized and its second
+    // consumer (the anti-join inside the rewrite) re-derives it inside
+    // that job — one probe job instead of checkpoint + probe
+    val del = ids.select(col(idCol).cast("long").as("item_id")).distinct()
     val items = readStoreFrom(spark, basePath,
       liveDirRows(manifest).map(r => (r.c, r.cid)))
     val touched = items.join(del, "item_id")

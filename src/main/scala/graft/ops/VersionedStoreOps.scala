@@ -144,11 +144,12 @@ object VersionedStoreOps {
     val manifest = readManifest(spark, base) // the op's ONLY manifest read
     val cur = latest(manifest)
     val next = cur + 1
-    val winners = electWinners(
-      withBucket(changes.withColumnRenamed(opCol, OP), key, nBuckets),
-      key, seqCol)
-      .localCheckpoint(true)
-    val touched = winners.select(BUCKET).distinct()
+    val batch = withBucket(changes.withColumnRenamed(opCol, OP), key, nBuckets)
+    // touched buckets off the RAW batch (one map-side-partial aggregate):
+    // the election keeps a winner per key, so winners' bucket set ≡ the
+    // batch's — no per-apply window pass + eager checkpoint over the
+    // batch just to probe it (see [[DocStoreOps.applyChanges]])
+    val touched = batch.select(BUCKET).distinct()
       .collect().map(_.getInt(0)) // bounded by nBuckets
     val touchedDirs = manifest
       .filter { case (ver, bk, _) => ver <= cur && touched.contains(bk) }
@@ -156,19 +157,24 @@ object VersionedStoreOps {
       .map { case (bk, hist) => (bk, hist.maxBy(_._1)) }
       .collect { case (bk, (ver, _, empty)) if !empty => s"$base/v=$ver/$BUCKET=$bk" }
     // snapshot rows carry their OP (tombstones included) — the
-    // re-election sees deletes' sequences, same contract as the
+    // election sees deletes' sequences, same contract as the
     // in-place store
     val affected =
-      if (touchedDirs.isEmpty) winners.filter(lit(false))
+      if (touchedDirs.isEmpty) batch.filter(lit(false))
       else withBucket(
         spark.read.option("mergeSchema", "true").parquet(touchedDirs: _*),
         key, nBuckets)
     // copy-on-write needs no read-own-write fence (the write lands under
-    // v=next, never over the dirs it reads), and `merged`'s ONLY Spark
-    // consumer is the write itself — the surviving-bucket set comes off
-    // the written partition dirs, not a second pass over the frame
+    // v=next, never over the dirs it reads), and the merged frame's ONLY
+    // Spark consumer is the write itself — the surviving-bucket set comes
+    // off the written partition dirs, not a second pass over the frame.
+    // ONE election over (snapshot slice ∪ raw batch): the old
+    // within-batch election + re-election compose (total order,
+    // associative — electWinners doc); the bucket IN-filter is insurance
+    // that nothing outside the probed set is written or tombstoned.
     electWinners(
-      affected.unionByName(winners, allowMissingColumns = true), key, seqCol)
+      affected.unionByName(batch, allowMissingColumns = true), key, seqCol)
+      .filter(col(BUCKET).isin(touched.toIndexedSeq: _*))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(BUCKET).parquet(s"$base/v=$next")
     val surviving = writtenBuckets(spark, s"$base/v=$next").toSet

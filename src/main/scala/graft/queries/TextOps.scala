@@ -1495,15 +1495,23 @@ object TextOps {
         .select(col("doc_id"),
           slice(DedupOps.tokens(col("text")), 1, 8).as("t8"))
         .filter(size(col("t8")) >= 3)
-      val bm = InvertedIndexOps.searchBm25Batch(
-        snips.select(col("doc_id").as("query_id"), col("t8").as("terms")),
-        s, "graft_h3_idx", topK = 10)
-        .select("query_id", "doc_id", "rank")
-      val ph = InvertedIndexOps.searchPhraseWindowBatch(
-        snips.select(col("doc_id").as("query_id"),
-          slice(col("t8"), 1, 3).as("terms")),
-        s, "graft_h3_idx", topK = 10, maxSpan = 6)
-        .select("query_id", "doc_id", "rank")
+      // the two eager retrievers are independent read-only searches of
+      // the just-built index — run them concurrently so one search's
+      // driver-side orchestration (term probes, bounded checkpoints)
+      // overlaps the other's job tails (results are localCheckpointed
+      // bounded frames either way; the fusion below is unchanged)
+      var bm: org.apache.spark.sql.DataFrame = null
+      var ph: org.apache.spark.sql.DataFrame = null
+      graft.util.Par.run(
+        () => bm = InvertedIndexOps.searchBm25Batch(
+          snips.select(col("doc_id").as("query_id"), col("t8").as("terms")),
+          s, "graft_h3_idx", topK = 10)
+          .select("query_id", "doc_id", "rank"),
+        () => ph = InvertedIndexOps.searchPhraseWindowBatch(
+          snips.select(col("doc_id").as("query_id"),
+            slice(col("t8"), 1, 3).as("terms")),
+          s, "graft_h3_idx", topK = 10, maxSpan = 6)
+          .select("query_id", "doc_id", "rank"))
       val emb = SimilarityOps.hashEmbedMd5(docs, dim = 16)
       val qemb = SimilarityOps.hashEmbedMd5(
         snips.select(col("doc_id"), array_join(col("t8"), " ").as("text")),
