@@ -200,6 +200,61 @@ case class StopwordHits(child: Expression, words: Seq[String])
   override def prettyName: String = "stopword_hits"
 }
 
+/** Count of positions where two `array<bigint>` signatures agree, as one
+  * codegen'd primitive loop — the MinHash similarity estimator's kernel.
+  *
+  * The HOF formulation `aggregate(zip_with(a, b, eq), 0, +)` is
+  * CodegenFallback: interpreted per row with boxed longs, and it runs on
+  * EVERY LSH candidate pair — the hot inner loop of the band join at
+  * corpus scale. Semantics match the HOF form for equal-length non-null
+  * arrays (what signatures are by construction: fixed NumHashes lanes,
+  * containsNull = false); a length mismatch counts only the shared
+  * prefix, exactly as zip_with's null-padding contributed 0 there. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_match_count expects two array<bigint>, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getLong($i) == $y.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SigMatchCount = copy(left = l, right = r)
+  override def prettyName: String = "sig_match_count"
+}
+
 /** Deterministic permutation parameters shared by the expression and the
   * HOF formulation (same xorshift stream as DedupOps.perms). */
 class SignatureParams

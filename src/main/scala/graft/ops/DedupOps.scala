@@ -90,10 +90,18 @@ object DedupOps {
       .select("id", "sig")
   }
 
-  /** Fraction of matching signature components ≈ Jaccard similarity. */
+  /** Fraction of matching signature components ≈ Jaccard similarity.
+    * One codegen'd primitive loop ([[graft.expressions.SigMatchCount]]):
+    * the estimator runs on EVERY LSH candidate pair, and the HOF
+    * `aggregate(zip_with(...))` formulation it replaces was interpreted
+    * (CodegenFallback) with boxed longs on that hot path. Same value:
+    * integer match count cast to double over the constant lane count. */
   def estJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SigMatchCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(sigA),
+        org.apache.spark.sql.GraftColumnBridge.expression(sigB)))
+      .cast("double") / NumHashes
 
   /** Exact n-gram (w-shingle) Jaccard between two texts. */
   def exactJaccard(a: Column, b: Column, w: Int = 3): Column = {

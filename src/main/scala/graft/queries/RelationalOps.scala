@@ -952,13 +952,20 @@ object RelationalOps {
       IncrementalAggOps.writeAggStore(
         prep(VersionedStoreOps.readVersion(s, vbase, Some(v1))),
         s, abase, Seq("lang"), Seq("n", "chars"), nBuckets = 8)
-      val diff = VersionedStoreOps
-        .diffVersions(s, vbase, "doc_id", "seq", v1, v2)
-        .localCheckpoint(true) // two consumers below
-      val oldRows = VersionedStoreOps.readVersion(s, vbase, Some(v1))
-        .join(diff.filter(col("change").isin("del", "upd")), "doc_id")
-      val newRows = VersionedStoreOps.readVersion(s, vbase, Some(v2))
-        .join(diff.filter(col("change").isin("add", "upd")), "doc_id")
+      // the payload-carrying change feed: ONE pair of snapshot reads +
+      // one full-outer join yields the changed keys WITH both sides'
+      // payloads — the diff-then-join-each-snapshot-again shape this
+      // replaces read v1 and v2 twice and paid two extra key joins for
+      // the same rows
+      val feed = VersionedStoreOps
+        .changeFeed(s, vbase, "doc_id", "seq", v1, v2)
+        .localCheckpoint(true) // two consumers below; changed keys only
+      val oldRows = feed.filter(col("change").isin("del", "upd"))
+        .select(col("old_row.lang").as("lang"),
+          col("old_row.n_chars").as("n_chars"))
+      val newRows = feed.filter(col("change").isin("add", "upd"))
+        .select(col("new_row.lang").as("lang"),
+          col("new_row.n_chars").as("n_chars"))
       // retract + merge composed into ONE bucket-local fold (sums
       // commute): one read-modify-write cycle per change feed, not two
       IncrementalAggOps.applyDiffToAggStore(
