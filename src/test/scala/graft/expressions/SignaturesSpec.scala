@@ -23,6 +23,43 @@ class SignaturesSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("sig_match_count (estJaccard kernel) equals the HOF zip_with " +
+    "formulation exactly, real signatures and edge shapes") {
+    SignatureFunctions.register(spark)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / DedupOps.NumHashes
+    // real signatures: every adjacent-id pair of the corpus's frames
+    val sigs = docs.limit(60)
+      .withColumn("toks", DedupOps.tokens($"text"))
+      .withColumn("hs", array_distinct(transform(
+        DedupOps.shingles($"toks"),
+        s => pmod(xxhash64(s), lit(2147483647L)))))
+      .withColumn("sig", call_function("minhash_signature", $"hs"))
+      .select($"doc_id", $"sig")
+    val pairs = sigs.as("x").join(sigs.as("y"),
+      col("x.doc_id") + 1 === col("y.doc_id"))
+      .select(col("x.sig").as("a"), col("y.sig").as("b"))
+    val diff = pairs
+      .withColumn("fast", DedupOps.estJaccard($"a", $"b"))
+      .withColumn("ref", hof($"a", $"b"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+    // edge shapes: identical, disjoint, single-element, length mismatch
+    // (zip_with's null padding contributed 0 — the kernel counts only
+    // the shared prefix, same value)
+    val edges = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(7L), Seq(7L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 99L))).toDF("a", "b")
+    val ediff = edges
+      .withColumn("fast", DedupOps.estJaccard($"a", $"b"))
+      .withColumn("ref", hof($"a", $"b"))
+      .filter($"fast" =!= $"ref").count()
+    assert(ediff == 0)
+  }
+
   test("min_gram_md5 equals the HOF md5-per-window formulation exactly") {
     import graft.ops.TextAnalysisOps
     val staged = docs
