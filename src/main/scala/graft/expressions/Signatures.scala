@@ -225,13 +225,22 @@ case class SigMatchCount(left: Expression, right: Expression)
           s"${l.simpleString}, ${r.simpleString}")
     }
 
+  // A null LANE (containsNull arrays) contributes 0, matching the HOF
+  // reference exactly: zip_with's `a = b` is null when either side is,
+  // and the aggregate's `acc + when(eq, 1).otherwise(0)` coalesces that
+  // to 0 — two null lanes must NOT count as a match (getLong on a null
+  // lane reads 0 and would).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var c = 0
     var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        c += 1
+      i += 1
+    }
     c
   }
 
@@ -244,7 +253,8 @@ case class SigMatchCount(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |int $c = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.getLong($i) == $y.getLong($i)) $c++;
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i) &&
+         |      $x.getLong($i) == $y.getLong($i)) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -55,6 +55,19 @@ import org.apache.spark.sql.functions._
   * reader resolves is ever rewritten. The price is version storage
   * until `vacuum`. Pick per table: hot high-churn state in-place,
   * anything serving concurrent readers versioned.
+  *
+  * Lineage-cut stance (shared by every store op in this family): the
+  * in-apply freeze primitive is `localCheckpoint` — executor blocks,
+  * the right/fastest cut in local mode and on a healthy cluster, but
+  * NOT durable: on a real cluster an executor loss mid-apply kills the
+  * lineage-truncated frame and the apply must be re-run (safe — every
+  * mutation here is idempotent by the election/replay contracts, so
+  * "re-run the batch" is the documented recovery, exactly the
+  * [[GraphOps]] trade). A deployment that cannot tolerate mid-mutation
+  * retries should set `spark.checkpoint.dir` and route the cut through
+  * reliable `checkpoint()` (the GraphOps `checkpointDir` pattern) —
+  * at the cost of a DFS write per apply; the local default is the
+  * measured-faster path everywhere else.
   */
 object DocStoreOps {
 

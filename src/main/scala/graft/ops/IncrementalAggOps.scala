@@ -281,6 +281,11 @@ object IncrementalAggOps {
       .groupBy((keys :+ BUCKET).map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
       .select(dCols: _*)
+      // write insurance (the DocStoreOps/VersionedStoreOps convention):
+      // a non-deterministic delta re-evaluated between probe and fold
+      // could otherwise land rows in a bucket the manifest append below
+      // never publishes — silently dropped and later vacuumed
+      .filter(col(BUCKET).isin(touched.toIndexedSeq: _*))
       .write.mode("overwrite") // a torn prior attempt at this id is replaced
       .partitionBy(BUCKET).parquet(s"$basePath/v=$next")
     val written = writtenBuckets(spark, s"$basePath/v=$next")

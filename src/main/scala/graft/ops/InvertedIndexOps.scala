@@ -100,6 +100,15 @@ import org.apache.spark.sql.functions._
   * index at a time, the same contract as the agg/join/vector stores
   * (whose manifest appends assume it too).
   *
+  * Concurrent-catalog note: one mutation's independent side-table
+  * writes are submitted from a small thread pool (graft.util.Par — the
+  * overlap-independent-jobs pattern), so a single ingest/delete can
+  * issue catalog calls from two threads at once. The tested local
+  * metastore serializes them fine; a deployment against a shared HMS
+  * whose client chokes on concurrent DDL from one application should
+  * drop the Par wrappers (the writes are correct sequentially — the
+  * ordering contract is only "ledger LAST", which both shapes keep).
+  *
   * == Reader vs maintenance ==
   *
   * Time travel ([[searchBm25]] `asOfSeq`) reads through a committed
@@ -164,13 +173,38 @@ object InvertedIndexOps {
 
   private def tombTable(table: String) = s"${table}_tombstones"
 
+  /** Cap on the literal visibility IN-filter: ledgers are one row per
+    * batch, so almost every index sits far under it; past the cap the
+    * filter degrades to the broadcast semi-join (correctness identical,
+    * no driver-side literal list of unbounded size). */
+  private val maxPushedTags = 1024
+
+  /** Restrict `df` to committed batches — as a PUSHABLE literal
+    * `IN (tags...)` predicate when the ledger is small (the common
+    * case): the filter reaches the parquet scan, where per-file min/max
+    * statistics skip every file of an uncommitted, torn or post-`asOfSeq`
+    * batch outright — each data file is written by exactly one batch, so
+    * its `__batch` min = max = that tag (guide §6 file skipping with no
+    * layout change), and every search runs one broadcast build fewer
+    * (the tag collect is a driver job of the same ledger-bounded size
+    * the broadcast build was). Past [[maxPushedTags]] it degrades to
+    * the broadcast semi-join. */
+  private def withCommitted(df: DataFrame, spark: SparkSession,
+                            table: String,
+                            asOfSeq: Option[Long]): DataFrame = {
+    val tags = committedTags(spark, table, asOfSeq)
+      .limit(maxPushedTags + 1).collect().map(_.getString(0))
+    if (tags.length <= maxPushedTags)
+      df.filter(col("__batch").isin(tags.toIndexedSeq: _*))
+    else df.join(broadcast(committedTags(spark, table, asOfSeq)),
+      col("__batch") === col("batch_tag"), "left_semi")
+  }
+
   /** Committed tombstoned doc ids (only meaningful once the tombstone
     * table exists — see [[minusTombstones]]). */
   private def committedTombstones(spark: SparkSession, table: String,
                                   asOfSeq: Option[Long] = None): DataFrame =
-    spark.table(tombTable(table))
-      .join(broadcast(committedTags(spark, table, asOfSeq)),
-        col("__batch") === col("batch_tag"), "left_semi")
+    withCommitted(spark.table(tombTable(table)), spark, table, asOfSeq)
       .select("doc_id")
 
   /** Anti-join `df` against the committed tombstones — skipped WHOLE
@@ -188,15 +222,14 @@ object InvertedIndexOps {
 
   /** Live postings under `pred`: the pruned scan, restricted to
     * committed batches, minus tombstoned docs. `pred` lands directly on
-    * the table scan, so bucket pruning on `term` is untouched; both
-    * joins broadcast ledger-sized frames. */
+    * the table scan, so bucket pruning on `term` is untouched; the
+    * visibility filter is a pushed `IN` predicate ([[withCommitted]] —
+    * post-asOf batches' files are skipped at the scan). */
   private def livePostings(spark: SparkSession, table: String,
                            pred: Column,
                            asOfSeq: Option[Long] = None): DataFrame =
     minusTombstones(
-      spark.table(table).filter(pred)
-        .join(broadcast(committedTags(spark, table, asOfSeq)),
-          col("__batch") === col("batch_tag"), "left_semi"),
+      withCommitted(spark.table(table).filter(pred), spark, table, asOfSeq),
       spark, table, asOfSeq)
 
   /** Append one ledger row (the commit point) at `seq` — callers get
@@ -263,7 +296,15 @@ object InvertedIndexOps {
     * ingest that makes an RTBF batch-sized (see the class doc). Also
     * the source of the batch's ledger stats: count(rows) = n_docs,
     * sum(dlen) = sum_dlen, so ingest tokenizes twice (postings +
-    * sidecar), not three times. */
+    * sidecar), not three times.
+    *
+    * Measured note (r16): deriving this frame from the just-written
+    * postings instead (groupBy(doc_id).max(dlen) + an outer join for
+    * zero-token ids) was tried and REVERTED — the narrow-row
+    * shuffle+join machinery cost ~50% more process cpu than the
+    * map-only second tokenization it replaced at bench scale
+    * (text_search cpu 13.8 → 21.7 s), and it serializes the ingest's
+    * two independent write chains behind the postings write. */
   private def docSidecar(docs: DataFrame, idCol: String, textCol: String,
                          tag: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -536,27 +577,19 @@ object InvertedIndexOps {
       .groupBy("query_id", "doc_id")
       .agg(collect_list(struct(col("__i"), col("pos"))).as("__occ"))
       .join(broadcast(qk), "query_id")
-    // pp[i] = sorted positions of phrase offset i in this doc;
-    // a doc missing any offset's term can't match (cheap pre-filter)
-    val sentinel = Long.MaxValue / 2
+    // greedy chain from each anchor, as ONE codegen'd primitive pass
+    // per (query, doc) candidate (graft.expressions.GreedyChainCount —
+    // the five nested HOF lambdas this replaces ran interpreted with
+    // boxed longs on every candidate; differential parity is pinned in
+    // GreedyChainSpec). The expression also subsumes the old
+    // missing-offset pre-filter: a doc lacking any phrase offset counts
+    // zero anchors by construction.
+    val bridge = org.apache.spark.sql.GraftColumnBridge
     val out = occ
-      .filter(size(array_distinct(transform(col("__occ"),
-        o => o.getField("__i")))) === col("__k"))
-      .withColumn("__pp", transform(sequence(lit(0), col("__k") - 1),
-        i => array_sort(transform(
-          filter(col("__occ"), o => o.getField("__i") === i),
-          o => o.getField("pos")))))
-      // greedy chain from each anchor: fold the remaining offsets'
-      // position arrays, taking the smallest position > prev each step
-      // (filter preserves the sort, so element 0 — `get` is 0-indexed —
-      // is that minimum); a missing step poisons the chain with the
-      // sentinel
-      .withColumn("n_matches",
-        size(filter(element_at(col("__pp"), 1), a =>
-          aggregate(slice(col("__pp"), lit(2), col("__k") - 1), a,
-            (prev, arr) => coalesce(
-              get(filter(arr, q => q > prev), lit(0)), // null when empty
-              lit(sentinel))) - a <= maxSpan)).cast("long"))
+      .withColumn("n_matches", bridge.column(
+        graft.expressions.GreedyChainCount(
+          bridge.expression(col("__occ")), bridge.expression(col("__k")),
+          maxSpan)))
       .filter(col("n_matches") > 0)
       .select("query_id", "doc_id", "n_matches")
       .localCheckpoint(true) // bounded: matching (query, doc) pairs
@@ -639,9 +672,8 @@ object InvertedIndexOps {
     * the id-immutability contract makes every copy equal anyway. */
   private[ops] def rtbfDocFrame(spark: SparkSession, table: String,
                                 want: Either[Seq[Any], DataFrame]): DataFrame = {
-    val side = spark.table(docsTable(table))
-      .join(broadcast(committedTags(spark, table)),
-        col("__batch") === col("batch_tag"), "left_semi")
+    val side = withCommitted(spark.table(docsTable(table)), spark, table,
+      asOfSeq = None)
     (want match {
       case Left(idLits) => side.filter(col("doc_id").isin(idLits: _*))
       case Right(idsDf) => side.join(idsDf, Seq("doc_id"), "left_semi")
@@ -685,10 +717,17 @@ object InvertedIndexOps {
     var pinned: Option[DataFrame] = None // degraded path's checkpoint
     val (tomb, k, s) =
       if (sample.length <= maxPrunedIds) {
-        import spark.implicits._
-        val rows = rtbfDocFrame(spark, table, Left(sample.toIndexedSeq))
-          .collect() // bounded: ≤ maxPrunedIds (doc_id, dlen) rows
-        (rows.map(_.getLong(0)).toIndexedSeq.toDF("doc_id")
+        val frame = rtbfDocFrame(spark, table, Left(sample.toIndexedSeq))
+        val rows = frame.collect() // bounded: ≤ maxPrunedIds (doc_id, dlen) rows
+        // rebuild the tombstone frame with the sidecar's NATIVE doc_id
+        // type (the degraded path writes it verbatim): a hardcoded long
+        // would throw on a non-long id column and diverge the tombstone
+        // schema between the two paths
+        val tombSchema = org.apache.spark.sql.types.StructType(
+          Seq(frame.schema("doc_id")))
+        (spark.createDataFrame(
+          java.util.Arrays.asList(rows.map(r =>
+            org.apache.spark.sql.Row(r.get(0))): _*), tombSchema)
           .withColumn("__batch", lit(tag)),
           rows.length.toLong, rows.map(_.getLong(1)).sum)
       } else {
@@ -812,9 +851,7 @@ object InvertedIndexOps {
                        basePath: String, nBuckets: Int = 16): Unit = {
     requireSidecar(spark, table, "rebuildTextIndex")
     val live = minusTombstones(
-      spark.table(table)
-        .join(broadcast(committedTags(spark, table)),
-          col("__batch") === col("batch_tag"), "left_semi"),
+      withCommitted(spark.table(table), spark, table, asOfSeq = None),
       spark, table)
     // the doc sidecar compacts under the same rule (live rows, ORIGINAL
     // tags): deleted docs' rows go, the ledger already carries their
@@ -822,9 +859,8 @@ object InvertedIndexOps {
     // via the untouched tombstone table. The two rewrites read and
     // write disjoint tables — independent jobs, submitted concurrently.
     val liveDocs = minusTombstones(
-      spark.table(docsTable(table))
-        .join(broadcast(committedTags(spark, table)),
-          col("__batch") === col("batch_tag"), "left_semi"),
+      withCommitted(spark.table(docsTable(table)), spark, table,
+        asOfSeq = None),
       spark, table)
     graft.util.Par.run(
       () => LayoutOps.writeBucketed(live, spark, table, s"$basePath/postings",
@@ -1077,10 +1113,9 @@ object InvertedIndexOps {
       return fullIn("full-in")
     // ONE bounded probe job: committed bound statistics for the term
     // universe (bucket-pruned sidecar read) beside the ledger totals
-    val probeRows = spark.table(termsTable(table))
-      .filter(inAll)
-      .join(broadcast(committedTags(spark, table)),
-        col("__batch") === col("batch_tag"), "left_semi")
+    val probeRows = withCommitted(
+      spark.table(termsTable(table)).filter(inAll), spark, table,
+      asOfSeq = None)
       .groupBy("term")
       .agg(sum("df").as("__sdf"), max("max_tf").as("__mtf"),
         min("min_dlen").as("__mdl"))

@@ -38,18 +38,31 @@ object SimilarityOps {
   }
 
   /** Brute-force cosine top-k: every query row against the whole corpus.
-    * The corpus side is broadcast when small; at scale this is the
-    * reduce-side baseline the LSH path is judged against. Ranking is on
-    * (rounded cosine desc, vec_id) so ties are deterministic. */
+    * Ranking is on (rounded cosine desc, vec_id) so ties are
+    * deterministic.
+    *
+    * Join shape: the QUERY side is broadcast explicitly — by contract it
+    * is the sampled/bounded side (every call site passes a query batch,
+    * never a second corpus) — so the corpus STREAMS through one
+    * BroadcastNestedLoopJoin and the task count stays linear in the
+    * corpus scan. The planner's unhinted CartesianProduct ran
+    * left-partitions × right-partitions tasks: the task count grew
+    * QUADRATICALLY with the core count (both sides' shuffle partitions
+    * track it), which made the bench query slower at 32 cores than at 8.
+    * The pair stream is projected to (query_id, item_id, cos) BEFORE the
+    * ranking exchange so the window shuffle carries ~24 bytes/row, not
+    * two embedding arrays (guide §2.3: project before the exchange);
+    * rank ≤ k then caps every group pre-shuffle (WindowGroupLimit). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("cv"))
-    val scored = q.crossJoin(c)
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos",
         round(cosineFast(queries.sparkSession, col("qv"), col("cv")), 4))
+      .select("query_id", "item_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("item_id"))
     scored
       .withColumn("rank", row_number().over(w))

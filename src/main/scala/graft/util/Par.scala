@@ -36,6 +36,14 @@ object Par {
     }
     guarded(tasks.head)
     threads.foreach(_.join())
-    if (!failures.isEmpty) throw failures.peek()
+    if (!failures.isEmpty) {
+      // rethrow the first failure with the rest attached: concurrent
+      // sibling writes can fail together, and a silently-dropped cause
+      // is exactly what an incident debugger needs to see
+      val first = failures.poll()
+      var next = failures.poll()
+      while (next != null) { first.addSuppressed(next); next = failures.poll() }
+      throw first
+    }
   }
 }

@@ -362,4 +362,56 @@ class PlanQualitySpec extends SparkTestBase {
       .contains("SelectedBucketsCount"),
       "bm25 must bucket-prune the postings scan")
   }
+
+  test("r16 tier: brute-force top-k broadcasts the bounded query side, " +
+    "never a size-estimate-driven cartesian") {
+    // The unhinted shape flipped to CartesianProduct exactly when the
+    // query-side size estimate crossed the broadcast threshold (sf0.1,
+    // 32 cores): left-partitions × right-partitions tasks, quadratic in
+    // the core count. The explicit broadcast pins the join strategy at
+    // every scale; the corpus side streams.
+    Seq("emb_hash_q", "hybrid_rrf").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfTiny)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$q must broadcast the query side, not cartesian:\n$p")
+    }
+  }
+
+  test("r16 tier: the proximity chain-walk is the codegen'd expression, " +
+    "not the interpreted HOF chain") {
+    // the scoring runs in an INTERMEDIATE action (the bounded result
+    // checkpoint), invisible in the returned frame's plan — capture
+    // every execution the query body runs, the DumpExplain machinery
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries("text_phrase_slop")(spark, sfTiny).collect()
+      Thread.sleep(2000) // listener bus is async
+    } finally spark.listenerManager.unregister(l)
+    val all = plans.toArray.mkString("\n")
+    assert(all.contains("greedy_chain_count"),
+      "text_phrase_slop must score with greedy_chain_count")
+    assert(!all.contains("aggregate(slice"),
+      "the interpreted greedy fold must be gone from the hot filter")
+  }
+
+  test("r16 tier: index visibility is a PUSHED IN-filter on __batch " +
+    "(file-level pruning), not a per-search broadcast join") {
+    val df = SparkEntry.queries("text_bm25")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("In(__batch") || p.contains("__batch IN"),
+      s"bm25's scan must carry the committed-tags IN pushdown:\n$p")
+  }
 }
